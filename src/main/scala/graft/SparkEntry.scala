@@ -1,13 +1,149 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.explore.Stats
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a declarative DataFrame plan builder
+  * `(spark, sfDir) => DataFrame`; entries with deterministic, ANSI-SQL-
+  * expressible semantics also appear in [[oracleSql]] for the driver's
+  * DuckDB cross-check (SURVEY.md §5.2.4). Column names and ordering are
+  * engineered to match exactly on both engines: every computed column is
+  * aliased identically, float aggregates are rounded, and each query ends
+  * in a total ORDER BY with unique tiebreakers.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational pack [EXT] (SURVEY §2.B)
+    "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q3_top_revenue_orders" -> ((s, d) => Relational.topRevenueOrders(s, d)),
+    "q5_nation_revenue" -> ((s, d) => Relational.nationRevenue(s, d)),
+    "q_topk_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(s, d)),
+    "q_distinct_counts" -> ((s, d) => Relational.distinctCounts(s, d)),
+    "q_intersect_customers" -> ((s, d) => Relational.customersWithOrders(s, d)),
+    "q_anti_customers_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "q_union_nation_keys" -> ((s, d) => Relational.activeNationKeys(s, d)),
+    "q_rollup_acctbal" -> ((s, d) => Relational.rollupAcctbal(s, d)),
+    "q_semi_orders_big_lines" -> ((s, d) => Relational.ordersWithBigLines(s, d)),
+    // EDA / stats (reference R15-R16, SURVEY §2.A)
+    "q_corr_stats" -> ((s, d) => Stats.corrStats(s, d)),
+    "q_corr_matrix" -> ((s, d) => Stats.corrMatrix(s, d)),
+    "q_histogram_price" -> ((s, d) => Stats.histogram(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS rev,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_topk_parts_per_brand" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (
+        | SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand
+        |                     ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        | FROM part) t
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_distinct_counts" ->
+      """SELECT count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin,
+    "q_intersect_customers" ->
+      """SELECT c_custkey FROM customer
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_union_nation_keys" ->
+      """SELECT nationkey FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION
+        | SELECT s_nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+    "q_rollup_acctbal" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        | round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_semi_orders_big_lines" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT count(*) AS n,
+        | round(avg(l_extendedprice),4) AS mean_price,
+        | round(stddev_samp(l_extendedprice),4) AS sd_price,
+        | round(avg(l_discount),6) AS mean_disc,
+        | round(stddev_samp(l_discount),6) AS sd_disc,
+        | round(corr(l_extendedprice,l_discount),6) AS corr_price_disc,
+        | round(corr(l_extendedprice,l_quantity),6) AS corr_price_qty
+        |FROM lineitem""".stripMargin,
+    "q_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val rows = for { x <- cols; y <- cols } yield
+        s"SELECT '$x' AS col_x, '$y' AS col_y, round(corr($x,$y),6) AS r FROM lineitem"
+      rows.mkString("SELECT col_x, col_y, r FROM (", " UNION ALL ",
+        ") t ORDER BY col_x, col_y")
+    },
+    "q_histogram_price" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |           FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 20)), 19) AS BIGINT) AS bucket,
+        |       count(*) AS n
+        |FROM lineitem, b GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

@@ -1,0 +1,73 @@
+package graft.explore
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** EDA statistics — the Spark rendition of the reference's exploration module
+  * (reference `src/data_exploration.py:5-47`: per-column histograms R15 and
+  * the Pearson correlation matrix R16, SURVEY.md §2.A).
+  *
+  * Everything here is a single aggregate job: summary stats fuse into one
+  * `agg(...)`, the correlation matrix is one pass producing all pairs, and
+  * the histogram is two aggregates (bounds, then bucket counts). No driver
+  * loops — these shapes are 100 TB-safe because the shuffle output is O(cols²
+  * + buckets), independent of row count.
+  */
+object Stats {
+
+  /** Scalar stats + Pearson correlation for a column pair — reference R16
+    * (`src/data_exploration.py:33`) specialized to the lineitem measures.
+    * One fused hash-agg: a single pass over the input computes every moment.
+    */
+  def corrStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n"),
+      round(avg(col("l_extendedprice")), 4).as("mean_price"),
+      round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+      round(avg(col("l_discount")), 6).as("mean_disc"),
+      round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+      round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_price_disc"),
+      round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_price_qty"))
+
+  /** Full pairwise Pearson correlation matrix in long form (col_x, col_y, r)
+    * over the lineitem numeric measures — reference R16 generalized. One
+    * fused aggregate computes all pairs; the unpivot is a local Expand.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = for { x <- cols; y <- cols } yield
+      round(corr(col(x), col(y)), 6).as(s"${x}__$y")
+    val wide = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stacked = for { x <- cols; y <- cols } yield
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        col(s"${x}__$y").as("r"))
+    wide.select(explode(array(stacked: _*)).as("e"))
+      .select(col("e.col_x").as("col_x"), col("e.col_y").as("col_y"),
+        col("e.r").as("r"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** Equi-width histogram — reference R15 (`src/data_exploration.py:16-18`)
+    * as bucket counts (the engine computes numbers; plotting is out of scope,
+    * SURVEY.md §2.A R15).
+    *
+    * Two jobs: (1) min/max bounds (fused agg), (2) bucket = clamped
+    * floor((x-mn)/width) group-count. The bounds row is broadcast — never
+    * collected to a driver variable — so the plan stays a pure dataflow and
+    * both the Spark and DuckDB sides compute bit-identical double bucket
+    * boundaries.
+    */
+  def histogram(spark: SparkSession, dir: String, column: String = "l_extendedprice",
+                buckets: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col(column).as("x"))
+    val bounds = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    li.crossJoin(broadcast(bounds))
+      .select(least(
+        floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / buckets)),
+        lit(buckets - 1)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+}

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Relational pack over the TPC-H-ish star schema (SURVEY.md §2.B).
+  *
+  * The reference (`tembolo1284/feature_store_ML`) is a single-table pipeline
+  * with no joins/filters (reference `src/main.py:13-29`), so this is the
+  * [EXT] surface mandated by BASELINE.json. All operators are declarative
+  * DataFrame plans: Catalyst pushes filters/projections into the parquet
+  * scans, AQE picks join strategies at runtime, and every aggregation is a
+  * partial+final hash-agg (map-side combine) — no driver-side loops anywhere,
+  * so each plan survives a 1000-executor / 100 TB scale-up unchanged.
+  *
+  * Scale notes per operator are on each method.
+  */
+object Relational {
+
+  /** `sum(l_extendedprice * (1 - l_discount))` — the star-schema revenue
+    * measure, rounded for cross-engine float parity (SURVEY.md §7.5.2). */
+  private def revenue: Column =
+    sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  /** TPC-H Q1-flavored pricing summary: scan → filter → hash-agg → sort.
+    *
+    * Scale: single shuffle on (returnflag, linestatus) — ~6 groups total, so
+    * the map-side partial aggregation reduces 100 TB of input to a few rows
+    * per task before the shuffle; the filter and the 6-column projection are
+    * pushed into the parquet scan (verify with `.explain`: PushedFilters +
+    * ReadSchema).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(revenue, 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-flavored top unshipped orders: 3-way join → agg → top-k.
+    *
+    * Scale: `customer` is dim-sized → broadcast hint (no shuffle of the fact
+    * side for that join); `lineitem ⋈ orders` is fact-fact → sort-merge/
+    * shuffled-hash on the join key, which is also the aggregation key, so
+    * Catalyst reuses the exchange (one shuffle for join+agg). Top-10 is a
+    * TakeOrderedAndProject — no global sort materialization.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(revenue, 2).as("rev"))
+      // dates are emitted as yyyy-MM-dd strings in every oracle-checked
+      // query — string values compare unambiguously across engines
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-flavored revenue by nation: 5-way star join → agg.
+    *
+    * Scale: region/nation/customer are all dim-sized relative to the facts →
+    * broadcast; the only shuffle is lineitem ⋈ orders plus the tiny final
+    * agg on ~25 nation groups. This is the canonical "broadcast the star's
+    * dimensions" plan shape that must hold at 100 TB.
+    */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+          .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(revenue, 2).as("rev"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-k per group via ranking window: top-3 parts per brand by price.
+    *
+    * Scale: one shuffle on the partition key (`p_brand`); rank tiebreak on
+    * the unique `p_partkey` makes the result total-order deterministic
+    * (SURVEY.md §5.2.4). For heavily-skewed groups at 100 TB, pre-aggregate
+    * a per-partition top-k before the shuffle (Spark does this for
+    * `TakeOrderedAndProject` but not for windows — acceptable here because
+    * group cardinality ≈ |brands| keeps partitions small).
+    */
+  def topPartsPerBrand(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .withColumn("rnk", row_number().over(w).cast("long")) // long: DuckDB row_number() is BIGINT
+      .filter(col("rnk") <= k)
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  /** Exact + approximate distinct counts over the fact table.
+    *
+    * Scale: `count_distinct` shuffles by the counted key (expand + two-phase
+    * agg); `approx_count_distinct` (HLL++) is one pass, mergeable, constant
+    * memory — the 100 TB default. Both shown; the oracle checks the exact
+    * columns only (approx is engine-specific by design, asserted within ±5%
+    * in the spec instead).
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** Set op: customers that did place orders (INTERSECT keyspace). */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .intersect(Tables.orders(spark, dir).select(col("o_custkey")))
+      .orderBy(col("c_custkey"))
+
+  /** Anti join: customers with no orders before 1996 (NOT EXISTS).
+    *
+    * Scale: left-anti against a filtered fact table; the date filter is
+    * pushed into the parquet scan, and Catalyst plans the anti as a
+    * broadcast/shuffled anti hash-join — never a cross product. At 100 TB,
+    * distinct-then-anti keeps the build side small.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** Set op: UNION (distinct) of two key domains. */
+  def activeNationKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy(col("nationkey"))
+
+  /** ROLLUP(region, nation) over customer account balances — multi-level
+    * aggregate in one pass (Expand + single hash-agg, one shuffle).
+    */
+  def rollupAcctbal(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** Semi join: orders that have at least one high-value line (EXISTS). */
+  def ordersWithBigLines(spark: SparkSession, dir: String, minPrice: Double = 90000.0): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir)
+          .filter(col("l_extendedprice") > minPrice),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.sources.Tables
+
+class RelationalSpec extends SparkSpec {
+
+  test("pricing summary: one row per (returnflag, linestatus), counts sum to filtered input") {
+    val df = Relational.pricingSummary(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 9) // <=3 flags x <=3 statuses
+    val nIn = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp")).count()
+    assert(rows.map(_.getAs[Long]("count_order")).sum === nIn)
+    // avg consistency: avg_qty ~= sum_qty / count
+    rows.foreach { r =>
+      val approx = r.getAs[Double]("sum_qty") / r.getAs[Long]("count_order")
+      assert(math.abs(approx - r.getAs[Double]("avg_qty")) < 0.01)
+    }
+  }
+
+  test("top revenue orders: 10 rows, revenue strictly ordered desc with key tiebreak") {
+    val rows = Relational.topRevenueOrders(spark, sf).collect()
+    assert(rows.length === 10)
+    val revs = rows.map(_.getAs[Double]("rev"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("nation revenue joins all dims: every nation belongs to a region") {
+    val df = Relational.nationRevenue(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.forall(r => r.getAs[String]("r_name") != null))
+    assert(rows.forall(_.getAs[Long]("n_items") > 0))
+  }
+
+  test("top-3 parts per brand: rank bounded, prices non-increasing within brand") {
+    val rows = Relational.topPartsPerBrand(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("rnk") >= 1 && r.getAs[Long]("rnk") <= 3))
+    rows.groupBy(_.getAs[String]("p_brand")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("p_retailprice"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("distinct counts: exact values vs direct computation; approx HLL within 5%") {
+    val r = Relational.distinctCounts(spark, sf).collect().head
+    val li = Tables.lineitem(spark, sf)
+    assert(r.getAs[Long]("n_rows") === li.count())
+    val exactOrders = li.select("l_orderkey").distinct().count()
+    assert(r.getAs[Long]("n_orders") === exactOrders)
+    // default HLL++ rsd is 0.05 → 2-sigma envelope of 10%
+    val approx = li.agg(approx_count_distinct(col("l_orderkey")))
+      .collect().head.getLong(0)
+    assert(math.abs(approx - exactOrders).toDouble / exactOrders < 0.10)
+  }
+
+  test("set ops partition the customer keyspace") {
+    val withO = Relational.customersWithOrders(spark, sf).count()
+    val noO = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(withO + noO === Tables.customer(spark, sf).count())
+  }
+
+  test("rollup: grand-total row equals full aggregate; level counts consistent") {
+    val rows = Relational.rollupAcctbal(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_cust") === Tables.customer(spark, sf).count())
+    val regionRows = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(regionRows.map(_.getAs[Long]("n_cust")).sum === grand.head.getAs[Long]("n_cust"))
+  }
+
+  test("semi join returns a subset of orders keyed uniquely") {
+    val df = Relational.ordersWithBigLines(spark, sf)
+    val n = df.count()
+    assert(n > 0 && n <= Tables.orders(spark, sf).count())
+    assert(df.select("o_orderkey").distinct().count() === n)
+  }
+
+  test("broadcast hint survives planning in the star join") {
+    val plan = Relational.nationRevenue(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("filter and projection push into the parquet scan") {
+    val plan = Relational.pricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.explore.Stats
+import graft.sources.Tables
+
+class StatsSpec extends SparkSpec {
+
+  test("corr stats: correlation in [-1,1], stddev positive") {
+    val r = Stats.corrStats(spark, sf).collect().head
+    assert(r.getAs[Long]("n") === Tables.lineitem(spark, sf).count())
+    assert(math.abs(r.getAs[Double]("corr_price_disc")) <= 1.0)
+    assert(r.getAs[Double]("sd_price") > 0)
+  }
+
+  test("corr matrix: symmetric with unit diagonal") {
+    val m = Stats.corrMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("r")).toMap
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.foreach(c => assert(math.abs(m((c, c)) - 1.0) < 1e-6))
+    for (x <- cols; y <- cols)
+      assert(math.abs(m((x, y)) - m((y, x))) < 1e-9)
+  }
+
+  test("histogram: buckets in range, counts sum to row count") {
+    val rows = Stats.histogram(spark, sf).collect()
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b <= 19
+    })
+    assert(rows.map(_.getAs[Long]("n")).sum === Tables.lineitem(spark, sf).count())
+  }
+}
