@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
-import graft.ops.Relational
+import graft.ops.{Events, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,12 @@ object SparkEntry {
     "q_corr_stats" -> ((s, d) => Stats.corrStats(s, d)),
     "q_corr_matrix" -> ((s, d) => Stats.corrMatrix(s, d)),
     "q_histogram_price" -> ((s, d) => Stats.histogram(s, d)),
+    // events pack [EXT] (SURVEY §2.B streaming/window rows)
+    "q_evt_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
+    "q_evt_sliding" -> ((s, d) => Events.slidingValue(s, d)),
+    "q_evt_session" -> ((s, d) => Events.sessionize(s, d)),
+    "q_evt_lag_features" -> ((s, d) => Events.lagFeatures(s, d)),
+    "q_evt_json_props" -> ((s, d) => Events.jsonPropsAgg(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -145,5 +151,49 @@ object SparkEntry {
         |SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 20)), 19) AS BIGINT) AS bucket,
         |       count(*) AS n
         |FROM lineitem, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_evt_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour_start,
+        | event_type, count(*) AS n_events,
+        | round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_evt_sliding" ->
+      """WITH x AS (
+        | SELECT unnest([date_trunc('hour', ts),
+        |                date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w, value
+        | FROM events)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S.%f') AS win_start,
+        | count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_evt_session" ->
+      """WITH o AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        | SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM o)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_evt_lag_features" ->
+      """SELECT event_id, user_id,
+        | CAST(row_number() OVER w AS BIGINT) AS rn,
+        | lag(value, 1) OVER w AS prev_value,
+        | epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap_ms,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 2) AS roll3
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
+    "q_evt_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

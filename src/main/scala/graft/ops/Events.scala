@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Event-time pack over the stream-shaped `events` table (SURVEY.md §2.B
+  * "streaming" row). The reference has no event/stream processing at all,
+  * so this is [EXT] surface; semantics follow Structured Streaming's
+  * event-time model but run here as batch plans so the DuckDB oracle can
+  * check them (SURVEY.md §7.5.3 — true streaming stays test-only, see
+  * [[graft.streaming.EventStream]]).
+  *
+  * Scale notes: every query shuffles once on (user or window) keys; window
+  * functions partition by `user_id` — at 100 TB the per-user partition is
+  * small (bounded sessions), so no skew salting is needed; event-time
+  * windows aggregate with partial combine like any hash-agg.
+  */
+object Events {
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Hourly tumbling-window counts per event type — Spark's native
+    * `window()` event-time bucketing, emitted as a formatted string for
+    * cross-engine value parity. */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(date_format(col("w.start"), tsFmt).as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Sliding window (2h long, sliding 1h): each event lands in two
+    * overlapping windows. Spark's `window(ts, dur, slide)` expands rows
+    * internally (an Expand node) — the same shape a streaming sliding agg
+    * uses. */
+  def slidingValue(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), tsFmt).as("win_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"))
+
+  /** Per-user sessionization with a 30-minute inactivity gap — Spark's
+    * native `session_window`. A new session starts when the gap since the
+    * previous event is >= 30 min (session end is exclusive).
+    *
+    * Scale: one shuffle on user_id; state per group is bounded by session
+    * length. In streaming form this is the same operator with a watermark.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), tsFmt).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Per-user ordered feature-engineering window: previous value, gap to
+    * previous event in ms, rolling sum of the prior 3 values, and event
+    * index — the classic feature-store "user history" shape (SURVEY.md
+    * §2.B window-functions row). Deterministic via (ts, event_id) order. */
+  def lagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("gap_ms",
+        unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("roll3",
+        round(sum(col("value")).over(w.rowsBetween(-3, -1)), 2))
+      .select(col("event_id"), col("user_id"), col("rn"), col("prev_value"),
+        col("gap_ms"), col("roll3"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** JSON property extraction + aggregate: pulls `props.k` (a JSON string
+    * column, e.g. `{"k": 87}`) with the codegen'd `get_json_object`
+    * expression, then aggregates per event type. */
+  def jsonPropsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+}

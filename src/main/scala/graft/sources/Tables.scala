@@ -68,11 +68,14 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `events.ts` is parquet timestamp[ns]; Spark reads it as TIMESTAMP_NTZ
-    * truncated to micros when the schema requests TimestampType. */
-  val eventsSchema: StructType = StructType(Seq(
+  /** `events.ts` is parquet timestamp[ns] (INT64 TIMESTAMP(NANOS)), which
+    * Spark's vectorized reader rejects as TimestampType. We read it as a
+    * raw long (`spark.sql.legacy.parquet.nanosAsLong`) and convert with
+    * integer `DIV 1000` — double division would lose the last microsecond
+    * digit at 1.7e18 ns magnitudes, breaking oracle parity. */
+  val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -101,7 +104,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part", partSchema)
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders", ordersSchema)
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem", lineitemSchema)
-  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events", eventsSchema)
+
+  /** Events with `ts` as a proper TimestampType (micros, UTC), converted
+    * exactly from the file's nanosecond longs. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events", eventsRawSchema)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
 }

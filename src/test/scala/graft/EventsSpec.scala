@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Events
+import graft.sources.Tables
+
+class EventsSpec extends SparkSpec {
+
+  test("events reader: nanos converted to exact micros timestamps") {
+    val df = Tables.events(spark, sf)
+    assert(df.schema("ts").dataType.typeName === "timestamp")
+    val bounds = df.agg(min("ts").cast("string"), max("ts").cast("string")).collect().head
+    assert(bounds.getString(0) === "2024-01-01 00:09:58.778549")
+    assert(bounds.getString(1) === "2024-01-30 23:26:16.220708")
+  }
+
+  test("tumbling windows: event counts conserved, starts aligned to the hour") {
+    val df = Events.tumblingCounts(spark, sf).cache()
+    assert(df.agg(sum("n_events")).collect().head.getLong(0) ===
+      Tables.events(spark, sf).count())
+    assert(df.filter(!col("hour_start").endsWith("00:00.000000")).count() === 0)
+  }
+
+  test("sliding windows double-count each event exactly twice") {
+    val total = Events.slidingValue(spark, sf)
+      .agg(sum("n_events")).collect().head.getLong(0)
+    assert(total === 2 * Tables.events(spark, sf).count())
+  }
+
+  test("sessions: events conserved, session gaps respected") {
+    val sess = Events.sessionize(spark, sf).cache()
+    assert(sess.agg(sum("n_events")).collect().head.getLong(0) ===
+      Tables.events(spark, sf).count())
+    // at least one user has multiple sessions over a month of events
+    assert(sess.groupBy("user_id").count().filter(col("count") > 1).count() > 0)
+  }
+
+  test("lag features: first event per user has null lags, rn is dense per user") {
+    val df = Events.lagFeatures(spark, sf).cache()
+    val firsts = df.filter(col("rn") === 1)
+    assert(firsts.filter(col("prev_value").isNotNull || col("gap_ms").isNotNull
+      || col("roll3").isNotNull).count() === 0)
+    val maxRn = df.groupBy("user_id").agg(max("rn").as("mx"), count(lit(1)).as("n"))
+    assert(maxRn.filter(col("mx") =!= col("n")).count() === 0)
+  }
+
+  test("json props: k parsed for every row, bounds sane") {
+    val r = Events.jsonPropsAgg(spark, sf)
+      .agg(sum("n").as("n"), min("min_k").as("mn"), max("max_k").as("mx"))
+      .collect().head
+    assert(r.getAs[Long]("n") === Tables.events(spark, sf).count())
+    assert(r.getAs[Long]("mn") >= 0 && r.getAs[Long]("mx") <= 100)
+  }
+}
