@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
-import graft.ops.{Events, Relational}
+import graft.ops.{Events, Relational, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,7 +44,38 @@ object SparkEntry {
     "q_evt_session" -> ((s, d) => Events.sessionize(s, d)),
     "q_evt_lag_features" -> ((s, d) => Events.lagFeatures(s, d)),
     "q_evt_json_props" -> ((s, d) => Events.jsonPropsAgg(s, d)),
+    // text-analysis pack [EXT] (SURVEY §2.B text-analysis row)
+    "q_text_tokens" -> ((s, d) => Text.tokenCounts(s, d)),
+    "q_text_doc_stats" -> ((s, d) => Text.docStats(s, d)),
+    "q_text_quality" -> ((s, d) => Text.qualityScore(s, d)),
+    "q_text_langid" -> ((s, d) => Text.langIdConfusion(s, d)),
+    "q_text_fingerprint" -> ((s, d) => Text.fingerprintPoly(s, d)),
+    // rows-only: xxhash64 values are engine-specific by design
+    "q_text_fingerprint_fast" -> ((s, d) => Text.fingerprintFast(s, d)),
   )
+
+  /** DuckDB twin of [[Text.langIdConfusion]], generated from the same
+    * [[Text.langMarkers]] profile so scorer and oracle can't drift. */
+  private def langIdOracle: String = {
+    val langs = Text.langMarkers.map(_._1)
+    val scoreExprs = Text.langMarkers.map { case (lang, ms) =>
+      ms.map(m =>
+        s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+        .mkString("(", " + ", s") AS s_$lang")
+    }.mkString(",\n  ")
+    val caseChain = langs.init.zipWithIndex.map { case (lang, i) =>
+      val conds = langs.drop(i + 1).map(r => s"s_$lang >= s_$r").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n   ", "\n   ", s"\n   ELSE '${langs.last}'")
+    s"""WITH p AS (SELECT lang, ' ' || text || ' ' AS p FROM documents),
+       |s AS (SELECT lang,
+       |  $scoreExprs
+       | FROM p)
+       |SELECT lang,
+       |  CASE$caseChain END AS pred_lang,
+       |  count(*) AS n
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -195,5 +226,44 @@ object SparkEntry {
         | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        | SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+        | FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_text_doc_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | round(avg(n_chars), 4) AS avg_chars,
+        | round(avg(n_tokens), 4) AS avg_tokens,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM (SELECT lang, source, n_chars,
+        |       CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |      FROM documents) t
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_text_quality" ->
+      """WITH q AS (
+        | SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len_chars,
+        |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, lang, len_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+        | FROM q)
+        |SELECT doc_id, lang, len_chars, n_tokens, n_distinct, n_stop,
+        | round(n_distinct / n_tokens, 6) AS diversity,
+        | round(n_stop / n_tokens, 6) AS stop_ratio,
+        | round(0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens)
+        |       + 0.3 * least(1.0, n_tokens / 60.0), 6) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_text_langid" -> langIdOracle,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis pack over the `documents` table — the LLM-data-pipeline
+  * operators mandated beyond the reference surface (SURVEY.md §2.B [EXT]
+  * text-analysis row): token stats, quality scoring, language-ID heuristic,
+  * and document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` and higher-order array
+  * functions — no UDFs — so plans stay whole-stage-codegen'd (HOF lambdas
+  * are the one interpreted island) and each operator is a single shuffle.
+  * At 100 TB the shapes hold: tokenization is a per-row map, the only wide
+  * exchanges are the final group-bys on low-cardinality keys.
+  */
+object Text {
+
+  /** Tokenizer: whitespace split, dropping empty segments. */
+  def tokens(c: Column): Column = filter(split(c, " "), t => length(t) > 0)
+
+  /** Global token frequencies, top 50 — tokenize → explode → count.
+    * Scale: the explode inflates rows ~60× but partial aggregation
+    * collapses them map-side; the shuffle carries only |vocab| rows per
+    * task. */
+  def tokenCounts(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+
+  /** Per-(lang, source) document statistics: doc counts, char/token
+    * means, total token volume. One fused hash-agg. */
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Stopword list used by the quality score (tiny by design: the corpus
+    * vocabulary is engine words + {the, a}). */
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  /** Per-document quality scoring — length, lexical diversity, stopword
+    * ratio, mean token length, and a blended [0,1] score. The classic
+    * pre-training corpus filter signals (Gopher/C4-style rules), computed
+    * relationally so they run as one codegen'd projection per row.
+    *
+    * score = 0.4·diversity + 0.3·(1−stop_ratio) + 0.3·min(1, n_tokens/60)
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"))
+      .withColumn("diversity", round(col("n_distinct") / col("n_tokens"), 6))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 6))
+      .withColumn("quality", round(
+        lit(0.4) * (col("n_distinct") / col("n_tokens")) +
+        lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens")) +
+        lit(0.3) * least(lit(1.0), col("n_tokens") / lit(60.0)), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-marker profiles for the n-gram language-ID heuristic:
+    * common function-word bigrams/trigrams per language (public-knowledge
+    * frequency profiles). Counting is substring-occurrence based so the
+    * exact same arithmetic runs in the DuckDB oracle. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " die ", " und ", " ist "),
+    "en" -> Seq(" the ", " a ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de ", " que "),
+    "fr" -> Seq(" le ", " la ", " et ", " est "),
+    "zh" -> Seq(" de5 ", " shi4 ", " le5 ", " zai4 "))
+
+  /** #occurrences of `m` in `c` via replace-length arithmetic — identical
+    * semantics on every SQL engine, unlike regex counting. */
+  private def countSubstr(c: Column, m: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(m), ""))) / m.length
+
+  /** Language-ID: argmax of marker-profile scores with fixed-order
+    * tiebreak, reported as a (lang → predicted) confusion matrix.
+    *
+    * NB: the synthetic corpus shares one vocabulary across langs
+    * (FIXTURES.md §B), so prediction *accuracy* is meaningless here — the
+    * operator contract is determinism + plumbing; on real multilingual
+    * text the same profile table does the real job.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scored = Tables.documents(spark, dir).select(
+      (col("lang") +: langMarkers.map { case (lang, ms) =>
+        ms.map(countSubstr(padded, _)).reduce(_ + _).as(s"s_$lang")
+      }): _*)
+    // argmax with first-in-order winning ties (same CASE chain as oracle)
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((lang, i), elseCol) =>
+        val rest = langs.drop(i + 1)
+        val isMax = rest.map(r => col(s"s_$lang") >= col(s"s_$r")).reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    scored.withColumn("pred_lang", pred)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over the document's characters:
+    * fp = fold(chars, 0, (acc, ch) => (acc*31 + ascii(ch)) mod 1e9+7).
+    *
+    * This is the oracle-checkable demonstration variant (DuckDB replays
+    * the identical fold via list_reduce). The 100 TB path is
+    * [[fingerprintFast]] — Spark's native codegen'd xxhash64.
+    */
+  def fingerprintPoly(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        aggregate(split(col("text"), ""), lit(0L),
+          (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Scale-path fingerprint: one codegen'd 64-bit xxHash per row. Used by
+    * exact dedup at 100 TB (hash the text, group by hash). Engine-specific
+    * hash values → rows-only driver check; the spec asserts injectivity
+    * matches [[fingerprintPoly]] grouping on this corpus. */
+  def fingerprintFast(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), xxhash64(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Text
+import graft.sources.Tables
+
+class TextSpec extends SparkSpec {
+
+  test("token counts: positive counts, sorted desc, limited to 50") {
+    val rows = Text.tokenCounts(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.forall(_ > 0))
+    assert(ns.sameElements(ns.sorted(Ordering[Long].reverse)))
+  }
+
+  test("doc stats: group count and token totals consistent") {
+    val rows = Text.docStats(spark, sf).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") > 0)
+      assert(r.getAs[Double]("avg_tokens") > 0)
+    }
+  }
+
+  test("quality score: one row per doc, ratios in [0,1]") {
+    val rows = Text.qualityScore(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val div = r.getAs[Double]("diversity")
+      val stop = r.getAs[Double]("stop_ratio")
+      val q = r.getAs[Double]("quality")
+      assert(div >= 0.0 && div <= 1.0)
+      assert(stop >= 0.0 && stop <= 1.0)
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("langid confusion: counts cover every doc, preds drawn from profile langs") {
+    val rows = Text.langIdConfusion(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === Tables.documents(spark, sf).count())
+    val langs = Text.langMarkers.map(_._1).toSet
+    rows.foreach(r => assert(langs.contains(r.getAs[String]("pred_lang"))))
+  }
+
+  test("poly fingerprint: deterministic, in modulus range, matches hand fold") {
+    val rows = Text.fingerprintPoly(spark, sf).limit(5).collect()
+    val docs = Tables.documents(spark, sf).orderBy(col("doc_id")).limit(5)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val fp = r.getAs[Long]("fp")
+      assert(fp >= 0 && fp < 1000000007L)
+      val expected = docs(r.getAs[Long]("doc_id"))
+        .foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+      assert(fp === expected)
+    }
+  }
+
+  test("fast fingerprint groups exactly like poly fingerprint (injectivity parity)") {
+    val poly = Text.fingerprintPoly(spark, sf)
+    val fast = Text.fingerprintFast(spark, sf)
+    assert(poly.select(countDistinct(col("fp"))).head.getLong(0) ===
+      fast.select(countDistinct(col("fp"))).head.getLong(0))
+  }
+}
