@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
-import graft.ops.{Events, Relational, Text}
+import graft.ops.{Events, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +52,11 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, d) => Text.fingerprintPoly(s, d)),
     // rows-only: xxhash64 values are engine-specific by design
     "q_text_fingerprint_fast" -> ((s, d) => Text.fingerprintFast(s, d)),
+    // similarity pack [EXT] (SURVEY §2.B similarity-search row)
+    "q_sim_topk" -> ((s, d) => Similarity.topKCosine(s, d)),
+    "q_sim_pair_cosine" -> ((s, d) => Similarity.pairCosine(s, d)),
+    // rows-only: LSH bucketing is approximate by design; spec asserts recall
+    "q_sim_ann_topk" -> ((s, d) => Similarity.annTopKCosine(s, d)),
   )
 
   /** DuckDB twin of [[Text.langIdConfusion]], generated from the same
@@ -258,6 +263,33 @@ object SparkEntry {
         |       + 0.3 * least(1.0, n_tokens / 60.0), 6) AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_langid" -> langIdOracle,
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |p AS (SELECT q_id, cand_id,
+        |  round(list_reduce(list_transform(generate_series(1,64), i -> qv[i]*cv[i]), (x,y) -> x+y)
+        |   / (sqrt(list_reduce(list_transform(generate_series(1,64), i -> qv[i]*qv[i]), (x,y) -> x+y))
+        |    * sqrt(list_reduce(list_transform(generate_series(1,64), i -> cv[i]*cv[i]), (x,y) -> x+y))), 6) AS cos_sim
+        | FROM q, c WHERE q_id <> cand_id)
+        |SELECT q_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY cos_sim DESC, cand_id) AS rnk
+        | FROM p) t
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "q_sim_pair_cosine" ->
+      """WITH a AS (SELECT CAST(vec_id // 2 AS BIGINT) AS pair_id,
+        |                  CAST(embedding AS DOUBLE[]) AS va
+        |           FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT CAST((vec_id - 1) // 2 AS BIGINT) AS pair_id,
+        |             CAST(embedding AS DOUBLE[]) AS vb
+        |      FROM embeddings WHERE vec_id % 2 = 1)
+        |SELECT pair_id,
+        | round(list_reduce(list_transform(generate_series(1,64), i -> va[i]*vb[i]), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(generate_series(1,64), i -> va[i]*va[i]), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1,64), i -> vb[i]*vb[i]), (x,y) -> x+y))), 6) AS cos_sim
+        |FROM a JOIN b USING (pair_id) ORDER BY pair_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

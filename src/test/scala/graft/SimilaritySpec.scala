@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine: self-similarity is 1, range bounded") {
+    val emb = Similarity.embDouble(spark, sf).limit(20)
+    val selfCos = emb.select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("c")).collect()
+    selfCos.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("topK: k rows per query, ranks 1..k, cos non-increasing, no self-match") {
+    val rows = Similarity.topKCosine(spark, sf, nQueries = 5, k = 8).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQuery.size === 5)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length === 8)
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to 8L))
+      val cos = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos_sim"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(rs.forall(r => r.getAs[Long]("cand_id") != q))
+      assert(cos.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+  }
+
+  test("topK salted two-phase equals naive window top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Similarity.embDouble(spark, sf)
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val naive = cands.crossJoin(broadcast(queries))
+      .where(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(Similarity.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("cand_id"))).cast("long"))
+      .where(col("rnk") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val salted = Similarity.topKCosine(spark, sf, nQueries = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(salted === naive)
+  }
+
+  test("ANN top-k: recall vs brute force is usable") {
+    val exact = Similarity.topKCosine(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val approx = Similarity.annTopKCosine(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall below 0.5")
+  }
+
+  test("pair cosine: one row per pair, covers half the table") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = Similarity.pairCosine(spark, sf).collect()
+    assert(rows.length === n / 2)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cos_sim"); c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9
+    })
+  }
+}
