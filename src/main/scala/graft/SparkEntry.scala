@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
-import graft.ops.{Events, Relational, Similarity, Text}
+import graft.ops.{Dedup, Events, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,7 +57,64 @@ object SparkEntry {
     "q_sim_pair_cosine" -> ((s, d) => Similarity.pairCosine(s, d)),
     // rows-only: LSH bucketing is approximate by design; spec asserts recall
     "q_sim_ann_topk" -> ((s, d) => Similarity.annTopKCosine(s, d)),
+    // dedup pack [EXT] (SURVEY §2.B dedup row)
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q_dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(s, d)),
+    "q_dedup_jaccard_brute" -> ((s, d) => Dedup.jaccardPairsBrute(s, d)),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashDupPairs(s, d)),
+    "q_dedup_embed" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
+    // rows-only: xxhash64 grouping, engine-specific hash by design
+    "q_dedup_exact_hash" -> ((s, d) => Dedup.exactDedupByHash(s, d)),
   )
+
+  /** Shared DuckDB CTE chain replaying [[Dedup]]'s tokenize → shingle →
+    * poly-hash → MinHash-signature pipeline from the same constants, so
+    * engine and oracle cannot drift. */
+  private def dedupCtes: String = {
+    val sigExprs = Dedup.A.indices.map { j =>
+      s"list_aggregate(list_transform(hs, h -> (h*${Dedup.A(j)}+${Dedup.B(j)}) % ${Dedup.P}), 'min') AS sig_$j"
+    }.mkString(",\n  ")
+    s"""WITH t AS (
+       | SELECT doc_id, list_filter(string_split(text,' '), s -> len(s)>0) AS toks
+       | FROM documents),
+       |shg AS (
+       | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+       |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       | FROM t WHERE len(toks) >= 3),
+       |hsh AS (
+       | SELECT doc_id, sh, list_transform(sh, s ->
+       |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT))),
+       |     (acc,c) -> (acc*31 + c) % ${Dedup.P})) AS hs
+       | FROM shg),
+       |sig AS (
+       | SELECT doc_id, sh,
+       |  $sigExprs
+       | FROM hsh)""".stripMargin
+  }
+
+  /** DuckDB twin of [[Dedup.simhash]], generated from the same bit width. */
+  private def simhashOracle: String = {
+    val votes = (0 until Dedup.simhashBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b").mkString(",\n  ")
+    val bits = (0 until Dedup.simhashBits).map(b =>
+      s"(CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (
+       | SELECT doc_id, unnest(list_filter(string_split(text,' '), s -> len(s)>0)) AS tok
+       | FROM documents),
+       |h AS (
+       | SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |   list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+       |   (acc,c) -> (acc*31 + c) % ${Dedup.P}) AS h
+       | FROM t),
+       |v AS (SELECT doc_id,
+       |  $votes
+       | FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB twin of [[Text.langIdConfusion]], generated from the same
     * [[Text.langMarkers]] profile so scorer and oracle can't drift. */
@@ -278,6 +335,75 @@ object SparkEntry {
         |                              ORDER BY cos_sim DESC, cand_id) AS rnk
         | FROM p) t
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_minhash_sig" -> (dedupCtes +
+      s"""
+         |SELECT doc_id, ${Dedup.A.indices.map(j => s"sig_$j").mkString(", ")}
+         |FROM sig ORDER BY doc_id""".stripMargin),
+    "q_dedup_minhash_pairs" -> (dedupCtes + {
+      val bandSelects = (0 until Dedup.numBands).map(b =>
+        s"SELECT doc_id, $b AS band, sig_${2 * b} AS s1, sig_${2 * b + 1} AS s2 FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""
+         |, bands AS (
+         |  $bandSelects),
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         | FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+         |  AND x.doc_id < y.doc_id),
+         |j AS (
+         | SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+         |  len(a.sh) AS na, len(b.sh) AS nb
+         | FROM cand JOIN shg a ON cand.doc_a = a.doc_id
+         |           JOIN shg b ON cand.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
+         |FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }),
+    "q_dedup_jaccard_brute" -> (dedupCtes +
+      s"""
+         |, j AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+         |  len(a.sh) AS na, len(b.sh) AS nb
+         | FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+         | WHERE a.doc_id < 500 AND b.doc_id < 500)
+         |SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
+         |FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_simhash" -> simhashOracle,
+    "q_dedup_simhash_pairs" -> {
+      val blocks = 4
+      val bits = Dedup.simhashBits / blocks + 1
+      val mask = (1L << bits) - 1
+      val bandSelects = (0 until blocks).map(i =>
+        s"SELECT doc_id, simhash, $i AS blk, (simhash >> ${i * bits}) & $mask AS key FROM s")
+        .mkString("\n  UNION ALL ")
+      s"""WITH s AS ($simhashOracle),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+         | FROM bands x JOIN bands y
+         |   ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 1000),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_reduce(list_transform(generate_series(1,64), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |   / (sqrt(list_reduce(list_transform(generate_series(1,64), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+        |    * sqrt(list_reduce(list_transform(generate_series(1,64), i -> b.v[i]*b.v[i]), (x,y) -> x+y))), 6) AS cos_sim
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos_sim FROM p
+        |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "q_sim_pair_cosine" ->
       """WITH a AS (SELECT CAST(vec_id // 2 AS BIGINT) AS pair_id,
         |                  CAST(embedding AS DOUBLE[]) AS va

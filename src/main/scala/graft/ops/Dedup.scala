@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication pack over `documents` / `embeddings` (SURVEY.md §2.B [EXT]
+  * dedup row): exact dedup, 3-gram-shingle Jaccard, deterministic
+  * MinHash+LSH banding, SimHash, and embedding-cosine near-dup.
+  *
+  * All hashing is an explicit polynomial fold over characters (mod 1e9+7)
+  * plus affine permutations — public-textbook MinHash — expressed with
+  * higher-order array functions so the DuckDB oracle replays identical
+  * integer arithmetic. Spark's engine-specific `xxhash64` is reserved for
+  * the rows-only fast path ([[Text.fingerprintFast]]).
+  *
+  * Scale notes (100 TB): exact dedup shuffles one narrow hash per doc;
+  * MinHash shuffles an 8-long signature per doc and the LSH banding join
+  * touches only colliding candidates (never the O(n²) cross product);
+  * the brute-force Jaccard/cosine variants exist as oracles/recall
+  * baselines and are subset-bounded by construction.
+  */
+object Dedup {
+
+  val P: Long = 1000000007L
+  /** Affine MinHash permutation constants h_j(x) = (A(j)·x + B(j)) mod P. */
+  val A: Seq[Long] = Seq(601L, 709L, 809L, 907L, 1009L, 1109L, 1201L, 1301L)
+  val B: Seq[Long] = Seq(17L, 131L, 257L, 389L, 521L, 653L, 769L, 881L)
+  val numHashes: Int = A.length   // 8 signatures → 4 bands of 2
+  val numBands: Int = 4
+  /** SimHash width: token hashes are < 2^30, so 30 usable bits. */
+  val simhashBits: Int = 30
+
+  /** Exact dedup: one row per distinct text, keeping the smallest doc_id.
+    * The 100 TB variant groups on `xxhash64(text)` so the shuffle carries
+    * 8 bytes instead of the full document (spec asserts identical groups
+    * on this corpus). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Scale path of [[exactDedup]]: group by 64-bit text hash, not text. */
+  def exactDedupByHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(xxhash64(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Whitespace tokens (same tokenizer as the text pack). */
+  private def toks(c: Column): Column = Text.tokens(c)
+
+  /** Distinct 3-gram word shingles of a text column. */
+  def shingles(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Polynomial rolling hash of a string column: fold(chars, 0,
+    * (acc,ch) => (acc·31 + ascii(ch)) mod P) — identical on both engines. */
+  def polyHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
+
+  /** docs with ≥3 tokens: (doc_id, shingles, shingle hash array). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => polyHash(s)))
+
+  /** MinHash signatures: sig_j = min over shingles of (A_j·H + B_j) mod P.
+    * One narrow row per document; a pure per-row map over the scan. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sigCols = A.indices.map { j =>
+      array_min(transform(col("hs"), h => (h * A(j) + B(j)) % P)).as(s"sig_$j")
+    }
+    shingled(spark, dir).select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Near-dup pairs via MinHash-LSH banding, verified with exact Jaccard.
+    *
+    * Pipeline: signatures → explode 4 (band, sig-pair) keys per doc →
+    * self-join on the band key (only colliding docs meet) → distinct
+    * candidate pairs → join back shingle sets → exact Jaccard ≥ minJaccard.
+    * The only wide operations are the banding join (narrow keys) and the
+    * two shingle-set lookups for the *candidates only* — at 100 TB this is
+    * the standard linear-scan LSH dedup, never O(n²). */
+  def minhashDupPairs(spark: SparkSession, dir: String,
+                      minJaccard: Double = 0.8): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until numBands).map(b => struct(lit(b).as("band"),
+        col(s"sig_${2 * b}").as("s1"), col(s"sig_${2 * b + 1}").as("s2"))): _*)).as("bk"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingled(spark, dir).select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .where(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Brute-force pairwise Jaccard over a doc_id-bounded subset — the
+    * recall/correctness baseline for [[minhashDupPairs]]; intentionally
+    * subset-bounded (O(subset²)), never the scale path. */
+  def jaccardPairsBrute(spark: SparkSession, dir: String, maxDocId: Long = 500,
+                        minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingled(spark, dir).where(col("doc_id") < maxDocId)
+    sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .where(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash: 30-bit signature. Per exploded token, hash chars; per bit,
+    * sum ±1 votes across tokens (with multiplicity); bit set iff the vote
+    * is positive. One explode + one hash-agg, map-side combinable. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokenHashes = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .withColumn("h", polyHash(col("tok")))
+    val votes = (0 until simhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val sig = (0 until simhashBits).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tokenHashes.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup by SimHash: pairs with hamming distance ≤ maxHamming.
+    * Blocked on the signature's 2 half-words (a pair within hamming ≤ h
+    * over b bands shares ≥ 1 exact band when h < numBlocks), so the join
+    * never goes O(n²). */
+  def simhashDupPairs(spark: SparkSession, dir: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(spark, dir)
+    val blocks = 4
+    val bits = simhashBits / blocks + 1  // 8 bits per block covers 30 bits
+    val banded = sig.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until blocks).map(i => struct(lit(i).as("blk"),
+        shiftright(col("simhash"), i * bits)
+          .bitwiseAND((1L << bits) - 1).as("key"))): _*)).as("bk"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs over a vec_id-bounded subset, cosine
+    * ≥ minCos. Brute pairwise baseline; the scale path is LSH bucketing
+    * ([[Similarity.annTopKCosine]]'s join pruned by bucket collisions). */
+  def embeddingDupPairs(spark: SparkSession, dir: String, maxVecId: Long = 1000,
+                        minCos: Double = 0.4): DataFrame = {
+    val emb = Similarity.embDouble(spark, dir).where(col("vec_id") < maxVecId)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.crossJoin(b).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .where(col("cos_sim") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}
