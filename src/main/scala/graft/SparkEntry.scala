@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
+import graft.model.Metrics
 import graft.ops.{Dedup, Events, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -67,7 +68,37 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
     // rows-only: xxhash64 grouping, engine-specific hash by design
     "q_dedup_exact_hash" -> ((s, d) => Dedup.exactDedupByHash(s, d)),
+    // ML metrics pack (reference R9–R11 shapes, SURVEY §2.A)
+    "q_ml_confusion" -> ((s, d) => Metrics.linearConfusion(s, d)),
+    "q_ml_accuracy" -> ((s, d) => Metrics.linearAccuracy(s, d)),
+    "q_ml_report" -> ((s, d) => Metrics.linearReport(s, d)),
+    // rows-only: real MLlib RF train/predict (R8/R9), not portable SQL
+    "q_ml_rf_confusion" -> ((s, d) => Metrics.rfConfusion(s, d)),
   )
+
+  /** DuckDB twin of [[Metrics.linearPredictions]] — scores and argmax
+    * generated from the same weight formula, explicit left-assoc sums so
+    * the fold order matches Spark's `aggregate` exactly. */
+  private def mlPredCte: String = {
+    val scoreExprs = (0 until Metrics.numClasses).map { c =>
+      val terms = (1 to Metrics.numDims)
+        .map(i => s"v[$i]*(${Metrics.weight(c, i - 1)}.0)").mkString(" + ")
+      s"($terms) AS score_$c"
+    }.mkString(",\n  ")
+    val caseChain = (0 until Metrics.numClasses - 1).map { c =>
+      val conds = ((c + 1) until Metrics.numClasses)
+        .map(r => s"score_$c >= score_$r").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }.mkString("\n   ", "\n   ", s"\n   ELSE ${Metrics.numClasses - 1}")
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, label,
+       |  $scoreExprs
+       | FROM e),
+       |p AS (SELECT vec_id, label,
+       |  CAST(CASE$caseChain END AS BIGINT) AS pred
+       | FROM s)""".stripMargin
+  }
 
   /** Shared DuckDB CTE chain replaying [[Dedup]]'s tokenize → shingle →
     * poly-hash → MinHash-signature pipeline from the same constants, so
@@ -335,6 +366,30 @@ object SparkEntry {
         |                              ORDER BY cos_sim DESC, cand_id) AS rnk
         | FROM p) t
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "q_ml_confusion" -> (mlPredCte +
+      """
+        |SELECT label, pred, count(*) AS n FROM p
+        |GROUP BY label, pred ORDER BY label, pred""".stripMargin),
+    "q_ml_accuracy" -> (mlPredCte +
+      """
+        |SELECT round(avg(CASE WHEN label = pred THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+        | count(*) AS n FROM p""".stripMargin),
+    "q_ml_report" -> (mlPredCte +
+      """
+        |, act AS (SELECT label AS cls, count(*) AS support FROM p GROUP BY 1),
+        |prd AS (SELECT pred AS cls, count(*) AS n_pred FROM p GROUP BY 1),
+        |tp AS (SELECT label AS cls, count(*) AS n_tp FROM p WHERE label = pred GROUP BY 1),
+        |r AS (
+        | SELECT act.cls, support,
+        |  CAST(coalesce(n_tp, 0) AS DOUBLE) / coalesce(n_pred, 0) AS precision,
+        |  CAST(coalesce(n_tp, 0) AS DOUBLE) / support AS recall
+        | FROM act LEFT JOIN prd ON act.cls = prd.cls
+        |          LEFT JOIN tp ON act.cls = tp.cls)
+        |SELECT cls, round(coalesce(precision, 0.0), 6) AS precision,
+        | round(coalesce(recall, 0.0), 6) AS recall,
+        | round(coalesce(2.0 * precision * recall / nullif(precision + recall, 0.0), 0.0), 6) AS f1,
+        | support
+        |FROM r ORDER BY cls""".stripMargin),
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
