@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
 import graft.model.Metrics
-import graft.ops.{Dedup, Events, Relational, Similarity, Text}
+import graft.ops.{Dedup, Events, Multimodal, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,11 @@ object SparkEntry {
     "q_ml_report" -> ((s, d) => Metrics.linearReport(s, d)),
     // rows-only: real MLlib RF train/predict (R8/R9), not portable SQL
     "q_ml_rf_confusion" -> ((s, d) => Metrics.rfConfusion(s, d)),
+    // multimodal pack [EXT] (SURVEY §2.B multimodal row)
+    "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q_mm_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "q_mm_decode" -> ((s, d) => Multimodal.decodeSummary(s, d)),
+    "q_mm_resize" -> ((s, d) => Multimodal.resizeMeta(s, d)),
   )
 
   /** DuckDB twin of [[Metrics.linearPredictions]] — scores and argmax
@@ -366,6 +371,39 @@ object SparkEntry {
         |                              ORDER BY cos_sim DESC, cand_id) AS rnk
         | FROM p) t
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "q_mm_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        | CAST(length(text) AS INT) AS n_bytes,
+        | CAST(16 + length(text) % 32 AS INT) AS width,
+        | CAST(16 + (length(text) // 7) % 32 AS INT) AS height,
+        | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 24 ELSE 1 END AS INT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_mm_frames" ->
+      """SELECT media_id, CAST(frame_idx AS INT) AS frame_idx FROM (
+        | SELECT doc_id AS media_id,
+        |  unnest(generate_series(0, CAST(length(text) % 24 AS INT), 4)) AS frame_idx
+        | FROM documents WHERE doc_id % 3 = 2) t
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "q_mm_decode" ->
+      """WITH b AS (
+        | SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes,
+        |  list_reduce(list_transform(string_split(text,''),
+        |    c -> CAST(ascii(c) AS BIGINT)), (x,y) -> x+y) AS s
+        | FROM documents)
+        |SELECT media_id, n_bytes, round(CAST(s AS DOUBLE) / n_bytes, 6) AS mean_byte
+        |FROM b ORDER BY media_id""".stripMargin,
+    "q_mm_resize" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id,
+        |  16 + length(text) % 32 AS width,
+        |  16 + (length(text) // 7) % 32 AS height
+        | FROM documents)
+        |SELECT media_id,
+        | CAST(floor(width * (16.0 / greatest(width, height))) AS INT) AS out_w,
+        | CAST(floor(height * (16.0 / greatest(width, height))) AS INT) AS out_h
+        |FROM m ORDER BY media_id""".stripMargin,
     "q_ml_confusion" -> (mlPredCte +
       """
         |SELECT label, pred, count(*) AS n FROM p
