@@ -45,6 +45,8 @@ object SparkEntry {
     "q_evt_session" -> ((s, d) => Events.sessionize(s, d)),
     "q_evt_lag_features" -> ((s, d) => Events.lagFeatures(s, d)),
     "q_evt_json_props" -> ((s, d) => Events.jsonPropsAgg(s, d)),
+    "q_evt_asof_click" -> ((s, d) => Events.asofLastClick(s, d)),
+    "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     // text-analysis pack [EXT] (SURVEY §2.B text-analysis row)
     "q_text_tokens" -> ((s, d) => Text.tokenCounts(s, d)),
     "q_text_doc_stats" -> ((s, d) => Text.docStats(s, d)),
@@ -324,6 +326,29 @@ object SparkEntry {
         | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_evt_asof_click" ->
+      """WITH u AS (
+        | SELECT event_id, user_id, ts, value, event_type,
+        |  CASE WHEN event_type = 'click' THEN value END AS click_value
+        | FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        | SELECT *, last_value(click_value IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
+        | FROM u)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        | round(value, 2) AS purchase_value,
+        | round(last_click_value, 2) AS last_click_value
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_cube_revenue" ->
+      """SELECT r_name, c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, c_mktsegment)
+        |ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
     "q_text_tokens" ->
       """SELECT token, count(*) AS n FROM (
         | SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token

@@ -97,4 +97,32 @@ object Events {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** As-of join: each `purchase` event picks up the value of the user's
+    * most recent *prior* `click` (the point-in-time feature lookup every
+    * feature store needs; DuckDB spells it ASOF JOIN).
+    *
+    * Implemented as union + `last(ignoreNulls)` over a (ts, event_id)
+    * total order per user — one shuffle on `user_id`, no range-join
+    * explosion, O(n log n) within partition. At 100 TB this is the
+    * standard scalable as-of pattern: a per-key sorted scan, never a
+    * per-pair comparison. Ties (click and purchase sharing a timestamp)
+    * break deterministically by event_id. */
+  def asofLastClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("event_type"),
+        when(col("event_type") === "click", col("value")).as("click_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("ts"),
+        round(col("value"), 2).as("purchase_value"),
+        round(col("last_click_value"), 2).as("last_click_value"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -176,6 +176,23 @@ object Relational {
         round(sum(col("c_acctbal")), 2).as("sum_bal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
 
+  /** CUBE(region, market segment) over order revenue — all four grouping
+    * levels in one pass (Expand ×4 + one hash-agg / shuffle), the
+    * OLAP-summary shape. Dims broadcast; the fact side never re-shuffles
+    * between levels. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
+
   /** Semi join: orders that have at least one high-value line (EXISTS). */
   def ordersWithBigLines(spark: SparkSession, dir: String, minPrice: Double = 90000.0): DataFrame =
     Tables.orders(spark, dir)

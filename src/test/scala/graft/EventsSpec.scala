@@ -45,6 +45,38 @@ class EventsSpec extends SparkSpec {
     assert(maxRn.filter(col("mx") =!= col("n")).count() === 0)
   }
 
+  test("as-of join: last prior click value matches a hand walk per user") {
+    val df = Events.asofLastClick(spark, sf).cache()
+    assert(df.count() === Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count())
+    // hand-walk one user's click/purchase timeline
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "user_id", "ts", "value", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3), r.getString(4)))
+    val someUser = ev.collect { case (_, u, _, _, "purchase") => u }.head
+    val timeline = ev.filter(_._2 == someUser)
+      .sortBy(e => (e._3.getTime, e._1))
+    var lastClick: Option[Double] = None
+    val expected = scala.collection.mutable.Map[Long, Option[Double]]()
+    timeline.foreach { case (id, _, _, v, t) =>
+      if (t == "purchase") expected(id) = lastClick
+      if (t == "click") lastClick = Some(v)
+    }
+    val got = df.filter(col("user_id") === someUser).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Double]("last_click_value")).map(_.toDouble)).toMap
+    expected.foreach { case (id, exp) =>
+      val g = got(id)
+      (exp, g) match {
+        case (None, None) =>
+        case (Some(e), Some(a)) => assert(math.abs(e - a) < 0.005 + 1e-9)
+        case _ => fail(s"purchase $id: expected $exp got $g")
+      }
+    }
+  }
+
   test("json props: k parsed for every row, bounds sane") {
     val r = Events.jsonPropsAgg(spark, sf)
       .agg(sum("n").as("n"), min("min_k").as("mn"), max("max_k").as("mx"))

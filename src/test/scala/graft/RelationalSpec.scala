@@ -81,6 +81,18 @@ class RelationalSpec extends SparkSpec {
     assert(df.select("o_orderkey").distinct().count() === n)
   }
 
+  test("cube: grand total equals full aggregate, 4 grouping levels present") {
+    val df = Relational.cubeRevenue(spark, sf).cache()
+    val grand = df.filter(col("r_name").isNull && col("c_mktsegment").isNull)
+      .collect()
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_orders") === Tables.orders(spark, sf).count())
+    val byRegion = df.filter(col("r_name").isNotNull && col("c_mktsegment").isNull)
+    val byBoth = df.filter(col("r_name").isNotNull && col("c_mktsegment").isNotNull)
+    assert(byRegion.agg(sum("n_orders")).head.getLong(0) ===
+      byBoth.agg(sum("n_orders")).head.getLong(0))
+  }
+
   test("broadcast hint survives planning in the star join") {
     val plan = Relational.nationRevenue(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
