@@ -114,42 +114,49 @@ object SparkEntry {
     val sigExprs = Dedup.A.indices.map { j =>
       s"list_aggregate(list_transform(hs, h -> (h*${Dedup.A(j)}+${Dedup.B(j)}) % ${Dedup.P}), 'min') AS sig_$j"
     }.mkString(",\n  ")
+    val m = Dedup.shingleMult
     s"""WITH t AS (
        | SELECT doc_id, list_filter(string_split(text,' '), s -> len(s)>0) AS toks
        | FROM documents),
-       |shg AS (
-       | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
-       |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |th AS (
+       | SELECT doc_id, list_transform(toks, tok ->
+       |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+       |     (acc,c) -> (acc*31 + c) % ${Dedup.P})) AS th
        | FROM t WHERE len(toks) >= 3),
        |hsh AS (
-       | SELECT doc_id, sh, list_transform(sh, s ->
-       |   list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |     list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT))),
-       |     (acc,c) -> (acc*31 + c) % ${Dedup.P})) AS hs
-       | FROM shg),
+       | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th)-2),
+       |   i -> ((th[i]*$m + th[i+1]) % ${Dedup.P} * $m + th[i+2]) % ${Dedup.P})) AS hs
+       | FROM th),
        |sig AS (
-       | SELECT doc_id, sh,
+       | SELECT doc_id, hs,
        |  $sigExprs
        | FROM hsh)""".stripMargin
   }
 
-  /** DuckDB twin of [[Dedup.simhash]], generated from the same bit width. */
+  /** DuckDB twin of [[Dedup.simhash]], generated from the same constants:
+    * 60-bit signature fed by two 30-bit token hashes. */
   private def simhashOracle: String = {
-    val votes = (0 until Dedup.simhashBits).map(b =>
-      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b").mkString(",\n  ")
+    val half = Dedup.simhashBits / 2
+    val votes = ((0 until Dedup.simhashBits).map { b =>
+      val src = if (b < half) s"(h1 >> $b)" else s"(h2 >> ${b - half})"
+      s"sum(cnt * ($src & 1)) AS s_$b"
+    } :+ "sum(cnt) AS t").mkString(",\n  ")
     val bits = (0 until Dedup.simhashBits).map(b =>
-      s"(CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"(CASE WHEN s_$b * 2 > t THEN ${1L << b} ELSE 0 END)").mkString(" + ")
     s"""WITH t AS (
        | SELECT doc_id, unnest(list_filter(string_split(text,' '), s -> len(s)>0)) AS tok
        | FROM documents),
+       |c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok),
        |h AS (
-       | SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |   list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
-       |   (acc,c) -> (acc*31 + c) % ${Dedup.P}) AS h
-       | FROM t),
+       | SELECT doc_id, cnt, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |   list_transform(string_split(tok,''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |   (acc,ch) -> (acc*31 + ch) % ${Dedup.P}) AS h1
+       | FROM c),
+       |h2 AS (SELECT doc_id, cnt, h1, (h1*${Dedup.A2} + ${Dedup.B2}) % ${Dedup.P} AS h2 FROM h),
        |v AS (SELECT doc_id,
        |  $votes
-       | FROM h GROUP BY doc_id)
+       | FROM h2 GROUP BY doc_id)
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
        |FROM v ORDER BY doc_id""".stripMargin
   }
@@ -382,15 +389,14 @@ object SparkEntry {
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_langid" -> langIdOracle,
     "q_sim_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-        |           FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
-        |      FROM embeddings),
-        |p AS (SELECT q_id, cand_id,
-        |  round(list_reduce(list_transform(generate_series(1,64), i -> qv[i]*cv[i]), (x,y) -> x+y)
-        |   / (sqrt(list_reduce(list_transform(generate_series(1,64), i -> qv[i]*qv[i]), (x,y) -> x+y))
-        |    * sqrt(list_reduce(list_transform(generate_series(1,64), i -> cv[i]*cv[i]), (x,y) -> x+y))), 6) AS cos_sim
-        | FROM q, c WHERE q_id <> cand_id)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+        | FROM e),
+        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |  round(list_reduce(list_transform(generate_series(1,64), i -> q.v[i]*c.v[i]), (x,y) -> x+y)
+        |   / (q.nrm * c.nrm), 6) AS cos_sim
+        | FROM n q, n c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |SELECT q_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
         | SELECT *, row_number() OVER (PARTITION BY q_id
         |                              ORDER BY cos_sim DESC, cand_id) AS rnk
@@ -474,10 +480,10 @@ object SparkEntry {
          |  AND x.doc_id < y.doc_id),
          |j AS (
          | SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-         |  len(a.sh) AS na, len(b.sh) AS nb
-         | FROM cand JOIN shg a ON cand.doc_a = a.doc_id
-         |           JOIN shg b ON cand.doc_b = b.doc_id)
+         |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS inter,
+         |  len(a.hs) AS na, len(b.hs) AS nb
+         | FROM cand JOIN hsh a ON cand.doc_a = a.doc_id
+         |           JOIN hsh b ON cand.doc_b = b.doc_id)
          |SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
          |FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin
@@ -486,9 +492,9 @@ object SparkEntry {
       s"""
          |, j AS (
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-         |  len(a.sh) AS na, len(b.sh) AS nb
-         | FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+         |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS inter,
+         |  len(a.hs) AS na, len(b.hs) AS nb
+         | FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
          | WHERE a.doc_id < 500 AND b.doc_id < 500)
          |SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
          |FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8
@@ -501,38 +507,45 @@ object SparkEntry {
       val bandSelects = (0 until blocks).map(i =>
         s"SELECT doc_id, simhash, $i AS blk, (simhash >> ${i * bits}) & $mask AS key FROM s")
         .mkString("\n  UNION ALL ")
+      val firstMatch = (0 until blocks).map(j =>
+        s"(x.blk <= $j OR ((x.simhash >> ${j * bits}) & $mask) <> ((y.simhash >> ${j * bits}) & $mask))")
+        .mkString("\n  AND ")
       s"""WITH s AS ($simhashOracle),
          |bands AS (
          |  $bandSelects),
          |cand AS (
-         | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  bit_count(xor(x.simhash, y.simhash)) AS hamming
          | FROM bands x JOIN bands y
-         |   ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id)
+         |   ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id
+         |  AND $firstMatch)
          |SELECT doc_a, doc_b, hamming FROM cand
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
     },
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id < 1000),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+        | FROM e),
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_reduce(list_transform(generate_series(1,64), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
-        |   / (sqrt(list_reduce(list_transform(generate_series(1,64), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
-        |    * sqrt(list_reduce(list_transform(generate_series(1,64), i -> b.v[i]*b.v[i]), (x,y) -> x+y))), 6) AS cos_sim
-        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |   / (a.nrm * b.nrm), 6) AS cos_sim
+        | FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM p
         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "q_sim_pair_cosine" ->
-      """WITH a AS (SELECT CAST(vec_id // 2 AS BIGINT) AS pair_id,
-        |                  CAST(embedding AS DOUBLE[]) AS va
-        |           FROM embeddings WHERE vec_id % 2 = 0),
-        |b AS (SELECT CAST((vec_id - 1) // 2 AS BIGINT) AS pair_id,
-        |             CAST(embedding AS DOUBLE[]) AS vb
-        |      FROM embeddings WHERE vec_id % 2 = 1)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+        | FROM e),
+        |a AS (SELECT CAST(vec_id // 2 AS BIGINT) AS pair_id, v AS va, nrm AS na
+        |      FROM n WHERE vec_id % 2 = 0),
+        |b AS (SELECT CAST((vec_id - 1) // 2 AS BIGINT) AS pair_id, v AS vb, nrm AS nb
+        |      FROM n WHERE vec_id % 2 = 1)
         |SELECT pair_id,
         | round(list_reduce(list_transform(generate_series(1,64), i -> va[i]*vb[i]), (x,y) -> x+y)
-        |  / (sqrt(list_reduce(list_transform(generate_series(1,64), i -> va[i]*va[i]), (x,y) -> x+y))
-        |   * sqrt(list_reduce(list_transform(generate_series(1,64), i -> vb[i]*vb[i]), (x,y) -> x+y))), 6) AS cos_sim
+        |  / (na * nb), 6) AS cos_sim
         |FROM a JOIN b USING (pair_id) ORDER BY pair_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,

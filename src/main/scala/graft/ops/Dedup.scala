@@ -29,8 +29,16 @@ object Dedup {
   val B: Seq[Long] = Seq(17L, 131L, 257L, 389L, 521L, 653L, 769L, 881L)
   val numHashes: Int = A.length   // 8 signatures → 4 bands of 2
   val numBands: Int = 4
-  /** SimHash width: token hashes are < 2^30, so 30 usable bits. */
-  val simhashBits: Int = 30
+  /** SimHash width: 60 bits from two 30-bit token hashes (the poly hash
+    * < 2^30 and a salted affine image of it — one char fold per token,
+    * two independent bit sources). 30 bits alone is too coarse when the
+    * corpus shares a vocabulary: at hamming ≤ 3 it matched 13% of all
+    * pairs; 60 bits keeps near-dup recall with a selective threshold. */
+  val simhashBits: Int = 60
+  private val halfBits = 30
+  /** Salt for the second 30-bit token hash: h2 = (h·A2 + B2) mod P. */
+  val A2 = 48271L
+  val B2 = 11L
 
   /** Exact dedup: one row per distinct text, keeping the smallest doc_id.
     * The 100 TB variant groups on `xxhash64(text)` so the shuffle carries
@@ -68,12 +76,42 @@ object Dedup {
   def polyHash(c: Column): Column =
     aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
 
-  /** docs with ≥3 tokens: (doc_id, shingles, shingle hash array). */
+  /** Token-hash combiner for a 3-gram shingle:
+    * ((h1·1009 + h2) mod P · 1009 + h3) mod P. */
+  val shingleMult = 1009L
+
+  /** Distinct hashed 3-gram shingles, built by hashing each *token* once
+    * and combining consecutive token hashes — O(chars) total instead of
+    * O(3·chars) re-folds per overlapping shingle, and downstream set ops
+    * (Jaccard, shuffles) carry longs, not shingle strings. That's the
+    * 100 TB representation: a document's shingle set is 8 bytes per
+    * shingle regardless of token length. */
+  def shingleHashes(text: Column): Column = {
+    val th = transform(toks(text), t => polyHash(t))
+    when(size(th) >= 3,
+      array_distinct(transform(sequence(lit(1), size(th) - 2), i =>
+        ((element_at(th, i) * shingleMult + element_at(th, i + 1)) % P
+          * shingleMult + element_at(th, i + 2)) % P)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Combine three consecutive token hashes into one shingle hash. */
+  private def combine3(th: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(th) - 2), i =>
+      ((element_at(th, i) * shingleMult + element_at(th, i + 1)) % P
+        * shingleMult + element_at(th, i + 2)) % P))
+
+  /** docs with ≥3 tokens: (doc_id, hs = hashed shingle set).
+    *
+    * The token-hash array is materialized as its own projection before the
+    * shingle-combine lambda reads it — inlined, `element_at(th, i)` would
+    * re-evaluate the whole token-hash transform per sequence element,
+    * turning an O(tokens) row into O(tokens²) (measured 5× on the bench). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .where(size(toks(col("text"))) >= 3)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => polyHash(s)))
+      .select(col("doc_id"), transform(toks(col("text")), t => polyHash(t)).as("th"))
+      .where(size(col("th")) >= 3)
+      .select(col("doc_id"), combine3(col("th")).as("hs"))
 
   /** MinHash signatures: sig_j = min over shingles of (A_j·H + B_j) mod P.
     * One narrow row per document; a pure per-row map over the scan. */
@@ -102,13 +140,13 @@ object Dedup {
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingled(spark, dir).select(col("doc_id"), col("sh"))
+    val sh = shingled(spark, dir)
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .withColumn("jac", round(col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
       .where(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -120,34 +158,49 @@ object Dedup {
   def jaccardPairsBrute(spark: SparkSession, dir: String, maxDocId: Long = 500,
                         minJaccard: Double = 0.8): DataFrame = {
     val sh = shingled(spark, dir).where(col("doc_id") < maxDocId)
-    sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+    sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")))
       .where(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .withColumn("jac", round(col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
       .where(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash: 30-bit signature. Per exploded token, hash chars; per bit,
-    * sum ±1 votes across tokens (with multiplicity); bit set iff the vote
-    * is positive. One explode + one hash-agg, map-side combinable. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokenHashes = Tables.documents(spark, dir)
+  /** SimHash: 30-bit signature. Tokens vote ±1 per bit of their hash,
+    * weighted by in-document frequency; bit set iff the vote is positive.
+    *
+    * Counting distinct (doc, token) first means each token is
+    * char-folded once per document, not once per occurrence, and the
+    * 30-way vote aggregate reads |doc|·|vocab-per-doc| rows instead of
+    * token occurrences — both map-side combinable hash-aggs. */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val tokenCnt = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .withColumn("h", polyHash(col("tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h1", polyHash(col("tok")))
+      .withColumn("h2", (col("h1") * A2 + B2) % P)
+    def bitSrc(b: Int): Column =
+      if (b < halfBits) shiftright(col("h1"), b)
+      else shiftright(col("h2"), b - halfBits)
+    // vote_b = Σ cnt·(2·bit−1) = 2·Σ(cnt·bit) − Σcnt: one branch-free
+    // sum per bit + one shared total keeps the 60-agg codegen compact
+    // (the CASE form tripled Janino compile time on first run)
     val votes = (0 until simhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
-    }
+      sum(col("cnt") * bitSrc(b).bitwiseAND(1)).as(s"s_$b")
+    } :+ sum(col("cnt")).as("t")
     val sig = (0 until simhashBits).map { b =>
-      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      when(col(s"s_$b") * 2 > col("t"), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    tokenHashes.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    tokenCnt.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
-      .orderBy(col("doc_id"))
   }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSig(spark, dir).orderBy(col("doc_id"))
 
   /** Near-dup by SimHash: pairs with hamming distance ≤ maxHamming.
     * Blocked on the signature's 2 half-words (a pair within hamming ≤ h
@@ -155,18 +208,27 @@ object Dedup {
     * never goes O(n²). */
   def simhashDupPairs(spark: SparkSession, dir: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(spark, dir)
+    val sig = simhashSig(spark, dir)
     val blocks = 4
     val bits = simhashBits / blocks + 1  // 8 bits per block covers 30 bits
+    def blockKey(s: Column, i: Int): Column =
+      shiftright(s, i * bits).bitwiseAND((1L << bits) - 1)
     val banded = sig.select(col("doc_id"), col("simhash"), explode(array(
       (0 until blocks).map(i => struct(lit(i).as("blk"),
-        shiftright(col("simhash"), i * bits)
-          .bitwiseAND((1L << bits) - 1).as("key"))): _*)).as("bk"))
-    banded.as("x").join(banded.as("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        blockKey(col("simhash"), i).as("key"))): _*)).as("bk"))
+    // a pair is emitted only by its FIRST colliding block — structural
+    // dedupe instead of a DISTINCT over the (up to 4×) duplicated
+    // candidate stream, which dominated when signatures cluster
+    val firstMatch = (0 until blocks).map { j =>
+      (col("x.bk.blk") <= j) ||
+        (blockKey(col("x.simhash"), j) =!= blockKey(col("y.simhash"), j))
+    }.reduce(_ && _)
+    // SHUFFLE_HASH (not broadcast): both sides then share one identical
+    // shuffle of the signature pipeline, which ReuseExchange computes once
+    banded.as("x").hint("shuffle_hash").join(banded.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id") && firstMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -176,11 +238,14 @@ object Dedup {
     * ([[Similarity.annTopKCosine]]'s join pruned by bucket collisions). */
   def embeddingDupPairs(spark: SparkSession, dir: String, maxVecId: Long = 1000,
                         minCos: Double = 0.4): DataFrame = {
-    val emb = Similarity.embDouble(spark, dir).where(col("vec_id") < maxVecId)
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val emb = Similarity.embWithNorm(spark, dir).where(col("vec_id") < maxVecId)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
     a.crossJoin(b).where(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos_sim",
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("cos_sim") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -37,6 +37,13 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .withColumn("embedding", col("embedding").cast("array<double>"))
 
+  /** [[embDouble]] plus a precomputed L2 norm — pair loops then need one
+    * fold per pair (the dot) instead of three; at N×M pairs that's 3×
+    * less interpreted-HOF work, the dominant cost of brute-force scoring. */
+  def embWithNorm(spark: SparkSession, dir: String): DataFrame =
+    embDouble(spark, dir)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+
   /** Exact top-k cosine neighbours for each query vector (`vec_id` <
     * `nQueries`), excluding self.
     *
@@ -50,15 +57,16 @@ object Similarity {
     */
   def topKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
                  k: Int = 10, nSalts: Int = 64): DataFrame = {
-    val emb = embDouble(spark, dir)
+    val emb = embWithNorm(spark, dir)
     val queries = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"))
 
     val pairs = cands.crossJoin(broadcast(queries))
       .where(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_sim"))
 
     // sort key: struct orders lexicographically → (-cos asc, cand_id asc)
     val keyed = struct((-col("cos_sim")).as("negcos"), col("cand_id"), col("cos_sim"))
@@ -115,13 +123,16 @@ object Similarity {
     * (2i, 2i+1) — a cheap all-distributed "similarity scoring" shape with a
     * clean oracle; exercises a co-partitioned self-join on derived keys. */
   def pairCosine(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embDouble(spark, dir)
+    val emb = embWithNorm(spark, dir)
     val a = emb.where(pmod(col("vec_id"), lit(2)) === 0)
-      .select((col("vec_id") / 2).cast("long").as("pair_id"), col("embedding").as("va"))
+      .select((col("vec_id") / 2).cast("long").as("pair_id"),
+        col("embedding").as("va"), col("nrm").as("na"))
     val b = emb.where(pmod(col("vec_id"), lit(2)) === 1)
-      .select(((col("vec_id") - 1) / 2).cast("long").as("pair_id"), col("embedding").as("vb"))
+      .select(((col("vec_id") - 1) / 2).cast("long").as("pair_id"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, "pair_id")
-      .select(col("pair_id"), round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .select(col("pair_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .orderBy(col("pair_id"))
   }
 }
