@@ -35,6 +35,9 @@ object SparkEntry {
     "q_union_nation_keys" -> ((s, d) => Relational.activeNationKeys(s, d)),
     "q_rollup_acctbal" -> ((s, d) => Relational.rollupAcctbal(s, d)),
     "q_semi_orders_big_lines" -> ((s, d) => Relational.ordersWithBigLines(s, d)),
+    "q_fn_string_date" -> ((s, d) => Relational.stringDateFuncs(s, d)),
+    "q_fn_math" -> ((s, d) => Relational.mathFuncs(s, d)),
+    "q_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     // EDA / stats (reference R15-R16, SURVEY §2.A)
     "q_corr_stats" -> ((s, d) => Stats.corrStats(s, d)),
     "q_corr_matrix" -> ((s, d) => Stats.corrMatrix(s, d)),
@@ -267,6 +270,27 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000.0)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_fn_string_date" ->
+      """SELECT lower(o_orderstatus) || '_' || substr(o_orderpriority, 1, 3) AS tag,
+        | CAST(year(o_orderdate) AS INT) AS yr,
+        | CAST(month(o_orderdate) AS INT) AS mo,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY tag, yr, mo""".stripMargin,
+    "q_fn_math" ->
+      """SELECT l_returnflag,
+        | round(avg(sqrt(l_quantity)), 6) AS avg_sqrt_qty,
+        | round(avg(ln(l_extendedprice)), 6) AS avg_ln_price,
+        | round(max(pow(l_discount, 2)), 6) AS max_disc_sq,
+        | round(avg(abs(l_quantity - 25.0)), 6) AS avg_abs_dev,
+        | round(max(greatest(l_tax, l_discount)), 6) AS max_rate
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_corr_stats" ->
       """SELECT count(*) AS n,
         | round(avg(l_extendedprice),4) AS mean_price,

@@ -70,4 +70,22 @@ object Stats {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
   }
+
+  /** Gaussian kernel density estimate at fixed evaluation points — the KDE
+    * curve the reference overlays on each histogram (R15's `kde=True`,
+    * `src/data_exploration.py:17`). `mllib.stat.KernelDensity` runs one
+    * distributed pass over the sample; the evaluation grid is O(points)
+    * driver-side. Not oracle-checkable (DuckDB has no KDE) → spec-tested
+    * against a hand-rolled density. */
+  def kde(spark: SparkSession, dir: String, column: String = "l_discount",
+          bandwidth: Double = 0.02, points: Int = 11): Array[Double] = {
+    import org.apache.spark.mllib.stat.KernelDensity
+    val sample = Tables.lineitem(spark, dir)
+      .select(col(column).cast("double")).rdd.map(_.getDouble(0))
+    val bounds = Tables.lineitem(spark, dir)
+      .agg(min(col(column)), max(col(column))).head
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val grid = Array.tabulate(points)(i => mn + (mx - mn) * i / (points - 1))
+    new KernelDensity().setSample(sample).setBandwidth(bandwidth).estimate(grid)
+  }
 }

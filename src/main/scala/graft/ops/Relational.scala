@@ -193,6 +193,48 @@ object Relational {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
 
+  /** String/date scalar-function coverage (SURVEY §2.B string/date row):
+    * lower/substring/concat + year/month extraction, grouped — one
+    * hash-agg over a projected scan, all codegen'd built-ins. */
+  def stringDateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        concat(lower(col("o_orderstatus")), lit("_"),
+          substring(col("o_orderpriority"), 1, 3)).as("tag"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("tag"), col("yr"), col("mo"))
+
+  /** Math scalar-function coverage: sqrt/ln/pow/abs/greatest inside
+    * rounded aggregates (round absorbs cross-engine summation-order ulps
+    * exactly as in the corr/avg queries). */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(avg(sqrt(col("l_quantity"))), 6).as("avg_sqrt_qty"),
+        round(avg(log(col("l_extendedprice"))), 6).as("avg_ln_price"),
+        round(max(pow(col("l_discount"), 2)), 6).as("max_disc_sq"),
+        round(avg(abs(col("l_quantity") - 25.0)), 6).as("avg_abs_dev"),
+        round(max(greatest(col("l_tax"), col("l_discount"))), 6).as("max_rate"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact interpolated percentiles per group (`percentile` — the same
+    * linear interpolation as DuckDB's `quantile_cont`). The exact form is
+    * the oracle anchor; at 100 TB swap in `approx_percentile` (t-digest,
+    * one pass, mergeable) — same query shape. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy(col("l_returnflag"))
+
   /** Semi join: orders that have at least one high-value line (EXISTS). */
   def ordersWithBigLines(spark: SparkSession, dir: String, minPrice: Double = 90000.0): DataFrame =
     Tables.orders(spark, dir)

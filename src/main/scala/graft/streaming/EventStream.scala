@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -44,4 +44,42 @@ object EventStream {
         round(sum(col("value")), 2).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming gap-based sessionization via the native `session_window`
+    * (state-store-backed, closed by the watermark) — the streaming twin of
+    * [[graft.ops.Events.sessionize]]'s 30-minute-gap sessions. */
+  def sessionCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user running totals. */
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom streaming state via `mapGroupsWithState`: a per-user
+    * (count, sum) accumulator carried in the state store across
+    * micro-batches — the `KeyValueGroupedDataset` custom-state API the
+    * engine exposes for logic `session_window`/aggregates can't express.
+    * State is one small record per user key, partitioned by key: the
+    * standard bounded-state topology at 1000 executors. */
+  def userTotalsStateful(spark: SparkSession, stream: DataFrame): Dataset[UserTotals] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    stream.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          UserTotals(user, n, math.rint(s * 100) / 100)
+      }
+  }
 }

@@ -81,6 +81,34 @@ class RelationalSpec extends SparkSpec {
     assert(df.select("o_orderkey").distinct().count() === n)
   }
 
+  test("string/date funcs: groups cover all orders, tags well-formed") {
+    val rows = Relational.stringDateFuncs(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[String]("tag").matches("[a-z]+_.{1,3}"))
+      val yr = r.getAs[Int]("yr"); val mo = r.getAs[Int]("mo")
+      assert(yr >= 1990 && yr <= 2005 && mo >= 1 && mo <= 12)
+    }
+  }
+
+  test("percentiles: monotone p25 <= p50 <= p75 <= p95 per group") {
+    Relational.percentiles(spark, sf).collect().foreach { r =>
+      val Seq(p25, p50, p75, p95) =
+        Seq("p25", "p50", "p75", "p95").map(r.getAs[Double])
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95)
+    }
+  }
+
+  test("math funcs: values bounded and finite") {
+    Relational.mathFuncs(spark, sf).collect().foreach { r =>
+      Seq("avg_sqrt_qty", "avg_ln_price", "max_disc_sq", "avg_abs_dev", "max_rate")
+        .foreach { c =>
+          val v = r.getAs[Double](c)
+          assert(!v.isNaN && !v.isInfinite && v >= 0.0)
+        }
+    }
+  }
+
   test("cube: grand total equals full aggregate, 4 grouping levels present") {
     val df = Relational.cubeRevenue(spark, sf).cache()
     val grand = df.filter(col("r_name").isNull && col("c_mktsegment").isNull)

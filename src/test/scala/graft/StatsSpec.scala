@@ -23,6 +23,18 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(m((x, y)) - m((y, x))) < 1e-9)
   }
 
+  test("kde: densities positive, integrate roughly to 1 over the support") {
+    val dens = Stats.kde(spark, sf, "l_discount", bandwidth = 0.02, points = 21)
+    assert(dens.length === 21)
+    assert(dens.forall(_ >= 0.0))
+    // trapezoid integral over [min,max] of a density ≈ 1 (edges lose mass)
+    val bounds = Tables.lineitem(spark, sf)
+      .agg(min(col("l_discount")), max(col("l_discount"))).head
+    val step = (bounds.getDouble(1) - bounds.getDouble(0)) / 20
+    val integral = dens.sliding(2).map(p => (p(0) + p(1)) / 2 * step).sum
+    assert(integral > 0.7 && integral < 1.2, s"integral $integral")
+  }
+
   test("histogram: buckets in range, counts sum to row count") {
     val rows = Stats.histogram(spark, sf).collect()
     assert(rows.forall { r =>

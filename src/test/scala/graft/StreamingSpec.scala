@@ -25,4 +25,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.length === want.length)
     got.zip(want).foreach { case (g, w) => assert(g === w) }
   }
+
+  test("streaming session_window sessions == batch sessionize on the same input") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStream.readEvents(spark, sf)
+    val q = EventStream.sessionCounts(stream)
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_sessions")
+      .orderBy("user_id", "session_start").collect()
+    val want = Events.sessionize(spark, sf)
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("mapGroupsWithState running totals == batch per-user totals") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStream.readEvents(spark, sf)
+    val q = EventStream.userTotalsStateful(spark, stream)
+      .writeStream.format("memory").queryName("stream_user_totals")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user must equal the batch totals
+    val got = spark.table("stream_user_totals")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("sum_value").as("sum_value"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), math.rint(r.getDouble(2) * 100) / 100))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (u, (n, s)) =>
+      assert(got(u)._1 === n, s"user $u count")
+      assert(math.abs(got(u)._2 - s) < 1e-9, s"user $u sum")
+    }
+  }
 }
