@@ -49,7 +49,11 @@ object SparkEntry {
     "q_evt_lag_features" -> ((s, d) => Events.lagFeatures(s, d)),
     "q_evt_json_props" -> ((s, d) => Events.jsonPropsAgg(s, d)),
     "q_evt_asof_click" -> ((s, d) => Events.asofLastClick(s, d)),
+    "q_evt_trailing_1h" -> ((s, d) => Events.trailingHourSum(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
+    "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
+    // rows-only: k-means cell assignment is engine-specific; spec asserts recall
+    "q_sim_ivf_topk" -> ((s, d) => Similarity.ivfTopKCosine(s, d)),
     // text-analysis pack [EXT] (SURVEY §2.B text-analysis row)
     "q_text_tokens" -> ((s, d) => Text.tokenCounts(s, d)),
     "q_text_doc_stats" -> ((s, d) => Text.docStats(s, d)),
@@ -371,6 +375,22 @@ object SparkEntry {
         | round(value, 2) AS purchase_value,
         | round(last_click_value, 2) AS last_click_value
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_evt_trailing_1h" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 2) AS trail_1h_sum,
+        | count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS trail_1h_n
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_text_token_accounting" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(list_filter(string_split(text, ' '), t -> len(t) > 0),
+        |     t -> CAST(ceil(len(t) / 4.0) AS BIGINT))),
+        |   (acc, x) -> acc + x) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_cube_revenue" ->
       """SELECT r_name, c_mktsegment, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS sum_price

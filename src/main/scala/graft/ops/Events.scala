@@ -98,6 +98,23 @@ object Events {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Trailing 1-hour sum per user at every event — a RANGE-frame window
+    * over event-time millis (peers at equal timestamps all included, so
+    * the result is order-independent and oracle-exact). The rolling
+    * feature-engineering shape: one shuffle on user_id, frame bounded by
+    * time, state O(events-in-window) per key. */
+  def trailingHourSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
+      .withColumn("trail_1h_sum", round(sum(col("value")).over(w), 2))
+      .withColumn("trail_1h_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("trail_1h_sum"), col("trail_1h_n"))
+      .orderBy(col("event_id"))
+  }
+
   /** As-of join: each `purchase` event picks up the value of the user's
     * most recent *prior* `click` (the point-in-time feature lookup every
     * feature store needs; DuckDB spells it ASOF JOIN).

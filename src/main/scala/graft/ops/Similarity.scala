@@ -119,6 +119,57 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** IVF-style approximate top-k: a seeded k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nProbe` nearest centroids and searches only those cells — the
+    * classic inverted-file ANN layout. At 100 TB the assignment is one
+    * map pass, the probe join touches nProbe/nlist of the data, and cells
+    * are the natural partitioning key for the candidate shuffle.
+    * Seeded → deterministic; recall (not equality) asserted in the spec. */
+  def ivfTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
+                    k: Int = 10, nlist: Int = 16, nProbe: Int = 8): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val emb = embWithNorm(spark, dir)
+      .withColumn("v", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(nlist).setSeed(42)
+      .setFeaturesCol("v").setPredictionCol("cell")
+    val model = km.fit(emb.select(col("v")))
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+
+    // centroid table is tiny: broadcast to rank cells per query
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }
+    val centDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
+    val queries = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val probed = queries.crossJoin(broadcast(centDf))
+      .withColumn("cdist", dot(col("qv"), col("centroid").cast("array<double>")) /
+        (col("qn") * sqrt(dot(col("centroid").cast("array<double>"),
+          col("centroid").cast("array<double>")))))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cdist").desc, col("cell"))))
+      .where(col("crnk") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+
+    val cands = assigned.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("nrm").as("cn"), col("cell"))
+    val scored = cands.join(broadcast(probed), Seq("cell"))
+      .where(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_sim"))
+    val keyed = struct((-col("cos_sim")).as("negcos"), col("cand_id"), col("cos_sim"))
+    scored.groupBy(col("q_id"))
+      .agg(slice(array_sort(collect_list(keyed)), 1, k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.cand_id").as("cand_id"),
+        col("col.cos_sim").as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Pairwise cosine between the two vectors of every consecutive id pair
     * (2i, 2i+1) — a cheap all-distributed "similarity scoring" shape with a
     * clean oracle; exercises a co-partitioned self-join on derived keys. */

@@ -32,6 +32,23 @@ object Text {
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
 
+  /** Per-document token accounting three ways (SURVEY §2.B text-analysis
+    * "token counting" item): whitespace tokens, regex word tokens
+    * (`[a-z]+|[0-9]+` — identical RE2/Java semantics), and a BPE-ish
+    * subword proxy (4-char chunks per token, the ⌈len/4⌉ fold). Pure
+    * per-row projection — embarrassingly parallel at any scale. */
+  def tokenAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("n_re_tokens"),
+        aggregate(t, lit(0L), (acc, tok) =>
+          acc + ceil(length(tok) / lit(4.0)).cast("long")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-(lang, source) document statistics: doc counts, char/token
     * means, total token volume. One fused hash-agg. */
   def docStats(spark: SparkSession, dir: String): DataFrame =

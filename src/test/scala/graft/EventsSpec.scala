@@ -77,6 +77,17 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("trailing 1h window: includes self, bounded by per-user totals") {
+    val df = Events.trailingHourSum(spark, sf).cache()
+    assert(df.count() === Tables.events(spark, sf).count())
+    assert(df.filter(col("trail_1h_n") < 1).count() === 0)
+    val perUserMax = df.groupBy("user_id").agg(max("trail_1h_n").as("mx"))
+    val perUserTotal = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    assert(perUserMax.join(perUserTotal, "user_id")
+      .filter(col("mx") > col("n")).count() === 0)
+  }
+
   test("json props: k parsed for every row, bounds sane") {
     val r = Events.jsonPropsAgg(spark, sf)
       .agg(sum("n").as("n"), min("min_k").as("mn"), max("max_k").as("mx"))

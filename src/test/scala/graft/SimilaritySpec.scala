@@ -57,6 +57,15 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall $recall below 0.5")
   }
 
+  test("IVF top-k: recall vs brute force is usable") {
+    val exact = Similarity.topKCosine(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopKCosine(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below 0.5")
+  }
+
   test("pair cosine: one row per pair, covers half the table") {
     val n = Tables.embeddings(spark, sf).count()
     val rows = Similarity.pairCosine(spark, sf).collect()

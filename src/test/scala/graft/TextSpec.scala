@@ -46,6 +46,19 @@ class TextSpec extends SparkSpec {
     rows.foreach(r => assert(langs.contains(r.getAs[String]("pred_lang"))))
   }
 
+  test("token accounting: regex tokens within whitespace bound, subwords >= tokens") {
+    val rows = Text.tokenAccounting(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val ws = r.getAs[Long]("n_ws_tokens")
+      val re = r.getAs[Long]("n_re_tokens")
+      val sub = r.getAs[Long]("n_subwords")
+      assert(ws > 0)
+      assert(re >= ws, "regex splits at least as fine as whitespace here")
+      assert(sub >= ws, "each token yields >= 1 subword chunk")
+    }
+  }
+
   test("poly fingerprint: deterministic, in modulus range, matches hand fold") {
     val rows = Text.fingerprintPoly(spark, sf).limit(5).collect()
     val docs = Tables.documents(spark, sf).orderBy(col("doc_id")).limit(5)
