@@ -132,7 +132,9 @@ object Similarity {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val emb = embWithNorm(spark, dir)
       .withColumn("v", array_to_vector(col("embedding")))
-    val km = new KMeans().setK(nlist).setSeed(42)
+    // a coarse quantizer doesn't need convergence — 8 iterations places
+    // centroids well enough for cell routing at a fraction of the fit cost
+    val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
       .setFeaturesCol("v").setPredictionCol("cell")
     val model = km.fit(emb.select(col("v")))
     val assigned = model.transform(emb)

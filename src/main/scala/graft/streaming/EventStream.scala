@@ -58,6 +58,16 @@ object EventStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeated event_ids as they arrive,
+    * keeping state only within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the streaming twin of
+    * [[graft.ops.Dedup.exactDedup]]. State is one key per event inside
+    * the 1-hour horizon, evicted by the watermark: bounded at any scale. */
+  def dedupEvents(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user running totals. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

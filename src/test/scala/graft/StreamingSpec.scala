@@ -42,6 +42,18 @@ class StreamingSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g === w) }
   }
 
+  test("streaming dedup: one row per distinct event_id") {
+    val stream = EventStream.readEvents(spark, sf)
+    val q = EventStream.dedupEvents(stream)
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_dedup")
+    val want = graft.sources.Tables.events(spark, sf)
+    assert(got.count() === want.select("event_id").distinct().count())
+    assert(got.select("event_id").distinct().count() === got.count())
+  }
+
   test("mapGroupsWithState running totals == batch per-user totals") {
     import org.apache.spark.sql.functions._
     val stream = EventStream.readEvents(spark, sf)
