@@ -27,12 +27,13 @@ object Metrics {
   /** Deterministic "model": score_c = ⟨embedding, w_c⟩, prediction =
     * argmax_c (ties → lowest class). Pure column arithmetic, no UDF. */
   def linearPredictions(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Similarity.embDouble(spark, dir)
     val scored = emb.select(
       col("vec_id") +: col("label").cast("long").as("label") +:
         (0 until numClasses).map { c =>
           val w = array((0 until numDims).map(d => lit(weight(c, d).toDouble)): _*)
-          Similarity.dot(col("embedding"), w).as(s"score_$c")
+          graft.functions.GraftFunctions.dot(col("embedding"), w).as(s"score_$c")
         }: _*)
     val pred = (0 until numClasses - 1).foldRight(lit((numClasses - 1).toLong)) {
       case (c, elseCol) =>

@@ -245,7 +245,8 @@ object Dedup {
       col("nrm").as("nb"))
     a.crossJoin(b).where(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim",
-        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        round(graft.functions.GraftFunctions.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6))
       .where(col("cos_sim") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -5,6 +5,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
 import graft.sources.Tables
 
 /** Similarity-search pack over the `embeddings` table (SURVEY.md §2.B [EXT]
@@ -40,9 +41,12 @@ object Similarity {
   /** [[embDouble]] plus a precomputed L2 norm — pair loops then need one
     * fold per pair (the dot) instead of three; at N×M pairs that's 3×
     * less interpreted-HOF work, the dominant cost of brute-force scoring. */
-  def embWithNorm(spark: SparkSession, dir: String): DataFrame =
+  def embWithNorm(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     embDouble(spark, dir)
-      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .withColumn("nrm",
+        sqrt(GraftFunctions.dot(col("embedding"), col("embedding"))))
+  }
 
   /** Exact top-k cosine neighbours for each query vector (`vec_id` <
     * `nQueries`), excluding self.
@@ -66,7 +70,8 @@ object Similarity {
     val pairs = cands.crossJoin(broadcast(queries))
       .where(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_sim"))
+        round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos_sim"))
 
     // sort key: struct orders lexicographically → (-cos asc, cand_id asc)
     val keyed = struct((-col("cos_sim")).as("negcos"), col("cand_id"), col("cos_sim"))
@@ -148,8 +153,9 @@ object Similarity {
     val queries = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val probed = queries.crossJoin(broadcast(centDf))
-      .withColumn("cdist", dot(col("qv"), col("centroid").cast("array<double>")) /
-        (col("qn") * sqrt(dot(col("centroid").cast("array<double>"),
+      .withColumn("cdist",
+        GraftFunctions.dot(col("qv"), col("centroid").cast("array<double>")) /
+        (col("qn") * sqrt(GraftFunctions.dot(col("centroid").cast("array<double>"),
           col("centroid").cast("array<double>")))))
       .withColumn("crnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
@@ -162,7 +168,8 @@ object Similarity {
     val scored = cands.join(broadcast(probed), Seq("cell"))
       .where(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_sim"))
+        round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos_sim"))
     val keyed = struct((-col("cos_sim")).as("negcos"), col("cand_id"), col("cos_sim"))
     scored.groupBy(col("q_id"))
       .agg(slice(array_sort(collect_list(keyed)), 1, k).as("top"))
@@ -185,7 +192,8 @@ object Similarity {
         col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, "pair_id")
       .select(col("pair_id"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+        round(GraftFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
       .orderBy(col("pair_id"))
   }
 }

@@ -14,6 +14,16 @@ class SimilaritySpec extends SparkSpec {
     selfCos.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("native DotProduct is bit-identical to the declarative fold") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Similarity.embDouble(spark, sf)
+    val both = emb.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("fold"),
+      graft.functions.GraftFunctions.dot(col("embedding"), col("embedding")).as("native"))
+    // bitwise equality, not epsilon: same IEEE left-to-right order
+    assert(both.where(col("fold") =!= col("native")).count() === 0)
+  }
+
   test("topK: k rows per query, ranks 1..k, cos non-increasing, no self-match") {
     val rows = Similarity.topKCosine(spark, sf, nQueries = 5, k = 8).collect()
     val byQuery = rows.groupBy(_.getAs[Long]("q_id"))
