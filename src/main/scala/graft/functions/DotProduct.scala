@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native dot product over two `array<double>` columns.
   *
@@ -65,13 +67,70 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native polynomial rolling hash over a string's code points:
+  * fold(cp, 0, (acc, cp) => (acc·31 + cp) mod 1e9+7).
+  *
+  * Bit-identical to the declarative
+  * `aggregate(split(s, ""), 0L, (acc, ch) => (acc*31 + ascii(ch)) % P)` —
+  * Java-regex `split("")` yields code points and `ascii` returns the code
+  * point, exactly what `codePointAt` stepping reproduces — and to the
+  * DuckDB oracle's `list_reduce(list_transform(string_split(s,''), ascii))`
+  * fold. The declarative form materializes a per-character string array and
+  * dispatches two lambdas per char, interpreted; this is one fused loop in
+  * whole-stage codegen. Hot in every shingle/MinHash/SimHash/fingerprint
+  * pipeline (one fold per token or document).
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_polyhash"
+
+  private val P = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % ${P}L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
 /** Session registration for graft's native expressions. */
 object GraftFunctions {
 
   val dotName = "graft_dot"
+  val polyHashName = "graft_polyhash"
 
   /** Idempotent per-session registration; query builders call this before
-    * using [[dot]]. */
+    * using [[dot]] / [[polyHash]]. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier(dotName))) {
@@ -80,8 +139,17 @@ object GraftFunctions {
         new ExpressionInfo(classOf[DotProduct].getName, dotName),
         (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
     }
+    if (!registry.functionExists(FunctionIdentifier(polyHashName))) {
+      registry.registerFunction(
+        FunctionIdentifier(polyHashName),
+        new ExpressionInfo(classOf[PolyHash].getName, polyHashName),
+        (exprs: Seq[Expression]) => PolyHash(exprs.head))
+    }
   }
 
   /** Codegen'd dot product column; requires [[register]] on the session. */
   def dot(a: Column, b: Column): Column = call_function(dotName, a, b)
+
+  /** Codegen'd polynomial hash column; requires [[register]]. */
+  def polyHash(c: Column): Column = call_function(polyHashName, c)
 }

@@ -107,11 +107,14 @@ object Dedup {
     * shingle-combine lambda reads it — inlined, `element_at(th, i)` would
     * re-evaluate the whole token-hash transform per sequence element,
     * turning an O(tokens) row into O(tokens²) (measured 5× on the bench). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), transform(toks(col("text")), t => polyHash(t)).as("th"))
+      .select(col("doc_id"), transform(toks(col("text")),
+        t => graft.functions.GraftFunctions.polyHash(t)).as("th"))
       .where(size(col("th")) >= 3)
       .select(col("doc_id"), combine3(col("th")).as("hs"))
+  }
 
   /** MinHash signatures: sig_j = min over shingles of (A_j·H + B_j) mod P.
     * One narrow row per document; a pure per-row map over the scan. */
@@ -177,11 +180,12 @@ object Dedup {
     * 30-way vote aggregate reads |doc|·|vocab-per-doc| rows instead of
     * token occurrences — both map-side combinable hash-aggs. */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val tokenCnt = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("h1", polyHash(col("tok")))
+      .withColumn("h1", graft.functions.GraftFunctions.polyHash(col("tok")))
       .withColumn("h2", (col("h1") * A2 + B2) % P)
     def bitSrc(b: Int): Column =
       if (b < halfBits) shiftright(col("h1"), b)

@@ -142,12 +142,13 @@ object Text {
     * the identical fold via list_reduce). The 100 TB path is
     * [[fingerprintFast]] — Spark's native codegen'd xxhash64.
     */
-  def fingerprintPoly(spark: SparkSession, dir: String): DataFrame =
+  def fingerprintPoly(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        aggregate(split(col("text"), ""), lit(0L),
-          (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L).as("fp"))
+        graft.functions.GraftFunctions.polyHash(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+  }
 
   /** Scale-path fingerprint: one codegen'd 64-bit xxHash per row. Used by
     * exact dedup at 100 TB (hash the text, group by hash). Engine-specific

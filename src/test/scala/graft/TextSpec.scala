@@ -73,6 +73,16 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("native PolyHash is bit-identical to the declarative char fold") {
+    graft.functions.GraftFunctions.register(spark)
+    val declarative = aggregate(split(col("text"), ""), lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+    val both = Tables.documents(spark, sf).select(
+      declarative.as("fold"),
+      graft.functions.GraftFunctions.polyHash(col("text")).as("native"))
+    assert(both.where(col("fold") =!= col("native")).count() === 0)
+  }
+
   test("fast fingerprint groups exactly like poly fingerprint (injectivity parity)") {
     val poly = Text.fingerprintPoly(spark, sf)
     val fast = Text.fingerprintFast(spark, sf)
