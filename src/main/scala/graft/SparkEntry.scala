@@ -36,6 +36,9 @@ object SparkEntry {
     "q_rollup_acctbal" -> ((s, d) => Relational.rollupAcctbal(s, d)),
     "q_semi_orders_big_lines" -> ((s, d) => Relational.ordersWithBigLines(s, d)),
     "q_fn_string_date" -> ((s, d) => Relational.stringDateFuncs(s, d)),
+    "q_grouping_sets" -> ((s, d) => Relational.groupingSetsRevenue(s, d)),
+    "q_except_all" -> ((s, d) => Relational.urgentMinusBigLines(s, d)),
+    "q_pivot_quantity" -> ((s, d) => Relational.pivotQuantity(s, d)),
     "q_fn_math" -> ((s, d) => Relational.mathFuncs(s, d)),
     "q_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     // EDA / stats (reference R15-R16, SURVEY §2.A)
@@ -274,6 +277,25 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000.0)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT ALL
+        |SELECT l_orderkey AS o_orderkey FROM lineitem
+        |WHERE l_extendedprice > 90000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_pivot_quantity" ->
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+        | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_fn_string_date" ->
       """SELECT lower(o_orderstatus) || '_' || substr(o_orderpriority, 1, 3) AS tag,
         | CAST(year(o_orderdate) AS INT) AS yr,

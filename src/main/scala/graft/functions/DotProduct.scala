@@ -153,3 +153,20 @@ object GraftFunctions {
   /** Codegen'd polynomial hash column; requires [[register]]. */
   def polyHash(c: Column): Column = call_function(polyHashName, c)
 }
+
+/** `spark.sql.extensions` entry point: registers graft's native functions
+  * at session build time (`--conf spark.sql.extensions=
+  * graft.functions.GraftExtensions`) so SQL users get `graft_dot` /
+  * `graft_polyhash` without touching the Scala API. Query builders also
+  * self-register via [[GraftFunctions.register]], so the extension is a
+  * convenience, not a requirement. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.dotName),
+      new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.dotName),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.polyHashName),
+      new ExpressionInfo(classOf[PolyHash].getName, GraftFunctions.polyHashName),
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+  }
+}

@@ -193,6 +193,45 @@ object Relational {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
 
+  /** Explicit GROUPING SETS — the general multi-level aggregate (rollup
+    * and cube are its specializations; Spark 4's `Dataset.groupingSets`).
+    * Same engine shape: Expand × |sets| + one hash-agg, one shuffle. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq()),
+        col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+
+  /** EXCEPT ALL — multiset difference (keeps multiplicity, unlike the
+    * set-semantics except): order keys of urgent orders minus keys that
+    * have any high-value line. */
+  def urgentMinusBigLines(spark: SparkSession, dir: String,
+                          minPrice: Double = 90000.0): DataFrame =
+    Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+      .exceptAll(Tables.lineitem(spark, dir)
+        .where(col("l_extendedprice") > minPrice)
+        .select(col("l_orderkey").as("o_orderkey")))
+      .orderBy(col("o_orderkey"))
+
+  /** Pivot: quantity totals per returnflag with one column per
+    * linestatus — `groupBy().pivot(values)` compiles to conditional
+    * aggregates (one pass, no shuffle beyond the group-by). Pinned pivot
+    * values keep the schema static, as any production pivot should. */
+  def pivotQuantity(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy(col("l_returnflag"))
+
   /** String/date scalar-function coverage (SURVEY §2.B string/date row):
     * lower/substring/concat + year/month extraction, grouped — one
     * hash-agg over a projected scan, all codegen'd built-ins. */

@@ -81,6 +81,36 @@ class RelationalSpec extends SparkSpec {
     assert(df.select("o_orderkey").distinct().count() === n)
   }
 
+  test("grouping sets: three levels, grand total covers all orders") {
+    val df = Relational.groupingSetsRevenue(spark, sf).cache()
+    val grand = df.filter(col("n_name").isNull && col("c_mktsegment").isNull)
+    assert(grand.count() === 1)
+    assert(grand.head.getAs[Long]("n_orders") === Tables.orders(spark, sf).count())
+    // no (n_name, segment) pair rows in this grouping-set spec
+    assert(df.filter(col("n_name").isNotNull && col("c_mktsegment").isNotNull)
+      .count() === 0)
+  }
+
+  test("except all: keeps multiplicity and is contained in the urgent set") {
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    val n = Relational.urgentMinusBigLines(spark, sf).count()
+    assert(n <= urgent)
+  }
+
+  test("pivot: F/O columns match direct filtered sums") {
+    val piv = Relational.pivotQuantity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("F"), r.getAs[Double]("O"))).toMap
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("s")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("s")).toMap
+    piv.foreach { case (rf, (f, o)) =>
+      assert(f === direct((rf, "F")))
+      assert(o === direct((rf, "O")))
+    }
+  }
+
   test("string/date funcs: groups cover all orders, tags well-formed") {
     val rows = Relational.stringDateFuncs(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n")).sum === Tables.orders(spark, sf).count())
