@@ -15,14 +15,16 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: per-query timings comparable run-to-run and
+    // round-to-round (Map iteration order is hash-dependent)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

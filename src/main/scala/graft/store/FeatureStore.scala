@@ -26,6 +26,16 @@ object FeatureStore {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** JSON lines sink (reference R14 generalized to tables): one object per
+    * row, ordered for stable goldens. */
+  def writeJson(df: DataFrame, path: String, orderCols: Seq[String]): Unit =
+    df.orderBy(orderCols.map(col): _*)
+      .coalesce(1)
+      .write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Engine-native store: parquet, optionally bucketed by a key column at
     * scale (bucketing needs a table catalog; plain partitioned parquet
     * here). */

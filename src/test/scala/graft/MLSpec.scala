@@ -72,6 +72,18 @@ class PipelineSpec extends SparkSpec {
     assert(model.getNumTrees === 100)
   }
 
+  test("feature store JSON round-trips with schema intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val df = SyntheticFeatures.generate(spark, 40)
+    graft.store.FeatureStore.writeJson(df, s"$out/features.json", Seq("row_id"))
+    val back = graft.store.FeatureStore.readJson(spark, s"$out/features.json", df.schema)
+    assert(back.count() === 40)
+    // names + types (nullability legitimately widens on re-read)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.agg(sum("row_id")).head.getLong(0) === (0L until 40L).sum)
+  }
+
   test("feature store CSV round-trips with reference header") {
     val out = java.nio.file.Files.createTempDirectory("graft-store").toString
     val df = SyntheticFeatures.generate(spark, 50).drop("row_id")
