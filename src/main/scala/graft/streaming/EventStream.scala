@@ -68,6 +68,53 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** One closed gap-session per output row. */
+  final case class UserSession(user_id: Long, start_ms: Long, n_events: Long,
+                               sum_value: Double)
+
+  /** Custom sessionization via `flatMapGroupsWithState` — the multi-row
+    * custom-state API: per user, fold events in event-time order into
+    * 30-minute-gap sessions and emit every *closed* session (zero or many
+    * rows per invocation), keeping the open tail in state for the next
+    * micro-batch. This is what you reach for when `session_window` can't
+    * express the session logic (e.g. dynamic gaps, per-session caps).
+    * State per key = the open session only: bounded. */
+  /** Open-session state: the accumulating session + its last event time. */
+  final case class OpenSession(session: UserSession, last_ms: Long)
+
+  def gapSessionsStateful(spark: SparkSession, stream: DataFrame,
+                          gapMs: Long = 30L * 60 * 1000): Dataset[UserSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream
+      .select(col("user_id"), expr("unix_micros(ts) DIV 1000").as("ms"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[OpenSession]) =>
+          def rounded(s: UserSession): UserSession =
+            s.copy(sum_value = math.rint(s.sum_value * 100) / 100)
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
+          rows.toSeq.sortBy(_._2).foreach { case (_, ms, v) =>
+            open = open match {
+              case Some(OpenSession(s, last)) if ms - last < gapMs =>
+                Some(OpenSession(
+                  s.copy(n_events = s.n_events + 1, sum_value = s.sum_value + v), ms))
+              case other =>
+                other.foreach(o => closed += rounded(o.session))
+                Some(OpenSession(UserSession(user, ms, 1, v), ms))
+            }
+          }
+          open.foreach(state.update)
+          // the one-shot file source ends after this batch, so emit the
+          // open tail too — on a live stream you'd use an event-time
+          // timeout to flush it when the gap elapses
+          (closed ++ open.map(o => rounded(o.session))).iterator
+      }
+  }
+
   /** Per-user running totals. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -54,6 +54,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() === got.count())
   }
 
+  test("flatMapGroupsWithState gap sessions == batch sessionize") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStream.readEvents(spark, sf)
+    val q = EventStream.gapSessionsStateful(spark, stream)
+      .writeStream.format("memory").queryName("stream_gap_sessions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_gap_sessions")
+      .select(col("user_id"), col("start_ms"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = Events.sessionize(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(to_timestamp(session_start)) DIV 1000").as("start_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
   test("mapGroupsWithState running totals == batch per-user totals") {
     import org.apache.spark.sql.functions._
     val stream = EventStream.readEvents(spark, sf)
