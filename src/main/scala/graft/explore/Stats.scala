@@ -83,7 +83,7 @@ object Stats {
     val sample = Tables.lineitem(spark, dir)
       .select(col(column).cast("double")).rdd.map(_.getDouble(0))
     val bounds = Tables.lineitem(spark, dir)
-      .agg(min(col(column)), max(col(column))).head
+      .agg(min(col(column)), max(col(column))).head()
     val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
     val grid = Array.tabulate(points)(i => mn + (mx - mn) * i / (points - 1))
     new KernelDensity().setSample(sample).setBandwidth(bandwidth).estimate(grid)

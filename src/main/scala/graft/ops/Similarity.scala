@@ -149,7 +149,8 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
     }
-    val centDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
+    val centDf = spark.createDataFrame(centroids.toIndexedSeq)
+      .toDF("cell", "centroid")
     val queries = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val probed = queries.crossJoin(broadcast(centDf))
