@@ -342,7 +342,8 @@ object SparkEntry {
     "q_evt_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour_start,
         | event_type, count(*) AS n_events,
-        | round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value
+        | round(sum(value),2) AS sum_value,
+        | floor(round(sum(value),2) / count(*) * 10000 + 0.5) / 10000 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_evt_sliding" ->
       """WITH x AS (

@@ -29,8 +29,15 @@ object Events {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        round(sum(col("value")), 2).as("sum_value"))
+      // avg derived from the order-stable rounded sum + exact count, and
+      // rounded via floor(x·10⁴ + 0.5)/10⁴ — pure IEEE ops, so both
+      // engines round the identical double identically. Library round()
+      // semantics differ exactly on .xxxx5 decimals (Spark rounds the
+      // shortest decimal repr, DuckDB the binary value — seen at sf0.1);
+      // SURVEY §7.5.2
+      .withColumn("avg_value",
+        floor(col("sum_value") / col("n_events") * 10000 + 0.5) / 10000)
       .select(date_format(col("w.start"), tsFmt).as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
       .orderBy(col("hour_start"), col("event_type"))
