@@ -517,7 +517,7 @@ object SparkEntry {
         |tp AS (SELECT label AS cls, count(*) AS n_tp FROM p WHERE label = pred GROUP BY 1),
         |r AS (
         | SELECT act.cls, support,
-        |  CAST(coalesce(n_tp, 0) AS DOUBLE) / coalesce(n_pred, 0) AS precision,
+        |  CAST(coalesce(n_tp, 0) AS DOUBLE) / nullif(coalesce(n_pred, 0), 0) AS precision,
         |  CAST(coalesce(n_tp, 0) AS DOUBLE) / support AS recall
         | FROM act LEFT JOIN prd ON act.cls = prd.cls
         |          LEFT JOIN tp ON act.cls = tp.cls)

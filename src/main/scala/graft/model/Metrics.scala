@@ -67,8 +67,10 @@ object Metrics {
       .agg(count(lit(1)).as("n_pred"))
     val tp = pred.where(col(actualCol) === col(predCol))
       .groupBy(col(actualCol).as("cls")).agg(count(lit(1)).as("n_tp"))
+    // nullif divisor: a class with zero predictions must yield precision 0,
+    // not an ANSI DIVIDE_BY_ZERO (Spark 4 default; found by GraftProps)
     val precision = coalesce(col("n_tp"), lit(0L)).cast("double") /
-      coalesce(col("n_pred"), lit(0L))
+      nullif(coalesce(col("n_pred"), lit(0L)), lit(0L))
     val recall = coalesce(col("n_tp"), lit(0L)).cast("double") / col("support")
     act.join(prd, Seq("cls"), "left").join(tp, Seq("cls"), "left")
       .select(col("cls"),

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.model.{Metrics, TrainEval}
+
+/** Property-based invariants (SURVEY §5.2.2). Trial counts are small —
+  * each trial runs Spark jobs — but the inputs are adversarially random
+  * where the example-based specs are fixed. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // classification report: for ANY (label, pred) multiset,
+  // weighted recall == accuracy, metrics bounded, support conserved
+  property("report.weightedRecallIsAccuracy") = Prop.forAll(
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 4), Gen.choose(0, 4)))) { pairs =>
+    // explicit guard: ScalaCheck's shrinker bypasses nonEmptyListOf
+    Prop.propBoolean(pairs.nonEmpty) ==> {
+    val df = pairs.toDF("label", "pred")
+    val rep = Metrics.classificationReport(df, "label", "pred").collect()
+    val n = rep.map(_.getAs[Long]("support")).sum
+    val weightedRecall = rep.map(r =>
+      r.getAs[Double]("recall") * r.getAs[Long]("support")).sum / n
+    val acc = pairs.count(p => p._1 == p._2).toDouble / pairs.length
+    n == pairs.length &&
+      math.abs(weightedRecall - acc) < 1e-4 &&
+      rep.forall { r =>
+        Seq("precision", "recall", "f1").forall { c =>
+          val v = r.getAs[Double](c); v >= 0.0 && v <= 1.0
+        }
+      }
+    }
+  }
+
+  // exact split: exact test count, disjoint, conserving
+  property("exactSplit.partitions") = Prop.forAll(
+    Gen.choose(1, 120), Gen.choose(1, 99)) { (n, pct) =>
+    val frac = pct / 100.0
+    val df = spark.range(n.toLong).toDF("row_id")
+    val (train, test) = TrainEval.exactSplit(df, "row_id", frac, seed = 7)
+    val (nTr, nTe) = (train.count(), test.count())
+    nTe == (n * frac).toLong && nTr + nTe == n &&
+      train.intersect(test).isEmpty
+  }
+
+  // hashed-shingle Jaccard: j(a,a) == 1 for any ≥3-token text, and the
+  // shingle set is never larger than tokens − 2
+  property("shingles.selfJaccard") = Prop.forAll(
+    Gen.choose(3, 30).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("alpha", "beta", "gamma", "delta")))) { toks =>
+    val text = toks.mkString(" ")
+    val df = Seq(text).toDF("text")
+      .select(graft.ops.Dedup.shingleHashes(col("text")).as("hs"))
+    val hs = df.head.getSeq[Long](0)
+    hs.nonEmpty && hs.length <= toks.length - 2 && hs.distinct.length == hs.length
+  }
+
+  // native PolyHash == declarative char fold for arbitrary ASCII strings
+  property("polyHash.nativeEqualsFold") = Prop.forAll(
+    Gen.nonEmptyListOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)) { s =>
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(s).toDF("text").select(
+      aggregate(split(col("text"), ""), lit(0L),
+        (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L).as("fold"),
+      graft.functions.GraftFunctions.polyHash(col("text")).as("native"))
+    val r = df.head
+    r.getLong(0) == r.getLong(1)
+  }
+
+  // native DotProduct: |cos| ≤ 1 and dot(v,v) == Σv² for arbitrary vectors
+  property("dot.cauchySchwarz") = Prop.forAll(
+    Gen.zip(Gen.listOfN(8, Gen.choose(-10.0, 10.0)),
+      Gen.listOfN(8, Gen.choose(-10.0, 10.0)))) { case (a, b) =>
+    Prop.propBoolean(a.exists(_ != 0.0) && b.exists(_ != 0.0)) ==> {
+      graft.functions.GraftFunctions.register(spark)
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        graft.functions.GraftFunctions.dot(col("a"), col("b")).as("ab"),
+        graft.functions.GraftFunctions.dot(col("a"), col("a")).as("aa"),
+        graft.functions.GraftFunctions.dot(col("b"), col("b")).as("bb")).head
+      val (ab, aa, bb) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      math.abs(ab) <= math.sqrt(aa) * math.sqrt(bb) + 1e-9 &&
+        math.abs(aa - a.map(x => x * x).sum) < 1e-9
+    }
+  }
+}
