@@ -73,20 +73,28 @@ object Text {
     *
     * score = 0.4·diversity + 0.3·(1−stop_ratio) + 0.3·min(1, n_tokens/60)
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(Tables.documents(spark, dir))
+
+  /** Core of [[qualityScore]] over any documents-shaped frame. Token-count
+    * divisors go through `nullif` — an empty document must yield NULL
+    * ratios (as the DuckDB oracle does for /0), not an ANSI
+    * DIVIDE_BY_ZERO (Spark 4 default). */
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val stopArr = array(stopwords.map(lit): _*)
-    Tables.documents(spark, dir)
+    val nTok = nullif(col("n_tokens"), lit(0L))
+    docs
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("len_chars"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
         size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"))
-      .withColumn("diversity", round(col("n_distinct") / col("n_tokens"), 6))
-      .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 6))
+      .withColumn("diversity", round(col("n_distinct") / nTok, 6))
+      .withColumn("stop_ratio", round(col("n_stop") / nTok, 6))
       .withColumn("quality", round(
-        lit(0.4) * (col("n_distinct") / col("n_tokens")) +
-        lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens")) +
+        lit(0.4) * (col("n_distinct") / nTok) +
+        lit(0.3) * (lit(1.0) - col("n_stop") / nTok) +
         lit(0.3) * least(lit(1.0), col("n_tokens") / lit(60.0)), 6))
       .orderBy(col("doc_id"))
   }

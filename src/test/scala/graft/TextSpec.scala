@@ -73,6 +73,19 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("quality score: empty document yields null ratios, not an error") {
+    import spark.implicits._
+    val docs = Seq((1L, "", "en", "src0", 0L), (2L, "a b c", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ops.Text.qualityScoreOf(docs).collect()
+    assert(rows.length === 2)
+    val empty = rows.find(_.getLong(0) == 1L).get
+    assert(empty.isNullAt(empty.fieldIndex("diversity")))
+    assert(empty.isNullAt(empty.fieldIndex("quality")))
+    val full = rows.find(_.getLong(0) == 2L).get
+    assert(full.getAs[Double]("diversity") === 1.0)
+  }
+
   test("native PolyHash is bit-identical to the declarative char fold") {
     graft.functions.GraftFunctions.register(spark)
     val declarative = aggregate(split(col("text"), ""), lit(0L),
