@@ -63,9 +63,12 @@ object Stats {
                 buckets: Int = 20): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col(column).as("x"))
     val bounds = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    // nullif + coalesce: a constant column (mx == mn) collapses to bucket
+    // 0 instead of an ANSI divide-by-zero (Spark 4 throws on double/0)
     li.crossJoin(broadcast(bounds))
       .select(least(
-        floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / buckets)),
+        coalesce(floor((col("x") - col("mn")) /
+          nullif((col("mx") - col("mn")) / buckets, lit(0.0))), lit(0L)),
         lit(buckets - 1)).cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))

@@ -250,7 +250,7 @@ object Dedup {
     a.crossJoin(b).where(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim",
         round(graft.functions.GraftFunctions.dot(col("va"), col("vb"))
-          / (col("na") * col("nb")), 6))
+          / nullif(col("na") * col("nb"), lit(0.0)), 6))
       .where(col("cos_sim") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -79,6 +79,8 @@ object Multimodal {
                                featDim: Int): Seq[DecodedMedia] =
     batch.map { case (id, mtype, bytes) =>
       val n = bytes.length
+      if (n == 0) DecodedMedia(id, mtype, 0, 0.0, Array.fill(featDim)(0.0f))
+      else {
       val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
       val mean = BigDecimal(sum.toDouble / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -86,6 +88,7 @@ object Multimodal {
         (bytes(i * math.max(1, n / featDim) % n) & 0xff) / 255.0f
       }
       DecodedMedia(id, mtype, n, mean, feats)
+      }
     }
 
   /** Decode all media: batched `mapPartitions`, no shuffle, typed output.

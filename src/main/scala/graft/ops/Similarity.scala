@@ -30,7 +30,7 @@ object Similarity {
   /** Cosine similarity of two array<double> columns. Deterministic across
     * engines: same fold order, IEEE sqrt/div, caller rounds for output. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / nullif(sqrt(dot(a, a)) * sqrt(dot(b, b)), lit(0.0))
 
   /** `embeddings` with the float vector cast to array<double> (exact
     * widening) so all similarity arithmetic runs in doubles. */
@@ -70,7 +70,7 @@ object Similarity {
     val pairs = cands.crossJoin(broadcast(queries))
       .where(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
-        round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        round(GraftFunctions.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
           .as("cos_sim"))
 
     // sort key: struct orders lexicographically → (-cos asc, cand_id asc)
@@ -169,7 +169,7 @@ object Similarity {
     val scored = cands.join(broadcast(probed), Seq("cell"))
       .where(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
-        round(GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        round(GraftFunctions.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
           .as("cos_sim"))
     val keyed = struct((-col("cos_sim")).as("negcos"), col("cand_id"), col("cos_sim"))
     scored.groupBy(col("q_id"))
@@ -193,7 +193,7 @@ object Similarity {
         col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, "pair_id")
       .select(col("pair_id"),
-        round(GraftFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        round(GraftFunctions.dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)), 6)
           .as("cos_sim"))
       .orderBy(col("pair_id"))
   }
