@@ -2,12 +2,13 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native dot product over two `array<double>` columns.
@@ -31,11 +32,21 @@ import org.apache.spark.unsafe.types.UTF8String
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // no ExpectsInputTypes (AbstractDataType is private[sql]); this function
-  // is engine-internal and always built over array<double> inputs
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_dot"
+
+  // the function is registered for SQL users (GraftExtensions), so reject
+  // anything but array<double> at analysis time — notably array<float>
+  // (the embeddings table's on-disk type), which the unchecked ArrayData
+  // getDouble path would read as garbage 8-byte slots
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>) operands, got (${l.sql}, ${r.sql})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -86,6 +97,12 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_polyhash"
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string operand, got ${t.sql}")
+  }
+
   private val P = 1000000007L
 
   override def nullSafeEval(input: Any): Any = {
@@ -128,22 +145,47 @@ object GraftFunctions {
 
   val dotName = "graft_dot"
   val polyHashName = "graft_polyhash"
+  val topKName = "graft_top_k"
+
+  /** Arity-checked SQL builders — a wrong argument count is a clear
+    * analysis-time error, not an IndexOutOfBoundsException at runtime. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
+  private[functions] val dotBuilder =
+    arity(dotName, 2)(exprs => DotProduct(exprs(0), exprs(1)))
+  private[functions] val polyHashBuilder =
+    arity(polyHashName, 1)(exprs => PolyHash(exprs.head))
+  private[functions] val topKBuilder =
+    arity(topKName, 2) { exprs =>
+      exprs(1) match {
+        case Literal(kv: Int, IntegerType) => BoundedTopK(exprs(0), kv)
+        case other => throw new IllegalArgumentException(
+          s"$topKName requires a literal int k, got $other")
+      }
+    }
+
+  private def registrations = Seq(
+    (FunctionIdentifier(dotName),
+      new ExpressionInfo(classOf[DotProduct].getName, dotName), dotBuilder),
+    (FunctionIdentifier(polyHashName),
+      new ExpressionInfo(classOf[PolyHash].getName, polyHashName), polyHashBuilder),
+    (FunctionIdentifier(topKName),
+      new ExpressionInfo(classOf[BoundedTopK].getName, topKName), topKBuilder))
 
   /** Idempotent per-session registration; query builders call this before
-    * using [[dot]] / [[polyHash]]. */
+    * using [[dot]] / [[polyHash]] / [[topK]]. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(dotName))) {
-      registry.registerFunction(
-        FunctionIdentifier(dotName),
-        new ExpressionInfo(classOf[DotProduct].getName, dotName),
-        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
-    }
-    if (!registry.functionExists(FunctionIdentifier(polyHashName))) {
-      registry.registerFunction(
-        FunctionIdentifier(polyHashName),
-        new ExpressionInfo(classOf[PolyHash].getName, polyHashName),
-        (exprs: Seq[Expression]) => PolyHash(exprs.head))
+    registrations.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident, info, builder)
+      }
     }
   }
 
@@ -152,21 +194,28 @@ object GraftFunctions {
 
   /** Codegen'd polynomial hash column; requires [[register]]. */
   def polyHash(c: Column): Column = call_function(polyHashName, c)
+
+  /** Bounded-heap top-k aggregate ([[BoundedTopK]]): the k smallest values
+    * of `c` as a sorted ascending array; requires [[register]]. */
+  def topK(c: Column, k: Int): Column = call_function(topKName, c, lit(k))
 }
 
 /** `spark.sql.extensions` entry point: registers graft's native functions
   * at session build time (`--conf spark.sql.extensions=
   * graft.functions.GraftExtensions`) so SQL users get `graft_dot` /
-  * `graft_polyhash` without touching the Scala API. Query builders also
-  * self-register via [[GraftFunctions.register]], so the extension is a
-  * convenience, not a requirement. */
+  * `graft_polyhash` / `graft_top_k` without touching the Scala API. Query
+  * builders also self-register via [[GraftFunctions.register]], so the
+  * extension is a convenience, not a requirement. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(GraftFunctions.dotName),
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.dotName),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      GraftFunctions.dotBuilder))
     ext.injectFunction((FunctionIdentifier(GraftFunctions.polyHashName),
       new ExpressionInfo(classOf[PolyHash].getName, GraftFunctions.polyHashName),
-      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+      GraftFunctions.polyHashBuilder))
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.topKName),
+      new ExpressionInfo(classOf[BoundedTopK].getName, GraftFunctions.topKName),
+      GraftFunctions.topKBuilder))
   }
 }

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -9,13 +11,18 @@ import graft.functions.GraftFunctions
 import graft.sources.Tables
 
 /** Similarity-search pack over the `embeddings` table (SURVEY.md §2.B [EXT]
-  * similarity-search row): brute-force cosine top-k as the exact baseline and
-  * a random-projection-LSH approximate variant as the 100 TB scale path.
+  * similarity-search row): brute-force cosine top-k as the exact baseline,
+  * a random-projection-LSH approximate variant and an IVF (inverted-file)
+  * variant as the 100 TB scale paths.
   *
   * Cosine is built entirely from higher-order array functions (`zip_with` +
   * `aggregate`) — an ordered left fold in doubles, so the DuckDB oracle can
   * replay bit-identical arithmetic (`list_reduce` over `list_transform`).
-  * No UDFs anywhere; every plan is a scan → (broadcast) join → agg.
+  * No UDFs anywhere; every plan is a scan → (broadcast) join → agg, and all
+  * top-k selection runs through the bounded-heap
+  * [[graft.functions.BoundedTopK]] aggregate whose partial buffers are
+  * capped at k entries — the shuffle after candidate scoring carries
+  * O(queries·partitions·k) rows, never the full scored set.
   */
 object Similarity {
 
@@ -48,48 +55,51 @@ object Similarity {
         sqrt(GraftFunctions.dot(col("embedding"), col("embedding"))))
   }
 
-  /** Exact top-k cosine neighbours for each query vector (`vec_id` <
-    * `nQueries`), excluding self.
-    *
-    * Scale design: the query side is tiny and broadcast, so the candidate
-    * scan never shuffles its full width. Top-k is two-phase — a salted
-    * partial top-k (`groupBy(q_id, salt)` → sort+slice) collapses each
-    * candidate partition to ≤ k·nSalts rows *before* the only wide exchange,
-    * then a final per-query sort+slice. No window over a 10-partition key
-    * (which would funnel all N candidates through 10 tasks), no driver
-    * collect. At 100 TB the shuffle carries O(nQueries·salts·k) rows.
-    */
-  def topKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
-                 k: Int = 10, nSalts: Int = 64): DataFrame = {
-    val emb = embWithNorm(spark, dir)
-    val queries = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
-    val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      col("nrm").as("cn"))
-
-    val pairs = cands.crossJoin(broadcast(queries))
-      .where(col("q_id") =!= col("cand_id"))
-      .select(col("q_id"), col("cand_id"),
-        round(GraftFunctions.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
-          .as("cos_sim"))
-
-    // sort key: struct orders lexicographically → (-cos asc, cand_id asc)
+  /** Scored (q_id, cand_id, cos_sim) → top-k rows (q_id, cand_id, cos_sim,
+    * rnk) via the bounded-heap aggregate. The struct sort key orders by
+    * (-cos asc, cand_id asc) = best cosine first with a deterministic id
+    * tiebreak; partial aggregation collapses every candidate partition to
+    * ≤ k rows per query before the one wide exchange. */
+  private def topKSelect(scored: DataFrame, k: Int): DataFrame = {
     val keyed = struct((-col("cos_sim")).as("negcos"), col("cand_id"), col("cos_sim"))
-    val partial = pairs
-      .groupBy(col("q_id"), pmod(col("cand_id"), lit(nSalts)).as("salt"))
-      .agg(slice(array_sort(collect_list(keyed)), 1, k).as("part"))
-      .select(col("q_id"), explode(col("part")).as("e"))
-    partial
+    scored
       .groupBy(col("q_id"))
-      .agg(slice(array_sort(collect_list(col("e"))), 1, k).as("top"))
+      .agg(GraftFunctions.topK(keyed, k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.cand_id").as("cand_id"),
         col("col.cos_sim").as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Exact top-k cosine neighbours for each query vector (`vec_id` <
+    * `nQueries`), excluding self.
+    *
+    * Scale design: the query side is tiny and broadcast, so the candidate
+    * scan never shuffles its full width. Top-k selection is the bounded-heap
+    * [[graft.functions.BoundedTopK]] partial+final aggregate: each scan
+    * partition is collapsed to ≤ k rows per query map-side, the single wide
+    * exchange carries O(nQueries·partitions·k) rows, and the final merge
+    * holds at most k entries per query in memory. No window over a
+    * 10-partition key, no driver collect, no O(N) aggregation buffers.
+    */
+  def topKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
+                 k: Int = 10): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"))
+
+    val scored = cands.crossJoin(broadcast(queries))
+      .where(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(GraftFunctions.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
+          .as("cos_sim"))
+    topKSelect(scored, k)
+  }
+
   /** Approximate top-k via random-projection LSH on L2-normalized vectors —
-    * the 100 TB path. On unit vectors euclidean distance is monotone in
+    * a 100 TB path. On unit vectors euclidean distance is monotone in
     * cosine (d² = 2 − 2·cos), so BucketedRandomProjectionLSH's bucket join
     * prunes the candidate space to colliding buckets instead of the full
     * cross product. Seeded → deterministic. Output schema matches
@@ -108,51 +118,73 @@ object Similarity {
     val model = lsh.fit(normed)
 
     val queries = normed.where(col("vec_id") < nQueries)
-    val joined = model.approxSimilarityJoin(queries, normed, threshold, "dist")
+    val scored = model.approxSimilarityJoin(queries, normed, threshold, "dist")
       .select(col("datasetA.vec_id").as("q_id"),
         col("datasetB.vec_id").as("cand_id"), col("dist"))
       .where(col("q_id") =!= col("cand_id"))
       // unit vectors: cos = 1 - d²/2
       .withColumn("cos_sim", round(lit(1.0) - col("dist") * col("dist") / 2, 6))
-
-    val keyed = struct((-col("cos_sim")).as("negcos"), col("cand_id"), col("cos_sim"))
-    joined.groupBy(col("q_id"))
-      .agg(slice(array_sort(collect_list(keyed)), 1, k).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), col("col.cand_id").as("cand_id"),
-        col("col.cos_sim").as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
-      .orderBy(col("q_id"), col("rnk"))
+    topKSelect(scored, k)
   }
+
+  /** Coarse-quantizer centroid cache: (sf dir, nlist) → centroids. The
+    * quantizer is corpus geometry, not query state — refitting it per query
+    * was the #2 bench hotspot in round 1 and at 100 TB would re-scan the
+    * lake per call. Plain arrays, so the cache is valid across sessions. */
+  private val centroidCache = TrieMap.empty[(String, Int), Array[Array[Double]]]
+
+  /** Fit (or fetch) the IVF coarse quantizer: seeded k-means over a
+    * deterministic 1-in-`sampleMod` hash-sample of the corpus. A coarse
+    * quantizer only needs cluster *geometry*, which a sample fixes at a
+    * fraction of the full-scan cost — 8 iterations over N/sampleMod points
+    * instead of 8 full passes over the lake. */
+  private[ops] def quantizerCentroids(spark: SparkSession, dir: String,
+                                      nlist: Int, sampleMod: Int = 5): Array[Array[Double]] =
+    centroidCache.getOrElseUpdate((dir, nlist), {
+      import org.apache.spark.ml.clustering.KMeans
+      val sample = embDouble(spark, dir)
+        .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+        .select(array_to_vector(col("embedding")).as("v"))
+      val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
+        .setFeaturesCol("v").setPredictionCol("cell")
+      km.fit(sample).clusterCenters.map(_.toArray)
+    })
 
   /** IVF-style approximate top-k: a seeded k-means coarse quantizer
     * partitions the corpus into `nlist` cells; each query probes its
     * `nProbe` nearest centroids and searches only those cells — the
-    * classic inverted-file ANN layout. At 100 TB the assignment is one
-    * map pass, the probe join touches nProbe/nlist of the data, and cells
-    * are the natural partitioning key for the candidate shuffle.
+    * classic inverted-file ANN layout. The quantizer is fit once per
+    * (corpus, nlist) on a hash-sample and cached ([[quantizerCentroids]]);
+    * cell assignment is pure codegen'd column arithmetic over the broadcast
+    * centroid table (argmin of per-cell distance), so the corpus-side work
+    * is one map pass with zero MLlib involvement. At 100 TB the probe join
+    * touches nProbe/nlist of the data and cells are the natural
+    * partitioning key for the candidate shuffle.
     * Seeded → deterministic; recall (not equality) asserted in the spec. */
   def ivfTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
                     k: Int = 10, nlist: Int = 16, nProbe: Int = 8): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val emb = embWithNorm(spark, dir)
-      .withColumn("v", array_to_vector(col("embedding")))
-    // a coarse quantizer doesn't need convergence — 8 iterations places
-    // centroids well enough for cell routing at a fraction of the fit cost
-    val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
-      .setFeaturesCol("v").setPredictionCol("cell")
-    val model = km.fit(emb.select(col("v")))
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val centroids = quantizerCentroids(spark, dir, nlist)
+
+    // cell = argmin over centroids of euclidean distance; |v|² is constant
+    // per row, so argmin(|v-c|²) = argmin(|c|² - 2·v·c) — all codegen'd
+    // expressions over literal centroid arrays, no shuffle, no model object
+    val cellDist: Seq[Column] = centroids.toIndexedSeq.map { c =>
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
+      lit(c.map(x => x * x).sum) -
+        lit(2.0) * GraftFunctions.dot(col("embedding"), cLit)
+    }
+    val distArr = array(cellDist: _*)
+    val assigned = emb.withColumn("cell",
+      (array_position(distArr, array_min(distArr)) - 1).cast("int"))
 
     // centroid table is tiny: broadcast to rank cells per query
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }
-    val centDf = spark.createDataFrame(centroids.toIndexedSeq)
+    val centDf = spark.createDataFrame(
+      centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("cell", "centroid")
     val queries = assigned.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
     val probed = queries.crossJoin(broadcast(centDf))
       .withColumn("cdist",
         GraftFunctions.dot(col("qv"), col("centroid").cast("array<double>")) /
@@ -171,13 +203,7 @@ object Similarity {
       .select(col("q_id"), col("cand_id"),
         round(GraftFunctions.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
           .as("cos_sim"))
-    val keyed = struct((-col("cos_sim")).as("negcos"), col("cand_id"), col("cos_sim"))
-    scored.groupBy(col("q_id"))
-      .agg(slice(array_sort(collect_list(keyed)), 1, k).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), col("col.cand_id").as("cand_id"),
-        col("col.cos_sim").as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
-      .orderBy(col("q_id"), col("rnk"))
+    topKSelect(scored, k)
   }
 
   /** Pairwise cosine between the two vectors of every consecutive id pair

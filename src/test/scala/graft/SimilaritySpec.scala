@@ -38,7 +38,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("topK salted two-phase equals naive window top-k") {
+  test("topK bounded-heap aggregate equals naive window top-k") {
     import org.apache.spark.sql.expressions.Window
     val emb = Similarity.embDouble(spark, sf)
     val queries = emb.where(col("vec_id") < 3)

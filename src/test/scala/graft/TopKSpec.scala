@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ops.Similarity
+
+class TopKSpec extends SparkSpec {
+
+  test("graft_top_k is result-identical to slice(array_sort(collect_list))") {
+    GraftFunctions.register(spark)
+    val emb = Similarity.embWithNorm(spark, sf)
+    val queries = emb.where(col("vec_id") < 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+      .crossJoin(broadcast(queries))
+      .where(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(GraftFunctions.dot(col("qv"), col("cv"))
+          / nullif(col("qn") * col("cn"), lit(0.0)), 6).as("cos_sim"))
+    val keyed = struct((-col("cos_sim")).as("negcos"), col("cand_id"), col("cos_sim"))
+    val both = scored.groupBy(col("q_id")).agg(
+      GraftFunctions.topK(keyed, 9).as("heap"),
+      slice(array_sort(collect_list(keyed)), 1, 9).as("decl"))
+    // bitwise equality of the full sorted arrays, not set/epsilon equality
+    assert(both.where(not(col("heap") === col("decl"))).count() === 0)
+    assert(both.count() === 7)
+  }
+
+  test("graft_top_k with k larger than the group returns the whole group sorted") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1, 5.0), (1, 1.0), (1, 3.0), (2, 2.0)).toDF("g", "x")
+    val got = df.groupBy($"g").agg(GraftFunctions.topK(struct($"x"), 10).as("t"))
+      .select($"g", $"t.x".as("xs")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1) === Seq(1.0, 3.0, 5.0))
+    assert(got(2) === Seq(2.0))
+  }
+
+  test("graft_top_k skips nulls like collect_list") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq[(Int, java.lang.Double)]((1, 4.0), (1, null), (1, 2.0))
+      .toDF("g", "x")
+    val got = df.groupBy($"g").agg(GraftFunctions.topK($"x", 5).as("t")).collect()
+    assert(got.head.getSeq[Double](1) === Seq(2.0, 4.0))
+  }
+
+  test("graft_dot rejects array<float> and wrong types at analysis time") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val floats = graft.sources.Tables.embeddings(spark, sf)
+    // embeddings' native type is array<float>: silently-wrong reads before,
+    // analysis error now
+    val e1 = intercept[AnalysisException] {
+      floats.select(GraftFunctions.dot(col("embedding"), col("embedding"))).collect()
+    }
+    assert(e1.getMessage.contains("array<double>"))
+    val e2 = intercept[AnalysisException] {
+      Seq(("a", "b")).toDF("x", "y")
+        .select(GraftFunctions.polyHash(lit(3))).collect()
+    }
+    assert(e2.getMessage.contains("string"))
+  }
+
+  test("graft_dot/graft_top_k reject wrong arity with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("exactly 2"))
+  }
+}
