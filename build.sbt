@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr instead
+// of through sbt's logger — no "[info] " prefix mangling the one-line JSON
+// contract of graft.Bench (round-1 driver bench recorded "parsed": null
+// because the metric line arrived as "[info] {...}").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

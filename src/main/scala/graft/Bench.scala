@@ -25,7 +25,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces for the driver's parser: the same line as a file,
+    // immune to any build-tool log-prefix mangling
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     spark.stop()
   }
 }

@@ -133,22 +133,66 @@ object Similarity {
     * lake per call. Plain arrays, so the cache is valid across sessions. */
   private val centroidCache = TrieMap.empty[(String, Int), Array[Array[Double]]]
 
-  /** Fit (or fetch) the IVF coarse quantizer: seeded k-means over a
-    * deterministic 1-in-`sampleMod` hash-sample of the corpus. A coarse
-    * quantizer only needs cluster *geometry*, which a sample fixes at a
-    * fraction of the full-scan cost — 8 iterations over N/sampleMod points
-    * instead of 8 full passes over the lake. */
+  /** Fit (or fetch) the IVF coarse quantizer: seeded k-means++ + 8 Lloyd
+    * iterations over a deterministic, *bounded* hash-sample of the corpus
+    * (1-in-`sampleMod` by id hash, capped at `sampleCap` rows — ≤ 2 MB of
+    * driver memory regardless of corpus size). A coarse quantizer only
+    * needs cluster geometry, which a sample fixes at a fraction of the
+    * full-scan cost; running Lloyd's on the collected sample takes
+    * milliseconds, vs. 8 distributed passes (3+ s of scheduler overhead
+    * at any SF, 8 full lake scans at 100 TB) for a cluster-side fit. */
   private[ops] def quantizerCentroids(spark: SparkSession, dir: String,
-                                      nlist: Int, sampleMod: Int = 5): Array[Array[Double]] =
+                                      nlist: Int, sampleMod: Int = 5,
+                                      sampleCap: Int = 4096): Array[Array[Double]] =
     centroidCache.getOrElseUpdate((dir, nlist), {
-      import org.apache.spark.ml.clustering.KMeans
-      val sample = embDouble(spark, dir)
+      val sampled = embDouble(spark, dir)
+        .select(col("vec_id"), col("embedding"))
         .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
-        .select(array_to_vector(col("embedding")).as("v"))
-      val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
-        .setFeaturesCol("v").setPredictionCol("cell")
-      km.fit(sample).clusterCenters.map(_.toArray)
+        .orderBy(col("vec_id")).limit(sampleCap)   // ordered → deterministic
+        .collect().map(_.getSeq[Double](1).toArray)
+      require(sampled.nonEmpty, s"empty embedding sample for $dir")
+      lloyd(sampled, nlist, iters = 8, seed = 42)
     })
+
+  private def sqdist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Seeded k-means++ init + Lloyd iterations over an in-memory sample.
+    * k is capped at the sample size (tiny corpora). */
+  private def lloyd(pts: Array[Array[Double]], k0: Int, iters: Int,
+                    seed: Long): Array[Array[Double]] = {
+    val k = math.min(k0, pts.length)
+    val dim = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    val centers = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)).clone())
+    while (centers.size < k) {
+      val d2 = pts.map(p => centers.iterator.map(c => sqdist(p, c)).min)
+      var r = rnd.nextDouble() * d2.sum
+      var i = 0
+      while (i < pts.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+      centers += pts(i).clone()
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < k) { val d = sqdist(p, centers(j)); if (d < bd) { bd = d; best = j }; j += 1 }
+        cnts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      var j = 0
+      while (j < k) {
+        if (cnts(j) > 0) centers(j) = sums(j).map(_ / cnts(j))
+        j += 1
+      }
+    }
+    centers.toArray
+  }
 
   /** IVF-style approximate top-k: a seeded k-means coarse quantizer
     * partitions the corpus into `nlist` cells; each query probes its
@@ -168,9 +212,11 @@ object Similarity {
 
     // cell = argmin over centroids of euclidean distance; |v|² is constant
     // per row, so argmin(|v-c|²) = argmin(|c|² - 2·v·c) — all codegen'd
-    // expressions over literal centroid arrays, no shuffle, no model object
+    // expressions over literal centroid arrays (one array *constant* per
+    // centroid, not a 64-element CreateArray: Janino compiles a constant
+    // reference, not 64 expression nodes), no shuffle, no model object
     val cellDist: Seq[Column] = centroids.toIndexedSeq.map { c =>
-      val cLit = array(c.toIndexedSeq.map(lit): _*)
+      val cLit = typedLit(c)
       lit(c.map(x => x * x).sum) -
         lit(2.0) * GraftFunctions.dot(col("embedding"), cLit)
     }
