@@ -41,10 +41,20 @@ object SparkEntry {
     "q_pivot_quantity" -> ((s, d) => Relational.pivotQuantity(s, d)),
     "q_fn_math" -> ((s, d) => Relational.mathFuncs(s, d)),
     "q_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
+    "q_bucket_join_revenue" -> ((s, d) => Relational.bucketedJoinRevenue(s, d)),
+    "q_sub_scalar_q17" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
+    "q_sub_corr_in" -> ((s, d) => Relational.lateShippedOrders(s, d)),
+    "q7_nation_trade" -> ((s, d) => Relational.nationTradeVolume(s, d)),
+    // rows-only: HLL++/t-digest estimates are engine-specific by design;
+    // specs assert tolerance vs the exact twins
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinctCounts(s, d)),
+    "q_approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
     // EDA / stats (reference R15-R16, SURVEY §2.A)
     "q_corr_stats" -> ((s, d) => Stats.corrStats(s, d)),
     "q_corr_matrix" -> ((s, d) => Stats.corrMatrix(s, d)),
     "q_histogram_price" -> ((s, d) => Stats.histogram(s, d)),
+    "q_kde_discount" -> ((s, d) =>
+      Stats.kdeDensity(s, d, kdeColumn, kdeBandwidth, kdePoints)),
     // events pack [EXT] (SURVEY §2.B streaming/window rows)
     "q_evt_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
     "q_evt_sliding" -> ((s, d) => Events.slidingValue(s, d)),
@@ -194,9 +204,69 @@ object SparkEntry {
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** KDE constants shared by the declared query and its generated oracle
+    * so scorer and oracle can't drift. */
+  private val kdeColumn = "l_discount"
+  private val kdeBandwidth = 0.02
+  private val kdePoints = 11
+
+  /** DuckDB twin of [[Stats.kdeDensity]], generated from the same
+    * constants: identical grid arithmetic and Gaussian fold, with the
+    * JVM-computed double constants embedded via toString (IEEE
+    * round-trip) so both engines evaluate bit-identical expressions. */
+  private def kdeOracle: String = {
+    val c2 = 2.0 * kdeBandwidth * kdeBandwidth
+    val norm = 1.0 / (kdeBandwidth * math.sqrt(2.0 * math.Pi))
+    s"""WITH b AS (SELECT min($kdeColumn) AS mn, max($kdeColumn) AS mx FROM lineitem),
+       |g AS (SELECT mn + (mx - mn) * i / ${(kdePoints - 1).toDouble} AS pt
+       |      FROM b, (SELECT unnest(generate_series(0, ${kdePoints - 1})) AS i) t),
+       |d AS (SELECT pt, round(avg(exp((l_discount - pt) * (pt - l_discount) / $c2) * $norm), 6) AS density
+       |      FROM lineitem, g GROUP BY pt)
+       |SELECT round(pt, 6) AS pt, density FROM d ORDER BY pt""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_bucket_join_revenue" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS rev,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_sub_scalar_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q_sub_corr_in" ->
+      """SELECT o_orderkey, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     WHERE l_shipdate > o_orderdate + INTERVAL 100 DAY)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q7_nation_trade" ->
+      """WITH s AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |           JOIN nation ON s_nationkey = n_nationkey
+        |           WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |c AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      WHERE n_name IN ('NATION_1', 'NATION_2'))
+        |SELECT supp_nation, cust_nation,
+        | CAST(year(l_shipdate) AS INT) AS l_year,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS rev,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN s ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN c ON o_custkey = c_custkey
+        |WHERE supp_nation <> cust_nation
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_kde_discount" -> kdeOracle,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -62,15 +62,6 @@ object Dedup {
   /** Whitespace tokens (same tokenizer as the text pack). */
   private def toks(c: Column): Column = Text.tokens(c)
 
-  /** Distinct 3-gram word shingles of a text column. */
-  def shingles(text: Column): Column = {
-    val t = toks(text)
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Polynomial rolling hash of a string column: fold(chars, 0,
     * (acc,ch) => (acc·31 + ascii(ch)) mod P) — identical on both engines. */
   def polyHash(c: Column): Column =

@@ -283,4 +283,138 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy(col("o_orderkey"))
+
+  /** Catalog table name for a bucketed copy of `base` scoped to one sf
+    * dir (several sf dirs share a JVM across specs/verify/bench). */
+  private def bucketTableName(base: String, dir: String): String =
+    s"graft_${base}_bkt_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"
+
+  /** Bucketed co-partitioned fact-fact join: per-order revenue over
+    * `lineitem ⋈ orders`, both stored bucketed+sorted by orderkey
+    * ([[graft.store.FeatureStore.ensureBucketedTable]]).
+    *
+    * Scale: this is the recurring-join answer at 100 TB — one publish-time
+    * shuffle into 8 buckets, then every join/agg keyed on orderkey runs
+    * with ZERO exchange: the bucketed scans report
+    * `HashPartitioning(orderkey)`, the merge join consumes them directly,
+    * the (o_orderkey, o_orderpriority) aggregation is satisfied by the
+    * same partitioning, and the final top-k is a TakeOrderedAndProject.
+    * The spec asserts the executed plan contains NO ShuffleExchange at
+    * all. The `merge` hint pins a sort-merge join so the demo holds even
+    * when one side is broadcast-sized (broadcasting would also avoid the
+    * exchange, but then the plan proves nothing about co-partitioning). */
+  def bucketedJoinRevenue(spark: SparkSession, dir: String,
+                          buckets: Int = 8): DataFrame = {
+    import graft.store.FeatureStore
+    val liName = bucketTableName("lineitem", dir)
+    val ordName = bucketTableName("orders", dir)
+    FeatureStore.ensureBucketedTable(spark, Tables.lineitem(spark, dir),
+      liName, "l_orderkey", buckets)
+    FeatureStore.ensureBucketedTable(spark, Tables.orders(spark, dir),
+      ordName, "o_orderkey", buckets)
+    spark.table(liName)
+      .join(spark.table(ordName).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(round(revenue, 2).as("rev"), count(lit(1)).as("n_items"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q17-flavored correlated *scalar subquery*: revenue of small
+    * orders — lineitems under 20% of their part's average quantity, for
+    * one brand. Exercises Catalyst's scalar-subquery decorrelation
+    * (RewriteCorrelatedScalarSubquery → aggregate + left outer join).
+    *
+    * Scale: the subquery decorrelates into one partial+final hash-agg
+    * over lineitem grouped by partkey and a join on partkey — the same
+    * shape you'd hand-write; nothing is re-evaluated per outer row. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String,
+                           brand: String = "Brand#23"): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(
+      s"""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = '$brand'
+         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+         |""".stripMargin)
+  }
+
+  /** Correlated IN subquery: orders having a lineitem shipped more than
+    * `lagDays` days after the order date. Exercises Catalyst's
+    * RewritePredicateSubquery IN-path with an outer reference in the
+    * subquery predicate (→ left semi join with the correlated condition
+    * folded into the join). */
+  def lateShippedOrders(spark: SparkSession, dir: String,
+                        lagDays: Int = 100): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderpriority
+         |FROM orders
+         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+         |                     WHERE l_shipdate > o_orderdate + INTERVAL $lagDays DAY)
+         |ORDER BY o_orderkey
+         |""".stripMargin)
+  }
+
+  /** TPC-H Q7-flavored supplier/customer nation-pair trade volume: the
+    * supplier-side star (supplier → lineitem) joined against the
+    * customer-side star (orders → customer), nations on both ends.
+    *
+    * Scale: all four dimension tables broadcast; the only shuffle is the
+    * lineitem ⋈ orders fact-fact join plus the tiny (pair, year) agg —
+    * same envelope as Q5 with a second dimension chain. */
+  def nationTradeVolume(spark: SparkSession, dir: String,
+                        nationA: String = "NATION_1",
+                        nationB: String = "NATION_2"): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      .where(col("supp_nation").isin(nationA, nationB))
+    val cust = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      .where(col("cust_nation").isin(nationA, nationB))
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .where(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(round(revenue, 2).as("rev"), count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Approximate distinct counts (HLL++) — the one-pass, mergeable,
+    * constant-memory 100 TB twin of [[distinctCounts]]. Engine-specific
+    * values by design → rows-only in the driver gate; the spec asserts
+    * each estimate within the documented rsd of the exact count. */
+  def approxDistinctCounts(spark: SparkSession, dir: String,
+                           rsd: Double = 0.05): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col("l_orderkey"), rsd).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey"), rsd).as("approx_supps"))
+
+  /** Approximate percentiles (t-digest-style mergeable sketch) — the
+    * one-pass 100 TB twin of [[percentiles]]. Engine-specific
+    * interpolation by design → rows-only; spec asserts each value within
+    * tolerance of the exact interpolated percentile. */
+  def approxPercentiles(spark: SparkSession, dir: String,
+                        accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile_approx(col("l_extendedprice"), lit(0.25), lit(accuracy)), 4).as("p25"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(accuracy)), 4).as("p50"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.75), lit(accuracy)), 4).as("p75"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.95), lit(accuracy)), 4).as("p95"))
+      .orderBy(col("l_returnflag"))
 }

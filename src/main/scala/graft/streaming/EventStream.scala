@@ -23,9 +23,9 @@ object EventStream {
 
   /** Unbounded read of the events table: same nanos→micros conversion as
     * the batch reader. `pathGlobFilter` restricts to the events file so the
-    * directory can hold the other corpus tables. */
+    * directory can hold the other corpus tables. Requires the
+    * [[graft.sources.GraftSession]] build-time configs. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(Tables.eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")

@@ -161,4 +161,70 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
   }
+
+  test("bucketed fact-fact join runs with ZERO shuffle exchanges") {
+    val df = Relational.bucketedJoinRevenue(spark, sf)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected merge join in:\n$plan")
+    val nonBroadcast = plan.replace("BroadcastExchange", "")
+    assert(!nonBroadcast.contains("Exchange"),
+      s"expected no shuffle exchange in:\n$plan")
+    // same result as the unbucketed join path
+    val expect = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("rev").desc, col("o_orderkey")).limit(10)
+      .collect().toSeq
+    assert(df.collect().toSeq === expect)
+  }
+
+  test("correlated scalar subquery decorrelates and returns one row") {
+    val rows = Relational.smallQuantityRevenue(spark, sf).collect()
+    assert(rows.length === 1)
+  }
+
+  test("correlated IN subquery returns a subset of orders") {
+    val late = Relational.lateShippedOrders(spark, sf).collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(late.length > 0 && late.length < nOrders)
+    // keys are distinct (semi-join semantics, no multiplicity from lineitem)
+    assert(late.map(_.getLong(0)).distinct.length === late.length)
+  }
+
+  test("nation-pair trade volume: symmetric pair coverage, years bounded") {
+    val rows = Relational.nationTradeVolume(spark, sf).collect()
+    assert(rows.forall { r =>
+      val y = r.getAs[Int]("l_year"); y >= 1996 && y <= 1997
+    })
+    assert(rows.forall(r =>
+      r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation")))
+  }
+
+  test("approx_count_distinct within rsd envelope of exact") {
+    val exact = Relational.distinctCounts(spark, sf).head()
+    val approx = Relational.approxDistinctCounts(spark, sf).head()
+    for ((e, a) <- Seq(
+        (exact.getAs[Long]("n_orders"), approx.getAs[Long]("approx_orders")),
+        (exact.getAs[Long]("n_parts"), approx.getAs[Long]("approx_parts")),
+        (exact.getAs[Long]("n_supps"), approx.getAs[Long]("approx_supps")))) {
+      val rel = math.abs(a - e).toDouble / e
+      assert(rel <= 0.15, s"approx $a vs exact $e: rel err $rel")
+    }
+  }
+
+  test("approx percentiles near exact interpolated percentiles") {
+    val exact = Relational.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    Relational.approxPercentiles(spark, sf).collect().foreach { a =>
+      val e = exact(a.getString(0))
+      Seq("p25", "p50", "p75", "p95").foreach { c =>
+        val rel = math.abs(a.getAs[Double](c) - e.getAs[Double](c)) /
+          math.max(1.0, math.abs(e.getAs[Double](c)))
+        assert(rel <= 0.05, s"${a.getString(0)}.$c rel err $rel")
+      }
+    }
+  }
 }

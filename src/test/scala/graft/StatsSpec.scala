@@ -24,7 +24,8 @@ class StatsSpec extends SparkSpec {
   }
 
   test("kde: densities positive, integrate roughly to 1 over the support") {
-    val dens = Stats.kde(spark, sf, "l_discount", bandwidth = 0.02, points = 21)
+    val dens = Stats.kdeDensity(spark, sf, "l_discount", bandwidth = 0.02, points = 21)
+      .collect().map(_.getAs[Double]("density"))
     assert(dens.length === 21)
     assert(dens.forall(_ >= 0.0))
     // trapezoid integral over [min,max] of a density ≈ 1 (edges lose mass)
