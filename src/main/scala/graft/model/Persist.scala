@@ -33,13 +33,36 @@ object Persist {
     * including `performance_metrics_path`, which the reference dangles
     * without ever writing the file (SURVEY.md §2.A quirks); we keep the
     * key for fidelity and likewise never create that file. */
+  /** JSON string escape: quote, backslash, and all control chars — a path
+    * containing either would otherwise produce an unparseable file. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Doubles serialize as JSON numbers; NaN/Infinity (not valid JSON) as
+    * null, like Python's json with allow_nan=False semantics. */
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else d.toString
+
   def saveRunInfo(accuracy: Double, modelPath: String, featureStorePath: String,
                   predictionsPath: String, outFile: String): Unit = {
-    val json =
-      s"""{"model_type": "RandomForestClassifier", "model_path": "$modelPath", """ +
-        s""""feature_store_path": "$featureStorePath", "accuracy": $accuracy, """ +
-        s""""predictions_path": "$predictionsPath", """ +
-        s""""performance_metrics_path": "${predictionsPath.stripSuffix("/predictions.csv")}/performance_metrics.txt"}"""
+    val metricsPath =
+      predictionsPath.stripSuffix("/predictions.csv") + "/performance_metrics.txt"
+    val json = Seq(
+      "model_type" -> jstr("RandomForestClassifier"),
+      "model_path" -> jstr(modelPath),
+      "feature_store_path" -> jstr(featureStorePath),
+      "accuracy" -> jnum(accuracy),
+      "predictions_path" -> jstr(predictionsPath),
+      "performance_metrics_path" -> jstr(metricsPath))
+      .map { case (k, v) => s"${jstr(k)}: $v" }
+      .mkString("{", ", ", "}")
     val p = Paths.get(outFile)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.writeString(p, json)

@@ -20,13 +20,15 @@ import org.apache.spark.sql.functions._
 object TrainEval {
 
   /** Exact-count split: deterministic hash-shuffled global rank, test set
-    * gets exactly ⌊n·testFrac⌋ rows. The global sort is the price of the
-    * exact count — acceptable for train/test sizing, not for lake-scale
-    * ETL (use [[bernoulliSplit]] there). */
+    * gets exactly ⌈n·testFrac⌉ rows — sklearn `train_test_split` sizes the
+    * test set with ceil (reference semantics; identical to floor at the
+    * reference's n=100 but not at e.g. n=123). The global sort is the
+    * price of the exact count — acceptable for train/test sizing, not for
+    * lake-scale ETL (use [[bernoulliSplit]] there). */
   def exactSplit(df: DataFrame, idCol: String, testFrac: Double,
                  seed: Long): (DataFrame, DataFrame) = {
     val n = df.count()
-    val nTest = (n * testFrac).toLong
+    val nTest = math.ceil(n * testFrac).toLong
     val ranked = df.withColumn("__rnk",
       row_number().over(Window.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))))
     val test = ranked.where(col("__rnk") <= nTest).drop("__rnk")

@@ -74,18 +74,27 @@ object Multimodal {
     * codec (STUB: the real `decodeImage(bytes): Array[Float]` is
     * unavailable in this container — this deterministic fake keeps the
     * whole execution path testable). Operates on a *batch* so a
-    * vectorized library call drops in unchanged. */
-  private[ops] def decodeBatch(batch: Seq[(Long, String, Array[Byte])],
+    * vectorized library call drops in unchanged.
+    *
+    * Units: the payload is UTF-8 text standing in for an encoded blob, so
+    * the kernel decodes it and works in *code points* — the same unit as
+    * the metadata columns (`length(text)`) and the DuckDB oracle's
+    * `ascii()` fold. Counting raw bytes instead diverges on any non-ASCII
+    * document (round-2 ADVICE); `n_bytes` keeps its name for schema
+    * stability and equals the byte length for ASCII payloads. */
+  private[graft] def decodeBatch(batch: Seq[(Long, String, Array[Byte])],
                                featDim: Int): Seq[DecodedMedia] =
     batch.map { case (id, mtype, bytes) =>
-      val n = bytes.length
+      val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
+      val n = cps.length
       if (n == 0) DecodedMedia(id, mtype, 0, 0.0, Array.fill(featDim)(0.0f))
       else {
-      val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+      val sum = cps.foldLeft(0L)(_ + _)
       val mean = BigDecimal(sum.toDouble / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val feats = Array.tabulate(featDim) { i =>
-        (bytes(i * math.max(1, n / featDim) % n) & 0xff) / 255.0f
+        (cps(i * math.max(1, n / featDim) % n) & 0xff) / 255.0f
       }
       DecodedMedia(id, mtype, n, mean, feats)
       }

@@ -82,38 +82,75 @@ object EventStream {
   /** Open-session state: the accumulating session + its last event time. */
   final case class OpenSession(session: UserSession, last_ms: Long)
 
+  /** @param emitOpenTail `true` (one-shot file-source mode): emit the
+    *   still-open session at the end of every batch — exact batch parity
+    *   on a source that ends after one batch, but WRONG on a live
+    *   multi-batch stream (the same open session would be re-emitted and
+    *   later re-emitted extended). `false` (live-stream mode): the open
+    *   tail stays in state and is flushed exactly once by an event-time
+    *   timeout when the watermark passes `last event + gap` — requires a
+    *   watermark on `stream.ts`. */
   def gapSessionsStateful(spark: SparkSession, stream: DataFrame,
-                          gapMs: Long = 30L * 60 * 1000): Dataset[UserSession] = {
+                          gapMs: Long = 30L * 60 * 1000,
+                          emitOpenTail: Boolean = true): Dataset[UserSession] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val timeout =
+      if (emitOpenTail) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.EventTimeTimeout
     stream
-      .select(col("user_id"), expr("unix_micros(ts) DIV 1000").as("ms"), col("value"))
-      .as[(Long, Long, Double)]
+      // `ts` is carried through (not just its ms projection) so the
+      // watermark attribute reaches the stateful operator — event-time
+      // timeout requires a watermarked column in its input
+      .select(col("user_id"), expr("unix_micros(ts) DIV 1000").as("ms"),
+        col("value"), col("ts"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, Double)],
+      .flatMapGroupsWithState(OutputMode.Append(), timeout) {
+        (user: Long, rows0: Iterator[(Long, Long, Double, java.sql.Timestamp)],
          state: org.apache.spark.sql.streaming.GroupState[OpenSession]) =>
           def rounded(s: UserSession): UserSession =
             s.copy(sum_value = math.rint(s.sum_value * 100) / 100)
-          var open = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
-          rows.toSeq.sortBy(_._2).foreach { case (_, ms, v) =>
-            open = open match {
-              case Some(OpenSession(s, last)) if ms - last < gapMs =>
-                Some(OpenSession(
-                  s.copy(n_events = s.n_events + 1, sum_value = s.sum_value + v), ms))
-              case other =>
-                other.foreach(o => closed += rounded(o.session))
-                Some(OpenSession(UserSession(user, ms, 1, v), ms))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is definitively
+            // closed (no on-time event can extend it) — flush exactly once
+            val out = state.getOption.map(o => rounded(o.session))
+            state.remove()
+            out.iterator
+          } else {
+            val rows = rows0.map(r => (r._1, r._2, r._3))
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
+            rows.toSeq.sortBy(_._2).foreach { case (_, ms, v) =>
+              open = open match {
+                case Some(OpenSession(s, last)) if ms - last < gapMs =>
+                  Some(OpenSession(
+                    s.copy(n_events = s.n_events + 1, sum_value = s.sum_value + v), ms))
+                case other =>
+                  other.foreach(o => closed += rounded(o.session))
+                  Some(OpenSession(UserSession(user, ms, 1, v), ms))
+              }
             }
+            open.foreach { o =>
+              state.update(o)
+              if (!emitOpenTail) state.setTimeoutTimestamp(o.last_ms + gapMs)
+            }
+            (closed ++ (if (emitOpenTail) open.map(o => rounded(o.session))
+                        else Nil)).iterator
           }
-          open.foreach(state.update)
-          // the one-shot file source ends after this batch, so emit the
-          // open tail too — on a live stream you'd use an event-time
-          // timeout to flush it when the gap elapses
-          (closed ++ open.map(o => rounded(o.session))).iterator
       }
   }
+
+  /** Stream-static join: enrich the live event stream with a broadcast
+    * static dimension (`user_id` → `cohort`), then aggregate per cohort.
+    * The static side is planned as a broadcast hash join against every
+    * micro-batch — no stream-side shuffle for the join, the standard
+    * dimension-enrichment topology at any scale. */
+  def cohortTotals(stream: DataFrame, userDim: DataFrame): DataFrame =
+    stream.join(broadcast(userDim), Seq("user_id"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
 
   /** Per-user running totals. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)

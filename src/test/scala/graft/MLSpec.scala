@@ -72,6 +72,23 @@ class PipelineSpec extends SparkSpec {
     assert(model.getNumTrees === 100)
   }
 
+  test("run-info JSON escapes hostile paths and serializes NaN as null") {
+    val out = java.nio.file.Files.createTempDirectory("graft-runinfo").toString
+    graft.model.Persist.saveRunInfo(Double.NaN, """/odd "path"\with\quotes""",
+      "/fs", "/pred\npath", s"$out/run_info.json")
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/run_info.json"))
+    // must parse as strict JSON despite quotes/backslashes/newline/NaN
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(txt).toDS)
+    assert(!parsed.columns.contains("_corrupt_record"), txt)
+    assert(parsed.columns.contains("model_path"))
+    assert(txt.contains("\"accuracy\": null"))
+    assert(txt.contains("\\\"path\\\""))
+    assert(txt.contains("\\n"))
+    assert(!txt.contains("NaN"))
+  }
+
   test("feature store JSON round-trips with schema intact") {
     val out = java.nio.file.Files.createTempDirectory("graft-json").toString
     val df = SyntheticFeatures.generate(spark, 40)
@@ -105,8 +122,8 @@ class MetricsSpec extends SparkSpec {
   test("exact split honors exact counts and partitions the input") {
     val df = SyntheticFeatures.generate(spark, 123)
     val (train, test) = TrainEval.exactSplit(df, "row_id", 0.2, 42)
-    assert(test.count() === 24)   // floor(123 * 0.2)
-    assert(train.count() === 99)
+    assert(test.count() === 25)   // ceil(123 * 0.2), sklearn semantics
+    assert(train.count() === 98)
     assert(train.select("row_id").intersect(test.select("row_id")).count() === 0)
   }
 

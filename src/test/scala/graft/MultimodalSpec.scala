@@ -7,6 +7,18 @@ import graft.sources.Tables
 
 class MultimodalSpec extends SparkSpec {
 
+  test("decode kernel works in code points, matching the oracle on non-ASCII") {
+    val s = "héllo ✓ café"  // 2-byte and 3-byte UTF-8 chars
+    val out = Multimodal.decodeBatch(
+      Seq((1L, "image", s.getBytes(java.nio.charset.StandardCharsets.UTF_8))), 4).head
+    val cps = s.codePoints().toArray
+    assert(out.n_bytes === cps.length)           // = length(text), not byte count
+    assert(out.n_bytes < s.getBytes("UTF-8").length)
+    val want = BigDecimal(cps.map(_.toLong).sum.toDouble / cps.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.mean_byte === want)               // ascii()-fold mean
+  }
+
   test("media table: binary payload matches text bytes, metadata consistent") {
     val rows = Multimodal.mediaTable(spark, sf).limit(20).collect()
     val texts = Tables.documents(spark, sf).limit(20)

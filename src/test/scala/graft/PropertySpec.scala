@@ -45,7 +45,7 @@ object GraftProps extends Properties("graft") {
     val df = spark.range(n.toLong).toDF("row_id")
     val (train, test) = TrainEval.exactSplit(df, "row_id", frac, seed = 7)
     val (nTr, nTe) = (train.count(), test.count())
-    nTe == (n * frac).toLong && nTr + nTe == n &&
+    nTe == math.ceil(n * frac).toLong && nTr + nTe == n &&
       train.intersect(test).isEmpty
   }
 

@@ -75,6 +75,67 @@ class StreamingSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g === w) }
   }
 
+  test("event-time timeout flushes closed sessions exactly once on a multi-batch stream") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{Row, SaveMode}
+    import org.apache.spark.sql.types._
+    // two files = two micro-batches (maxFilesPerTrigger=1). user 1 has a
+    // 2-event session in batch 1, then one event 2h later in batch 2: the
+    // batch-2 watermark passes session1's gap, so the timeout must flush
+    // it exactly once; the 2h event stays open (never emitted).
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream2b").toString
+    val t0 = 1700000000000000L // micros
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def write(path: String, rows: Seq[(Long, Long, Double)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (u, us, v) =>
+          Row(u, java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000)), v)
+        }, 1), schema)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    write(s"$dir/b1", Seq((1L, t0, 1.0), (1L, t0 + 10L * 60 * 1000000, 2.0)))
+    write(s"$dir/b2", Seq((1L, t0 + 2L * 3600 * 1000000, 5.0)))
+    new java.io.File(s"$dir/b2").setLastModified(System.currentTimeMillis() + 60000)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$dir/b*")
+      .withWatermark("ts", "0 seconds")
+    val q = EventStream.gapSessionsStateful(spark, stream, emitOpenTail = false)
+      .writeStream.format("memory").queryName("stream_timeout_sessions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("stream_timeout_sessions")
+      .select("user_id", "start_ms", "n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // exactly the closed session, exactly once, and no open-tail emission
+    assert(got.toSeq === Seq((1L, t0 / 1000, 2L, 3.0)), got.mkString(", "))
+  }
+
+  test("stream-static join totals == batch join on the same input") {
+    import org.apache.spark.sql.functions._
+    val userDim = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(3)))
+    val stream = EventStream.readEvents(spark, sf)
+    val q = EventStream.cohortTotals(stream, userDim)
+      .writeStream.format("memory").queryName("stream_cohorts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_cohorts").orderBy("cohort").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = graft.sources.Tables.events(spark, sf)
+      .join(userDim, Seq("user_id"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("cohort").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("mapGroupsWithState running totals == batch per-user totals") {
     import org.apache.spark.sql.functions._
     val stream = EventStream.readEvents(spark, sf)
