@@ -308,9 +308,15 @@ object Relational {
     import graft.store.FeatureStore
     val liName = bucketTableName("lineitem", dir)
     val ordName = bucketTableName("orders", dir)
-    FeatureStore.ensureBucketedTable(spark, Tables.lineitem(spark, dir),
+    // publish only the join-relevant columns: column pruning at publish
+    // time is part of the layout decision (the recurring join never pays
+    // for the 8 columns it doesn't read)
+    FeatureStore.ensureBucketedTable(spark,
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
       liName, "l_orderkey", buckets)
-    FeatureStore.ensureBucketedTable(spark, Tables.orders(spark, dir),
+    FeatureStore.ensureBucketedTable(spark,
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
       ordName, "o_orderkey", buckets)
     spark.table(liName)
       .join(spark.table(ordName).hint("merge"),

@@ -59,7 +59,13 @@ object FeatureStore {
       val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
-      df.write.mode("overwrite").format("parquet")
+      // repartition by the bucket key first: Dataset.repartition and the
+      // bucketing writer share the same murmur3-mod-n placement, so each
+      // write task owns exactly one bucket → ONE sorted file per bucket.
+      // That lets the bucketed reader trust the sortBy metadata, so a
+      // downstream merge join needs neither an exchange NOR a sort.
+      df.repartition(buckets, col(key))
+        .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, key).sortBy(key)
         .saveAsTable(table)
     }
