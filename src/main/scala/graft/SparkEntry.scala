@@ -49,6 +49,9 @@ object SparkEntry {
     // specs assert tolerance vs the exact twins
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctCounts(s, d)),
     "q_approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
+    "q_part_pruned_revenue" -> ((s, d) => Relational.partitionPrunedRevenue(s, d)),
+    "q_win_rank_breadth" -> ((s, d) => Relational.customerBalanceWindows(s, d)),
+    "q_skew_salted_join" -> ((s, d) => Relational.saltedJoinRevenue(s, d)),
     // EDA / stats (reference R15-R16, SURVEY §2.A)
     "q_corr_stats" -> ((s, d) => Stats.corrStats(s, d)),
     "q_corr_matrix" -> ((s, d) => Stats.corrMatrix(s, d)),
@@ -88,6 +91,9 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashDupPairs(s, d)),
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
+    // rows-only: LSH bucket geometry is engine-specific; precision exact
+    // by construction (cosine verify), recall spec vs the brute baseline
+    "q_dedup_embed_lsh" -> ((s, d) => Dedup.embeddingDupPairsLsh(s, d)),
     // rows-only: xxhash64 grouping, engine-specific hash by design
     "q_dedup_exact_hash" -> ((s, d) => Dedup.exactDedupByHash(s, d)),
     // ML metrics pack (reference R9–R11 shapes, SURVEY §2.A)
@@ -267,6 +273,30 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_kde_discount" -> kdeOracle,
+    "q_part_pruned_revenue" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS mo, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_win_rank_breadth" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal, drnk, quartile, pct_rnk, cume, top_bal
+        |FROM (
+        | SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rnk,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(c_acctbal) OVER w AS top_bal
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_mktsegment
+        |              ORDER BY c_acctbal DESC, c_custkey)) t
+        |WHERE drnk <= 5 ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS rev,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

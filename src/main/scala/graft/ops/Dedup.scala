@@ -228,9 +228,43 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Embedding near-dup pairs via random-projection LSH — the declared
+    * scale path for [[embeddingDupPairs]]. On L2-normalized vectors,
+    * euclidean distance is monotone in cosine (d² = 2 − 2·cos), so the
+    * LSH similarity join prunes candidates to colliding buckets and the
+    * distance threshold √(2 − 2·minCos) recovers exactly the cos ≥ minCos
+    * pairs among them — precision is exact by construction, recall is the
+    * LSH collision probability (spec-asserted vs the brute baseline).
+    * The LSH "fit" draws random unit vectors only — no data pass — so
+    * unlike a quantizer there is nothing to amortize at 100 TB; the join
+    * is one bucket-key shuffle, never O(n²). Rows-only in the driver
+    * gate: bucket geometry makes the *candidate* set engine-specific. */
+  def embeddingDupPairsLsh(spark: SparkSession, dir: String,
+                           minCos: Double = 0.4): DataFrame = {
+    import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Similarity.embDouble(spark, dir)
+      .withColumn("v", array_to_vector(col("embedding")))
+    val normed = new Normalizer().setInputCol("v").setOutputCol("nv").setP(2.0)
+      .transform(emb).select(col("vec_id"), col("nv"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("nv").setOutputCol("hashes")
+      .setBucketLength(0.5).setNumHashTables(4).setSeed(42)
+    val model = lsh.fit(normed)
+    val threshold = math.sqrt(2.0 - 2.0 * minCos)
+    model.approxSimilarityJoin(normed, normed, threshold, "dist")
+      .select(col("datasetA.vec_id").as("vec_a"),
+        col("datasetB.vec_id").as("vec_b"), col("dist"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(lit(1.0) - col("dist") * col("dist") / 2, 6))
+      .where(col("cos_sim") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Embedding-cosine near-dup pairs over a vec_id-bounded subset, cosine
-    * ≥ minCos. Brute pairwise baseline; the scale path is LSH bucketing
-    * ([[Similarity.annTopKCosine]]'s join pruned by bucket collisions). */
+    * ≥ minCos. Brute pairwise baseline; the scale path is
+    * [[embeddingDupPairsLsh]]'s bucket-collision join. */
   def embeddingDupPairs(spark: SparkSession, dir: String, maxVecId: Long = 1000,
                         minCos: Double = 0.4): DataFrame = {
     val emb = Similarity.embWithNorm(spark, dir).where(col("vec_id") < maxVecId)

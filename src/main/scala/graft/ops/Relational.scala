@@ -397,6 +397,79 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Per-year monthly revenue read from a date-partitioned table —
+    * exercises partition pruning, the first-line data-skipping lever at
+    * 100 TB: `orders` is published hive-partitioned by `o_year`
+    * ([[graft.store.FeatureStore.ensurePartitionedTable]]) and the
+    * `o_year = year` predicate prunes to one directory — the other years'
+    * files are never listed, opened, or read (spec asserts the scan's
+    * PartitionFilters and a partition count of 1). */
+  def partitionPrunedRevenue(spark: SparkSession, dir: String,
+                             yr: Int = 1997): DataFrame = {
+    import graft.store.FeatureStore
+    val table = bucketTableName("orders_bydate", dir)
+    FeatureStore.ensurePartitionedTable(spark,
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"),
+          year(col("o_orderdate")).cast("int").as("o_year")),
+      table, "o_year")
+    spark.table(table)
+      .where(col("o_year") === yr)
+      .groupBy(month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("mo"))
+  }
+
+  /** Ranking-function breadth over one window: dense_rank, ntile,
+    * percent_rank, cume_dist, first_value — top-5 customers per market
+    * segment by balance. One shuffle on the partition key; the unique
+    * (segment, custkey) tiebreak keeps every function deterministic. */
+  def customerBalanceWindows(spark: SparkSession, dir: String,
+                             k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rnk", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("top_bal", first(col("c_acctbal")).over(w))
+      .where(col("drnk") <= k)
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** Salted skew join: revenue per order priority through a lineitem ⋈
+    * orders join that is deliberately salted — the fact side appends a
+    * random-but-deterministic salt, the build side is exploded ×`salts` —
+    * then aggregated. Result is identical to the plain join (oracle-
+    * checked against it).
+    *
+    * Scale: this is the manual remedy when ONE join key is hot enough to
+    * overwhelm a single shuffle partition and AQE's skew split can't help
+    * (e.g. a single null-ish key carrying 30% of a 100 TB fact table).
+    * Salting fans the hot key across `salts` partitions at the cost of
+    * replicating the other side `salts`×; AQE (`skewJoin.enabled`, on by
+    * default here) is the zero-code first resort — this operator is the
+    * explicit fallback, kept oracle-verified so the rewrite can't drift
+    * from the plain join's semantics. */
+  def saltedJoinRevenue(spark: SparkSession, dir: String,
+                        salts: Int = 8): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("l_salt",
+        pmod(xxhash64(col("l_linenumber")), lit(salts)).cast("int"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("o_salt", explode(sequence(lit(0), lit(salts - 1))))
+      .hint("shuffle_hash")
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey") && col("l_salt") === col("o_salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(revenue, 2).as("rev"), count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Approximate distinct counts (HLL++) — the one-pass, mergeable,
     * constant-memory 100 TB twin of [[distinctCounts]]. Engine-specific
     * values by design → rows-only in the driver gate; the spec asserts

@@ -49,16 +49,23 @@ object FeatureStore {
     * this is the single biggest shuffle lever for recurring fact-fact
     * joins: pay one shuffle at publish time, never again at read time.
     * Idempotent per session (the in-memory catalog is session-scoped). */
-  def ensureBucketedTable(spark: SparkSession, df: => DataFrame, table: String,
-                          key: String, buckets: Int = 8): Unit =
+  /** Create-once-per-session catalog publisher: clears a stale managed
+    * location (a previous JVM's in-memory catalog may have orphaned it —
+    * without catalog metadata the files aren't a bucketed/partitioned
+    * table) and runs `write`. */
+  private def ensureTable(spark: SparkSession, table: String)(
+      write: => Unit): Unit =
     if (!spark.catalog.tableExists(table)) {
-      // a previous JVM's in-memory catalog may have orphaned the managed
-      // location on disk; without catalog metadata the files aren't a
-      // bucketed table, so clear and rebuild
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
+      write
+    }
+
+  def ensureBucketedTable(spark: SparkSession, df: => DataFrame, table: String,
+                          key: String, buckets: Int = 8): Unit =
+    ensureTable(spark, table) {
       // repartition by the bucket key first: Dataset.repartition and the
       // bucketing writer share the same murmur3-mod-n placement, so each
       // write task owns exactly one bucket → ONE sorted file per bucket.
@@ -67,6 +74,19 @@ object FeatureStore {
       df.repartition(buckets, col(key))
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(table)
+    }
+
+  /** Publish `df` hive-style partitioned by `partCol` — the lake layout
+    * that turns partition-column predicates into directory pruning: a
+    * filter on `partCol` skips the other partitions' files entirely. At
+    * 100 TB, date-partitioning is the first-line data-skipping lever,
+    * ahead of any row-group statistics. */
+  def ensurePartitionedTable(spark: SparkSession, df: => DataFrame,
+                             table: String, partCol: String): Unit =
+    ensureTable(spark, table) {
+      df.write.mode("overwrite").format("parquet")
+        .partitionBy(partCol)
         .saveAsTable(table)
     }
 

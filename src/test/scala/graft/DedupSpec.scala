@@ -79,4 +79,18 @@ class DedupSpec extends SparkSpec {
       assert(c >= 0.4 && c <= 1.0 + 1e-9)
     }
   }
+
+  test("embedding LSH near-dup: exact precision, usable recall vs brute force") {
+    val brute = Dedup.embeddingDupPairs(spark, sf, maxVecId = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingDupPairsLsh(spark, sf).collect()
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision exact by construction: every LSH pair is a true pair
+    assert(lshPairs.subsetOf(brute),
+      s"false positives: ${lshPairs.diff(brute).take(5)}")
+    lsh.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.4 - 1e-9))
+    // recall: bucket collisions must surface most true pairs
+    val recall = lshPairs.intersect(brute).size.toDouble / math.max(1, brute.size)
+    assert(recall >= 0.5, s"LSH recall $recall below 0.5 (${brute.size} true pairs)")
+  }
 }

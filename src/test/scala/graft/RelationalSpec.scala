@@ -203,6 +203,53 @@ class RelationalSpec extends SparkSpec {
       r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation")))
   }
 
+  test("partition-pruned scan reads exactly one o_year partition") {
+    val df = Relational.partitionPrunedRevenue(spark, sf, yr = 1997)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("o_year"), plan)
+    // the physical scan must have pruned to a single partition directory
+    // (sparkPlan, not executedPlan: AQE wraps stages into leaf nodes)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.relation.location.listFiles(
+      scans.head.partitionFilters, scans.head.dataFilters).length === 1)
+    // and the answer equals the unpartitioned computation
+    val expect = Tables.orders(spark, sf)
+      .where(year(col("o_orderdate")) === 1997)
+      .groupBy(month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("mo")).collect().toSeq
+    assert(df.collect().toSeq === expect)
+  }
+
+  test("salted join equals the plain join") {
+    val salted = Relational.saltedJoinRevenue(spark, sf).collect().toSeq
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("window rank breadth: k rows per segment, quartiles and ranks consistent") {
+    val rows = Relational.customerBalanceWindows(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    bySeg.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.forall(r => r.getAs[Long]("quartile") >= 1 && r.getAs[Long]("quartile") <= 4))
+      assert(rs.forall(r => r.getAs[Double]("pct_rnk") >= 0.0 && r.getAs[Double]("pct_rnk") <= 1.0))
+      val topBal = rs.map(_.getAs[Double]("top_bal")).distinct
+      assert(topBal.length === 1) // first_value constant within the segment
+      assert(rs.forall(_.getAs[Double]("c_acctbal") <= topBal.head))
+    }
+  }
+
   test("approx_count_distinct within rsd envelope of exact") {
     val exact = Relational.distinctCounts(spark, sf).head()
     val approx = Relational.approxDistinctCounts(spark, sf).head()
