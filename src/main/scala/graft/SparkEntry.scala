@@ -52,6 +52,11 @@ object SparkEntry {
     "q_part_pruned_revenue" -> ((s, d) => Relational.partitionPrunedRevenue(s, d)),
     "q_win_rank_breadth" -> ((s, d) => Relational.customerBalanceWindows(s, d)),
     "q_skew_salted_join" -> ((s, d) => Relational.saltedJoinRevenue(s, d)),
+    "q_outer_nation_parties" -> ((s, d) => Relational.nationPartiesOuter(s, d)),
+    "q_sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
+    // rows-only: sampleBy's per-row RNG is engine-specific; spec asserts
+    // per-class proportions and seed-determinism
+    "q_sample_bernoulli" -> ((s, d) => Relational.bernoulliStratifiedSample(s, d)),
     // EDA / stats (reference R15-R16, SURVEY §2.A)
     "q_corr_stats" -> ((s, d) => Stats.corrStats(s, d)),
     "q_corr_matrix" -> ((s, d) => Stats.corrMatrix(s, d)),
@@ -297,6 +302,26 @@ object SparkEntry {
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_outer_nation_parties" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+        |            round(sum(c_acctbal), 2) AS cust_bal
+        |           FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp,
+        |       round(sum(s_acctbal), 2) AS supp_bal
+        |      FROM supplier WHERE s_acctbal > 9000.0 GROUP BY 1)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        | coalesce(n_cust, 0) AS n_cust, coalesce(cust_bal, 0.0) AS cust_bal,
+        | coalesce(n_supp, 0) AS n_supp, coalesce(supp_bal, 0.0) AS supp_bal
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q_sample_stratified" -> {
+      val caseChain = Relational.stratRates.map { case (l, k) =>
+        s"WHEN '$l' THEN $k"
+      }.mkString("CASE lang ", " ", " ELSE 1 END")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE doc_id % ($caseChain) = 0
+         |ORDER BY doc_id""".stripMargin
+    },
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -470,6 +470,68 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** FULL OUTER join coverage: per-nation counts of high-balance
+    * customers vs high-balance suppliers. The acctbal filters make each
+    * side sparse, so both null sides of the outer join are exercised and
+    * coalesced. Scale: two partial+final aggs (25-row outputs) then a
+    * tiny outer join — the aggregate-then-outer-join shape that keeps the
+    * outer join off the fact tables. */
+  def nationPartiesOuter(spark: SparkSession, dir: String,
+                         minBal: Double = 9000.0): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .where(col("c_acctbal") > minBal)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("cust_bal"))
+    val s = Tables.supplier(spark, dir)
+      .where(col("s_acctbal") > minBal)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"), round(sum(col("s_acctbal")), 2).as("supp_bal"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Per-class rates for [[Text]]-corpus stratified sampling: keep
+    * 1-in-k docs per language (downsample the dominant class, keep the
+    * rare ones) — shared by the Spark query and its generated oracle. */
+  val stratRates: Seq[(String, Int)] =
+    Seq("en" -> 4, "es" -> 2, "fr" -> 2, "de" -> 2, "zh" -> 1)
+
+  /** Deterministic stratified sample: keep doc_id ≡ 0 (mod k_lang) with a
+    * per-class k — the class-rebalancing primitive of a training-data
+    * pipeline in its *reproducible* form (pure predicate on the id, no
+    * RNG, so any engine replays the same sample and the oracle checks
+    * it). The Bernoulli twin is `DataFrameStatFunctions.sampleBy`
+    * ([[bernoulliStratifiedSample]], rows-only — engine-specific RNG).
+    * Scale: a pushed-down filter, zero shuffle. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = stratRates.foldRight(lit(1): Column) { case ((l, k), acc) =>
+      when(col("lang") === l, lit(k)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), rate) === 0)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Seeded Bernoulli stratified sample (`sampleBy`): per-class keep
+    * fractions via per-row RNG — the at-scale default when exact
+    * reproducibility across engines isn't required. Rows-only (RNG is
+    * engine-specific); the spec asserts per-class proportions and
+    * seed-determinism within the engine. */
+  def bernoulliStratifiedSample(spark: SparkSession, dir: String,
+                                seed: Long = 42): DataFrame = {
+    val fractions = stratRates.map { case (l, k) => l -> 1.0 / k }.toMap
+    Tables.documents(spark, dir)
+      .stat.sampleBy("lang", fractions, seed)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Approximate distinct counts (HLL++) — the one-pass, mergeable,
     * constant-memory 100 TB twin of [[distinctCounts]]. Engine-specific
     * values by design → rows-only in the driver gate; the spec asserts

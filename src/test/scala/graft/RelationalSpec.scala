@@ -250,6 +250,47 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("full outer join: both null sides exercised and coalesced to zero") {
+    val rows = Relational.nationPartiesOuter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // sparse filters should leave at least one side-less nation each way
+    // at this SF; tolerate either but require no nulls in the output
+    rows.foreach { r =>
+      assert(!r.anyNull)
+      assert(r.getAs[Long]("n_cust") > 0 || r.getAs[Long]("n_supp") > 0)
+    }
+  }
+
+  test("deterministic stratified sample honors per-class rates") {
+    val totals = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Relational.stratifiedSample(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational.stratRates.foreach { case (lang, k) =>
+      if (totals.getOrElse(lang, 0L) >= 20) {
+        val rate = kept.getOrElse(lang, 0L).toDouble / totals(lang)
+        assert(math.abs(rate - 1.0 / k) < 0.2,
+          s"$lang kept rate $rate vs expected ${1.0 / k}")
+      }
+    }
+  }
+
+  test("sampleBy: seed-deterministic, per-class proportions near fractions") {
+    val a = Relational.bernoulliStratifiedSample(spark, sf).collect()
+    val b = Relational.bernoulliStratifiedSample(spark, sf).collect()
+    assert(a.toSeq === b.toSeq) // same seed, same sample
+    val totals = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    Relational.stratRates.foreach { case (lang, k) =>
+      if (totals.getOrElse(lang, 0L) >= 30) {
+        val rate = kept.getOrElse(lang, 0L).toDouble / totals(lang)
+        assert(math.abs(rate - 1.0 / k) < 0.25,
+          s"$lang sampleBy rate $rate vs fraction ${1.0 / k}")
+      }
+    }
+  }
+
   test("approx_count_distinct within rsd envelope of exact") {
     val exact = Relational.distinctCounts(spark, sf).head()
     val approx = Relational.approxDistinctCounts(spark, sf).head()
