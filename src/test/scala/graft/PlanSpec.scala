@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.explore.Stats
+import graft.ops.{Dedup, Relational, Similarity}
+
+/** Plan-shape assertions: each declared operator's physical plan must keep
+  * the properties that make it survive a 100 TB scale-up — broadcasts where
+  * dims are small, partial aggregation before every exchange, top-k without
+  * global sorts, no cartesian products outside the bounded brute baselines.
+  * String-level but deliberate: these are the facts `.explain("formatted")`
+  * was used to verify while building, frozen as regressions. */
+class PlanSpec extends SparkSpec {
+
+  // executedPlan, not sparkPlan: exchanges are only inserted by the
+  // EnsureRequirements preparation (the AQE wrapper prints the initial
+  // physical plan including them). Cache cleared first: other suites'
+  // .cache() calls would otherwise swap scans for InMemoryTableScan and
+  // change the node counts under assertion.
+  private def plan(df: DataFrame): String = {
+    spark.sharedState.cacheManager.clearCache()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q1 pricing summary: one shuffle, partial+final hash aggregation") {
+    val p = plan(Relational.pricingSummary(spark, sf))
+    assert(countOccurrences(p, "Exchange hashpartitioning") === 1, p)
+    // partial + final = two HashAggregate nodes around the one exchange
+    assert(countOccurrences(p, "HashAggregate") === 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q3 top revenue orders: top-k is TakeOrderedAndProject, no global sort") {
+    val p = plan(Relational.topRevenueOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q5 star join: all dimension chains broadcast, no cartesian product") {
+    val p = plan(Relational.nationRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("exact top-k cosine: bounded-heap aggregate in partial mode before the exchange") {
+    val p = plan(Similarity.topKCosine(spark, sf, nQueries = 3, k = 5))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_top_k"), p)
+    // queries broadcast: the candidate side never shuffles pre-aggregation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("kde: grid broadcast to samples; shuffle output bounded by grid points") {
+    val p = plan(Stats.kdeDensity(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // bounds agg + grid-group agg: every exchange moves O(points) rows
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("minhash LSH pairs: banding join is a real join, not a cartesian product") {
+    val p = plan(Dedup.minhashDupPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("histogram: bounds row broadcast, never collected") {
+    val p = plan(Stats.histogram(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("stratified sample: pure pushed filter, zero exchanges") {
+    val p = plan(Relational.stratifiedSample(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+}
