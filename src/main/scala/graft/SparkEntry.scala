@@ -81,6 +81,9 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => Text.qualityScore(s, d)),
     "q_text_langid" -> ((s, d) => Text.langIdConfusion(s, d)),
     "q_text_fingerprint" -> ((s, d) => Text.fingerprintPoly(s, d)),
+    "q_text_bigrams" -> ((s, d) => Text.bigramCounts(s, d)),
+    "q_text_length_filter" -> ((s, d) => Text.lengthFilteredStats(s, d)),
+    "q_text_decontaminate" -> ((s, d) => Text.decontaminate(s, d)),
     // rows-only: xxhash64 values are engine-specific by design
     "q_text_fingerprint_fast" -> ((s, d) => Text.fingerprintFast(s, d)),
     // similarity pack [EXT] (SURVEY §2.B similarity-search row)
@@ -739,6 +742,28 @@ object SparkEntry {
         | round(list_reduce(list_transform(generate_series(1,64), i -> va[i]*vb[i]), (x,y) -> x+y)
         |  / (na * nb), 6) AS cos_sim
         |FROM a JOIN b USING (pair_id) ORDER BY pair_id""".stripMargin,
+    "q_text_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        | SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |   i -> t[i] || ' ' || t[i+1])) AS bigram
+        | FROM (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |       FROM documents) s) u
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "q_text_length_filter" ->
+      """WITH d AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |b AS (SELECT quantile_cont(n_tokens, 0.05) AS p_lo,
+        |       quantile_cont(n_tokens, 0.95) AS p_hi FROM d)
+        |SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
+        |FROM d, b WHERE n_tokens >= p_lo AND n_tokens <= p_hi
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_decontaminate" ->
+      """SELECT doc_id, lang FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents b
+        |                  WHERE b.doc_id % 100 = 0 AND b.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

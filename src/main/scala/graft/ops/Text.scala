@@ -143,6 +143,59 @@ object Text {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Top-k corpus bigram counts — the n-gram frequency primitive behind
+    * tokenizer training and contamination screens. The token array is
+    * materialized in its own projection before the pairing lambda reads it
+    * (the inlined form re-evaluates the split per element — the O(n²) trap
+    * documented on `Dedup.shingled`). Scale: explode → one partial+final
+    * count per bigram; top-k is a TakeOrderedAndProject. */
+  def bigramCounts(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+
+  /** Length-outlier filter: keep documents whose token count lies inside
+    * the corpus [lo, hi] percentile band — the standard "drop truncated
+    * and runaway documents" quality gate. The percentile bounds row is
+    * broadcast (never collected), so the whole gate is one extra
+    * broadcast join over the scan. */
+  def lengthFilteredStats(spark: SparkSession, dir: String,
+                          lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val bounds = docs.agg(
+      expr(s"percentile(n_tokens, $lo)").as("p_lo"),
+      expr(s"percentile(n_tokens, $hi)").as("p_hi"))
+    docs.crossJoin(broadcast(bounds))
+      .where(col("n_tokens") >= col("p_lo") && col("n_tokens") <= col("p_hi"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Benchmark decontamination: drop every document whose exact text
+    * appears in a held-out set (stand-in here: doc_id ≡ 0 mod 100) — the
+    * anti-join-by-content screen any training corpus runs against eval
+    * sets. Scale: at 100 TB both sides join on `xxhash64(text)` (8-byte
+    * keys) with a re-verify on collision; the text-equality form is kept
+    * here so the oracle can replay it. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bench = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("text").as("bench_text"))
+    Tables.documents(spark, dir)
+      .join(broadcast(bench), col("text") === col("bench_text"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the document's characters:
     * fp = fold(chars, 0, (acc, ch) => (acc*31 + ascii(ch)) mod 1e9+7).
     *

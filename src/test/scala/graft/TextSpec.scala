@@ -102,4 +102,40 @@ class TextSpec extends SparkSpec {
     assert(poly.select(countDistinct(col("fp"))).head.getLong(0) ===
       fast.select(countDistinct(col("fp"))).head.getLong(0))
   }
+
+  test("bigram counts: total mass equals sum over docs of (tokens - 1)") {
+    val expected = Tables.documents(spark, sf)
+      .select(greatest(size(Text.tokens(col("text"))) - 1, lit(0)).cast("long").as("m"))
+      .agg(sum(col("m"))).head.getLong(0)
+    val all = Text.bigramCounts(spark, sf, k = Int.MaxValue)
+    assert(all.agg(sum(col("n"))).head.getLong(0) === expected)
+    val top = Text.bigramCounts(spark, sf).collect()
+    assert(top.length <= 50)
+    assert(top.map(_.getAs[Long]("n")).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true
+    })
+  }
+
+  test("length filter keeps the inner percentile band") {
+    val rows = Text.lengthFilteredStats(spark, sf).collect()
+    val totalKept = rows.map(_.getAs[Long]("n_docs")).sum
+    val total = Tables.documents(spark, sf).count()
+    // [p5, p95] band keeps ~90% of docs
+    assert(totalKept <= total && totalKept >= (total * 0.8).toLong,
+      s"kept $totalKept of $total")
+  }
+
+  test("decontamination removes exactly the benchmark-text documents") {
+    val docs = Tables.documents(spark, sf)
+    val benchTexts = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+      .select("text").distinct().collect().map(_.getString(0)).toSet
+    val kept = Text.decontaminate(spark, sf).collect().map(_.getLong(0)).toSet
+    val keptTexts = docs.collect()
+      .filter(r => kept.contains(r.getAs[Long]("doc_id")))
+      .map(_.getAs[String]("text"))
+    assert(keptTexts.forall(t => !benchTexts.contains(t)))
+    // and nothing else was dropped
+    val dropped = docs.collect().filterNot(r => kept.contains(r.getAs[Long]("doc_id")))
+    assert(dropped.forall(r => benchTexts.contains(r.getAs[String]("text"))))
+  }
 }
