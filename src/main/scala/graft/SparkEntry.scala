@@ -53,6 +53,7 @@ object SparkEntry {
     "q_win_rank_breadth" -> ((s, d) => Relational.customerBalanceWindows(s, d)),
     "q_skew_salted_join" -> ((s, d) => Relational.saltedJoinRevenue(s, d)),
     "q_outer_nation_parties" -> ((s, d) => Relational.nationPartiesOuter(s, d)),
+    "q_csv_json_sources" -> ((s, d) => Relational.csvJsonSourceJoin(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     // rows-only: sampleBy's per-row RNG is engine-specific; spec asserts
     // per-class proportions and seed-determinism
@@ -317,6 +318,12 @@ object SparkEntry {
         | coalesce(n_supp, 0) AS n_supp, coalesce(supp_bal, 0.0) AS supp_bal
         |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
         |ORDER BY nationkey""".stripMargin,
+    "q_csv_json_sources" ->
+      """SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_sample_stratified" -> {
       val caseChain = Relational.stratRates.map { case (l, k) =>
         s"WHEN '$l' THEN $k"

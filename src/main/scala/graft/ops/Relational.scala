@@ -470,6 +470,37 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** CSV + JSON source coverage in a declared query: `nation` is
+    * round-tripped through a header CSV and `region` through JSON lines
+    * (published once per session next to the warehouse), then both are
+    * read back with explicit schemas — never inferSchema, same rule as
+    * the parquet readers — and joined against the parquet `customer`
+    * fact. Scale: text sources are the interchange path, not the lake
+    * path; the explicit schema avoids an inference pass over (at 100 TB)
+    * thousands of files, and both dims broadcast as usual. */
+  def csvJsonSourceJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.FeatureStore
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val csvPath = s"$wh/graft_nation_csv_$slug"
+    val jsonPath = s"$wh/graft_region_json_$slug"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(csvPath)))
+      FeatureStore.writeCsv(Tables.nation(spark, dir), csvPath, Seq("n_nationkey"))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(jsonPath)))
+      FeatureStore.writeJson(Tables.region(spark, dir), jsonPath, Seq("r_regionkey"))
+    val nationCsv = FeatureStore.readCsv(spark, csvPath, Tables.nationSchema)
+    val regionJson = FeatureStore.readJson(spark, jsonPath, Tables.regionSchema)
+    Tables.customer(spark, dir)
+      .join(broadcast(nationCsv), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(regionJson), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("r_name"))
+  }
+
   /** FULL OUTER join coverage: per-nation counts of high-balance
     * customers vs high-balance suppliers. The acctbal filters make each
     * side sparse, so both null sides of the outer join are exercised and
