@@ -759,7 +759,7 @@ object SparkEntry {
     "q_text_length_filter" ->
       """WITH d AS (
         | SELECT doc_id, lang,
-        |  CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         | FROM documents),
         |b AS (SELECT quantile_cont(n_tokens, 0.05) AS p_lo,
         |       quantile_cont(n_tokens, 0.95) AS p_hi FROM d)

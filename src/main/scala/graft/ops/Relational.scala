@@ -310,14 +310,21 @@ object Relational {
     val ordName = bucketTableName("orders", dir)
     // publish only the join-relevant columns: column pruning at publish
     // time is part of the layout decision (the recurring join never pays
-    // for the 8 columns it doesn't read)
-    FeatureStore.ensureBucketedTable(spark,
+    // for the 8 columns it doesn't read). The two publishes are
+    // independent jobs — run them concurrently; the scheduler interleaves
+    // their stages across the executor slots.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val pubLi = Future(FeatureStore.ensureBucketedTable(spark,
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-      liName, "l_orderkey", buckets)
-    FeatureStore.ensureBucketedTable(spark,
+      liName, "l_orderkey", buckets))
+    val pubOrd = Future(FeatureStore.ensureBucketedTable(spark,
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-      ordName, "o_orderkey", buckets)
+      ordName, "o_orderkey", buckets))
+    Await.result(pubLi, Duration.Inf)
+    Await.result(pubOrd, Duration.Inf)
     spark.table(liName)
       .join(spark.table(ordName).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))

@@ -166,9 +166,14 @@ object Text {
     * broadcast join over the scan. */
   def lengthFilteredStats(spark: SparkSession, dir: String,
                           lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    // plain split count (no empty-token filter): the corpus is
+    // single-spaced, the oracle uses the identical definition, and the
+    // codegen'd split+size avoids two interpreted higher-order filter
+    // passes over every document (the gate scans the corpus twice:
+    // bounds, then filter)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val bounds = docs.agg(
       expr(s"percentile(n_tokens, $lo)").as("p_lo"),
       expr(s"percentile(n_tokens, $hi)").as("p_hi"))
