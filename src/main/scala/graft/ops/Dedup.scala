@@ -263,23 +263,31 @@ object Dedup {
         when(graft.functions.GraftFunctions.dot(col("embedding"),
           typedLit(planes(b * bits + j))) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
-    val keyed = emb.select(col("vec_id"), col("embedding"), col("nrm"),
+    val keyed = emb.select(col("vec_id"),
       array((0 until bands).map(bandKey): _*).as("keys"))
 
-    val banded = keyed.select(col("vec_id"), col("embedding"), col("nrm"),
-      col("keys"), posexplode(col("keys")))
+    // the banding join carries ONLY (vec_id, band keys) — the 8×520-byte
+    // embedding payloads never enter the wide exchange; candidates join
+    // them back below, same shape as [[minhashDupPairs]]
+    val banded = keyed.select(col("vec_id"), col("keys"), posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     // first-match: a pair is emitted only by its FIRST colliding band
     val firstMatch = (0 until bands).map { j =>
       (col("x.band") <= j) ||
         (element_at(col("x.keys"), j + 1) =!= element_at(col("y.keys"), j + 1))
     }.reduce(_ && _)
-    banded.as("x").hint("shuffle_hash").join(banded.as("y"),
+    val cand = banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id") && firstMatch)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(graft.functions.GraftFunctions.dot(col("x.embedding"), col("y.embedding"))
-          / nullif(col("x.nrm") * col("y.nrm"), lit(0.0)), 6).as("cos_sim"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.functions.GraftFunctions.dot(col("va"), col("vb"))
+          / nullif(col("na") * col("nb"), lit(0.0)), 6).as("cos_sim"))
       .where(col("cos_sim") >= minCos)
       .orderBy(col("vec_a"), col("vec_b"))
   }

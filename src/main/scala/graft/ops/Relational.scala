@@ -463,9 +463,12 @@ object Relational {
     * from the plain join's semantics. */
   def saltedJoinRevenue(spark: SparkSession, dir: String,
                         salts: Int = 8): DataFrame = {
+    // salt from the full row key (orderkey, linenumber): linenumber alone
+    // has only 7 distinct values, which would cap the hot key's fan-out
+    // at 7 partitions no matter how large `salts` is
     val li = Tables.lineitem(spark, dir)
       .withColumn("l_salt",
-        pmod(xxhash64(col("l_linenumber")), lit(salts)).cast("int"))
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)).cast("int"))
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("o_salt", explode(sequence(lit(0), lit(salts - 1))))
@@ -493,9 +496,13 @@ object Relational {
     val jsonPath = s"$wh/graft_region_json_$slug"
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(csvPath)))
+    // guard on the commit marker, not the directory: a crashed writer
+    // leaves the dir without _SUCCESS and must be rewritten, never read
+    def committed(p: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (!committed(csvPath))
       FeatureStore.writeCsv(Tables.nation(spark, dir), csvPath, Seq("n_nationkey"))
-    if (!fs.exists(new org.apache.hadoop.fs.Path(jsonPath)))
+    if (!committed(jsonPath))
       FeatureStore.writeJson(Tables.region(spark, dir), jsonPath, Seq("r_regionkey"))
     val nationCsv = FeatureStore.readCsv(spark, csvPath, Tables.nationSchema)
     val regionJson = FeatureStore.readJson(spark, jsonPath, Tables.regionSchema)
@@ -545,7 +552,8 @@ object Relational {
     * RNG, so any engine replays the same sample and the oracle checks
     * it). The Bernoulli twin is `DataFrameStatFunctions.sampleBy`
     * ([[bernoulliStratifiedSample]], rows-only — engine-specific RNG).
-    * Scale: a pushed-down filter, zero shuffle. */
+    * Scale: a pushed-down filter — the only exchange in the plan is the
+    * final presentation sort. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val rate = stratRates.foldRight(lit(1): Column) { case ((l, k), acc) =>
       when(col("lang") === l, lit(k)).otherwise(acc)

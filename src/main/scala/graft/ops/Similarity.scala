@@ -234,8 +234,8 @@ object Similarity {
     val probed = queries.crossJoin(broadcast(centDf))
       .withColumn("cdist",
         GraftFunctions.dot(col("qv"), col("centroid").cast("array<double>")) /
-        (col("qn") * sqrt(GraftFunctions.dot(col("centroid").cast("array<double>"),
-          col("centroid").cast("array<double>")))))
+        nullif(col("qn") * sqrt(GraftFunctions.dot(col("centroid").cast("array<double>"),
+          col("centroid").cast("array<double>"))), lit(0.0)))
       .withColumn("crnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
           .orderBy(col("cdist").desc, col("cell"))))

@@ -152,8 +152,12 @@ object Text {
   def bigramCounts(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
     Tables.documents(spark, dir)
       .select(tokens(col("text")).as("t"))
-      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
-        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+      // <2-token docs: sequence(1, size-1) would count DOWN into index 0
+      // (ANSI array-index error); guard like Dedup.shingleHashes
+      .select(explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .otherwise(array().cast("array<string>")))
         .as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))

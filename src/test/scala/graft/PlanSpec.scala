@@ -73,8 +73,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("stratified sample: pure pushed filter, zero exchanges") {
+  test("stratified sample: pushed filter; only exchange is the final sort") {
     val p = plan(Relational.stratifiedSample(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"), p)
+    // exactly one exchange total, and it's the presentation-order range sort
+    assert(countOccurrences(p, "Exchange ") === 1, p)
+    assert(p.contains("Exchange rangepartitioning"), p)
   }
 }

@@ -38,6 +38,20 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  // bounded-heap top-k == sort-then-take for ANY multiset and k
+  property("topK.equalsSortTake") = Prop.forAll(
+    Gen.nonEmptyListOf(Gen.choose(-1000, 1000)), Gen.choose(1, 12)) { (xs, k) =>
+    Prop.propBoolean(xs.nonEmpty) ==> {
+      graft.functions.GraftFunctions.register(spark)
+      val got = xs.map(x => (1, x)).toDF("g", "x")
+        .repartition(3) // force multiple partial buffers + a merge
+        .groupBy(col("g"))
+        .agg(graft.functions.GraftFunctions.topK(col("x"), k).as("t"))
+        .select(col("t")).head.getSeq[Int](0).toList
+      got == xs.sorted.take(k)
+    }
+  }
+
   // exact split: exact test count, disjoint, conserving
   property("exactSplit.partitions") = Prop.forAll(
     Gen.choose(1, 120), Gen.choose(1, 99)) { (n, pct) =>

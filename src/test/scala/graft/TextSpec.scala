@@ -116,6 +116,19 @@ class TextSpec extends SparkSpec {
     })
   }
 
+  test("bigram pairing guards empty and single-token texts (ANSI-safe)") {
+    import spark.implicits._
+    // same expression shape as bigramCounts, driven over hostile inputs
+    val df = Seq("", "one", "two tokens", "a b c").toDF("text")
+      .select(Text.tokens(col("text")).as("t"))
+      .select(explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("a b", "b c", "two tokens"))
+  }
+
   test("length filter keeps the inner percentile band") {
     val rows = Text.lengthFilteredStats(spark, sf).collect()
     val totalKept = rows.map(_.getAs[Long]("n_docs")).sum
