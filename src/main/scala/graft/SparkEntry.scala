@@ -72,6 +72,7 @@ object SparkEntry {
     "q_evt_json_props" -> ((s, d) => Events.jsonPropsAgg(s, d)),
     "q_evt_asof_click" -> ((s, d) => Events.asofLastClick(s, d)),
     "q_evt_trailing_1h" -> ((s, d) => Events.trailingHourSum(s, d)),
+    "q_evt_range_join" -> ((s, d) => Events.sessionEventOverlap(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // rows-only: k-means cell assignment is engine-specific; spec asserts recall
@@ -540,6 +541,26 @@ object SparkEntry {
         | count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS trail_1h_n
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_evt_range_join" ->
+      """WITH o AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events WHERE user_id < 100
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        | SELECT user_id, ts,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM o),
+        |s AS (SELECT user_id AS s_user, min(ts) AS s_start, max(ts) AS s_end
+        |      FROM g GROUP BY user_id, sid)
+        |SELECT s_user AS user_id,
+        | strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | count(*) AS n_window_events
+        |FROM s JOIN events e ON e.ts >= s_start AND e.ts <= s_end
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_token_accounting" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens,

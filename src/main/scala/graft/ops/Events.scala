@@ -132,6 +132,48 @@ object Events {
     * standard scalable as-of pattern: a per-key sorted scan, never a
     * per-pair comparison. Ties (click and purchase sharing a timestamp)
     * break deterministically by event_id. */
+  /** Range join (interval containment) via time-binning: for each gap
+    * session of the first `maxUser` users, count ALL corpus events inside
+    * the session's [first, last] event-time interval.
+    *
+    * A naive `e.ts BETWEEN s.start AND s.end` join is a
+    * BroadcastNestedLoopJoin — O(|sessions|·|events|) compared pairs. The
+    * scale pattern: explode each interval into its covering hour bins,
+    * bin each event once, EQUI-join on the bin (shuffle on narrow
+    * timestamp keys), then apply the exact range predicate to the
+    * bin-colliding candidates only. Work is O(events + sessions·bins +
+    * candidates); bins are the natural partitioning key, and the bin
+    * width trades replication (long intervals → more bins) against
+    * candidate density — the standard interval-join recipe at 100 TB. */
+  def sessionEventOverlap(spark: SparkSession, dir: String,
+                          maxUser: Long = 100): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val sessions = ev.where(col("user_id") < maxUser)
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id").as("s_user"), col("sid"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val binnedSessions = sessions.withColumn("bin",
+      explode(sequence(date_trunc("hour", col("s_start")),
+        date_trunc("hour", col("s_end")), expr("INTERVAL 1 HOUR"))))
+    val binnedEvents = ev.select(col("ts"),
+      date_trunc("hour", col("ts")).as("bin"))
+    binnedSessions.join(binnedEvents, Seq("bin"))
+      .where(col("ts") >= col("s_start") && col("ts") <= col("s_end"))
+      .groupBy(col("s_user"), col("s_start"))
+      .agg(count(lit(1)).as("n_window_events"))
+      .select(col("s_user").as("user_id"),
+        date_format(col("s_start"), tsFmt).as("session_start"),
+        col("n_window_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   def asofLastClick(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .where(col("event_type").isin("click", "purchase"))

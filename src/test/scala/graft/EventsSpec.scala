@@ -88,6 +88,33 @@ class EventsSpec extends SparkSpec {
       .filter(col("mx") > col("n")).count() === 0)
   }
 
+  test("binned range join equals the naive BETWEEN join") {
+    val binned = Events.sessionEventOverlap(spark, sf, maxUser = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // naive interval-containment join as the semantic reference
+    val ev = Tables.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val sessions = ev.where(col("user_id") < 20)
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("new_s", when(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") >= 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id").as("s_user"), col("sid"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val naive = sessions
+      .join(ev.select(col("ts")),
+        col("ts") >= col("s_start") && col("ts") <= col("s_end"))
+      .groupBy(col("s_user"), col("s_start"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("s_user"),
+        date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(binned === naive)
+  }
+
   test("json props: k parsed for every row, bounds sane") {
     val r = Events.jsonPropsAgg(spark, sf)
       .agg(sum("n").as("n"), min("min_k").as("mn"), max("max_k").as("mx"))
