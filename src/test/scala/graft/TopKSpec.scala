@@ -29,6 +29,22 @@ class TopKSpec extends SparkSpec {
     assert(both.count() === 7)
   }
 
+  test("graft_top_k survives ObjectHashAggregate's sort-based fallback (many groups)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // > spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128)
+    // distinct groups per partition forces the fallback, which round-trips
+    // every partial buffer through serialize/deserialize
+    val df = spark.range(20000)
+      .select(col("id"), (col("id") % 400).as("g"),
+        (col("id") * 37 % 1000).cast("double").as("x"))
+    val both = df.groupBy(col("g")).agg(
+      GraftFunctions.topK(struct(col("x"), col("id")), 7).as("heap"),
+      slice(array_sort(collect_list(struct(col("x"), col("id")))), 1, 7).as("decl"))
+    assert(both.count() === 400)
+    assert(both.where(not(col("heap") === col("decl"))).count() === 0)
+  }
+
   test("graft_top_k with k larger than the group returns the whole group sorted") {
     GraftFunctions.register(spark)
     import spark.implicits._
