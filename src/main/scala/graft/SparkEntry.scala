@@ -49,6 +49,9 @@ object SparkEntry {
     // specs assert tolerance vs the exact twins
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctCounts(s, d)),
     "q_approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
+    // rows-only: DataSketches HLL estimates are engine-specific; spec
+    // asserts union==direct and error bound vs exact
+    "q_sketch_rollup" -> ((s, d) => Relational.hllSketchRollup(s, d)),
     "q_part_pruned_revenue" -> ((s, d) => Relational.partitionPrunedRevenue(s, d)),
     "q_win_rank_breadth" -> ((s, d) => Relational.customerBalanceWindows(s, d)),
     "q_skew_salted_join" -> ((s, d) => Relational.saltedJoinRevenue(s, d)),

@@ -590,6 +590,33 @@ object Relational {
       approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
       approx_count_distinct(col("l_suppkey"), rsd).as("approx_supps"))
 
+  /** Mergeable-sketch workflow (Apache DataSketches HLL): build one HLL
+    * sketch of active customer keys per nation, then roll up to regions
+    * by sketch UNION — re-aggregation WITHOUT rescanning the facts, the
+    * property that makes sketches the 100 TB cube primitive (store
+    * per-partition sketches once; answer any coarser grouping by merging
+    * them). For HLL, union-of-sketches is exact over sketch state, so the
+    * rolled-up estimate is identical to sketching the region directly —
+    * spec-asserted. Rows-only in the driver gate (estimates are
+    * engine-specific); the spec also bounds error vs exact distinct. */
+  def hllSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val perNation = Tables.orders(spark, dir)
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    perNation
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_cust"))
+      .orderBy(col("r_name"))
+  }
+
   /** Approximate percentiles (t-digest-style mergeable sketch) — the
     * one-pass 100 TB twin of [[percentiles]]. Engine-specific
     * interpolation by design → rows-only; spec asserts each value within

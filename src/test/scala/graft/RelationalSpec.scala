@@ -291,6 +291,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("HLL rollup: union of nation sketches == sketching the region directly; error bounded") {
+    val rolled = Relational.hllSketchRollup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_cust")).toMap
+    val base = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+    // sketching each region directly (no nation level) must give the
+    // identical estimate: HLL union is exact over sketch state
+    val direct = base.groupBy(col("r_name"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled === direct)
+    val exact = base.groupBy(col("r_name"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rolled.foreach { case (region, est) =>
+      val rel = math.abs(est - exact(region)).toDouble / exact(region)
+      assert(rel <= 0.05, s"$region estimate $est vs exact ${exact(region)}")
+    }
+  }
+
   test("approx_count_distinct within rsd envelope of exact") {
     val exact = Relational.distinctCounts(spark, sf).head()
     val approx = Relational.approxDistinctCounts(spark, sf).head()
