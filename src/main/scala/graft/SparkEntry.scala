@@ -57,6 +57,7 @@ object SparkEntry {
     "q_skew_salted_join" -> ((s, d) => Relational.saltedJoinRevenue(s, d)),
     "q_outer_nation_parties" -> ((s, d) => Relational.nationPartiesOuter(s, d)),
     "q_csv_json_sources" -> ((s, d) => Relational.csvJsonSourceJoin(s, d)),
+    "q_unpivot_measures" -> ((s, d) => Relational.unpivotMeasureStats(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     // rows-only: sampleBy's per-row RNG is engine-specific; spec asserts
     // per-class proportions and seed-determinism
@@ -328,6 +329,15 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_unpivot_measures" ->
+      """SELECT measure, count(*) AS n,
+        | round(avg(val), 6) AS avg_val, round(max(val), 2) AS max_val
+        |FROM (
+        | SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'l_tax', l_tax FROM lineitem) t
+        |GROUP BY measure ORDER BY measure""".stripMargin,
     "q_sample_stratified" -> {
       val caseChain = Relational.stratRates.map { case (l, k) =>
         s"WHEN '$l' THEN $k"

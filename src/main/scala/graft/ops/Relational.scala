@@ -590,6 +590,24 @@ object Relational {
       approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
       approx_count_distinct(col("l_suppkey"), rsd).as("approx_supps"))
 
+  /** Wide→long reshape (`Dataset.unpivot`, the melt of a feature table):
+    * the four lineitem measures become (measure, value) rows, then one
+    * hash-agg per measure — the tidy-data complement of [[pivotQuantity]].
+    * Scale: unpivot is a local Expand (rows ×4, no shuffle); the agg
+    * shuffles 4 groups. */
+  def unpivotMeasureStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("val")), 6).as("avg_val"),
+        round(max(col("val")), 2).as("max_val"))
+      .orderBy(col("measure"))
+
   /** Mergeable-sketch workflow (Apache DataSketches HLL): build one HLL
     * sketch of active customer keys per nation, then roll up to regions
     * by sketch UNION — re-aggregation WITHOUT rescanning the facts, the
