@@ -330,14 +330,18 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_unpivot_measures" ->
-      """SELECT measure, count(*) AS n,
-        | round(avg(val), 6) AS avg_val, round(max(val), 2) AS max_val
+      """SELECT measure, n, sum_val,
+        | floor(sum_val / n * 1000000 + 0.5) / 1000000 AS avg_val, max_val
         |FROM (
-        | SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
-        | UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
-        | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
-        | UNION ALL SELECT 'l_tax', l_tax FROM lineitem) t
-        |GROUP BY measure ORDER BY measure""".stripMargin,
+        | SELECT measure, count(*) AS n, round(sum(val), 2) AS sum_val,
+        |  round(max(val), 2) AS max_val
+        | FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem) t
+        | GROUP BY measure) g
+        |ORDER BY measure""".stripMargin,
     "q_sample_stratified" -> {
       val caseChain = Relational.stratRates.map { case (l, k) =>
         s"WHEN '$l' THEN $k"

@@ -122,16 +122,25 @@ object Events {
       .orderBy(col("event_id"))
   }
 
-  /** As-of join: each `purchase` event picks up the value of the user's
-    * most recent *prior* `click` (the point-in-time feature lookup every
-    * feature store needs; DuckDB spells it ASOF JOIN).
-    *
-    * Implemented as union + `last(ignoreNulls)` over a (ts, event_id)
-    * total order per user — one shuffle on `user_id`, no range-join
-    * explosion, O(n log n) within partition. At 100 TB this is the
-    * standard scalable as-of pattern: a per-key sorted scan, never a
-    * per-pair comparison. Ties (click and purchase sharing a timestamp)
-    * break deterministically by event_id. */
+  /** Gap-session intervals [first event, last event] per user for
+    * `user_id < maxUser` — the lag/cumsum sessionization shared by
+    * [[sessionEventOverlap]] and its naive-join spec (one definition, so
+    * the operator and its semantic reference cannot drift). */
+  def gapSessionIntervals(spark: SparkSession, dir: String,
+                          maxUser: Long, gapMin: Int = 30): DataFrame = {
+    val gapUs = gapMin * 60L * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, dir).where(col("user_id") < maxUser)
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id").as("s_user"), col("sid"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+  }
+
   /** Range join (interval containment) via time-binning: for each gap
     * session of the first `maxUser` users, count ALL corpus events inside
     * the session's [first, last] event-time interval.
@@ -147,22 +156,11 @@ object Events {
     * candidate density — the standard interval-join recipe at 100 TB. */
   def sessionEventOverlap(spark: SparkSession, dir: String,
                           maxUser: Long = 100): DataFrame = {
-    val gapUs = 30L * 60 * 1000000
-    val ev = Tables.events(spark, dir)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val sessions = ev.where(col("user_id") < maxUser)
-      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
-      .withColumn("new_s",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") >= gapUs, 1).otherwise(0))
-      .withColumn("sid", sum(col("new_s")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id").as("s_user"), col("sid"))
-      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val sessions = gapSessionIntervals(spark, dir, maxUser)
     val binnedSessions = sessions.withColumn("bin",
       explode(sequence(date_trunc("hour", col("s_start")),
         date_trunc("hour", col("s_end")), expr("INTERVAL 1 HOUR"))))
-    val binnedEvents = ev.select(col("ts"),
+    val binnedEvents = Tables.events(spark, dir).select(col("ts"),
       date_trunc("hour", col("ts")).as("bin"))
     binnedSessions.join(binnedEvents, Seq("bin"))
       .where(col("ts") >= col("s_start") && col("ts") <= col("s_end"))
@@ -174,6 +172,16 @@ object Events {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** As-of join: each `purchase` event picks up the value of the user's
+    * most recent *prior* `click` (the point-in-time feature lookup every
+    * feature store needs; DuckDB spells it ASOF JOIN).
+    *
+    * Implemented as union + `last(ignoreNulls)` over a (ts, event_id)
+    * total order per user — one shuffle on `user_id`, no range-join
+    * explosion, O(n log n) within partition. At 100 TB this is the
+    * standard scalable as-of pattern: a per-key sorted scan, never a
+    * per-pair comparison. Ties (click and purchase sharing a timestamp)
+    * break deterministically by event_id. */
   def asofLastClick(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .where(col("event_type").isin("click", "purchase"))

@@ -597,15 +597,21 @@ object Relational {
     * shuffles 4 groups. */
   def unpivotMeasureStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+      .select(col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"))
-      .unpivot(Array(col("l_orderkey")),
+      .unpivot(Array.empty,
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
         "measure", "val")
       .groupBy(col("measure"))
+      // avg derived from the order-stable rounded sum via floor-based
+      // half-up (pure IEEE ops) — library round(avg) diverges across
+      // engines on .xxxxx5 ties (Events.tumblingCounts, SURVEY §7.5.2)
       .agg(count(lit(1)).as("n"),
-        round(avg(col("val")), 6).as("avg_val"),
+        round(sum(col("val")), 2).as("sum_val"),
         round(max(col("val")), 2).as("max_val"))
+      .withColumn("avg_val",
+        floor(col("sum_val") / col("n") * 1000000 + 0.5) / 1000000)
+      .select(col("measure"), col("n"), col("sum_val"), col("avg_val"), col("max_val"))
       .orderBy(col("measure"))
 
   /** Mergeable-sketch workflow (Apache DataSketches HLL): build one HLL
@@ -624,8 +630,11 @@ object Relational {
       .join(broadcast(Tables.region(spark, dir)),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("n_name"), col("r_name"))
+    // no broadcast hint on the customer-cardinality dims frame: at scale
+    // only region/nation are broadcastable (Tables scaladoc); AQE picks
+    // the join strategy for orders ⋈ customer
     val perNation = Tables.orders(spark, dir)
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
     perNation

@@ -91,20 +91,10 @@ class EventsSpec extends SparkSpec {
   test("binned range join equals the naive BETWEEN join") {
     val binned = Events.sessionEventOverlap(spark, sf, maxUser = 20)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    // naive interval-containment join as the semantic reference
+    // naive interval-containment join as the semantic reference, over the
+    // SAME shared interval definition (Events.gapSessionIntervals)
     val ev = Tables.events(spark, sf)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"))
-    val sessions = ev.where(col("user_id") < 20)
-      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
-      .withColumn("new_s", when(col("prev_us").isNull ||
-        unix_micros(col("ts")) - col("prev_us") >= 30L * 60 * 1000000, 1).otherwise(0))
-      .withColumn("sid", sum(col("new_s")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
-      .groupBy(col("user_id").as("s_user"), col("sid"))
-      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
-    val naive = sessions
+    val naive = Events.gapSessionIntervals(spark, sf, maxUser = 20)
       .join(ev.select(col("ts")),
         col("ts") >= col("s_start") && col("ts") <= col("s_end"))
       .groupBy(col("s_user"), col("s_start"))
