@@ -101,6 +101,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(s, d)),
+    "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "q_dedup_jaccard_brute" -> ((s, d) => Dedup.jaccardPairsBrute(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashDupPairs(s, d)),
@@ -243,6 +244,31 @@ object SparkEntry {
        |d AS (SELECT pt, round(avg(exp((l_discount - pt) * (pt - l_discount) / $c2) * $norm), 6) AS density
        |      FROM lineitem, g GROUP BY pt)
        |SELECT round(pt, 6) AS pt, density FROM d ORDER BY pt""".stripMargin
+  }
+
+  /** [[dedupCtes]] extended through LSH banding and exact-Jaccard verify
+    * to a `pairs` CTE — shared by the pair query and the cluster query. */
+  private def minhashPairsCtes: String = dedupCtes + {
+    val bandSelects = (0 until Dedup.numBands).map(b =>
+      s"SELECT doc_id, $b AS band, sig_${2 * b} AS s1, sig_${2 * b + 1} AS s2 FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""
+       |, bands AS (
+       |  $bandSelects),
+       |cand AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       | FROM bands x JOIN bands y
+       |   ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+       |  AND x.doc_id < y.doc_id),
+       |j AS (
+       | SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS inter,
+       |  len(a.hs) AS na, len(b.hs) AS nb
+       | FROM cand JOIN hsh a ON cand.doc_a = a.doc_id
+       |           JOIN hsh b ON cand.doc_b = b.doc_id),
+       |pairs AS (
+       | SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
+       | FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8)""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -706,28 +732,20 @@ object SparkEntry {
       s"""
          |SELECT doc_id, ${Dedup.A.indices.map(j => s"sig_$j").mkString(", ")}
          |FROM sig ORDER BY doc_id""".stripMargin),
-    "q_dedup_minhash_pairs" -> (dedupCtes + {
-      val bandSelects = (0 until Dedup.numBands).map(b =>
-        s"SELECT doc_id, $b AS band, sig_${2 * b} AS s1, sig_${2 * b + 1} AS s2 FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""
-         |, bands AS (
-         |  $bandSelects),
-         |cand AS (
-         | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         | FROM bands x JOIN bands y
-         |   ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
-         |  AND x.doc_id < y.doc_id),
-         |j AS (
-         | SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS inter,
-         |  len(a.hs) AS na, len(b.hs) AS nb
-         | FROM cand JOIN hsh a ON cand.doc_a = a.doc_id
-         |           JOIN hsh b ON cand.doc_b = b.doc_id)
-         |SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
-         |FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin
-    }),
+    "q_dedup_minhash_pairs" -> (minhashPairsCtes +
+      """
+        |SELECT doc_a, doc_b, jac FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_clusters" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """
+        |, sym AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM sym
+        | UNION
+        | SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
     "q_dedup_jaccard_brute" -> (dedupCtes +
       s"""
          |, j AS (

@@ -146,6 +146,52 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate-cluster formation: connected components over the
+    * [[minhashDupPairs]] edge set, labeling every involved document with
+    * its component's minimum doc_id — the step that turns pairwise
+    * near-dup hits into "keep one per cluster" decisions (reps are the
+    * keep list; everything else drops).
+    *
+    * Algorithm: min-label propagation to fixpoint — each iteration every
+    * node takes the min of its own label and its neighbours' labels (one
+    * shuffle join + partial/final min-agg per iteration); converges in
+    * ≤ diameter iterations, and near-dup clusters are near-cliques
+    * (diameter 1–2), so the fixpoint controller on the driver runs a
+    * handful of bounded actions — the standard Pregel-style loop, not a
+    * per-row driver loop. At 100 TB the known upgrade is the
+    * large-star/small-star contraction (same join shape, O(log n)
+    * rounds); plain propagation keeps the oracle replayable (DuckDB
+    * recursive CTE computes the identical min-reachable label). */
+  def dupClusters(spark: SparkSession, dir: String,
+                  maxIters: Int = 20): DataFrame = {
+    val edges = minhashDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = edges
+      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var rep = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = sym
+        .join(rep.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nrep")).as("nbr_min"))
+      val next = rep.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
+        .cache()
+      converged = next.join(rep.withColumnRenamed("rep", "old"), "doc_id")
+        .where(col("rep") =!= col("old")).isEmpty
+      rep.unpersist()
+      rep = next
+      i += 1
+    }
+    sym.unpersist()
+    rep.select(col("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force pairwise Jaccard over a doc_id-bounded subset — the
     * recall/correctness baseline for [[minhashDupPairs]]; intentionally
     * subset-bounded (O(subset²)), never the scale path. */

@@ -71,6 +71,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dup clusters: edge endpoints share a rep; rep is the component minimum") {
+    val edges = Dedup.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rep = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge endpoint is labeled, and both ends agree
+    edges.foreach { case (a, b) =>
+      assert(rep.contains(a) && rep.contains(b))
+      assert(rep(a) === rep(b), s"edge ($a,$b) split across clusters")
+    }
+    // rep is a member of its own cluster and is the minimum member
+    rep.groupBy(_._2).foreach { case (r, members) =>
+      assert(members.keySet.min === r)
+    }
+    // reference union-find over the same edges gives identical components
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    rep.foreach { case (d, r) => assert(find(d) === r, s"doc $d") }
+  }
+
   test("embedding near-dup pairs: ordered, cosine above threshold") {
     val rows = Dedup.embeddingDupPairs(spark, sf).collect()
     rows.foreach { r =>
