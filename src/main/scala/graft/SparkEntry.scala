@@ -94,6 +94,7 @@ object SparkEntry {
     "q_text_fingerprint_fast" -> ((s, d) => Text.fingerprintFast(s, d)),
     // similarity pack [EXT] (SURVEY §2.B similarity-search row)
     "q_sim_topk" -> ((s, d) => Similarity.topKCosine(s, d)),
+    "q_knn_vote" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     "q_sim_pair_cosine" -> ((s, d) => Similarity.pairCosine(s, d)),
     // rows-only: LSH bucketing is approximate by design; spec asserts recall
     "q_sim_ann_topk" -> ((s, d) => Similarity.annTopKCosine(s, d)),
@@ -270,6 +271,24 @@ object SparkEntry {
        | SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
        | FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8)""".stripMargin
   }
+
+  /** Exact cosine top-k as a `topk` CTE — shared by `q_sim_topk` and the
+    * kNN label-vote oracle. */
+  private def simTopkCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+      | FROM e),
+      |p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+      |  round(list_reduce(list_transform(generate_series(1,64), i -> q.v[i]*c.v[i]), (x,y) -> x+y)
+      |   / (q.nrm * c.nrm), 6) AS cos_sim
+      | FROM n q, n c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |topk AS (
+      | SELECT q_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |                               ORDER BY cos_sim DESC, cand_id) AS rnk
+      |  FROM p) t
+      | WHERE rnk <= 10)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -654,20 +673,22 @@ object SparkEntry {
         |       + 0.3 * least(1.0, n_tokens / 60.0), 6) AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_langid" -> langIdOracle,
-    "q_sim_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
-        | FROM e),
-        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-        |  round(list_reduce(list_transform(generate_series(1,64), i -> q.v[i]*c.v[i]), (x,y) -> x+y)
-        |   / (q.nrm * c.nrm), 6) AS cos_sim
-        | FROM n q, n c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
-        |SELECT q_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+    "q_sim_topk" -> (simTopkCtes +
+      """
+        |SELECT q_id, cand_id, cos_sim, rnk FROM topk ORDER BY q_id, rnk""".stripMargin),
+    "q_knn_vote" -> (simTopkCtes +
+      """
+        |, v AS (
+        | SELECT topk.q_id, l.label AS nbr_label, count(*) AS n_votes
+        | FROM topk JOIN embeddings l ON topk.cand_id = l.vec_id
+        | GROUP BY 1, 2),
+        |pick AS (
         | SELECT *, row_number() OVER (PARTITION BY q_id
-        |                              ORDER BY cos_sim DESC, cand_id) AS rnk
-        | FROM p) t
-        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+        |                              ORDER BY n_votes DESC, nbr_label) AS rk
+        | FROM v)
+        |SELECT p.q_id, ql.label AS true_label, p.nbr_label AS pred_label, p.n_votes
+        |FROM pick p JOIN embeddings ql ON p.q_id = ql.vec_id
+        |WHERE p.rk = 1 ORDER BY p.q_id""".stripMargin),
     "q_mm_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

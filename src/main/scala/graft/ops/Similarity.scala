@@ -252,6 +252,31 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** kNN label vote: predict each query vector's label by majority vote
+    * over its exact top-k cosine neighbours — retrieval-based labeling,
+    * the nearest-neighbour classifier a training pipeline uses for label
+    * propagation / weak supervision. Composes [[topKCosine]] (bounded-heap
+    * partial top-k) with a broadcast label lookup and a per-query argmax
+    * (count desc, label asc tiebreak — deterministic, oracle-replayable). */
+  def knnLabelVote(spark: SparkSession, dir: String, nQueries: Int = 10,
+                   k: Int = 10): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val votes = topKCosine(spark, dir, nQueries, k)
+      .join(broadcast(labels.select(col("vec_id").as("cand_id"),
+        col("label").as("nbr_label"))), "cand_id")
+      .groupBy(col("q_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("nbr_label"))
+    votes.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .join(broadcast(labels.select(col("vec_id").as("q_id"),
+        col("label").as("true_label"))), "q_id")
+      .select(col("q_id"), col("true_label"),
+        col("nbr_label").as("pred_label"), col("n_votes"))
+      .orderBy(col("q_id"))
+  }
+
   /** Pairwise cosine between the two vectors of every consecutive id pair
     * (2i, 2i+1) — a cheap all-distributed "similarity scoring" shape with a
     * clean oracle; exercises a co-partitioned self-join on derived keys. */

@@ -76,6 +76,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below 0.5")
   }
 
+  test("kNN label vote: majority of the actual top-k neighbour labels") {
+    val topk = Similarity.topKCosine(spark, sf, nQueries = 6, k = 7).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    val labels = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val votes = Similarity.knnLabelVote(spark, sf, nQueries = 6, k = 7).collect()
+    assert(votes.length === 6)
+    votes.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val nbrLabels = topk(q).map(n => labels(n.getAs[Long]("cand_id")))
+      val counts = nbrLabels.groupBy(identity).view.mapValues(_.length)
+      val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getAs[Int]("pred_label") === best._1)
+      assert(r.getAs[Long]("n_votes") === best._2)
+      assert(r.getAs[Int]("true_label") === labels(q))
+    }
+  }
+
   test("pair cosine: one row per pair, covers half the table") {
     val n = Tables.embeddings(spark, sf).count()
     val rows = Similarity.pairCosine(spark, sf).collect()
