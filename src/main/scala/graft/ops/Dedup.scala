@@ -125,6 +125,15 @@ object Dedup {
     * two shingle-set lookups for the *candidates only* — at 100 TB this is
     * the standard linear-scan LSH dedup, never O(n²). */
   def minhashDupPairs(spark: SparkSession, dir: String,
+                      minJaccard: Double = 0.8): DataFrame =
+    minhashDupPairsUnordered(spark, dir, minJaccard)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minhashDupPairs]] without the presentation sort — consumers that
+    * re-shuffle anyway (cluster formation) skip the range exchange, and
+    * the cached edge set keeps AQE-coalesced partitioning instead of 32
+    * tiny range partitions. */
+  private[graft] def minhashDupPairsUnordered(spark: SparkSession, dir: String,
                       minJaccard: Double = 0.8): DataFrame = {
     val sig = minhashSignatures(spark, dir)
     val bands = sig.select(col("doc_id"), explode(array(
@@ -143,7 +152,6 @@ object Dedup {
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
       .where(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jac"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Duplicate-cluster formation: connected components over the
@@ -164,12 +172,19 @@ object Dedup {
     * recursive CTE computes the identical min-reachable label). */
   def dupClusters(spark: SparkSession, dir: String,
                   maxIters: Int = 20): DataFrame = {
-    val edges = minhashDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = minhashDupPairsUnordered(spark, dir).select(col("doc_a"), col("doc_b"))
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
-    var rep = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id")).cache()
+    // iteration 1 folded into the init: rep(x) = min(x, min neighbour)
+    var rep = sym.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("doc_id"), least(col("doc_id"), col("m")).as("rep"))
+      .cache()
+    // labels only ever decrease (least), so Σ rep strictly decreases
+    // until the fixpoint: one narrow agg per iteration both materializes
+    // the new cache and detects convergence — no comparison join
+    var prevSum = Long.MaxValue
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -181,8 +196,9 @@ object Dedup {
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
         .cache()
-      converged = next.join(rep.withColumnRenamed("rep", "old"), "doc_id")
-        .where(col("rep") =!= col("old")).isEmpty
+      val s = next.agg(sum(col("rep"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
       rep.unpersist()
       rep = next
       i += 1
