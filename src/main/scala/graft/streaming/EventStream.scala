@@ -152,6 +152,25 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
 
+  /** Streaming top-k: the k highest-value events per event type,
+    * maintained incrementally by graft's bounded-heap
+    * [[graft.functions.BoundedTopK]] aggregate — the custom
+    * TypedImperativeAggregate's serialize/deserialize path is exactly
+    * what the streaming state store round-trips every micro-batch, so
+    * per-(type) state stays capped at k entries no matter how long the
+    * stream runs. Spec asserts parity with the batch twin. */
+  def topEventsPerType(spark: SparkSession, stream: DataFrame,
+                       k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    stream
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions.topK(
+        struct((-col("value")).as("negv"), col("event_id")), k).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), col("col.event_id").as("event_id"),
+        (-col("col.negv")).as("value"), (col("pos") + 1).as("rnk"))
+  }
+
   /** Per-user running totals. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -136,6 +136,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("custom bounded-heap aggregate runs in streaming state == batch top-k") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStream.readEvents(spark, sf)
+    val q = EventStream.topEventsPerType(spark, stream, k = 5)
+      .writeStream.format("memory").queryName("stream_topk")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_topk")
+      .orderBy("event_type", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val want = EventStream.topEventsPerType(spark,
+        graft.sources.Tables.events(spark, sf), k = 5)
+      .orderBy("event_type", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("mapGroupsWithState running totals == batch per-user totals") {
     import org.apache.spark.sql.functions._
     val stream = EventStream.readEvents(spark, sf)
