@@ -173,9 +173,13 @@ object Dedup {
   def dupClusters(spark: SparkSession, dir: String,
                   maxIters: Int = 20): DataFrame = {
     val edges = minhashDupPairsUnordered(spark, dir).select(col("doc_a"), col("doc_b"))
-    val sym = edges
-      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
+    // both directions in ONE pass over the pair pipeline (a union of two
+    // branches would execute the expensive Jaccard-verify stage twice
+    // when the cache first materializes)
+    val sym = edges.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")).cache()
     // iteration 1 folded into the init: rep(x) = min(x, min neighbour)
     var rep = sym.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("m"))
@@ -196,15 +200,27 @@ object Dedup {
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
         .cache()
-      val s = next.agg(sum(col("rep"))).head.getLong(0)
+      // coalesce: sum over an empty node set is NULL, not 0
+      val s = next.agg(coalesce(sum(col("rep")), lit(0L))).head.getLong(0)
       converged = s == prevSum
       prevSum = s
       rep.unpersist()
       rep = next
       i += 1
     }
+    // wrong clusters are worse than a failed query: a component with
+    // diameter > maxIters would return partially-propagated labels
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIters iterations — " +
+        "a duplicate chain longer than maxIters exists; raise maxIters")
     sym.unpersist()
-    rep.select(col("doc_id"), col("rep").as("cluster_rep"))
+    // materialize + truncate lineage, then release the loop cache: the
+    // returned frame must not depend on a cache we leak for the session
+    // (localCheckpoint blocks are freed by the ContextCleaner when the
+    // consumer drops the DataFrame)
+    val out = rep.localCheckpoint()
+    rep.unpersist()
+    out.select(col("doc_id"), col("rep").as("cluster_rep"))
       .orderBy(col("doc_id"))
   }
 

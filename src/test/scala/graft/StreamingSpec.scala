@@ -136,22 +136,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
-  test("custom bounded-heap aggregate runs in streaming state == batch top-k") {
+  test("custom bounded-heap aggregate round-trips streaming state across micro-batches") {
     import org.apache.spark.sql.functions._
-    val stream = EventStream.readEvents(spark, sf)
-    val q = EventStream.topEventsPerType(spark, stream, k = 5)
+    import org.apache.spark.sql.{Row, SaveMode}
+    import org.apache.spark.sql.types._
+    // two files = two micro-batches: batch 2's update MERGES with batch
+    // 1's restored state, so BoundedTopK.deserialize runs on real
+    // buffers (a single-batch stream never exercises it). Expectation is
+    // hand-computed, independent of the operator under test.
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk2b").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def write(path: String, rows: Seq[(Long, String, Double)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    write(s"$dir/b1", Seq((1L, "a", 5.0), (2L, "a", 1.0), (3L, "a", 9.0), (4L, "b", 2.0)))
+    write(s"$dir/b2", Seq((5L, "a", 7.0), (6L, "a", 3.0), (7L, "b", 8.0), (8L, "b", 4.0)))
+    new java.io.File(s"$dir/b2").setLastModified(System.currentTimeMillis() + 60000)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$dir/b*")
+    val q = EventStream.topEventsPerType(spark, stream, k = 3)
       .writeStream.format("memory").queryName("stream_topk")
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
     val got = spark.table("stream_topk")
       .orderBy("event_type", "rnk").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
-    val want = EventStream.topEventsPerType(spark,
-        graft.sources.Tables.events(spark, sf), k = 5)
-      .orderBy("event_type", "rnk").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
-    assert(got.toSeq === want.toSeq)
-    assert(got.nonEmpty)
+    // a: 9(id3), 7(id5), 5(id1);  b: 8(id7), 4(id8), 2(id4)
+    assert(got.toSeq === Seq(
+      ("a", 3L, 9.0, 1), ("a", 5L, 7.0, 2), ("a", 1L, 5.0, 3),
+      ("b", 7L, 8.0, 1), ("b", 8L, 4.0, 2), ("b", 4L, 2.0, 3)))
   }
 
   test("mapGroupsWithState running totals == batch per-user totals") {
