@@ -121,9 +121,14 @@ object Tables {
 }
 
 /** Session-build configuration graft's readers rely on — applied once at
-  * build time instead of mutated from inside readers. */
+  * build time instead of mutated from inside readers. Also installs
+  * [[graft.functions.GraftExtensions]] so `graft_dot` / `graft_polyhash` /
+  * `graft_top_k` are available to SQL users from session start (query
+  * builders still self-register idempotently, so sessions built without
+  * this helper keep working). */
 object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 }
