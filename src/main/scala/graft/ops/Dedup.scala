@@ -201,7 +201,7 @@ object Dedup {
           least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
         .cache()
       // coalesce: sum over an empty node set is NULL, not 0
-      val s = next.agg(coalesce(sum(col("rep")), lit(0L))).head.getLong(0)
+      val s = next.agg(coalesce(sum(col("rep")), lit(0L))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
       rep.unpersist()
