@@ -191,37 +191,44 @@ object Dedup {
     var prevSum = Long.MaxValue
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
-      val nbrMin = sym
-        .join(rep.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("nrep")).as("nbr_min"))
-      val next = rep.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
-        .cache()
-      // coalesce: sum over an empty node set is NULL, not 0
-      val s = next.agg(coalesce(sum(col("rep")), lit(0L))).head().getLong(0)
-      converged = s == prevSum
-      prevSum = s
+    try {
+      while (!converged && i < maxIters) {
+        val nbrMin = sym
+          .join(rep.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("nrep")).as("nbr_min"))
+        val next = rep.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
+          .cache()
+        // coalesce: sum over an empty node set is NULL, not 0
+        val s = next.agg(coalesce(sum(col("rep")), lit(0L))).head().getLong(0)
+        converged = s == prevSum
+        prevSum = s
+        rep.unpersist()
+        rep = next
+        i += 1
+      }
+      // wrong clusters are worse than a failed query: without the
+      // confirming no-change pass the labels may be partially propagated
+      // (the effective propagation budget is maxIters − 1 — the last
+      // allowed iteration must observe zero change)
+      if (!converged) throw new IllegalStateException(
+        s"dupClusters did not confirm convergence within $maxIters " +
+          "iterations — a duplicate chain at or beyond the maxIters bound " +
+          "exists; raise maxIters")
+      // materialize + truncate lineage, then release the loop cache: the
+      // returned frame must not depend on a cache we leak for the session
+      // (localCheckpoint blocks are freed by the ContextCleaner when the
+      // consumer drops the DataFrame)
+      val out = rep.localCheckpoint()
+      out.select(col("doc_id"), col("rep").as("cluster_rep"))
+        .orderBy(col("doc_id"))
+    } finally {
+      // error path included: never leak the loop caches into the session
+      sym.unpersist()
       rep.unpersist()
-      rep = next
-      i += 1
     }
-    // wrong clusters are worse than a failed query: a component with
-    // diameter > maxIters would return partially-propagated labels
-    if (!converged) throw new IllegalStateException(
-      s"dupClusters did not converge in $maxIters iterations — " +
-        "a duplicate chain longer than maxIters exists; raise maxIters")
-    sym.unpersist()
-    // materialize + truncate lineage, then release the loop cache: the
-    // returned frame must not depend on a cache we leak for the session
-    // (localCheckpoint blocks are freed by the ContextCleaner when the
-    // consumer drops the DataFrame)
-    val out = rep.localCheckpoint()
-    rep.unpersist()
-    out.select(col("doc_id"), col("rep").as("cluster_rep"))
-      .orderBy(col("doc_id"))
   }
 
   /** Brute-force pairwise Jaccard over a doc_id-bounded subset — the

@@ -125,7 +125,12 @@ object Tables {
   * [[graft.functions.GraftExtensions]] so `graft_dot` / `graft_polyhash` /
   * `graft_top_k` are available to SQL users from session start (query
   * builders still self-register idempotently, so sessions built without
-  * this helper keep working). */
+  * this helper keep working).
+  *
+  * NOTE: this helper OWNS the `spark.sql.extensions` key (builder config
+  * is last-write-wins). Deployments that stack other extensions should
+  * set the key themselves to a comma-separated list including
+  * `graft.functions.GraftExtensions` instead of calling this. */
 object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2,24 +2,28 @@ package graft
 
 /** The `spark.sql.extensions` deployment path: the shared test session is
   * built through `GraftSession.configure`, which installs
-  * `GraftExtensions` — so every graft function must be usable from plain
-  * SQL without any explicit `GraftFunctions.register` call. */
+  * `GraftExtensions`. Assertions run on a FRESH `newSession()`: its
+  * function registry is rebuilt from the extension injections only, so a
+  * sibling suite's runtime `GraftFunctions.register` call cannot mask a
+  * broken extension wiring. */
 class ExtensionsSpec extends SparkSpec {
+
+  private lazy val fresh = spark.newSession()
 
   test("extension registers all graft functions at session build") {
     Seq("graft_dot", "graft_polyhash", "graft_top_k").foreach { f =>
-      assert(spark.catalog.functionExists(f), s"$f missing from catalog")
+      assert(fresh.catalog.functionExists(f), s"$f missing from catalog")
     }
   }
 
   test("SQL users can call the functions directly") {
     // polyhash("ab") = ((0*31 + 97)*31 + 98) mod 1e9+7 = 3105
-    assert(spark.sql("SELECT graft_polyhash('ab')").head.getLong(0) === 3105L)
-    assert(spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
-      .head.getDouble(0) === 11.0)
-    val topk = spark.sql(
+    assert(fresh.sql("SELECT graft_polyhash('ab')").head().getLong(0) === 3105L)
+    assert(fresh.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head().getDouble(0) === 11.0)
+    val topk = fresh.sql(
       "SELECT graft_top_k(x, 2) FROM VALUES (3.0d), (1.0d), (2.0d) AS t(x)")
-      .head.getSeq[Double](0)
+      .head().getSeq[Double](0)
     assert(topk === Seq(1.0, 2.0))
   }
 }

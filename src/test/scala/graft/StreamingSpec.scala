@@ -5,6 +5,13 @@ import graft.ops.Events
 
 class StreamingSpec extends SparkSpec {
 
+  /** FileStreamSource orders batches by the LEAF data files' modification
+    * times — bumping the parent directory does nothing. Push every file
+    * in `dir` a minute into the future so its batch sorts last. */
+  private def bumpFileMtimes(dir: String): Unit =
+    new java.io.File(dir).listFiles()
+      .foreach(_.setLastModified(System.currentTimeMillis() + 60000))
+
   test("streaming tumbling counts == batch tumbling counts on the same input") {
     val stream = EventStream.readEvents(spark, sf)
     assert(stream.isStreaming)
@@ -96,7 +103,7 @@ class StreamingSpec extends SparkSpec {
         .write.mode(SaveMode.Overwrite).parquet(path)
     write(s"$dir/b1", Seq((1L, t0, 1.0), (1L, t0 + 10L * 60 * 1000000, 2.0)))
     write(s"$dir/b2", Seq((1L, t0 + 2L * 3600 * 1000000, 5.0)))
-    new java.io.File(s"$dir/b2").setLastModified(System.currentTimeMillis() + 60000)
+    bumpFileMtimes(s"$dir/b2")
 
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -136,6 +143,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streaming top-k == batch top-k on the corpus (many groups, real ties)") {
+    val stream = EventStream.readEvents(spark, sf)
+    val q = EventStream.topEventsPerType(spark, stream, k = 5)
+      .writeStream.format("memory").queryName("stream_topk_corpus")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_topk_corpus")
+      .orderBy("event_type", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val want = EventStream.topEventsPerType(spark,
+        graft.sources.Tables.events(spark, sf), k = 5)
+      .orderBy("event_type", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("custom bounded-heap aggregate round-trips streaming state across micro-batches") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.{Row, SaveMode}
@@ -154,7 +178,7 @@ class StreamingSpec extends SparkSpec {
         .write.mode(SaveMode.Overwrite).parquet(path)
     write(s"$dir/b1", Seq((1L, "a", 5.0), (2L, "a", 1.0), (3L, "a", 9.0), (4L, "b", 2.0)))
     write(s"$dir/b2", Seq((5L, "a", 7.0), (6L, "a", 3.0), (7L, "b", 8.0), (8L, "b", 4.0)))
-    new java.io.File(s"$dir/b2").setLastModified(System.currentTimeMillis() + 60000)
+    bumpFileMtimes(s"$dir/b2")
 
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
