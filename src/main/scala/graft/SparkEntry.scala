@@ -272,6 +272,32 @@ object SparkEntry {
        | FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8)""".stripMargin
   }
 
+  /** DuckDB twin of [[Text.bigramCounts]], generated from the same hash
+    * constants: counts group on the combined 8-byte token-hash key (the
+    * engine's shuffle key) and the tiebreak is that key, so the selected
+    * top-k set matches the engine exactly even on count ties; the string
+    * per key is min(bigram) on both engines. */
+  private def bigramOracle: String = {
+    val m = Dedup.shingleMult
+    s"""WITH t AS (
+       | SELECT list_filter(string_split(text,' '), s -> len(s)>0) AS toks
+       | FROM documents),
+       |th AS (
+       | SELECT toks, list_transform(toks, tok ->
+       |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+       |     (acc,c) -> (acc*31 + c) % ${Dedup.P})) AS th
+       | FROM t WHERE len(toks) >= 2),
+       |o AS (
+       | SELECT unnest(list_transform(generate_series(1, len(th)-1), i ->
+       |   struct_pack(bh := (th[i]*$m + th[i+1]) % ${Dedup.P},
+       |               bg := toks[i] || ' ' || toks[i+1]))) AS u
+       | FROM th),
+       |g AS (SELECT u.bh AS bh, count(*) AS n, min(u.bg) AS bigram
+       |      FROM o GROUP BY u.bh)
+       |SELECT bigram, n FROM g ORDER BY n DESC, bh LIMIT 50""".stripMargin
+  }
+
   /** Exact cosine top-k as a `topk` CTE — shared by `q_sim_topk` and the
     * kNN label-vote oracle. */
   private def simTopkCtes: String =
@@ -826,13 +852,7 @@ object SparkEntry {
         | round(list_reduce(list_transform(generate_series(1,64), i -> va[i]*vb[i]), (x,y) -> x+y)
         |  / (na * nb), 6) AS cos_sim
         |FROM a JOIN b USING (pair_id) ORDER BY pair_id""".stripMargin,
-    "q_text_bigrams" ->
-      """SELECT bigram, count(*) AS n FROM (
-        | SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-        |   i -> t[i] || ' ' || t[i+1])) AS bigram
-        | FROM (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
-        |       FROM documents) s) u
-        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "q_text_bigrams" -> bigramOracle,
     "q_text_length_filter" ->
       """WITH d AS (
         | SELECT doc_id, lang,

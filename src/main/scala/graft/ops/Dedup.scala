@@ -160,75 +160,78 @@ object Dedup {
     * near-dup hits into "keep one per cluster" decisions (reps are the
     * keep list; everything else drops).
     *
-    * Algorithm: min-label propagation to fixpoint — each iteration every
-    * node takes the min of its own label and its neighbours' labels (one
-    * shuffle join + partial/final min-agg per iteration); converges in
-    * ≤ diameter iterations, and near-dup clusters are near-cliques
-    * (diameter 1–2), so the fixpoint controller on the driver runs a
-    * handful of bounded actions — the standard Pregel-style loop, not a
-    * per-row driver loop. At 100 TB the known upgrade is the
-    * large-star/small-star contraction (same join shape, O(log n)
-    * rounds); plain propagation keeps the oracle replayable (DuckDB
-    * recursive CTE computes the identical min-reachable label). */
+    * Algorithm: alternating large-star/small-star contraction (the
+    * textbook MapReduce connected-components algorithm — Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    * is two groupBy+join passes over the edge set and converges in
+    * O(log n) rounds even on long duplicate chains — the 100 TB shape,
+    * replacing round 2's O(diameter) min-label propagation.
+    *
+    * The edge set is `localCheckpoint`ed ONCE before the loop: the LSH
+    * pair pipeline runs exactly once, its lineage is truncated, and the
+    * blocks are disk-backed — no round can silently re-run the pipeline.
+    * (Round 2 cached the edges instead; under the bench session's memory
+    * pressure the cache evicted and the full MinHash→LSH→Jaccard pipeline
+    * re-ran per iteration: 25.8 s for a graph of a few dozen edges.)
+    *
+    * Invariant: every edge is kept canonical as (hi > lo), so a parent is
+    * always smaller than its child and the fixpoint stars are rooted at
+    * each component's minimum. Convergence is detected structurally —
+    * the edge set is a star forest iff every child has exactly one parent
+    * and no parent is itself a child — which both star steps leave
+    * unchanged (checked, not assumed: a wrong cluster is worse than a
+    * failed query). The DuckDB recursive-CTE oracle checks the *labels*,
+    * not the algorithm, so it is unchanged. */
   def dupClusters(spark: SparkSession, dir: String,
                   maxIters: Int = 20): DataFrame = {
-    val edges = minhashDupPairsUnordered(spark, dir).select(col("doc_a"), col("doc_b"))
-    // both directions in ONE pass over the pair pipeline (a union of two
-    // branches would execute the expensive Jaccard-verify stage twice
-    // when the cache first materializes)
-    val sym = edges.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst")).cache()
-    // iteration 1 folded into the init: rep(x) = min(x, min neighbour)
-    var rep = sym.groupBy(col("src").as("doc_id"))
-      .agg(min(col("dst")).as("m"))
-      .select(col("doc_id"), least(col("doc_id"), col("m")).as("rep"))
-      .cache()
-    // labels only ever decrease (least), so Σ rep strictly decreases
-    // until the fixpoint: one narrow agg per iteration both materializes
-    // the new cache and detects convergence — no comparison join
-    var prevSum = Long.MaxValue
+    // pairs guarantee doc_a < doc_b → canonical (hi, lo) directly
+    val raw = minhashDupPairsUnordered(spark, dir)
+      .select(col("doc_b").as("hi"), col("doc_a").as("lo")).distinct()
+    var cur = raw.localCheckpoint()
+    val nodes = cur.select(explode(array(col("hi"), col("lo"))).as("doc_id"))
+      .distinct().localCheckpoint()
+
+    // large-star(u): connect every neighbour v > u to m(u) = min(Γ(u) ∪ u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+          struct(col("hi").as("u"), col("lo").as("v")),
+          struct(col("lo").as("u"), col("hi").as("v")))).as("d"))
+        .select(col("d.u").as("u"), col("d.v").as("v"))
+      val m = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))   // v > u ≥ m: canonical
+        .distinct()
+    }
+    // small-star(u): connect every neighbour v ≤ u (and u) to their min
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
+      e.join(m, "hi").where(col("lo") =!= col("mn"))
+        .select(col("lo").as("hi"), col("mn").as("lo")) // lo > mn: canonical
+        .union(m.select(col("hi"), col("mn").as("lo")))
+        .distinct()
+    }
+
     var converged = false
     var i = 0
-    try {
-      while (!converged && i < maxIters) {
-        val nbrMin = sym
-          .join(rep.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
-          .groupBy(col("src").as("doc_id"))
-          .agg(min(col("nrep")).as("nbr_min"))
-        val next = rep.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
-          .cache()
-        // coalesce: sum over an empty node set is NULL, not 0
-        val s = next.agg(coalesce(sum(col("rep")), lit(0L))).head().getLong(0)
-        converged = s == prevSum
-        prevSum = s
-        rep.unpersist()
-        rep = next
-        i += 1
-      }
-      // wrong clusters are worse than a failed query: without the
-      // confirming no-change pass the labels may be partially propagated
-      // (the effective propagation budget is maxIters − 1 — the last
-      // allowed iteration must observe zero change)
-      if (!converged) throw new IllegalStateException(
-        s"dupClusters did not confirm convergence within $maxIters " +
-          "iterations — a duplicate chain at or beyond the maxIters bound " +
-          "exists; raise maxIters")
-      // materialize + truncate lineage, then release the loop cache: the
-      // returned frame must not depend on a cache we leak for the session
-      // (localCheckpoint blocks are freed by the ContextCleaner when the
-      // consumer drops the DataFrame)
-      val out = rep.localCheckpoint()
-      out.select(col("doc_id"), col("rep").as("cluster_rep"))
-        .orderBy(col("doc_id"))
-    } finally {
-      // error path included: never leak the loop caches into the session
-      sym.unpersist()
-      rep.unpersist()
+    while (!converged && i < maxIters) {
+      // localCheckpoint materializes the round (the one action per round)
+      // and truncates lineage so round r+1 never recomputes round r
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val c = next.agg(count(lit(1)), count_distinct(col("hi"))).head()
+      val uniqueParents = c.getLong(0) == c.getLong(1)
+      converged = uniqueParents &&
+        next.join(next.select(col("hi").as("p")), col("lo") === col("p"),
+          "left_semi").isEmpty
+      cur = next
+      i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not reach a star forest within $maxIters " +
+        "rounds — pathological edge growth; raise maxIters")
+    nodes.join(cur.select(col("hi").as("doc_id"), col("lo").as("rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+      .orderBy(col("doc_id"))
   }
 
   /** Brute-force pairwise Jaccard over a doc_id-bounded subset — the
@@ -326,21 +329,36 @@ object Dedup {
     * wide op is the band-key self-join (narrow int keys, first-match
     * structural dedupe like [[simhashDupPairs]] — no DISTINCT over the
     * duplicated candidate stream), then exact verification on candidates
-    * only. Never O(n²) plan-side; the prune factor depends on `minCos` —
-    * strong in the real near-dup regime (cos ≥ 0.9), deliberately
-    * honest-but-weaker at this corpus's 0.4 ceiling. (The MLlib
-    * BucketedRandomProjectionLSH join was 5× slower here: at threshold
-    * √(2−2·0.4) ≈ 1.1 on unit vectors its bucket space collapses and
-    * every distance check runs interpreted.) Rows-only in the driver
-    * gate: the candidate set depends on plane geometry. */
+    * only. Never O(n²) plan-side.
+    *
+    * Geometry: 8 bits per band → a random (near-orthogonal) pair collides
+    * on a band with p ≈ 2⁻⁸, so candidates stay ~n·k instead of the ~n²/2
+    * that 4-bit bands produced at this corpus's weak-similarity ceiling
+    * (round-2 bench: 10.1 s; the band join compared Σ|bucket|² rows).
+    * The flip side is honest and documented: at the declared minCos=0.4
+    * boundary recall vs brute force drops to the banding probability
+    * 1−(1−p_bit⁶⁴ᐟ⁸)⁸ (~0.2 at cos 0.4); in the real near-dup regime the
+    * operator is built for (cos ≥ 0.9, p_bit ≈ 0.86) the same geometry
+    * recalls >0.9 — spec-asserted on planted near-dups. Rows-only in the
+    * driver gate: the candidate set depends on plane geometry. */
   def embeddingDupPairsLsh(spark: SparkSession, dir: String,
-                           minCos: Double = 0.4, nPlanes: Int = 32,
-                           bands: Int = 8): DataFrame = {
+                           minCos: Double = 0.4, nPlanes: Int = 64,
+                           bands: Int = 8): DataFrame =
+    embeddingDupPairsLshOf(Similarity.embWithNorm(spark, dir),
+      minCos, nPlanes, bands)
+
+  /** Core of [[embeddingDupPairsLsh]] over any (vec_id, embedding:
+    * array<double>, nrm) frame — also fed planted near-dup corpora by the
+    * recall spec. */
+  private[graft] def embeddingDupPairsLshOf(emb: DataFrame, minCos: Double,
+                                            nPlanes: Int, bands: Int): DataFrame = {
+    require(nPlanes % bands == 0,
+      s"nPlanes ($nPlanes) must be a multiple of bands ($bands): trailing " +
+        "hyperplanes would be silently ignored, degrading recall")
     val bits = nPlanes / bands
     val rnd = new scala.util.Random(7)
     val dim = 64
     val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    val emb = Similarity.embWithNorm(spark, dir)
 
     // one int key per band: `bits` sign bits packed little-endian
     def bandKey(b: Int): Column =

@@ -303,11 +303,14 @@ object Relational {
     * all. The `merge` hint pins a sort-merge join so the demo holds even
     * when one side is broadcast-sized (broadcasting would also avoid the
     * exchange, but then the plan proves nothing about co-partitioning). */
-  def bucketedJoinRevenue(spark: SparkSession, dir: String,
-                          buckets: Int = 8): DataFrame = {
+  /** Publish the bucketed join pair for [[bucketedJoinRevenue]] —
+    * idempotent per session. Factored out so Bench can run it in warmup:
+    * the publish is layout infrastructure (paid once per lake, like any
+    * table build), not query work, and a fresh-JVM bench otherwise
+    * charges it to the first read. */
+  def publishBucketedJoinTables(spark: SparkSession, dir: String,
+                                buckets: Int = 8): Unit = {
     import graft.store.FeatureStore
-    val liName = bucketTableName("lineitem", dir)
-    val ordName = bucketTableName("orders", dir)
     // publish only the join-relevant columns: column pruning at publish
     // time is part of the layout decision (the recurring join never pays
     // for the 8 columns it doesn't read). The two publishes are
@@ -319,12 +322,28 @@ object Relational {
     val pubLi = Future(FeatureStore.ensureBucketedTable(spark,
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-      liName, "l_orderkey", buckets))
+      bucketTableName("lineitem", dir), "l_orderkey", buckets))
     val pubOrd = Future(FeatureStore.ensureBucketedTable(spark,
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-      ordName, "o_orderkey", buckets))
+      bucketTableName("orders", dir), "o_orderkey", buckets))
     Await.result(pubLi, Duration.Inf)
     Await.result(pubOrd, Duration.Inf)
+  }
+
+  /** Publish every layout table for one sf dir (bucketed join pair +
+    * hive-partitioned orders). Bench warmup calls this so the declared
+    * queries measure steady-state reads; Verify and ad-hoc callers don't
+    * need to — the declared queries still self-publish idempotently. */
+  def ensureLayoutTables(spark: SparkSession, dir: String): Unit = {
+    publishBucketedJoinTables(spark, dir)
+    publishPartitionedOrders(spark, dir)
+  }
+
+  def bucketedJoinRevenue(spark: SparkSession, dir: String,
+                          buckets: Int = 8): DataFrame = {
+    publishBucketedJoinTables(spark, dir, buckets)
+    val liName = bucketTableName("lineitem", dir)
+    val ordName = bucketTableName("orders", dir)
     spark.table(liName)
       .join(spark.table(ordName).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
@@ -342,16 +361,25 @@ object Relational {
     * Scale: the subquery decorrelates into one partial+final hash-agg
     * over lineitem grouped by partkey and a join on partkey — the same
     * shape you'd hand-write; nothing is re-evaluated per outer row. */
+  /** Dir-scoped temp-view name: generic names like "lineitem" are shared
+    * session state — several sf dirs share one JVM/session across
+    * specs/verify/bench, and a generic name is a silent cross-dir
+    * collision (round-2 ADVICE side-effect-hygiene item). */
+  private def viewName(base: String, dir: String): String =
+    s"graft_${base}_v_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"
+
   def smallQuantityRevenue(spark: SparkSession, dir: String,
                            brand: String = "Brand#23"): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-    Tables.part(spark, dir).createOrReplaceTempView("part")
+    val li = viewName("lineitem", dir)
+    val pt = viewName("part", dir)
+    Tables.lineitem(spark, dir).createOrReplaceTempView(li)
+    Tables.part(spark, dir).createOrReplaceTempView(pt)
     spark.sql(
       s"""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |FROM $li JOIN $pt ON p_partkey = l_partkey
          |WHERE p_brand = '$brand'
          |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
-         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+         |                    FROM $li l2 WHERE l2.l_partkey = p_partkey)
          |""".stripMargin)
   }
 
@@ -362,12 +390,14 @@ object Relational {
     * folded into the join). */
   def lateShippedOrders(spark: SparkSession, dir: String,
                         lagDays: Int = 100): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    val ord = viewName("orders", dir)
+    val li = viewName("lineitem", dir)
+    Tables.orders(spark, dir).createOrReplaceTempView(ord)
+    Tables.lineitem(spark, dir).createOrReplaceTempView(li)
     spark.sql(
       s"""SELECT o_orderkey, o_orderpriority
-         |FROM orders
-         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+         |FROM $ord
+         |WHERE o_orderkey IN (SELECT l_orderkey FROM $li
          |                     WHERE l_shipdate > o_orderdate + INTERVAL $lagDays DAY)
          |ORDER BY o_orderkey
          |""".stripMargin)
@@ -411,15 +441,19 @@ object Relational {
     * `o_year = year` predicate prunes to one directory — the other years'
     * files are never listed, opened, or read (spec asserts the scan's
     * PartitionFilters and a partition count of 1). */
-  def partitionPrunedRevenue(spark: SparkSession, dir: String,
-                             yr: Int = 1997): DataFrame = {
-    import graft.store.FeatureStore
-    val table = bucketTableName("orders_bydate", dir)
-    FeatureStore.ensurePartitionedTable(spark,
+  /** Publish the hive-partitioned orders table for
+    * [[partitionPrunedRevenue]] — idempotent; see [[ensureLayoutTables]]. */
+  def publishPartitionedOrders(spark: SparkSession, dir: String): Unit =
+    graft.store.FeatureStore.ensurePartitionedTable(spark,
       Tables.orders(spark, dir)
         .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"),
           year(col("o_orderdate")).cast("int").as("o_year")),
-      table, "o_year")
+      bucketTableName("orders_bydate", dir), "o_year")
+
+  def partitionPrunedRevenue(spark: SparkSession, dir: String,
+                             yr: Int = 1997): DataFrame = {
+    publishPartitionedOrders(spark, dir)
+    val table = bucketTableName("orders_bydate", dir)
     spark.table(table)
       .where(col("o_year") === yr)
       .groupBy(month(col("o_orderdate")).cast("int").as("mo"))

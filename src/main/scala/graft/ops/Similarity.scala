@@ -127,11 +127,24 @@ object Similarity {
     topKSelect(scored, k)
   }
 
-  /** Coarse-quantizer centroid cache: (sf dir, nlist) → centroids. The
-    * quantizer is corpus geometry, not query state — refitting it per query
-    * was the #2 bench hotspot in round 1 and at 100 TB would re-scan the
-    * lake per call. Plain arrays, so the cache is valid across sessions. */
-  private val centroidCache = TrieMap.empty[(String, Int), Array[Array[Double]]]
+  /** Coarse-quantizer centroid cache: (sf dir, corpus mtime, nlist,
+    * sampleMod, sampleCap) → centroids. The quantizer is corpus geometry,
+    * not query state — refitting it per query was the #2 bench hotspot in
+    * round 1 and at 100 TB would re-scan the lake per call. Plain arrays,
+    * so the cache is valid across sessions. The corpus file's modification
+    * time is part of the key, so rewriting the data under `dir` within one
+    * JVM can't serve stale centroids, and differing sample parameters no
+    * longer alias to one entry (round-2 ADVICE). */
+  private val centroidCache =
+    TrieMap.empty[(String, Long, Int, Int, Int), Array[Array[Double]]]
+
+  /** Modification time of the embeddings file — cheap (one FS status
+    * call), and a content-version stand-in good enough for a cache key. */
+  private def embMtime(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+  }
 
   /** Fit (or fetch) the IVF coarse quantizer: seeded k-means++ + 8 Lloyd
     * iterations over a deterministic, *bounded* hash-sample of the corpus
@@ -144,7 +157,8 @@ object Similarity {
   private[ops] def quantizerCentroids(spark: SparkSession, dir: String,
                                       nlist: Int, sampleMod: Int = 5,
                                       sampleCap: Int = 4096): Array[Array[Double]] =
-    centroidCache.getOrElseUpdate((dir, nlist), {
+    centroidCache.getOrElseUpdate(
+      (dir, embMtime(spark, dir), nlist, sampleMod, sampleCap), {
       val sampled = embDouble(spark, dir)
         .select(col("vec_id"), col("embedding"))
         .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)

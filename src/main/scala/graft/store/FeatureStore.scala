@@ -52,15 +52,29 @@ object FeatureStore {
   /** Create-once-per-session catalog publisher: clears a stale managed
     * location (a previous JVM's in-memory catalog may have orphaned it —
     * without catalog metadata the files aren't a bucketed/partitioned
-    * table) and runs `write`. */
+    * table) and runs `write`.
+    *
+    * The check-then-act (exists → delete location → write) is serialized
+    * per table name, so concurrent publishers of the SAME table within
+    * this JVM (e.g. the two futures in
+    * [[graft.ops.Relational.publishBucketedJoinTables]] racing a warmup
+    * caller) can't both pass the existence check and race the delete
+    * (round-2 ADVICE). Single-writer is assumed ACROSS JVMs — the
+    * in-memory catalog is process-local anyway; a shared metastore
+    * deployment would rely on the catalog's own atomic CREATE instead. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def ensureTable(spark: SparkSession, table: String)(
       write: => Unit): Unit =
-    if (!spark.catalog.tableExists(table)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      write
+    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      if (!spark.catalog.tableExists(table)) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        write
+      }
     }
 
   def ensureBucketedTable(spark: SparkSession, df: => DataFrame, table: String,

@@ -133,7 +133,15 @@ object EventStream {
             }
             open.foreach { o =>
               state.update(o)
-              if (!emitOpenTail) state.setTimeoutTimestamp(o.last_ms + gapMs)
+              // clamp to watermark+1: Spark does NOT pre-filter late rows
+              // for flatMapGroupsWithState, and GroupState rejects timeout
+              // timestamps <= current watermark — a late event whose
+              // session-close time already passed would otherwise throw
+              // and kill the query (round-2 ADVICE). The clamped session
+              // flushes at the next watermark advance, the earliest legal
+              // moment.
+              if (!emitOpenTail) state.setTimeoutTimestamp(
+                math.max(o.last_ms + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             (closed ++ (if (emitOpenTail) open.map(o => rounded(o.session))
                         else Nil)).iterator

@@ -107,7 +107,7 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("embedding LSH near-dup: exact precision, usable recall vs brute force") {
+  test("embedding LSH near-dup: exact precision, documented recall floor vs brute force") {
     val brute = Dedup.embeddingDupPairs(spark, sf, maxVecId = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embeddingDupPairsLsh(spark, sf).collect()
@@ -116,8 +116,56 @@ class DedupSpec extends SparkSpec {
     assert(lshPairs.subsetOf(brute),
       s"false positives: ${lshPairs.diff(brute).take(5)}")
     lsh.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.4 - 1e-9))
-    // recall: bucket collisions must surface most true pairs
+    // recall floor at the OFF-regime 0.4 threshold this corpus forces
+    // (its max pairwise cos ≈ 0.5 — no true near-dups exist): with 8-bit
+    // bands the banding probability at cos 0.4–0.5 is ~0.18–0.33 by the
+    // Charikar collision formula, and that's the documented trade for the
+    // ~16× candidate prune that keeps the band join linear (round-3
+    // verdict item). The operator's real regime is asserted in the
+    // planted-near-dup test below.
     val recall = lshPairs.intersect(brute).size.toDouble / math.max(1, brute.size)
-    assert(recall >= 0.5, s"LSH recall $recall below 0.5 (${brute.size} true pairs)")
+    assert(recall >= 0.15, s"LSH recall $recall below 0.15 (${brute.size} true pairs)")
+  }
+
+  test("embedding LSH in its real regime (cos >= 0.9): recall >= 0.9 on planted near-dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sqrt => ssqrt}
+    graft.functions.GraftFunctions.register(spark)
+    // 40 planted near-dup pairs (noise ⇒ cos ≈ 0.99) + 200 random
+    // background vectors, all 64-dim — the regime the operator exists
+    // for, which this synthetic corpus can't provide
+    val rnd = new scala.util.Random(13)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val planted = (0 until 40).flatMap { i =>
+      val base = unit()
+      val dup = base.zip(unit()).map { case (b, z) => b + 0.08 * z }
+      Seq((2L * i, base.toSeq), (2L * i + 1, dup.toSeq))
+    }
+    val background = (0 until 200).map(i => (1000L + i, unit().toSeq))
+    val all = planted ++ background
+    // exact truth, computed locally (the corpus is tiny by construction)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(truth.size >= 35, s"expected ~40 planted pairs, got ${truth.size}")
+
+    val emb = all.toDF("vec_id", "embedding")
+      .withColumn("nrm", ssqrt(graft.functions.GraftFunctions.dot(
+        col("embedding"), col("embedding"))))
+    val lsh = Dedup.embeddingDupPairsLshOf(emb, minCos = 0.9,
+      nPlanes = 64, bands = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(truth), s"false positives: ${lsh.diff(truth).take(5)}")
+    val recall = lsh.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"real-regime recall $recall below 0.9")
   }
 }
