@@ -31,5 +31,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: local[32] runs 32 concurrent tasks in ONE JVM — the heap is the
+  // whole cluster's memory. At 8g the sf0.1 bench spent a measured ~30%
+  // of wall-clock in GC stalls on the string-heavy document queries
+  // (round-2 "documents-family 5-7x regression": 110.7s total; same
+  // bench at 24g: 52.7s). A real deployment sizes executor memory per
+  // core count for exactly this reason; the host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Single-query timing harness for perf work: fresh JVM, same session
+  * config as [[Bench]], runs the named queries three times each so the
+  * first-plan (Janino/scan warmup) cost is visible separately from the
+  * steady state. Usage: `runMain graft.BenchOne <query> [<query> ...]`. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.sources.GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(avg(length(col("text")))).collect()
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"BENCHONE $name ${ts.map(t => f"$t%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}
