@@ -29,6 +29,8 @@ object SparkEntry {
     "q3_top_revenue_orders" -> ((s, d) => Relational.topRevenueOrders(s, d)),
     "q5_nation_revenue" -> ((s, d) => Relational.nationRevenue(s, d)),
     "q_topk_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(s, d)),
+    "q_topk_brand_agg" -> ((s, d) => Relational.topPartsPerBrandAgg(s, d)),
+    "q_bloom_join_revenue" -> ((s, d) => Relational.bloomFilteredJoinRevenue(s, d)),
     "q_distinct_counts" -> ((s, d) => Relational.distinctCounts(s, d)),
     "q_intersect_customers" -> ((s, d) => Relational.customersWithOrders(s, d)),
     "q_anti_customers_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
@@ -225,6 +227,17 @@ object SparkEntry {
        |  count(*) AS n
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  /** Shared by the window form (`q_topk_parts_per_brand`) and the
+    * bounded-heap aggregate form (`q_topk_brand_agg`): both must produce
+    * exactly this. */
+  private val topkBrandSql: String =
+    """SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (
+      | SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |  row_number() OVER (PARTITION BY p_brand
+      |                     ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      | FROM part) t
+      |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin
 
   /** KDE constants shared by the declared query and its generated oracle
     * so scorer and oracle can't drift. */
@@ -458,13 +471,17 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
-    "q_topk_parts_per_brand" ->
-      """SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (
-        | SELECT p_brand, p_partkey, p_name, p_retailprice,
-        |  row_number() OVER (PARTITION BY p_brand
-        |                     ORDER BY p_retailprice DESC, p_partkey) AS rnk
-        | FROM part) t
-        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_topk_parts_per_brand" -> topkBrandSql,
+    // the bounded-heap aggregate form must equal the window form exactly
+    "q_topk_brand_agg" -> topkBrandSql,
+    "q_bloom_join_revenue" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS yr,
+        | CAST(month(l_shipdate) AS INT) AS mo,
+        | round(sum(floor(l_extendedprice*(1-l_discount)*100 + 0.5))/100, 2) AS rev,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_distinct_counts" ->
       """SELECT count(*) AS n_rows,
         | count(DISTINCT l_orderkey) AS n_orders,
@@ -730,14 +747,31 @@ object SparkEntry {
         |  unnest(generate_series(0, CAST(length(text) % 24 AS INT), 4)) AS frame_idx
         | FROM documents WHERE doc_id % 3 = 2) t
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // replays the encode arithmetic: images/video posters are w×h-pixel
+    // BMPs with pixel i = codepoint(i mod n) & 255; audio is one WAV
+    // sample per codepoint. The JDK decoders recover exactly these units.
     "q_mm_decode" ->
-      """WITH b AS (
-        | SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes,
-        |  list_reduce(list_transform(string_split(text,''),
-        |    c -> CAST(ascii(c) AS BIGINT)), (x,y) -> x+y) AS s
-        | FROM documents)
-        |SELECT media_id, n_bytes, round(CAST(s AS DOUBLE) / n_bytes, 6) AS mean_byte
-        |FROM b ORDER BY media_id""".stripMargin,
+      """WITH m AS (
+        | SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(16 + length(text) % 32 AS BIGINT) AS w,
+        |  CAST(16 + (length(text) // 7) % 32 AS BIGINT) AS h,
+        |  list_transform(string_split(text,''),
+        |    c -> CAST(ascii(c) & 255 AS BIGINT)) AS u,
+        |  CAST(length(text) AS BIGINT) AS n
+        | FROM documents),
+        |x AS (
+        | SELECT media_id,
+        |  CASE WHEN media_type = 'audio' THEN n ELSE w * h END AS n_units,
+        |  CASE WHEN media_type = 'audio'
+        |       THEN list_reduce(u, (a,b) -> a+b)
+        |       ELSE list_reduce(list_transform(generate_series(0, w*h - 1),
+        |              i -> u[(i % n) + 1]), (a,b) -> a+b)
+        |  END AS s
+        | FROM m)
+        |SELECT media_id, n_units, round(CAST(s AS DOUBLE) / n_units, 6) AS mean_unit
+        |FROM x ORDER BY media_id""".stripMargin,
     "q_mm_resize" ->
       """WITH m AS (
         | SELECT doc_id AS media_id,

@@ -119,6 +119,76 @@ object Relational {
       .orderBy(col("p_brand"), col("rnk"))
   }
 
+  /** Grouped top-k through the bounded-heap `graft_top_k` aggregate — the
+    * skew-proof twin of [[topPartsPerBrand]], closing that method's
+    * documented window-skew caveat with machinery that now exists
+    * (round-2 verdict item). The window form shuffles and sorts EVERY row
+    * of a group into one partition; here the custom
+    * TypedImperativeAggregate's partial buffers are capped at k per brand
+    * BEFORE the exchange, so a hot group at 100 TB costs one bounded heap
+    * per map task and the shuffle carries ≤ partitions·k rows per group.
+    * The struct sort key (price desc via negation, unique partkey
+    * tiebreak) reproduces the window's order exactly — oracle-checked
+    * equal to the window form's SQL. */
+  def topPartsPerBrandAgg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val keyed = struct((-col("p_retailprice")).as("negprice"), col("p_partkey"),
+      col("p_name"), col("p_retailprice"))
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(graft.functions.GraftFunctions.topK(keyed, k).as("top"))
+      .select(col("p_brand"), posexplode(col("top")))
+      .select(col("p_brand"), col("col.p_partkey").as("p_partkey"),
+        col("col.p_name").as("p_name"),
+        col("col.p_retailprice").as("p_retailprice"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  /** Runtime Bloom-filter join pruning — the remaining 100 TB
+    * data-skipping lever after partition pruning and bucketing (round-2
+    * verdict item): Catalyst's InjectRuntimeFilter turns the selective
+    * dim-side predicate into a bloom filter built at runtime and pushed
+    * into the fact-side scan as `might_contain(l_orderkey)`, so non-
+    * qualifying fact rows die at the scan instead of crossing the join
+    * shuffle. The spec asserts the injected filter is in the plan and the
+    * oracle checks the (semantics-preserving) result.
+    *
+    * Conf hygiene: the bloom configs live on a CLONED session
+    * (`newSession` shares the SparkContext but isolates SQLConf), never
+    * the caller's — the round-1 shared-conf rule. The application-side
+    * threshold is lowered because its 10 GiB default targets real lakes,
+    * not sf0.1; at scale the defaults fire on their own. */
+  def bloomFilteredJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // InjectRuntimeFilter only fires on probably-shuffle joins, and at sf
+    // scale the filtered dim side is broadcastable-by-size; disabling
+    // auto-broadcast (with the merge hint pinning SMJ) reproduces the
+    // 100 TB regime where neither side broadcasts and the bloom filter is
+    // the scan-side prune
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ord = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    Tables.lineitem(s, dir)
+      .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).cast("int").as("yr"),
+        month(col("l_shipdate")).cast("int").as("mo"))
+      // exact-cents summation: floor(x·100 + 0.5) is pure IEEE arithmetic
+      // (identical on every engine, unlike round()'s per-engine decimal
+      // rules) and yields integer-valued doubles whose sum is exact and
+      // order-insensitive — the bloom filter changes partial-agg order,
+      // and a raw double round(sum) landed on a half-cent boundary
+      // (observed ...406.665 → .66 vs .67 between plans).
+      .agg(round(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100 + 0.5)) / 100, 2).as("rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
   /** Exact + approximate distinct counts over the fact table.
     *
     * Scale: `count_distinct` shuffles by the counted key (expand + two-phase

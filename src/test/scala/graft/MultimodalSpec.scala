@@ -2,21 +2,46 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Multimodal
+import graft.ops.{MediaPayload, Multimodal}
 import graft.sources.Tables
 
 class MultimodalSpec extends SparkSpec {
 
-  test("decode kernel works in code points, matching the oracle on non-ASCII") {
+  test("BMP codec round-trips pixels exactly through javax.imageio") {
+    val (w, h) = (5, 3)
+    val pixels = Array.tabulate(w * h)(i => (i * 17 % 256).toByte)
+    val bmp = graft.ops.MediaCodec.encodeBmpGray(w, h, pixels)
+    assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+    val (dw, dh, decoded) = graft.ops.MediaCodec.decodeImageGray(bmp)
+    assert(dw === w && dh === h)
+    assert(decoded.toSeq === pixels.map(_ & 0xff).toSeq)   // row-major, exact
+  }
+
+  test("WAV codec round-trips samples exactly through javax.sound") {
+    val samples = Array.tabulate(300)(i => (i % 256).toByte)
+    val wav = graft.ops.MediaCodec.encodeWavPcm8(samples)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    val decoded = graft.ops.MediaCodec.decodeWavPcm8(wav)
+    assert(decoded.toSeq === samples.map(_ & 0xff).toSeq)
+  }
+
+  test("decode kernel parses real containers; units derive from code points") {
     val s = "héllo ✓ café"  // 2-byte and 3-byte UTF-8 chars
-    val out = Multimodal.decodeBatch(
-      Seq((1L, "image", s.getBytes(java.nio.charset.StandardCharsets.UTF_8))), 4).head
     val cps = s.codePoints().toArray
-    assert(out.n_bytes === cps.length)           // = length(text), not byte count
-    assert(out.n_bytes < s.getBytes("UTF-8").length)
-    val want = BigDecimal(cps.map(_.toLong).sum.toDouble / cps.length)
+    val (w, h) = (4, 3)
+    val img = MediaPayload(1L, "image", graft.ops.MediaCodec.encodeBmpGray(w, h,
+      Array.tabulate(w * h)(i => (cps(i % cps.length) & 0xff).toByte)), w, h)
+    val wav = MediaPayload(2L, "audio", graft.ops.MediaCodec.encodeWavPcm8(
+      cps.map(c => (c & 0xff).toByte)), 0, 0)
+    val Seq(di, da) = Multimodal.decodeBatch(Seq(img, wav), 4)
+    assert(di.n_units === w * h)
+    val wantImg = BigDecimal((0 until w * h).map(i => (cps(i % cps.length) & 0xff).toLong)
+      .sum.toDouble / (w * h)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(di.mean_unit === wantImg)
+    assert(da.n_units === cps.length)            // one sample per code point
+    val wantAud = BigDecimal(cps.map(c => (c & 0xff).toLong).sum.toDouble / cps.length)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(out.mean_byte === want)               // ascii()-fold mean
+    assert(da.mean_unit === wantAud)
   }
 
   test("media table: binary payload matches text bytes, metadata consistent") {
@@ -35,6 +60,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media binary: every payload is a genuine BMP or WAV container") {
+    val rows = Multimodal.mediaBinary(spark, sf).limit(30).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      val magic = new String(m.payload.take(4).map(b => (b & 0xff).toChar))
+      if (m.media_type == "audio") assert(magic === "RIFF", m.media_id)
+      else {
+        assert(magic.startsWith("BM"), m.media_id)
+        // and the JDK's own decoder agrees on the dimensions
+        val (w, h, _) = graft.ops.MediaCodec.decodeImageGray(m.payload)
+        assert(w === m.width && h === m.height)
+      }
+    }
+  }
+
   test("decode: typed dataset, one row per media, deterministic features") {
     val decoded = Multimodal.decodeAll(spark, sf, featDim = 8, batchSize = 32)
     val rows = decoded.collect()
@@ -42,12 +82,12 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach { d =>
       assert(d.features.length === 8)
       assert(d.features.forall(f => f >= 0.0f && f <= 1.0f))
-      assert(d.mean_byte > 0 && d.mean_byte < 256)
+      assert(d.mean_unit > 0 && d.mean_unit < 256)
     }
     // batch size must not change results (kernel is per-item deterministic)
     val again = Multimodal.decodeAll(spark, sf, featDim = 8, batchSize = 7)
-      .collect().map(d => d.media_id -> d.mean_byte).toMap
-    rows.foreach(d => assert(again(d.media_id) === d.mean_byte))
+      .collect().map(d => d.media_id -> d.mean_unit).toMap
+    rows.foreach(d => assert(again(d.media_id) === d.mean_unit))
   }
 
   test("frame sample: only videos, stride-4 indices within range") {

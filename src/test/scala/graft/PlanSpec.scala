@@ -73,6 +73,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("grouped top-k via bounded-heap aggregate: partial mode before the exchange") {
+    val p = plan(Relational.topPartsPerBrandAgg(spark, sf))
+    // partial graft_top_k caps map-side buffers at k per group — the
+    // window form can't do this, which is why this variant exists
+    assert(p.contains("partial_graft_top_k"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("bloom-filtered join: runtime bloom filter injected into the fact scan") {
+    val df = Relational.bloomFilteredJoinRevenue(spark, sf)
+    // InjectRuntimeFilter rewrites the logical plan: the fact side gains
+    // a might_contain(bloom_agg(o_orderkey)) predicate ahead of the join
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"), opt)
+    // and the caller's session conf is untouched (scoped to a clone)
+    assert(!spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .contains("0"))
+  }
+
   test("stratified sample: pushed filter; only exchange is the final sort") {
     val p = plan(Relational.stratifiedSample(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"), p)

@@ -45,6 +45,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("bounded-heap grouped top-k equals the window form row for row") {
+    val win = Relational.topPartsPerBrand(spark, sf).collect().toSeq
+    val agg = Relational.topPartsPerBrandAgg(spark, sf).collect().toSeq
+    assert(agg === win)
+  }
+
+  test("bloom-filtered join equals the plain join result") {
+    val bloom = Relational.bloomFilteredJoinRevenue(spark, sf).collect().toSeq
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+          .where(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).cast("int").as("yr"),
+        month(col("l_shipdate")).cast("int").as("mo"))
+      .agg(round(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100 + 0.5)) / 100, 2).as("rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("yr"), col("mo"))
+      .collect().toSeq
+    assert(bloom === plain)
+    assert(bloom.nonEmpty)
+  }
+
   test("distinct counts: exact values vs direct computation; approx HLL within 5%") {
     val r = Relational.distinctCounts(spark, sf).collect().head
     val li = Tables.lineitem(spark, sf)
