@@ -15,6 +15,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object MediaCodec {
 
+  // in-memory streams only: ImageIO's default stream cache spills every
+  // decode through a temp FILE, which dominated the decode query's cost
+  // (and would be catastrophic per-task at scale)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode an 8-bit grayscale image as a real BMP: BITMAPFILEHEADER (14)
     * + BITMAPINFOHEADER (40) + 256-entry gray palette (1024) + pixel rows
     * padded to 4-byte stride, bottom-up as the format requires. */

@@ -379,7 +379,7 @@ object Relational {
     * table build), not query work, and a fresh-JVM bench otherwise
     * charges it to the first read. */
   def publishBucketedJoinTables(spark: SparkSession, dir: String,
-                                buckets: Int = 8): Unit = {
+                                buckets: Int = 32): Unit = {
     import graft.store.FeatureStore
     // publish only the join-relevant columns: column pruning at publish
     // time is part of the layout decision (the recurring join never pays
@@ -410,7 +410,7 @@ object Relational {
   }
 
   def bucketedJoinRevenue(spark: SparkSession, dir: String,
-                          buckets: Int = 8): DataFrame = {
+                          buckets: Int = 32): DataFrame = {
     publishBucketedJoinTables(spark, dir, buckets)
     val liName = bucketTableName("lineitem", dir)
     val ordName = bucketTableName("orders", dir)
