@@ -140,12 +140,98 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native sign-random-projection hasher: every hyperplane's sign bit in
+  * ONE fused loop — bit j of the result long is set iff
+  * dot(vec, planes[j]) > 0 (Charikar hyperplane hashing, the LSH keying
+  * primitive for embedding near-dup).
+  *
+  * Bit-identical to `nPlanes` separate [[DotProduct]]-plus-`when`
+  * expressions (spec-asserted), but one expression instead of 64: Janino
+  * compiles a single nested loop rather than 64 codegen blocks — the
+  * 64-expression form's first-plan compile dominated the LSH query's
+  * fresh-JVM cost — and the row's embedding array is bound once, not 64
+  * times. The plane matrix must be foldable (a literal): it's geometry
+  * baked into the query, and a non-literal matrix would defeat the point
+  * of compiling the loop bounds in. */
+case class SignBits(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_sign_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a foldable (literal) plane matrix")
+        else right.eval() match {
+          case ps: ArrayData if ps.numElements() > 64 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName packs sign bits into one long: at most 64 " +
+                s"planes, got ${ps.numElements()}")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<array<double>>) " +
+          s"operands, got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val ps = b.asInstanceOf[ArrayData]
+    var bits = 0L
+    var j = 0
+    val nPlanes = ps.numElements()
+    while (j < nPlanes) {
+      val p = ps.getArray(j)
+      val d = math.min(v.numElements(), p.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += v.getDouble(i) * p.getDouble(i); i += 1 }
+      if (s > 0) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, ps) => {
+      val bits = ctx.freshName("bits")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      s"""
+         |long $bits = 0L;
+         |int ${j}N = $ps.numElements();
+         |for (int $j = 0; $j < ${j}N; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $p = $ps.getArray($j);
+         |  int $d = java.lang.Math.min($v.numElements(), $p.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $s += $v.getDouble($i) * $p.getDouble($i);
+         |  }
+         |  if ($s > 0) $bits |= 1L << $j;
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignBits =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for graft's native expressions. */
 object GraftFunctions {
 
   val dotName = "graft_dot"
   val polyHashName = "graft_polyhash"
   val topKName = "graft_top_k"
+  val signBitsName = "graft_sign_bits"
 
   /** Arity-checked SQL builders — a wrong argument count is a clear
     * analysis-time error, not an IndexOutOfBoundsException at runtime. */
@@ -170,13 +256,18 @@ object GraftFunctions {
       }
     }
 
+  private[functions] val signBitsBuilder =
+    arity(signBitsName, 2)(exprs => SignBits(exprs(0), exprs(1)))
+
   private def registrations = Seq(
     (FunctionIdentifier(dotName),
       new ExpressionInfo(classOf[DotProduct].getName, dotName), dotBuilder),
     (FunctionIdentifier(polyHashName),
       new ExpressionInfo(classOf[PolyHash].getName, polyHashName), polyHashBuilder),
     (FunctionIdentifier(topKName),
-      new ExpressionInfo(classOf[BoundedTopK].getName, topKName), topKBuilder))
+      new ExpressionInfo(classOf[BoundedTopK].getName, topKName), topKBuilder),
+    (FunctionIdentifier(signBitsName),
+      new ExpressionInfo(classOf[SignBits].getName, signBitsName), signBitsBuilder))
 
   /** Idempotent per-session registration; query builders call this before
     * using [[dot]] / [[polyHash]] / [[topK]]. */
@@ -198,6 +289,11 @@ object GraftFunctions {
   /** Bounded-heap top-k aggregate ([[BoundedTopK]]): the k smallest values
     * of `c` as a sorted ascending array; requires [[register]]. */
   def topK(c: Column, k: Int): Column = call_function(topKName, c, lit(k))
+
+  /** Packed hyperplane sign bits ([[SignBits]]); `planes` must be a
+    * literal array-of-arrays column; requires [[register]]. */
+  def signBits(v: Column, planes: Column): Column =
+    call_function(signBitsName, v, planes)
 }
 
 /** `spark.sql.extensions` entry point: registers graft's native functions
@@ -217,5 +313,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(GraftFunctions.topKName),
       new ExpressionInfo(classOf[BoundedTopK].getName, GraftFunctions.topKName),
       GraftFunctions.topKBuilder))
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.signBitsName),
+      new ExpressionInfo(classOf[SignBits].getName, GraftFunctions.signBitsName),
+      GraftFunctions.signBitsBuilder))
   }
 }

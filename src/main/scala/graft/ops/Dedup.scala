@@ -359,15 +359,21 @@ object Dedup {
     val rnd = new scala.util.Random(7)
     val dim = 64
     val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    graft.functions.GraftFunctions.register(emb.sparkSession)
 
-    // one int key per band: `bits` sign bits packed little-endian
-    def bandKey(b: Int): Column =
-      (0 until bits).map { j =>
-        when(graft.functions.GraftFunctions.dot(col("embedding"),
-          typedLit(planes(b * bits + j))) > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    val keyed = emb.select(col("vec_id"),
-      array((0 until bands).map(bandKey): _*).as("keys"))
+    // all `nPlanes` sign bits in ONE fused native expression
+    // (graft.functions.SignBits — bit j = sign of dot with plane j), then
+    // one int key per band: `bits` consecutive sign bits, little-endian.
+    // Identical keys to the per-plane when(dot>0) fold (spec-asserted),
+    // but Janino compiles one loop instead of nPlanes codegen blocks —
+    // the 64-expression form's first-plan compile was most of this
+    // query's fresh-JVM cost.
+    val allBits = graft.functions.GraftFunctions.signBits(col("embedding"),
+      typedLit(planes.map(_.toSeq).toSeq))
+    val keyed = emb.select(col("vec_id"), allBits.as("sign_bits"))
+      .select(col("vec_id"), array((0 until bands).map(b =>
+        shiftright(col("sign_bits"), b * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).cast("int")): _*).as("keys"))
 
     // the banding join carries ONLY (vec_id, band keys) — the 8×520-byte
     // embedding payloads never enter the wide exchange; candidates join

@@ -111,9 +111,14 @@ object Text {
     "zh" -> Seq(" de5 ", " shi4 ", " le5 ", " zai4 "))
 
   /** #occurrences of `m` in `c` via replace-length arithmetic — identical
-    * semantics on every SQL engine, unlike regex counting. */
+    * semantics on every SQL engine, unlike regex counting. Plain (non-
+    * regex) `replace`: StringReplace is a codegen'd substring scan, where
+    * the earlier `regexp_replace(Pattern.quote(m))` compiled and ran a
+    * regex per marker per row — 20 regex passes per document, ~4× the
+    * whole query's cost (round-3 perf pass). The oracle already counts
+    * with plain `replace`. */
   private def countSubstr(c: Column, m: String): Column =
-    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(m), ""))) / m.length
+    (length(c) - length(call_function("replace", c, lit(m)))) / m.length
 
   /** Language-ID: argmax of marker-profile scores with fixed-order
     * tiebreak, reported as a (lang → predicted) confusion matrix.

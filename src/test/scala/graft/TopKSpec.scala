@@ -89,4 +89,42 @@ class TopKSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("exactly 2"))
   }
+
+  test("graft_sign_bits is bit-identical to the per-plane dot-sign fold") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{typedLit, when}
+    val rnd = new scala.util.Random(99)
+    val dim = 16
+    val planes = Array.fill(24)(Array.fill(dim)(rnd.nextGaussian()))
+    import spark.implicits._
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian()))).toDF("id", "v")
+    val planesLit = typedLit(planes.map(_.toSeq).toSeq)
+    val fold = (0 until planes.length).map { j =>
+      when(GraftFunctions.dot(col("v"), typedLit(planes(j).toSeq)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = vecs.select(col("id"),
+      GraftFunctions.signBits(col("v"), planesLit).as("native"),
+      fold.as("folded")).collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"id ${r.getLong(0)}"))
+  }
+
+  test("graft_sign_bits rejects >64 planes and non-literal matrices at analysis time") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+    val tooMany = org.apache.spark.sql.functions.typedLit(
+      Seq.fill(65)(Seq(1.0, 2.0)))
+    val e1 = intercept[AnalysisException] {
+      df.select(GraftFunctions.signBits(col("v"), tooMany)).collect()
+    }
+    assert(e1.getMessage.contains("64"))
+    val e2 = intercept[AnalysisException] {
+      // non-foldable matrix: a column, not a literal
+      df.select(GraftFunctions.signBits(col("v"),
+        org.apache.spark.sql.functions.array(col("v")))).collect()
+    }
+    assert(e2.getMessage.contains("foldable"))
+  }
 }
