@@ -106,6 +106,7 @@ object SparkEntry {
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "q_dedup_jaccard_brute" -> ((s, d) => Dedup.jaccardPairsBrute(s, d)),
+    "q_dedup_containment" -> ((s, d) => Dedup.containmentPairsBrute(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashDupPairs(s, d)),
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
@@ -837,6 +838,19 @@ object SparkEntry {
          | WHERE a.doc_id < 500 AND b.doc_id < 500)
          |SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
          |FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_containment" -> (dedupCtes +
+      s"""
+         |, j AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS inter,
+         |  len(a.hs) AS na, len(b.hs) AS nb
+         | FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+         | WHERE a.doc_id < 500 AND b.doc_id < 500)
+         |SELECT doc_a, doc_b, round(inter / na, 6) AS cont_a_in_b,
+         | round(inter / nb, 6) AS cont_b_in_a
+         |FROM j
+         |WHERE greatest(round(inter / na, 6), round(inter / nb, 6)) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_simhash_pairs" -> {

@@ -217,11 +217,16 @@ object Dedup {
       // localCheckpoint materializes the round (the one action per round)
       // and truncates lineage so round r+1 never recomputes round r
       val next = smallStar(largeStar(cur)).localCheckpoint()
-      val c = next.agg(count(lit(1)), count_distinct(col("hi"))).head()
-      val uniqueParents = c.getLong(0) == c.getLong(1)
-      converged = uniqueParents &&
-        next.join(next.select(col("hi").as("p")), col("lo") === col("p"),
-          "left_semi").isEmpty
+      // single-action convergence probe: star forest ⟺ every child has
+      // one parent (n == distinct hi) AND no parent is itself a child
+      // (zero lo→hi matches). The distinct parent set keeps the left
+      // join fanout-free so count(*) still counts edges.
+      val c = next
+        .join(next.select(col("hi").as("p")).distinct(),
+          col("lo") === col("p"), "left")
+        .agg(count(lit(1)), count_distinct(col("hi")), count(col("p")))
+        .head()
+      converged = c.getLong(0) == c.getLong(1) && c.getLong(2) == 0L
       cur = next
       i += 1
     }
@@ -248,6 +253,39 @@ object Dedup {
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
       .where(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Broder *containment* pairs over a doc_id-bounded subset:
+    * cont(A→B) = |A∩B| / |A| — the asymmetric overlap measure that
+    * catches a short document largely CONTAINED in a longer one (quotes,
+    * boilerplate-wrapped copies, partial scrapes), which symmetric
+    * Jaccard under-scores (|A∩B|/|A∪B| is diluted by the larger set).
+    * Emits both directions' scores for each qualifying pair.
+    *
+    * Scale path (documented; the declared form is the subset-bounded
+    * oracle baseline, like [[jaccardPairsBrute]]): candidates from the
+    * same MinHash-LSH banding as [[minhashDupPairs]] — sound for
+    * containment between similarly-sized documents — with a
+    * length-stratified re-signing pass for strongly asymmetric sizes (a
+    * 100-word doc inside a 10k-word doc rarely collides on whole-doc
+    * MinHash bands; real systems sign the long side's windows). The
+    * exact verification on candidate shingle sets is this same
+    * arithmetic either way. */
+  def containmentPairsBrute(spark: SparkSession, dir: String,
+                            maxDocId: Long = 500,
+                            minCont: Double = 0.8): DataFrame = {
+    val sh = shingled(spark, dir).where(col("doc_id") < maxDocId)
+    sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("cont_a_in_b", round(col("inter") / size(col("hs_a")), 6))
+      .withColumn("cont_b_in_a", round(col("inter") / size(col("hs_b")), 6))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minCont)
+      .select(col("doc_a"), col("doc_b"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

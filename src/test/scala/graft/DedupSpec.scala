@@ -98,6 +98,21 @@ class DedupSpec extends SparkSpec {
     rep.foreach { case (d, r) => assert(find(d) === r, s"doc $d") }
   }
 
+  test("containment: superset of Jaccard pairs at equal threshold, bounded asymmetric scores") {
+    val jac = Dedup.jaccardPairsBrute(spark, sf, maxDocId = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = Dedup.containmentPairsBrute(spark, sf, maxDocId = Long.MaxValue)
+      .collect()
+    val contPairs = cont.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // jac(A,B) <= min(cont(A→B), cont(B→A)): every Jaccard pair qualifies
+    assert(jac.subsetOf(contPairs), s"missing: ${jac.diff(contPairs).take(5)}")
+    cont.foreach { r =>
+      val (a, b) = (r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"))
+      assert(a >= 0 && a <= 1.0 + 1e-9 && b >= 0 && b <= 1.0 + 1e-9)
+      assert(math.max(a, b) >= 0.8 - 1e-9)
+    }
+  }
+
   test("embedding near-dup pairs: ordered, cosine above threshold") {
     val rows = Dedup.embeddingDupPairs(spark, sf).collect()
     rows.foreach { r =>
