@@ -764,9 +764,9 @@ object SparkEntry {
         | FROM documents),
         |x AS (
         | SELECT media_id,
-        |  CASE WHEN media_type = 'audio' THEN n ELSE w * h END AS n_units,
-        |  CASE WHEN media_type = 'audio'
-        |       THEN list_reduce(u, (a,b) -> a+b)
+        |  CASE WHEN media_type = 'audio' THEN greatest(n, 1) ELSE w * h END AS n_units,
+        |  CASE WHEN n = 0 THEN 0
+        |       WHEN media_type = 'audio' THEN list_reduce(u, (a,b) -> a+b)
         |       ELSE list_reduce(list_transform(generate_series(0, w*h - 1),
         |              i -> u[(i % n) + 1]), (a,b) -> a+b)
         |  END AS s

@@ -211,28 +211,52 @@ object Dedup {
         .distinct()
     }
 
+    // free a SUPERSEDED checkpoint's blocks eagerly instead of waiting
+    // for the ContextCleaner (the round-2 postmortem is exactly about
+    // orphaned blocks under session memory pressure). Only ever called on
+    // frames no later round reads — an unpersisted localCheckpoint cannot
+    // recompute (lineage is truncated by design).
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
-      // localCheckpoint materializes the round (the one action per round)
-      // and truncates lineage so round r+1 never recomputes round r
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      // single-action convergence probe: star forest ⟺ every child has
-      // one parent (n == distinct hi) AND no parent is itself a child
-      // (zero lo→hi matches). The distinct parent set keeps the left
-      // join fanout-free so count(*) still counts edges.
-      val c = next
-        .join(next.select(col("hi").as("p")).distinct(),
-          col("lo") === col("p"), "left")
-        .agg(count(lit(1)), count_distinct(col("hi")), count(col("p")))
-        .head()
-      converged = c.getLong(0) == c.getLong(1) && c.getLong(2) == 0L
-      cur = next
-      i += 1
+    try {
+      while (!converged && i < maxIters) {
+        // localCheckpoint materializes the round (the one action per
+        // round) and truncates lineage so round r+1 never recomputes
+        // round r
+        val next = smallStar(largeStar(cur)).localCheckpoint()
+        // single-action convergence probe: star forest ⟺ every child has
+        // one parent (n == distinct hi) AND no parent is itself a child
+        // (zero lo→hi matches). The distinct parent set keeps the left
+        // join fanout-free so count(*) still counts edges.
+        val c = next
+          .join(next.select(col("hi").as("p")).distinct(),
+            col("lo") === col("p"), "left")
+          .agg(count(lit(1)), count_distinct(col("hi")), count(col("p")))
+          .head()
+        converged = c.getLong(0) == c.getLong(1) && c.getLong(2) == 0L
+        freeCheckpoint(cur)   // superseded: next is materialized
+        cur = next
+        i += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"dupClusters did not reach a star forest within $maxIters " +
+          "rounds — pathological edge growth; raise maxIters")
+    } catch {
+      case e: Throwable =>
+        // no result will be returned: release the live frames too
+        freeCheckpoint(cur); freeCheckpoint(nodes)
+        throw e
     }
-    if (!converged) throw new IllegalStateException(
-      s"dupClusters did not reach a star forest within $maxIters " +
-        "rounds — pathological edge growth; raise maxIters")
+    // nodes + final cur stay persisted — the returned (lazy) plan reads
+    // them; their blocks are freed by the ContextCleaner once the
+    // consumer drops the DataFrame
     nodes.join(cur.select(col("hi").as("doc_id"), col("lo").as("rep")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))

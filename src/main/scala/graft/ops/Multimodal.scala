@@ -86,30 +86,31 @@ object Multimodal {
     * posters become 8-bit grayscale BMPs of the metadata's width×height
     * (pixel i = code point i mod n of the text, low byte), audio becomes
     * an 8 kHz unsigned-PCM WAV with one sample per code point. Batched
-    * `mapPartitions` encode — the write-side twin of [[decodeAll]]'s
-    * kernel shape; the payloads are genuine files any external tool
-    * opens. */
-  def mediaBinary(spark: SparkSession, dir: String,
-                  batchSize: Int = 64): Dataset[MediaPayload] = {
+    * `mapPartitions` — each encode is independent per item (no batch
+    * semantics to exploit, unlike the decode kernel, which keeps the
+    * Arrow-batch shape for a vectorized drop-in); the payloads are
+    * genuine files any external tool opens. */
+  def mediaBinary(spark: SparkSession, dir: String): Dataset[MediaPayload] = {
     import spark.implicits._
     mediaTable(spark, dir)
       .select(col("media_id"), col("media_type"), col("blob"),
         col("width"), col("height"))
       .as[(Long, String, Array[Byte], Int, Int)]
-      .mapPartitions(_.grouped(batchSize).flatMap(_.map {
-        case (id, mtype, text, w, h) =>
-          val cps = new String(text, java.nio.charset.StandardCharsets.UTF_8)
-            .codePoints().toArray
-          def unit(i: Int): Byte =
-            (if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff).toByte
-          val payload = mtype match {
-            case "audio" =>
-              MediaCodec.encodeWavPcm8(Array.tabulate(math.max(1, cps.length))(unit))
-            case _ =>
-              MediaCodec.encodeBmpGray(w, h, Array.tabulate(w * h)(unit))
-          }
-          MediaPayload(id, mtype, payload, w, h)
-      }))
+      .mapPartitions(_.map { case (id, mtype, text, w, h) =>
+        val cps = new String(text, java.nio.charset.StandardCharsets.UTF_8)
+          .codePoints().toArray
+        def unit(i: Int): Byte =
+          (if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff).toByte
+        val payload = mtype match {
+          case "audio" =>
+            // empty text still yields a valid 1-sample (zero) WAV; the
+            // oracle mirrors this with greatest(n, 1)
+            MediaCodec.encodeWavPcm8(Array.tabulate(math.max(1, cps.length))(unit))
+          case _ =>
+            MediaCodec.encodeBmpGray(w, h, Array.tabulate(w * h)(unit))
+        }
+        MediaPayload(id, mtype, payload, w, h)
+      })
   }
 
   /** The REAL decode kernel: sniffs the container magic and parses the
@@ -145,7 +146,7 @@ object Multimodal {
   def decodeAll(spark: SparkSession, dir: String, featDim: Int = 8,
                 batchSize: Int = 64): Dataset[DecodedMedia] = {
     import spark.implicits._
-    mediaBinary(spark, dir, batchSize)
+    mediaBinary(spark, dir)
       .mapPartitions(_.grouped(batchSize).flatMap(b => decodeBatch(b, featDim)))
   }
 

@@ -354,10 +354,20 @@ object Relational {
         round(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
+  /** Identifier-safe, INJECTIVE slug of an sf dir: the readable sanitized
+    * path plus a hash of the raw string — sanitization alone can collide
+    * two distinct dirs (`/a/b` vs `/a_b`), silently aliasing their
+    * views/tables (round-3 review finding). */
+  private def dirSlug(dir: String): String = {
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"${dir.replaceAll("[^A-Za-z0-9]+", "_")}_$h"
+  }
+
   /** Catalog table name for a bucketed copy of `base` scoped to one sf
     * dir (several sf dirs share a JVM across specs/verify/bench). */
   private def bucketTableName(base: String, dir: String): String =
-    s"graft_${base}_bkt_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"
+    s"graft_${base}_bkt_${dirSlug(dir)}"
 
   /** Bucketed co-partitioned fact-fact join: per-order revenue over
     * `lineitem ⋈ orders`, both stored bucketed+sorted by orderkey
@@ -409,9 +419,13 @@ object Relational {
     publishPartitionedOrders(spark, dir)
   }
 
-  def bucketedJoinRevenue(spark: SparkSession, dir: String,
-                          buckets: Int = 32): DataFrame = {
-    publishBucketedJoinTables(spark, dir, buckets)
+  def bucketedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    // bucket count is a property of the PUBLISHED layout, not of this
+    // read query — a per-call parameter here would be silently ignored
+    // whenever the tables already exist (publish is create-once), so the
+    // read path takes none (round-3 review finding); choose the layout at
+    // publishBucketedJoinTables
+    publishBucketedJoinTables(spark, dir)
     val liName = bucketTableName("lineitem", dir)
     val ordName = bucketTableName("orders", dir)
     spark.table(liName)
@@ -436,7 +450,7 @@ object Relational {
     * specs/verify/bench, and a generic name is a silent cross-dir
     * collision (round-2 ADVICE side-effect-hygiene item). */
   private def viewName(base: String, dir: String): String =
-    s"graft_${base}_v_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"
+    s"graft_${base}_v_${dirSlug(dir)}"
 
   def smallQuantityRevenue(spark: SparkSession, dir: String,
                            brand: String = "Brand#23"): DataFrame = {

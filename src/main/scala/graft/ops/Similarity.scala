@@ -156,9 +156,17 @@ object Similarity {
     * at any SF, 8 full lake scans at 100 TB) for a cluster-side fit. */
   private[ops] def quantizerCentroids(spark: SparkSession, dir: String,
                                       nlist: Int, sampleMod: Int = 5,
-                                      sampleCap: Int = 4096): Array[Array[Double]] =
+                                      sampleCap: Int = 4096): Array[Array[Double]] = {
+    val mtime = embMtime(spark, dir)
+    // evict superseded-mtime entries for the same config: without this,
+    // a long-lived JVM that rewrites the corpus accumulates one centroid
+    // matrix per rewrite forever (round-3 review finding)
+    centroidCache.keys
+      .filter(k => k._1 == dir && k._3 == nlist && k._4 == sampleMod &&
+        k._5 == sampleCap && k._2 != mtime)
+      .foreach(centroidCache.remove)
     centroidCache.getOrElseUpdate(
-      (dir, embMtime(spark, dir), nlist, sampleMod, sampleCap), {
+      (dir, mtime, nlist, sampleMod, sampleCap), {
       val sampled = embDouble(spark, dir)
         .select(col("vec_id"), col("embedding"))
         .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
@@ -167,6 +175,7 @@ object Similarity {
       require(sampled.nonEmpty, s"empty embedding sample for $dir")
       lloyd(sampled, nlist, iters = 8, seed = 42)
     })
+  }
 
   private def sqdist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
