@@ -91,6 +91,7 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, d) => Text.fingerprintPoly(s, d)),
     "q_text_bigrams" -> ((s, d) => Text.bigramCounts(s, d)),
     "q_text_length_filter" -> ((s, d) => Text.lengthFilteredStats(s, d)),
+    "q_text_repetition" -> ((s, d) => Text.repetitionSignals(s, d)),
     "q_text_decontaminate" -> ((s, d) => Text.decontaminate(s, d)),
     // rows-only: xxhash64 values are engine-specific by design
     "q_text_fingerprint_fast" -> ((s, d) => Text.fingerprintFast(s, d)),
@@ -310,6 +311,42 @@ object SparkEntry {
        |g AS (SELECT u.bh AS bh, count(*) AS n, min(u.bg) AS bigram
        |      FROM o GROUP BY u.bh)
        |SELECT bigram, n FROM g ORDER BY n DESC, bh LIMIT 50""".stripMargin
+  }
+
+  /** DuckDB twin of [[Text.repetitionSignals]], generated from the same
+    * hash constants: per-doc duplicate-3-gram fraction and top-bigram
+    * share over the hashed-token representation. */
+  private def repetitionOracle: String = {
+    val m = Dedup.shingleMult
+    s"""WITH t AS (
+       | SELECT doc_id, list_filter(string_split(text,' '), s -> len(s)>0) AS toks
+       | FROM documents),
+       |th AS (
+       | SELECT doc_id, list_transform(toks, tok ->
+       |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+       |     (acc,c) -> (acc*31 + c) % ${Dedup.P})) AS th
+       | FROM t WHERE len(toks) >= 3),
+       |tri AS (
+       | SELECT doc_id, CAST(len(th)-2 AS BIGINT) AS n_tri,
+       |  CAST(len(list_distinct(list_transform(generate_series(1, len(th)-2),
+       |    i -> ((th[i]*$m + th[i+1]) % ${Dedup.P} * $m + th[i+2]) % ${Dedup.P})))
+       |   AS BIGINT) AS n_tri_distinct
+       | FROM th),
+       |bo AS (
+       | SELECT doc_id, CAST(len(th)-1 AS BIGINT) AS n_bi,
+       |  unnest(list_transform(generate_series(1, len(th)-1),
+       |    i -> (th[i]*$m + th[i+1]) % ${Dedup.P})) AS bh
+       | FROM th),
+       |bc AS (SELECT doc_id, n_bi, bh, count(*) AS c FROM bo GROUP BY 1, 2, 3),
+       |bt AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / any_value(n_bi), 6)
+       |        AS top_bigram_frac
+       |       FROM bc GROUP BY doc_id)
+       |SELECT tri.doc_id, n_tri, n_tri_distinct,
+       | round(CAST(n_tri - n_tri_distinct AS DOUBLE) / n_tri, 6) AS dup_tri_frac,
+       | top_bigram_frac
+       |FROM tri JOIN bt ON tri.doc_id = bt.doc_id
+       |ORDER BY tri.doc_id""".stripMargin
   }
 
   /** Exact cosine top-k as a `topk` CTE — shared by `q_sim_topk` and the
@@ -717,6 +754,7 @@ object SparkEntry {
         |       + 0.3 * least(1.0, n_tokens / 60.0), 6) AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_langid" -> langIdOracle,
+    "q_text_repetition" -> repetitionOracle,
     "q_sim_topk" -> (simTopkCtes +
       """
         |SELECT q_id, cand_id, cos_sim, rnk FROM topk ORDER BY q_id, rnk""".stripMargin),

@@ -195,6 +195,52 @@ object Text {
       .select(col("bigram"), col("n"))
   }
 
+  /** Per-document repetition signals — the Gopher-style duplication
+    * filters a pre-training corpus runs alongside [[qualityScore]]:
+    * `dup_tri_frac` is the fraction of 3-gram occurrences that repeat an
+    * earlier 3-gram of the same document, `top_bigram_frac` the share of
+    * the document occupied by its single most frequent bigram. High
+    * values mark boilerplate/looping text.
+    *
+    * Scale: the 3-gram signal is pure per-row array arithmetic over the
+    * hashed-token array (zero shuffle); the top-bigram share aggregates
+    * per (doc, bigram-hash) with map-side combine then a bounded max per
+    * doc — one narrow shuffle of 8-byte keys, the same representation as
+    * [[Dedup]]'s shingles. Docs with < 3 tokens carry no 3-gram signal
+    * and are excluded by definition. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val m = Dedup.shingleMult
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), transform(col("t"),
+        tok => graft.functions.GraftFunctions.polyHash(tok)).as("th"))
+      .where(size(col("th")) >= 3)
+    def bh(i: Column): Column =
+      (element_at(col("th"), i) * m + element_at(col("th"), i + 1)) % Dedup.P
+    val tri = docs.select(col("doc_id"),
+        (size(col("th")) - 2).cast("long").as("n_tri"),
+        size(array_distinct(transform(sequence(lit(1), size(col("th")) - 2), i =>
+          (bh(i) * m + element_at(col("th"), i + 2)) % Dedup.P)))
+          .cast("long").as("n_tri_distinct"))
+      .withColumn("dup_tri_frac",
+        round((col("n_tri") - col("n_tri_distinct")) / col("n_tri"), 6))
+    val bi = docs
+      .select(col("doc_id"), (size(col("th")) - 1).cast("long").as("n_bi"),
+        explode(transform(sequence(lit(1), size(col("th")) - 1),
+          i => bh(i))).as("bh"))
+      .groupBy(col("doc_id"), col("n_bi"), col("bh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_bi"))
+      .agg(max(col("c")).as("top_bi"))
+      .select(col("doc_id"),
+        round(col("top_bi") / col("n_bi"), 6).as("top_bigram_frac"))
+    tri.join(bi, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tri"), col("n_tri_distinct"),
+        col("dup_tri_frac"), col("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Length-outlier filter: keep documents whose token count lies inside
     * the corpus [lo, hi] percentile band — the standard "drop truncated
     * and runaway documents" quality gate. The percentile bounds row is

@@ -129,6 +129,37 @@ class TextSpec extends SparkSpec {
       Seq("a b", "b c", "two tokens"))
   }
 
+  test("repetition signals: bounded fractions, hand-computed on a crafted doc") {
+    val rows = Text.repetitionSignals(spark, sf).collect()
+    assert(rows.length ===
+      Tables.documents(spark, sf)
+        .where(size(Text.tokens(col("text"))) >= 3).count())
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_tri_frac")
+      val top = r.getAs[Double]("top_bigram_frac")
+      assert(dup >= 0 && dup <= 1.0 + 1e-9)
+      assert(top > 0 && top <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_tri_distinct") <= r.getAs[Long]("n_tri"))
+    }
+    // crafted doc through the same operator core: "a b a b a b" has
+    // 4 trigrams {aba, bab, aba, bab} -> dup frac 0.5; bigrams
+    // {ab, ba, ab, ba, ab} -> top share 3/5
+    import spark.implicits._
+    val crafted = Seq((1L, "a b a b a b", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    crafted.createOrReplaceTempView("graft_repetition_crafted")
+    // drive the public operator over a one-doc frame by writing it to a
+    // scratch dir shaped like the corpus
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    crafted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Text.repetitionSignals(spark, tmp).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("n_tri") === 4L)
+    assert(got.head.getAs[Long]("n_tri_distinct") === 2L)
+    assert(got.head.getAs[Double]("dup_tri_frac") === 0.5)
+    assert(got.head.getAs[Double]("top_bigram_frac") === 0.6)
+  }
+
   test("length filter keeps the inner percentile band") {
     val rows = Text.lengthFilteredStats(spark, sf).collect()
     val totalKept = rows.map(_.getAs[Long]("n_docs")).sum
