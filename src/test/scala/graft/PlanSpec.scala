@@ -93,6 +93,23 @@ class PlanSpec extends SparkSpec {
       .contains("0"))
   }
 
+  test("bigram counts: hash-keyed top-k is a TakeOrderedAndProject, strings join via broadcast") {
+    val p = plan(graft.ops.Text.bigramCounts(spark, sf))
+    // selection happens on 8-byte keys with a bounded top-k, never a
+    // global sort of the full count set
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the winning keys broadcast back against the occurrence stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("repetition signals: narrow hash-key shuffles only, no cartesian product") {
+    val p = plan(graft.ops.Text.repetitionSignals(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // partial+final aggregation on the (doc, bigram-hash) keys
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("stratified sample: pushed filter; only exchange is the final sort") {
     val p = plan(Relational.stratifiedSample(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"), p)
