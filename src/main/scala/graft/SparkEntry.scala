@@ -32,6 +32,8 @@ object SparkEntry {
     "q_topk_brand_agg" -> ((s, d) => Relational.topPartsPerBrandAgg(s, d)),
     "q_bloom_join_revenue" -> ((s, d) => Relational.bloomFilteredJoinRevenue(s, d)),
     "q_distinct_counts" -> ((s, d) => Relational.distinctCounts(s, d)),
+    "q16_part_supplier_breadth" -> ((s, d) => Relational.partSupplierBreadth(s, d)),
+    "q_supplier_revenue" -> ((s, d) => Relational.supplierRevenue(s, d)),
     "q_intersect_customers" -> ((s, d) => Relational.customersWithOrders(s, d)),
     "q_anti_customers_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "q_union_nation_keys" -> ((s, d) => Relational.activeNationKeys(s, d)),
@@ -520,6 +522,19 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q16_part_supplier_breadth" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_supplier_revenue" ->
+      """SELECT s_suppkey, s_name,
+        | round(sum(floor(l_extendedprice*(1-l_discount)*100 + 0.5))/100, 2) AS rev,
+        | count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY rev DESC, s_suppkey LIMIT 10""".stripMargin,
     "q_distinct_counts" ->
       """SELECT count(*) AS n_rows,
         | count(DISTINCT l_orderkey) AS n_orders,

@@ -189,6 +189,42 @@ object Relational {
       .orderBy(col("yr"), col("mo"))
   }
 
+  /** TPC-H Q16-flavored supplier breadth per part spec: how many distinct
+    * suppliers ship each (brand, type, size) combination, excluding one
+    * brand — the assortment-analysis shape.
+    *
+    * Scale: `part` is dim-sized → broadcast (the fact side never shuffles
+    * for the join); `count_distinct` expands then two-phase-aggregates on
+    * the grouping+distinct keys — one shuffle keyed by the group, as at
+    * any scale. Exercises `p_type`/`p_size`, the last untouched part
+    * attributes. */
+  def partSupplierBreadth(spark: SparkSession, dir: String,
+                          excludeBrand: String = "Brand#45"): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .where(col("p_brand") =!= excludeBrand)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
+  /** Supplier revenue leaderboard: top suppliers by shipped revenue with
+    * their names — the per-entity rollup + top-k shape. Scale: supplier
+    * broadcasts, one fact shuffle on the (suppkey, name) group, top-10 is
+    * a TakeOrderedAndProject. Revenue in exact integer cents
+    * (order/engine-insensitive; see [[bloomFilteredJoinRevenue]]). */
+  def supplierRevenue(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(round(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100 + 0.5)) / 100, 2).as("rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("rev").desc, col("s_suppkey"))
+      .limit(k)
+
   /** Exact + approximate distinct counts over the fact table.
     *
     * Scale: `count_distinct` shuffles by the counted key (expand + two-phase

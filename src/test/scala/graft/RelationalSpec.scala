@@ -68,6 +68,25 @@ class RelationalSpec extends SparkSpec {
     assert(bloom.nonEmpty)
   }
 
+  test("part supplier breadth: counts bounded by supplier population, excluded brand absent") {
+    val rows = Relational.partSupplierBreadth(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nSupp = Tables.supplier(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[String]("p_brand") !== "Brand#45")
+      val c = r.getAs[Long]("supplier_cnt")
+      assert(c >= 1 && c <= nSupp)
+    }
+  }
+
+  test("supplier revenue leaderboard: k rows, ordered, names present") {
+    val rows = Relational.supplierRevenue(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[String]("s_name") != null))
+    val revs = rows.map(_.getAs[Double]("rev"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("distinct counts: exact values vs direct computation; approx HLL within 5%") {
     val r = Relational.distinctCounts(spark, sf).collect().head
     val li = Tables.lineitem(spark, sf)
