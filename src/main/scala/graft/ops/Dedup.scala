@@ -71,6 +71,17 @@ object Dedup {
     * ((h1·1009 + h2) mod P · 1009 + h3) mod P. */
   val shingleMult = 1009L
 
+  /** Affine 2-gram token-hash combine — THE bigram key arithmetic. One
+    * source of truth: [[Text.bigramCounts]], [[Text.repetitionSignals]],
+    * and the generated DuckDB oracles all replay exactly this; a drift in
+    * any copy would silently desynchronize engine and oracle (round-3
+    * review finding). */
+  def combine2(h1: Column, h2: Column): Column = (h1 * shingleMult + h2) % P
+
+  /** Affine 3-gram combine, built on [[combine2]]. */
+  def combine3of(h1: Column, h2: Column, h3: Column): Column =
+    (combine2(h1, h2) * shingleMult + h3) % P
+
   /** Distinct hashed 3-gram shingles, built by hashing each *token* once
     * and combining consecutive token hashes — O(chars) total instead of
     * O(3·chars) re-folds per overlapping shingle, and downstream set ops
@@ -79,18 +90,15 @@ object Dedup {
     * shingle regardless of token length. */
   def shingleHashes(text: Column): Column = {
     val th = transform(toks(text), t => polyHash(t))
-    when(size(th) >= 3,
-      array_distinct(transform(sequence(lit(1), size(th) - 2), i =>
-        ((element_at(th, i) * shingleMult + element_at(th, i + 1)) % P
-          * shingleMult + element_at(th, i + 2)) % P)))
+    when(size(th) >= 3, combine3(th))
       .otherwise(array().cast("array<bigint>"))
   }
 
-  /** Combine three consecutive token hashes into one shingle hash. */
-  private def combine3(th: Column): Column =
+  /** Distinct 3-gram shingle hashes of a token-hash array. */
+  private[graft] def combine3(th: Column): Column =
     array_distinct(transform(sequence(lit(1), size(th) - 2), i =>
-      ((element_at(th, i) * shingleMult + element_at(th, i + 1)) % P
-        * shingleMult + element_at(th, i + 2)) % P))
+      combine3of(element_at(th, i), element_at(th, i + 1),
+        element_at(th, i + 2))))
 
   /** docs with ≥3 tokens: (doc_id, hs = hashed shingle set).
     *

@@ -147,17 +147,22 @@ class TextSpec extends SparkSpec {
     import spark.implicits._
     val crafted = Seq((1L, "a b a b a b", "en", "s", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    crafted.createOrReplaceTempView("graft_repetition_crafted")
     // drive the public operator over a one-doc frame by writing it to a
     // scratch dir shaped like the corpus
-    val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
-    crafted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val got = Text.repetitionSignals(spark, tmp).collect()
-    assert(got.length === 1)
-    assert(got.head.getAs[Long]("n_tri") === 4L)
-    assert(got.head.getAs[Long]("n_tri_distinct") === 2L)
-    assert(got.head.getAs[Double]("dup_tri_frac") === 0.5)
-    assert(got.head.getAs[Double]("top_bigram_frac") === 0.6)
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_rep")
+    try {
+      crafted.write.mode("overwrite").parquet(s"$tmpDir/documents.parquet")
+      val got = Text.repetitionSignals(spark, tmpDir.toString).collect()
+      assert(got.length === 1)
+      assert(got.head.getAs[Long]("n_tri") === 4L)
+      assert(got.head.getAs[Long]("n_tri_distinct") === 2L)
+      assert(got.head.getAs[Double]("dup_tri_frac") === 0.5)
+      assert(got.head.getAs[Double]("top_bigram_frac") === 0.6)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("length filter keeps the inner percentile band") {
