@@ -201,21 +201,34 @@ object Text {
     * the document occupied by its single most frequent bigram. High
     * values mark boilerplate/looping text.
     *
-    * Scale: one scan — the 3-gram stats are per-row array arithmetic
-    * that rides through the bigram aggregation as constant grouping
-    * keys, so the plan is scan → explode → count per (doc, bigram-hash)
-    * with map-side combine → max per doc: two narrow exchanges of 8-byte
-    * hash keys (the same representation as [[Dedup]]'s shingles), no
-    * join, no second scan. Docs with < 3 tokens carry no 3-gram signal
-    * and are excluded by definition. */
+    * Scale: ONE scan and ZERO wide exchanges — both signals are pure
+    * per-row array arithmetic over the hashed-token representation. The
+    * top-bigram multiplicity is the longest equal-run in the *sorted*
+    * per-doc bigram-hash array (equal hashes become adjacent), computed
+    * by a single `aggregate` fold — no explode, no per-(doc, bigram)
+    * shuffle, no join. (Two rejected shapes, for the record: an
+    * explode + two-level aggregate paid a per-(doc,bh) shuffle and, via
+    * `InferFiltersFromGenerate` + predicate pushdown, re-inlined the
+    * whole tokenize/hash expression into a pushed filter — measured 7×
+    * the cost; and a two-branch scan + doc_id join paid a second scan
+    * and a sort-merge join.) The only exchange in the plan is the final
+    * presentation sort. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // ONE scan: the per-row trigram stats ride through the bigram
-    // aggregation as grouping keys (they're constant per doc), so the
-    // plan is scan → explode → two hash-aggs — no second scan, no
-    // doc_id join (round-3 review finding)
     def bh(th: Column, i: Column): Column =
       Dedup.combine2(element_at(th, i), element_at(th, i + 1))
+    // longest run of equal values in a sorted array: fold carrying
+    // (prev, current run, best run). -1 sentinel: hashes are mod-P ≥ 0.
+    def longestRun(sorted: Column): Column =
+      aggregate(sorted,
+        struct(lit(-1L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, x) => {
+          val run = when(x === st.getField("prev"),
+            st.getField("run") + lit(1L)).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(st.getField("best"), run).as("best"))
+        },
+        st => st.getField("best"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), transform(tokens(col("text")),
         tok => graft.functions.GraftFunctions.polyHash(tok)).as("th"))
@@ -224,13 +237,8 @@ object Text {
         (size(col("th")) - 2).cast("long").as("n_tri"),
         size(Dedup.combine3(col("th"))).cast("long").as("n_tri_distinct"),
         (size(col("th")) - 1).cast("long").as("n_bi"),
-        explode(transform(sequence(lit(1), size(col("th")) - 1),
-          i => bh(col("th"), i))).as("bh"))
-      .groupBy(col("doc_id"), col("n_tri"), col("n_tri_distinct"),
-        col("n_bi"), col("bh"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_tri"), col("n_tri_distinct"), col("n_bi"))
-      .agg(max(col("c")).as("top_bi"))
+        longestRun(array_sort(transform(sequence(lit(1), size(col("th")) - 1),
+          i => bh(col("th"), i)))).as("top_bi"))
       .select(col("doc_id"), col("n_tri"), col("n_tri_distinct"),
         round((col("n_tri") - col("n_tri_distinct")) / col("n_tri"), 6)
           .as("dup_tri_frac"),

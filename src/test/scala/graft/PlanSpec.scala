@@ -103,11 +103,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("repetition signals: narrow hash-key shuffles only, no cartesian product") {
+  test("repetition signals: pure per-row projection; only exchange is the final sort") {
     val p = plan(graft.ops.Text.repetitionSignals(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
-    // partial+final aggregation on the (doc, bigram-hash) keys
-    assert(p.contains("HashAggregate"), p)
+    // both signals fold per-row over the hashed-token arrays: no
+    // explode, no aggregation shuffle — one range exchange for the
+    // presentation order
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Generate"), p)
+    assert(countOccurrences(p, "Exchange ") === 1, p)
   }
 
   test("stratified sample: pushed filter; only exchange is the final sort") {
