@@ -80,7 +80,14 @@ object Text {
     * divisors go through `nullif` — an empty document must yield NULL
     * ratios (as the DuckDB oracle does for /0), not an ANSI
     * DIVIDE_BY_ZERO (Spark 4 default). */
-  def qualityScoreOf(docs: DataFrame): DataFrame = {
+  def qualityScoreOf(docs: DataFrame): DataFrame =
+    qualityScoreRows(docs).orderBy(col("doc_id"))
+
+  /** [[qualityScoreOf]] without the presentation sort — the form that
+    * runs UNCHANGED on a streaming frame (stateless per-row projection;
+    * streams reject sorts). Spec-asserted equal to the batch path on the
+    * same corpus. */
+  def qualityScoreRows(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = nullif(col("n_tokens"), lit(0L))
@@ -96,7 +103,6 @@ object Text {
         lit(0.4) * (col("n_distinct") / nTok) +
         lit(0.3) * (lit(1.0) - col("n_stop") / nTok) +
         lit(0.3) * least(lit(1.0), col("n_tokens") / lit(60.0)), 6))
-      .orderBy(col("doc_id"))
   }
 
   /** Language-marker profiles for the n-gram language-ID heuristic:

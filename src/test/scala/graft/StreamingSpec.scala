@@ -12,6 +12,28 @@ class StreamingSpec extends SparkSpec {
     new java.io.File(dir).listFiles()
       .foreach(_.setLastModified(System.currentTimeMillis() + 60000))
 
+  test("streaming text-quality scoring == batch on the same corpus (stateless ops run on streams unchanged)") {
+    // the LLM-pipeline per-row operators (quality scoring here) are
+    // stateless projections, so the SAME code path runs on an unbounded
+    // source with no watermark or state store — the property that lets a
+    // training-data pipeline move from backfill (batch over the lake) to
+    // ingest (stream) without a rewrite
+    val stream = spark.readStream
+      .schema(graft.sources.Tables.documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    val q = graft.ops.Text.qualityScoreRows(stream)
+      .writeStream.format("memory").queryName("stream_quality").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_quality").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val batch = graft.ops.Text.qualityScore(spark, sf).collect()
+    assert(batch.nonEmpty && streamed.size === batch.length)
+    batch.foreach { r =>
+      assert(streamed(r.getAs[Long]("doc_id")) === r.getAs[Double]("quality"))
+    }
+  }
+
   test("streaming tumbling counts == batch tumbling counts on the same input") {
     val stream = EventStream.readEvents(spark, sf)
     assert(stream.isStreaming)
