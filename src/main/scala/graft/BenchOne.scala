@@ -20,12 +20,12 @@ object BenchOne {
       .agg(avg(length(col("text")))).collect()
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"BENCHONE $name ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      // full-output checksum evaluation, same protocol as Bench: count()
+      // lets Catalyst prune per-row expressions and drop the final sort
+      val ts = (1 to 3).map { _ => Timing.timeOnce(fn(spark, sfDir)) }
+      require(ts.forall(_.ok), s"$name failed: ${ts.find(!_.ok).get.err}")
+      println(f"BENCHONE $name ${ts.map(t => f"${t.sec}%.2f").mkString(" ")}" +
+        f" gc=${ts.map(t => f"${t.gcSec}%.2f").mkString(" ")}")
     }
     spark.stop()
   }

@@ -101,7 +101,8 @@ object SparkEntry {
     "q_sim_topk" -> ((s, d) => Similarity.topKCosine(s, d)),
     "q_knn_vote" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     "q_sim_pair_cosine" -> ((s, d) => Similarity.pairCosine(s, d)),
-    // rows-only: LSH bucketing is approximate by design; spec asserts recall
+    // rows-only: sign-index plane geometry is engine-specific; spec
+    // asserts recall vs the exact brute baseline
     "q_sim_ann_topk" -> ((s, d) => Similarity.annTopKCosine(s, d)),
     // dedup pack [EXT] (SURVEY §2.B dedup row)
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),

@@ -394,7 +394,7 @@ object Relational {
     * path plus a hash of the raw string — sanitization alone can collide
     * two distinct dirs (`/a/b` vs `/a_b`), silently aliasing their
     * views/tables (round-3 review finding). */
-  private def dirSlug(dir: String): String = {
+  private[ops] def dirSlug(dir: String): String = {
     val h = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir))
     s"${dir.replaceAll("[^A-Za-z0-9]+", "_")}_$h"

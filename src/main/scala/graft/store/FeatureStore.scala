@@ -91,6 +91,16 @@ object FeatureStore {
         .saveAsTable(table)
     }
 
+  /** Publish `df` as a plain (unbucketed, unpartitioned) catalog parquet
+    * table — for narrow derived layouts like the ANN sign index, where the
+    * reader always scans the whole (tiny-per-row) table and the win is
+    * the precomputed column itself, not data placement. */
+  def ensurePlainTable(spark: SparkSession, df: => DataFrame,
+                       table: String): Unit =
+    ensureTable(spark, table) {
+      df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    }
+
   /** Publish `df` hive-style partitioned by `partCol` — the lake layout
     * that turns partition-column predicates into directory pruning: a
     * filter on `partCol` skips the other partitions' files entirely. At

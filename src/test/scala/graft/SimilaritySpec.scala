@@ -58,13 +58,51 @@ class SimilaritySpec extends SparkSpec {
     assert(salted === naive)
   }
 
-  test("ANN top-k: recall vs brute force is usable") {
+  test("ANN top-k: recall vs brute force is usable, runs deterministic") {
     val exact = Similarity.topKCosine(spark, sf, nQueries = 5, k = 10).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
     val approx = Similarity.annTopKCosine(spark, sf, nQueries = 5, k = 10).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"ANN recall $recall below 0.5")
+    info(f"ANN sign-index recall vs exact: $recall%.2f")
+    assert(recall >= 0.7, s"ANN recall $recall below 0.7")
+    // fixed seeded planes + (hamming, cand_id) tiebreaks → re-running the
+    // query must reproduce the same candidate set exactly
+    val again = Similarity.annTopKCosine(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(again === approx)
+  }
+
+  test("ANN shortlist reads the published narrow sign index, not the wide table") {
+    Similarity.ensureSignIndex(spark, sf)
+    val df = Similarity.annTopKCosine(spark, sf, nQueries = 3, k = 5)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // at least one scan is the sign-index table and it reads only the two
+    // narrow columns (vec_id, sign_bits) — the 16-bytes-per-row shortlist
+    val idx = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("graft_sign_idx")))
+    assert(idx.nonEmpty, scans.map(_.toString).mkString("\n"))
+    assert(idx.head.schema.fieldNames.toSet === Set("vec_id", "sign_bits"),
+      idx.head.schema.treeString)
+  }
+
+  test("IVF probe is a partition-pruned scan of the published cells table") {
+    Similarity.ensureIvfCells(spark, sf)
+    val df = Similarity.ivfTopKCosine(spark, sf, nQueries = 3, k = 5, nProbe = 4)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths
+          .exists(_.toString.contains("graft_ivf_cells")) => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    // the cells scan must carry a dynamic partition-pruning filter on the
+    // `cell` partition column: the probe join prunes cell directories at
+    // runtime, no corpus-wide assignment pass anywhere in the plan
+    val scanStr = scans.head.toString
+    assert(scanStr.contains("PartitionFilters"), scanStr)
+    assert(scanStr.contains("dynamicpruning"), scanStr)
   }
 
   test("IVF top-k: recall vs brute force is usable") {
