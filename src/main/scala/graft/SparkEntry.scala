@@ -111,6 +111,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "q_dedup_jaccard_brute" -> ((s, d) => Dedup.jaccardPairsBrute(s, d)),
     "q_dedup_containment" -> ((s, d) => Dedup.containmentPairsBrute(s, d)),
+    "q_dedup_containment_lsh" -> ((s, d) => Dedup.containmentPairsLsh(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashDupPairs(s, d)),
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
@@ -288,6 +289,55 @@ object SparkEntry {
        |pairs AS (
        | SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
        | FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8)""".stripMargin
+  }
+
+  /** DuckDB twin of [[Dedup.containmentPairsLsh]], generated from the same
+    * constants: windowed MinHash re-signing (stride = W/2), 4×2 banding on
+    * window signatures, exact whole-doc containment verify on candidates —
+    * identical integer arithmetic end to end, so even the LSH scale path
+    * is hash-checked, not just rows-counted. */
+  private def containmentLshOracle: String = {
+    val w = Dedup.contWindowTokens
+    val step = w / 2
+    val m = Dedup.shingleMult
+    val sigExprs = Dedup.A.indices.map { j =>
+      s"list_aggregate(list_transform(whs, h -> (h*${Dedup.A(j)}+${Dedup.B(j)}) % ${Dedup.P}), 'min') AS sig_$j"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until Dedup.numBands).map(b =>
+      s"SELECT doc_id, $b AS band, sig_${2 * b} AS s1, sig_${2 * b + 1} AS s2 FROM wsig")
+      .mkString("\n  UNION ALL ")
+    dedupCtes + s"""
+       |, w AS (
+       | SELECT doc_id, unnest(list_transform(
+       |   generate_series(1, greatest(len(th) - $w + 1, 1), $step),
+       |   st -> list_slice(th, st, st + ${w - 1}))) AS wth
+       | FROM th),
+       |wh AS (
+       | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(wth)-2),
+       |   i -> ((wth[i]*$m + wth[i+1]) % ${Dedup.P} * $m + wth[i+2]) % ${Dedup.P})) AS whs
+       | FROM w WHERE len(wth) >= 3),
+       |wsig AS (
+       | SELECT doc_id,
+       |  $sigExprs
+       | FROM wh),
+       |wbands AS (
+       |  $bandSelects),
+       |wcand AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       | FROM wbands x JOIN wbands y
+       |   ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+       |  AND x.doc_id < y.doc_id),
+       |cj AS (
+       | SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS inter,
+       |  len(a.hs) AS na, len(b.hs) AS nb
+       | FROM wcand JOIN hsh a ON wcand.doc_a = a.doc_id
+       |            JOIN hsh b ON wcand.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, round(inter / na, 6) AS cont_a_in_b,
+       | round(inter / nb, 6) AS cont_b_in_a
+       |FROM cj
+       |WHERE greatest(round(inter / na, 6), round(inter / nb, 6)) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** DuckDB twin of [[Text.bigramCounts]], generated from the same hash
@@ -906,6 +956,7 @@ object SparkEntry {
          |FROM j
          |WHERE greatest(round(inter / na, 6), round(inter / nb, 6)) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_containment_lsh" -> containmentLshOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_simhash_pairs" -> {
       val blocks = 4

@@ -39,6 +39,10 @@ object Dedup {
   /** Salt for the second 30-bit token hash: h2 = (h·A2 + B2) mod P. */
   val A2 = 48271L
   val B2 = 11L
+  /** Token-window width for [[containmentPairsLsh]]'s re-signing pass —
+    * shared with the generated DuckDB oracle so engine and oracle replay
+    * identical windows. */
+  val contWindowTokens = 32
 
   /** Exact dedup: one row per distinct text, keeping the smallest doc_id.
     * The 100 TB variant groups on `xxhash64(text)` so the shuffle carries
@@ -100,20 +104,26 @@ object Dedup {
       combine3of(element_at(th, i), element_at(th, i + 1),
         element_at(th, i + 2))))
 
-  /** docs with ≥3 tokens: (doc_id, hs = hashed shingle set).
+  /** docs with ≥3 tokens: (doc_id, th = per-token poly-hash array).
     *
-    * The token-hash array is materialized as its own projection before the
+    * The token-hash array is materialized as its own projection before any
     * shingle-combine lambda reads it — inlined, `element_at(th, i)` would
     * re-evaluate the whole token-hash transform per sequence element,
     * turning an O(tokens) row into O(tokens²) (measured 5× on the bench). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+  private def tokenHashedOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), transform(toks(col("text")),
         t => graft.functions.GraftFunctions.polyHash(t)).as("th"))
       .where(size(col("th")) >= 3)
-      .select(col("doc_id"), combine3(col("th")).as("hs"))
   }
+
+  /** docs with ≥3 tokens: (doc_id, hs = hashed shingle set). */
+  private def shingledOf(docs: DataFrame): DataFrame =
+    tokenHashedOf(docs).select(col("doc_id"), combine3(col("th")).as("hs"))
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledOf(Tables.documents(spark, dir))
 
   /** MinHash signatures: sig_j = min over shingles of (A_j·H + B_j) mod P.
     * One narrow row per document; a pure per-row map over the scan. */
@@ -295,22 +305,25 @@ object Dedup {
     * Jaccard under-scores (|A∩B|/|A∪B| is diluted by the larger set).
     * Emits both directions' scores for each qualifying pair.
     *
-    * Scale path (documented; the declared form is the subset-bounded
-    * oracle baseline, like [[jaccardPairsBrute]]): candidates from the
-    * same MinHash-LSH banding as [[minhashDupPairs]] — sound for
-    * containment between similarly-sized documents — with a
-    * length-stratified re-signing pass for strongly asymmetric sizes (a
-    * 100-word doc inside a 10k-word doc rarely collides on whole-doc
-    * MinHash bands; real systems sign the long side's windows). The
-    * exact verification on candidate shingle sets is this same
-    * arithmetic either way. */
+    * This declared form is the subset-bounded oracle baseline, like
+    * [[jaccardPairsBrute]]; the scale path is [[containmentPairsLsh]]
+    * (windowed MinHash-LSH candidates, exact verify on candidates via the
+    * shared [[containmentVerify]]). */
   def containmentPairsBrute(spark: SparkSession, dir: String,
                             maxDocId: Long = 500,
                             minCont: Double = 0.8): DataFrame = {
     val sh = shingled(spark, dir).where(col("doc_id") < maxDocId)
-    sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val pairs = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
       .crossJoin(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")))
       .where(col("doc_a") < col("doc_b"))
+    containmentVerify(pairs, minCont)
+  }
+
+  /** Exact whole-doc containment verify over a (doc_a, hs_a, doc_b, hs_b)
+    * frame — THE containment arithmetic, shared by the brute baseline and
+    * the LSH scale path so the two cannot drift. */
+  private def containmentVerify(pairs: DataFrame, minCont: Double): DataFrame =
+    pairs
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .withColumn("cont_a_in_b", round(col("inter") / size(col("hs_a")), 6))
@@ -319,6 +332,75 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         col("cont_a_in_b"), col("cont_b_in_a"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Containment pairs at scale — the path the round-3 scaladoc promised
+    * and round 4 implements: every document is MinHash-signed per
+    * overlapping token WINDOW (length-stratified re-signing: a short doc
+    * is one window, a long doc is many), window signatures are banded with
+    * the same 4×2 LSH as [[minhashDupPairs]], colliding windows of
+    * distinct documents nominate candidate pairs, and every candidate is
+    * verified with the exact whole-doc containment arithmetic shared with
+    * [[containmentPairsBrute]] ([[containmentVerify]]).
+    *
+    * Why windows: a 100-word document buried inside a 10k-word document
+    * almost never collides on whole-doc MinHash bands (its shingles are a
+    * tiny minority of the long doc's set, so the long doc's minima are
+    * elsewhere), but the long doc's window aligned with the copied region
+    * has high Jaccard with the short doc's window — that collision is what
+    * the banding sees. Stride = windowTokens/2, so a copied region
+    * straddling a window boundary still lands mostly inside some window.
+    *
+    * Scale: Σ window-shingle work is ≈2× the whole-doc signing pass (each
+    * token is in ≤2 windows); the only wide operations are the band
+    * self-join on narrow (band, s1, s2) keys and the candidates-only
+    * shingle-set lookups — never O(n²) plan-side. Precision is exact by
+    * construction (every emitted pair passed the exact verify); recall is
+    * the window-banding collision probability, spec-asserted equal to the
+    * brute baseline on this corpus and on a planted asymmetric copy. */
+  def containmentPairsLsh(spark: SparkSession, dir: String,
+                          minCont: Double = 0.8,
+                          windowTokens: Int = contWindowTokens): DataFrame =
+    containmentPairsLshOf(Tables.documents(spark, dir), minCont, windowTokens)
+
+  /** Core of [[containmentPairsLsh]] over any (doc_id, text) frame — also
+    * fed planted short-inside-long corpora by the recall spec. */
+  private[graft] def containmentPairsLshOf(docs: DataFrame, minCont: Double,
+                                           windowTokens: Int): DataFrame = {
+    require(windowTokens >= 6 && windowTokens % 2 == 0,
+      s"windowTokens ($windowTokens) must be an even number >= 6")
+    val stride = windowTokens / 2
+    val th = tokenHashedOf(docs)
+
+    // one row per (doc, window): the exploded rows carry only the ≤W-token
+    // window slice, never a copy of the full token-hash array — and the
+    // slice is materialized by posexplode BEFORE combine3 indexes it (the
+    // same O(tokens²)-re-evaluation trap tokenHashedOf documents)
+    val starts = sequence(lit(1),
+      greatest(size(col("th")) - windowTokens + 1, lit(1)), lit(stride))
+    val wins = th
+      .select(col("doc_id"),
+        posexplode(transform(starts, st => slice(col("th"), st, lit(windowTokens)))))
+      .select(col("doc_id"), col("col").as("wth"))
+      .where(size(col("wth")) >= 3)
+      .select(col("doc_id"), combine3(col("wth")).as("whs"))
+
+    val sigCols = A.indices.map { j =>
+      array_min(transform(col("whs"), h => (h * A(j) + B(j)) % P)).as(s"sig_$j")
+    }
+    val wsig = wins.select(col("doc_id") +: sigCols: _*)
+    val bands = wsig.select(col("doc_id"), explode(array(
+      (0 until numBands).map(b => struct(lit(b).as("band"),
+        col(s"sig_${2 * b}").as("s1"), col(s"sig_${2 * b + 1}").as("s2"))): _*)).as("bk"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sh = shingledOf(docs)
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+    containmentVerify(pairs, minCont)
   }
 
   /** SimHash: 30-bit signature. Tokens vote ±1 per bit of their hash,

@@ -113,6 +113,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment LSH scale path: exact precision and full parity with brute on this corpus") {
+    val brute = Dedup.containmentPairsBrute(spark, sf, maxDocId = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"))).toSet
+    val lsh = Dedup.containmentPairsLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"))).toSet
+    // precision is exact by construction (every candidate passes the same
+    // verify); on this corpus the windowed banding also recalls every
+    // brute pair, so the two must agree exactly — scores included
+    assert(lsh === brute,
+      s"missing=${brute.diff(lsh).take(5)} extra=${lsh.diff(brute).take(5)}")
+  }
+
+  test("containment LSH finds a planted short-doc-inside-long-doc copy") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def salad(n: Int): String =
+      Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    // long host document; the planted short doc is a verbatim excerpt of
+    // its middle — high cont(short→long), low Jaccard, the asymmetric
+    // case whole-doc MinHash banding structurally misses
+    val host = Seq.fill(400)(s"w${rnd.nextInt(5000)}")
+    val excerpt = host.slice(180, 240).mkString(" ")
+    val docs = (Seq((0L, host.mkString(" ")), (1L, excerpt)) ++
+      (2L to 30L).map(i => (i, salad(120)))).toDF("doc_id", "text")
+    val found = Dedup.containmentPairsLshOf(docs, minCont = 0.8, windowTokens = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.contains((0L, 1L)), s"planted pair missed; found ${found.toSeq}")
+    // and the direction is right: the short doc is contained in the long
+    val row = Dedup.containmentPairsLshOf(docs, 0.8, 32)
+      .where(col("doc_a") === 0 && col("doc_b") === 1).head()
+    assert(row.getAs[Double]("cont_b_in_a") >= 0.8)
+    assert(row.getAs[Double]("cont_a_in_b") < 0.5)
+  }
+
   test("embedding near-dup pairs: ordered, cosine above threshold") {
     val rows = Dedup.embeddingDupPairs(spark, sf).collect()
     rows.foreach { r =>
