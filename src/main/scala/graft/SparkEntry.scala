@@ -70,6 +70,9 @@ object SparkEntry {
     "q_corr_stats" -> ((s, d) => Stats.corrStats(s, d)),
     "q_corr_matrix" -> ((s, d) => Stats.corrMatrix(s, d)),
     "q_histogram_price" -> ((s, d) => Stats.histogram(s, d)),
+    // rows-only: the synthetic feature table's hash-RNG draws are
+    // engine-specific; spec asserts per-column parity with a recompute
+    "q_histogram_features" -> ((s, _) => Stats.featureHistograms(s)),
     "q_kde_discount" -> ((s, d) =>
       Stats.kdeDensity(s, d, kdeColumn, kdeBandwidth, kdePoints)),
     // events pack [EXT] (SURVEY §2.B streaming/window rows)

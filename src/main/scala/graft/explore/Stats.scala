@@ -74,6 +74,43 @@ object Stats {
       .orderBy(col("bucket"))
   }
 
+  /** Fused multi-column histogram — reference R15 at full breadth
+    * (`src/data_exploration.py:16-18` loops `sns.histplot` over all 20
+    * feature columns of the synthetic feature table): ONE job computes
+    * every column's equi-width bucket counts in long form
+    * (feature, bucket, n).
+    *
+    * Two fused aggregates instead of the reference's 20 sequential passes:
+    * (1) one agg row carrying min/max of all 20 columns (broadcast, never
+    * collected), (2) one explode of 20 (feature, bucket) structs per row
+    * into a single (feature, bucket) group-count. Shuffle output is
+    * O(cols·buckets), independent of row count — at 100 TB this is the
+    * difference between scanning the lake once and 20 times. Declared
+    * rows-only: the generator's hash-RNG draws are engine-specific; the
+    * spec asserts per-column parity with an independent recompute. */
+  def featureHistograms(spark: SparkSession, n: Long = 10000,
+                        buckets: Int = 10): DataFrame = {
+    val feats = (0 until graft.datagen.SyntheticFeatures.numFeatures)
+      .map(i => s"feature_$i")
+    val df = graft.datagen.SyntheticFeatures.generate(spark, n)
+    val bounds = df.agg(
+      min(col(feats.head)).as(s"mn_${feats.head}"),
+      feats.tail.flatMap(c =>
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) :+
+        max(col(feats.head)).as(s"mx_${feats.head}"): _*)
+    val bucketStructs = feats.map { c =>
+      struct(lit(c).as("feature"), least(
+        coalesce(floor((col(c) - col(s"mn_$c")) /
+          nullif((col(s"mx_$c") - col(s"mn_$c")) / buckets, lit(0.0))), lit(0L)),
+        lit(buckets - 1)).cast("long").as("bucket"))
+    }
+    df.crossJoin(broadcast(bounds))
+      .select(explode(array(bucketStructs: _*)).as("e"))
+      .groupBy(col("e.feature").as("feature"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("feature"), col("bucket"))
+  }
+
   /** Gaussian kernel density estimate at fixed evaluation points — the KDE
     * curve the reference overlays on each histogram (R15's `kde=True`,
     * `src/data_exploration.py:17`): density(g) = mean over samples x of

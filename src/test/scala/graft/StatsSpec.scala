@@ -43,4 +43,47 @@ class StatsSpec extends SparkSpec {
     })
     assert(rows.map(_.getAs[Long]("n")).sum === Tables.lineitem(spark, sf).count())
   }
+
+  test("fused 20-column histogram: every feature covered, parity with a recompute") {
+    val n = 2000L
+    val buckets = 10
+    val rows = Stats.featureHistograms(spark, n, buckets).collect()
+    val byFeature = rows.groupBy(_.getAs[String]("feature"))
+    // R15 breadth: all 20 feature columns in one result, each complete
+    assert(byFeature.keySet ===
+      (0 until graft.datagen.SyntheticFeatures.numFeatures)
+        .map(i => s"feature_$i").toSet)
+    byFeature.foreach { case (f, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum === n, f)
+      assert(rs.forall { r =>
+        val b = r.getAs[Long]("bucket"); b >= 0 && b < buckets
+      }, f)
+    }
+    // per-column parity: the fused pass must equal an independent
+    // driver-side recompute of the same clamped equi-width bucketing
+    val data = graft.datagen.SyntheticFeatures.generate(spark, n).collect()
+    Seq("feature_0", "feature_7", "feature_19").foreach { f =>
+      val xs = data.map(_.getAs[Double](f))
+      val (mn, mx) = (xs.min, xs.max)
+      val w = (mx - mn) / buckets
+      val expect = xs.map { x =>
+        if (w == 0.0) 0L
+        else math.min(math.floor((x - mn) / w).toLong, (buckets - 1).toLong)
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val got = byFeature(f)
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+      assert(got === expect, f)
+    }
+  }
+
+  test("fused 20-column histogram is ONE aggregation job, not 20 scans") {
+    val df = Stats.featureHistograms(spark, 1000, 10)
+    val p = df.queryExecution.executedPlan.toString
+    // one group-count exchange (the (feature, bucket) agg); the bounds agg
+    // is a single-row broadcast, the final order is the range exchange
+    assert(!p.contains("CartesianProduct"), p)
+    val hashEx = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx === 1, p)
+  }
 }
