@@ -119,8 +119,17 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashDupPairs(s, d)),
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
     // rows-only: LSH bucket geometry is engine-specific; precision exact
-    // by construction (cosine verify), recall spec vs the brute baseline
-    "q_dedup_embed_lsh" -> ((s, d) => Dedup.embeddingDupPairsLsh(s, d)),
+    // by construction (cosine verify), recall spec vs the brute baseline.
+    // Geometry pinned EXPLICITLY to the prune-first 8×8 profile: this
+    // corpus's pairwise-cos ceiling (~0.5) is below the operator's real
+    // near-dup regime, and the auto geometry for minCos=0.4 (16×4,
+    // recall ~0.94) rightly refuses to prune near orthogonality — ~64% of
+    // the cross product survives banding, ~2.5× the query cost for pairs
+    // no pipeline would act on. Defaults-callers get the auto geometry
+    // (Dedup.autoBands); the real-regime recall is spec-asserted on
+    // planted near-dups.
+    "q_dedup_embed_lsh" -> ((s, d) =>
+      Dedup.embeddingDupPairsLsh(s, d, minCos = 0.4, nPlanes = 64, bands = 8)),
     // rows-only: xxhash64 grouping, engine-specific hash by design
     "q_dedup_exact_hash" -> ((s, d) => Dedup.exactDedupByHash(s, d)),
     // ML metrics pack (reference R9–R11 shapes, SURVEY §2.A)

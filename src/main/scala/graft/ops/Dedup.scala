@@ -234,12 +234,22 @@ object Dedup {
     // orphaned blocks under session memory pressure). Only ever called on
     // frames no later round reads — an unpersisted localCheckpoint cannot
     // recompute (lineage is truncated by design).
-    def freeCheckpoint(df: DataFrame): Unit =
+    // Only ever handed localCheckpoint results, whose analyzed plan is a
+    // LogicalRDD — if a future Spark version wraps them differently, fail
+    // loudly instead of silently no-opping and re-leaking one checkpoint's
+    // blocks per round (round-3 ADVICE; the leak is exactly the round-2
+    // postmortem's failure mode).
+    def freeCheckpoint(df: DataFrame): Unit = {
+      var found = 0
       df.queryExecution.analyzed.foreach {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
+          l.rdd.unpersist(blocking = false); found += 1
         case _ => ()
       }
+      if (found == 0) throw new IllegalStateException(
+        "freeCheckpoint found no LogicalRDD in a localCheckpoint'd plan — " +
+          "plan shape changed; checkpoint blocks would leak per round")
+    }
 
     var converged = false
     var i = 0
@@ -483,31 +493,48 @@ object Dedup {
     * duplicated candidate stream), then exact verification on candidates
     * only. Never O(n²) plan-side.
     *
-    * Geometry: 8 bits per band → a random (near-orthogonal) pair collides
-    * on a band with p ≈ 2⁻⁸, so candidates stay ~n·k instead of the ~n²/2
-    * that 4-bit bands produced at this corpus's weak-similarity ceiling
-    * (round-2 bench: 10.1 s; the band join compared Σ|bucket|² rows).
-    * The flip side is honest and documented: at the declared minCos=0.4
-    * boundary recall vs brute force drops to the banding probability
-    * 1−(1−p_bit⁶⁴ᐟ⁸)⁸ (~0.2 at cos 0.4); in the real near-dup regime the
-    * operator is built for (cos ≥ 0.9, p_bit ≈ 0.86) the same geometry
-    * recalls >0.9 — spec-asserted on planted near-dups. Rows-only in the
-    * driver gate: the candidate set depends on plane geometry. */
+    * Geometry: by default DERIVED from `minCos` ([[autoBands]]) so the
+    * defaults are self-consistent (round-3 ADVICE: fixed 8-bit bands at
+    * the default minCos=0.4 silently recalled ~0.2): the widest band
+    * (fewest candidates) whose Charikar banding recall at the minCos
+    * boundary still clears 0.8. At minCos 0.9 (the near-dup regime the
+    * operator is built for, p_bit ≈ 0.86) that picks 8 bands of 8 bits —
+    * a random pair collides with p ≈ 8·2⁻⁸, a ~16× candidate prune. At
+    * minCos 0.4 it picks 16 bands of 4 bits — recall ~0.94, and the
+    * honestly-weaker prune (a random pair collides on some band with
+    * p ≈ 0.64) is the unavoidable price of demanding recall that close to
+    * orthogonality; the verify stage still bounds the output exactly.
+    * Rows-only in the driver gate: the candidate set depends on plane
+    * geometry. */
   def embeddingDupPairsLsh(spark: SparkSession, dir: String,
                            minCos: Double = 0.4, nPlanes: Int = 64,
-                           bands: Int = 8): DataFrame =
+                           bands: Int = 0): DataFrame =
     embeddingDupPairsLshOf(Similarity.embWithNorm(spark, dir),
       minCos, nPlanes, bands)
+
+  /** Band count giving self-consistent defaults: the widest bits-per-band
+    * whose banding recall 1−(1−p_bit^bits)^bands at the `minCos` boundary
+    * is ≥ 0.8, where p_bit = 1 − acos(minCos)/π (Charikar). Widest band
+    * first = cheapest candidate set that still meets the recall target. */
+  private[graft] def autoBands(minCos: Double, nPlanes: Int): Int = {
+    val pBit = 1.0 - math.acos(math.min(1.0, math.max(-1.0, minCos))) / math.Pi
+    val bitOptions = Seq(16, 8, 4, 2, 1).filter(nPlanes % _ == 0)
+    val bits = bitOptions.find { bt =>
+      1.0 - math.pow(1.0 - math.pow(pBit, bt), nPlanes / bt) >= 0.8
+    }.getOrElse(bitOptions.last)
+    nPlanes / bits
+  }
 
   /** Core of [[embeddingDupPairsLsh]] over any (vec_id, embedding:
     * array<double>, nrm) frame — also fed planted near-dup corpora by the
     * recall spec. */
   private[graft] def embeddingDupPairsLshOf(emb: DataFrame, minCos: Double,
                                             nPlanes: Int, bands: Int): DataFrame = {
-    require(nPlanes % bands == 0,
-      s"nPlanes ($nPlanes) must be a multiple of bands ($bands): trailing " +
+    val nBands = if (bands == 0) autoBands(minCos, nPlanes) else bands
+    require(nPlanes % nBands == 0,
+      s"nPlanes ($nPlanes) must be a multiple of bands ($nBands): trailing " +
         "hyperplanes would be silently ignored, degrading recall")
-    val bits = nPlanes / bands
+    val bits = nPlanes / nBands
     val rnd = new scala.util.Random(7)
     val dim = 64
     val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
@@ -523,7 +550,7 @@ object Dedup {
     val allBits = graft.functions.GraftFunctions.signBits(col("embedding"),
       typedLit(planes.map(_.toSeq).toSeq))
     val keyed = emb.select(col("vec_id"), allBits.as("sign_bits"))
-      .select(col("vec_id"), array((0 until bands).map(b =>
+      .select(col("vec_id"), array((0 until nBands).map(b =>
         shiftright(col("sign_bits"), b * bits)
           .bitwiseAND(lit((1L << bits) - 1)).cast("int")): _*).as("keys"))
 
@@ -533,7 +560,7 @@ object Dedup {
     val banded = keyed.select(col("vec_id"), col("keys"), posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     // first-match: a pair is emitted only by its FIRST colliding band
-    val firstMatch = (0 until bands).map { j =>
+    val firstMatch = (0 until nBands).map { j =>
       (col("x.band") <= j) ||
         (element_at(col("x.keys"), j + 1) =!= element_at(col("y.keys"), j + 1))
     }.reduce(_ && _)

@@ -15,11 +15,6 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object MediaCodec {
 
-  // in-memory streams only: ImageIO's default stream cache spills every
-  // decode through a temp FILE, which dominated the decode query's cost
-  // (and would be catastrophic per-task at scale)
-  javax.imageio.ImageIO.setUseCache(false)
-
   /** Encode an 8-bit grayscale image as a real BMP: BITMAPFILEHEADER (14)
     * + BITMAPINFOHEADER (40) + 256-entry gray palette (1024) + pixel rows
     * padded to 4-byte stride, bottom-up as the format requires. */
@@ -53,7 +48,19 @@ object MediaCodec {
     * push the gray band through a linear→sRGB color conversion (gamma)
     * and corrupt the 8-bit values. */
   def decodeImageGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    // explicit in-memory ImageIO stream: the default `ImageIO.read` cache
+    // spills every decode through a temp FILE (catastrophic per-task at
+    // scale), and flipping the global `setUseCache` flag would mutate
+    // JVM-wide state for every ImageIO user, not just this path
+    // (round-3 ADVICE)
+    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    val img = try {
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      require(readers.hasNext, "payload is not a decodable image")
+      val reader = readers.next()
+      try { reader.setInput(stream); reader.read(0) } finally reader.dispose()
+    } finally stream.close()
     require(img != null, "payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight

@@ -494,13 +494,17 @@ object Relational {
     val pt = viewName("part", dir)
     Tables.lineitem(spark, dir).createOrReplaceTempView(li)
     Tables.part(spark, dir).createOrReplaceTempView(pt)
+    // named parameter marker, never string interpolation: the brand is a
+    // VALUE, and interpolated text is an injection foothold the moment
+    // this pattern gets copied with a user-supplied argument
     spark.sql(
       s"""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
          |FROM $li JOIN $pt ON p_partkey = l_partkey
-         |WHERE p_brand = '$brand'
+         |WHERE p_brand = :brand
          |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
          |                    FROM $li l2 WHERE l2.l_partkey = p_partkey)
-         |""".stripMargin)
+         |""".stripMargin,
+      Map("brand" -> brand))
   }
 
   /** Correlated IN subquery: orders having a lineitem shipped more than

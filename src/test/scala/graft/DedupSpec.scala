@@ -167,15 +167,14 @@ class DedupSpec extends SparkSpec {
     assert(lshPairs.subsetOf(brute),
       s"false positives: ${lshPairs.diff(brute).take(5)}")
     lsh.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.4 - 1e-9))
-    // recall floor at the OFF-regime 0.4 threshold this corpus forces
-    // (its max pairwise cos ≈ 0.5 — no true near-dups exist): with 8-bit
-    // bands the banding probability at cos 0.4–0.5 is ~0.18–0.33 by the
-    // Charikar collision formula, and that's the documented trade for the
-    // ~16× candidate prune that keeps the band join linear (round-3
-    // verdict item). The operator's real regime is asserted in the
-    // planted-near-dup test below.
+    // geometry is now DERIVED from minCos (round-3 ADVICE): at the default
+    // minCos=0.4 autoBands picks 16 bands of 4 bits, whose Charikar
+    // banding recall at the 0.4 boundary is ~0.94 — so defaults-callers
+    // get a self-consistent operator, not the 8-bit geometry's ~0.2
+    assert(Dedup.autoBands(0.4, 64) === 16)
+    assert(Dedup.autoBands(0.9, 64) === 8)
     val recall = lshPairs.intersect(brute).size.toDouble / math.max(1, brute.size)
-    assert(recall >= 0.15, s"LSH recall $recall below 0.15 (${brute.size} true pairs)")
+    assert(recall >= 0.6, s"LSH recall $recall below 0.6 (${brute.size} true pairs)")
   }
 
   test("embedding LSH in its real regime (cos >= 0.9): recall >= 0.9 on planted near-dups") {
