@@ -98,6 +98,9 @@ object SparkEntry {
     "q_text_length_filter" -> ((s, d) => Text.lengthFilteredStats(s, d)),
     "q_text_repetition" -> ((s, d) => Text.repetitionSignals(s, d)),
     "q_text_decontaminate" -> ((s, d) => Text.decontaminate(s, d)),
+    "q_text_split" -> ((s, d) => Text.corpusSplit(s, d)),
+    "q_text_packing" -> ((s, d) => Text.packChunks(s, d)),
+    "q_text_normalize_numbers" -> ((s, d) => Text.normalizeNumbers(s, d)),
     // rows-only: xxhash64 values are engine-specific by design
     "q_text_fingerprint_fast" -> ((s, d) => Text.fingerprintFast(s, d)),
     // similarity pack [EXT] (SURVEY §2.B similarity-search row)
@@ -109,6 +112,7 @@ object SparkEntry {
     "q_sim_ann_topk" -> ((s, d) => Similarity.annTopKCosine(s, d)),
     // dedup pack [EXT] (SURVEY §2.B dedup row)
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q_dedup_corpus" -> ((s, d) => Dedup.dedupedCorpus(s, d)),
     "q_dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
@@ -969,6 +973,52 @@ object SparkEntry {
          |WHERE greatest(round(inter / na, 6), round(inter / nb, 6)) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_containment_lsh" -> containmentLshOracle,
+    "q_dedup_corpus" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """
+        |, sym AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM sym
+        | UNION
+        | SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+        |        FROM reach GROUP BY src)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE cluster_rep <> doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+    "q_text_split" ->
+      s"""WITH h AS (
+         | SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |   list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
+         |   (acc,c) -> (acc*31 + c) % ${Dedup.P}) AS fp
+         | FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN fp % 10 <= 7 THEN 'train'
+         |      WHEN fp % 10 = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_text_packing" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split(text,' '), s -> len(s)>0)) AS BIGINT) AS n_tok
+        | FROM documents)
+        |SELECT doc_id, source, n_tok,
+        | CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS chunk_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_text_normalize_numbers" ->
+      """WITH n AS (
+        | SELECT source,
+        |  CASE WHEN regexp_replace(text, '[0-9]+', '<num>', 'g') <> text
+        |       THEN 1 ELSE 0 END AS changed,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+        |  length(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS norm_len
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs, CAST(sum(changed) AS BIGINT) AS n_changed,
+        | CAST(sum(digit_chars) AS BIGINT) AS digit_chars,
+        | CAST(sum(norm_len) AS BIGINT) AS norm_chars
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_simhash_pairs" -> {
       val blocks = 4

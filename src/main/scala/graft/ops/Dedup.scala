@@ -291,6 +291,23 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The dedup "so what": materialize the DEDUPLICATED corpus. Every
+    * document that is not its near-dup cluster's representative (cluster
+    * minimum, from [[dupClusters]]) is dropped; documents in no cluster
+    * keep themselves. This is the keep-list join every training pipeline
+    * runs after pair mining — the output is the corpus you actually
+    * train on. One anti-join against the (tiny) non-representative set;
+    * at 100 TB the drop list is broadcast and the corpus scan streams. */
+  def dedupedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val drop = dupClusters(spark, dir)
+      .where(col("cluster_rep") =!= col("doc_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force pairwise Jaccard over a doc_id-bounded subset — the
     * recall/correctness baseline for [[minhashDupPairs]]; intentionally
     * subset-bounded (O(subset²)), never the scale path. */

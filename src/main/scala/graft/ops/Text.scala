@@ -317,4 +317,69 @@ object Text {
     Tables.documents(spark, dir)
       .select(col("doc_id"), xxhash64(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Deterministic content-keyed train/val/test split: bucket =
+    * polyHash(text) mod 10 → train (0-7) / val (8) / test (9). Keyed by
+    * CONTENT, not id, so the same document lands in the same split across
+    * corpus versions and re-ingestions — id-keyed splits silently migrate
+    * documents (and leak test data into train) whenever ids are
+    * reassigned. A pure per-row projection: embarrassingly parallel at
+    * any scale, and the poly-hash fold replays exactly in the DuckDB
+    * oracle (xxhash64 would be the faster engine-specific variant, same
+    * trade as [[fingerprintFast]]). */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bucket = pmod(graft.functions.GraftFunctions.polyHash(col("text")), lit(10))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(bucket <= 7, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Greedy sequence packing: assign documents to fixed-budget training
+    * chunks — the pre-tokenization batching step of an LLM data pipeline.
+    * Within each `source` (the natural pack partition), documents are
+    * taken in doc_id order and chunk_id = floor(tokens-before-this-doc /
+    * maxTokens): one running-sum window per source, no driver loop.
+    *
+    * Scale: packing is inherently sequential WITHIN a pack stream, so the
+    * stream must be a partition key — a single global ordering would
+    * funnel 100 TB through one window partition. Per-source windows
+    * parallelize across sources and match how corpora are actually packed
+    * (streams are per-shard/per-source); the window itself is one shuffle
+    * by (source) plus a sort Spark fuses into the exchange. */
+  def packChunks(spark: SparkSession, dir: String,
+                 maxTokens: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("chunk_id",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / maxTokens))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Digit normalization — the classic text-cleanup pass (numbers are
+    * near-useless tokens for LM training and explode the vocabulary):
+    * replace every digit run with a `<num>` sentinel and report the
+    * per-source impact. One projection + one low-cardinality aggregate;
+    * both `regexp_replace` calls replay identically in DuckDB. */
+  def normalizeNumbers(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(col("text"), "[0-9]+", "<num>")
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        (norm =!= col("text")).cast("long").as("changed"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).as("digit_chars"),
+        length(norm).as("norm_len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("changed")).as("n_changed"),
+        sum(col("digit_chars")).as("digit_chars"),
+        sum(col("norm_len")).as("norm_chars"))
+      .orderBy(col("source"))
+  }
 }

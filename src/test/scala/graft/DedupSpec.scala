@@ -98,6 +98,17 @@ class DedupSpec extends SparkSpec {
     rep.foreach { case (d, r) => assert(find(d) === r, s"doc $d") }
   }
 
+  test("deduped corpus: keeps exactly the cluster representatives plus untouched docs") {
+    val clusters = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    val all = Tables.documents(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    val expectKeep = all.filter(d => clusters.getOrElse(d, d) == d)
+    val kept = Dedup.dedupedCorpus(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === expectKeep)
+    // every dropped doc has its representative still present
+    (all -- kept).foreach(d => assert(kept.contains(clusters(d))))
+  }
+
   test("containment: superset of Jaccard pairs at equal threshold, bounded asymmetric scores") {
     val jac = Dedup.jaccardPairsBrute(spark, sf, maxDocId = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

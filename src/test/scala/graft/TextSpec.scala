@@ -187,4 +187,61 @@ class TextSpec extends SparkSpec {
     val dropped = docs.collect().filterNot(r => kept.contains(r.getAs[Long]("doc_id")))
     assert(dropped.forall(r => benchTexts.contains(r.getAs[String]("text"))))
   }
+
+  test("corpus split: content-keyed, deterministic, duplicate texts co-assigned, ~80/10/10") {
+    val a = Text.corpusSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Text.corpusSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)                       // deterministic
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    // content-keyed: identical texts MUST land in the same split —
+    // otherwise duplicates leak across the train/test boundary
+    docs.groupBy(_._2).values.foreach { grp =>
+      assert(grp.map(d => a(d._1)).toSet.size === 1)
+    }
+    val n = docs.length.toDouble
+    val train = a.values.count(_ == "train") / n
+    assert(train > 0.6 && train < 0.95, s"train fraction $train")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("sequence packing: chunks monotone per source, budget respected up to one straddler") {
+    val maxTok = 256
+    val rows = Text.packChunks(spark, sf, maxTok).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("chunk_id")))
+    rows.groupBy(_._1).values.foreach { src =>
+      val ordered = src.sortBy(_._2)
+      // chunk ids start at 0 and never decrease along the pack stream
+      assert(ordered.head._4 === 0L)
+      assert(ordered.map(_._4).zip(ordered.map(_._4).tail)
+        .forall { case (x, y) => y >= x })
+      // replay the greedy rule locally: chunk = floor(cum-before / max)
+      var cum = 0L
+      ordered.foreach { case (_, id, nTok, chunk) =>
+        assert(chunk === cum / maxTok, s"doc $id")
+        cum += nTok
+      }
+    }
+  }
+
+  test("digit normalization: accounting consistent with a local recompute") {
+    val got = Text.normalizeNumbers(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_changed"),
+          r.getAs[Long]("digit_chars"), r.getAs[Long]("norm_chars"))).toMap
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val texts = ds.map(_._2)
+      val norms = texts.map(_.replaceAll("[0-9]+", "<num>"))
+      src -> (texts.length.toLong,
+        texts.zip(norms).count { case (t, m) => t != m }.toLong,
+        texts.map(t => t.count(_.isDigit).toLong).sum,
+        norms.map(_.length.toLong).sum)
+    }
+    assert(got === expect)
+  }
 }
