@@ -179,6 +179,46 @@ object EventStream {
         (-col("col.negv")).as("value"), (col("pos") + 1).as("rnk"))
   }
 
+  /** One packed-document assignment (streaming twin output row). */
+  final case class PackedDoc(doc_id: Long, source: String, n_tok: Long,
+                             chunk_id: Long)
+
+  /** Streaming sequence packing — the stateful twin of
+    * [[graft.ops.Text.packChunks]], the move from backfill to ingest for
+    * the packing stage: per-source running token count carried in the
+    * state store, chunk_id = floor(tokens-before-this-doc / maxTokens)
+    * exactly as in batch. Documents are packed in doc_id order *within
+    * each micro-batch* (sorted here; bounded by batch size), and batch
+    * arrival order is the pack-stream contract across batches — the same
+    * contract any streaming pack stage has with its upstream source.
+    *
+    * State is ONE long per source key no matter how long the stream runs
+    * — the minimal-state topology at 1000 executors; keys partition the
+    * state store by source. Spec asserts parity with the batch twin and
+    * state carry-over across micro-batches. */
+  def packChunksStateful(spark: SparkSession, docStream: DataFrame,
+                         maxTokens: Int = 256): Dataset[PackedDoc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docStream
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(Long, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, nTok) =>
+            val chunk = cum / maxTokens
+            cum += nTok
+            PackedDoc(id, src, nTok, chunk)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Per-user running totals. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

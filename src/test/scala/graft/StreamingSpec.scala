@@ -34,6 +34,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sequence packing == batch packing; state carries across micro-batches") {
+    // batch parity on the full corpus in one micro-batch
+    val stream = spark.readStream
+      .schema(graft.sources.Tables.documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    val q = EventStream.packChunksStateful(spark, stream)
+      .writeStream.format("memory").queryName("stream_packing").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_packing").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("chunk_id"))).toMap
+    val batch = graft.ops.Text.packChunks(spark, sf).collect()
+    assert(batch.nonEmpty && streamed.size === batch.length)
+    batch.foreach { r =>
+      assert(streamed(r.getAs[Long]("doc_id")) ===
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("chunk_id")),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+
+    // state carry-over: the same corpus split into two files = two
+    // micro-batches (doc_id ranges ordered by file mtime) must produce
+    // EXACTLY the same assignments — the running count survives the
+    // state-store round-trip between batches
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pack_stream").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val half = 250
+    docs.where(org.apache.spark.sql.functions.col("doc_id") < half)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/f1")
+    docs.where(org.apache.spark.sql.functions.col("doc_id") >= half)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/f2")
+    bumpFileMtimes(s"$tmp/f2")
+    val twoBatch = spark.readStream
+      .schema(graft.sources.Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/f*")
+    val q2 = EventStream.packChunksStateful(spark, twoBatch)
+      .writeStream.format("memory").queryName("stream_packing_2b").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val twoBatched = spark.table("stream_packing_2b").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_id")).toMap
+    assert(twoBatched.size === batch.length)
+    batch.foreach { r =>
+      assert(twoBatched(r.getAs[Long]("doc_id")) === r.getAs[Long]("chunk_id"),
+        s"doc ${r.getAs[Long]("doc_id")} after state round-trip")
+    }
+  }
+
   test("streaming tumbling counts == batch tumbling counts on the same input") {
     val stream = EventStream.readEvents(spark, sf)
     assert(stream.isStreaming)
