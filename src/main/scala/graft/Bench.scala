@@ -16,14 +16,27 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Timing {
 
-  /** Force full evaluation: hash every output column of every row and
-    * bit-XOR the hashes (order-insensitive, cannot overflow under ANSI
-    * arithmetic). Returns (rowCount, checksum). */
+  /** The evaluation plan: hash every output column of every row, bit-XOR
+    * the hashes (order-insensitive, cannot overflow under ANSI
+    * arithmetic), and keep `first(hash)` — an ORDER-SENSITIVE aggregate.
+    * That last one is load-bearing: count/bit_xor/min/max/sum are all in
+    * `EliminateSorts`' order-irrelevant whitelist, so an aggregate built
+    * only from them lets Catalyst drop the query's final ORDER BY and the
+    * timings would silently exclude every presentation sort (round-4
+    * review finding, verified against the shipped Catalyst jar). First is
+    * not whitelisted, so the sort stays in the executed plan —
+    * spec-asserted. */
+  def checksumPlan(df: DataFrame): DataFrame =
+    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(call_function("bit_xor", col("h")), lit(0L)).as("chk"),
+        first(col("h")).as("h0"))
+
+  /** Force full evaluation of `df` (all columns, all rows, final sort
+    * included). Returns (rowCount, checksum). */
   def evaluate(df: DataFrame): (Long, Long) = {
-    val row = df.select(
-      count(lit(1)).as("n"),
-      coalesce(call_function("bit_xor", xxhash64(df.columns.map(col): _*)),
-        lit(0L)).as("chk")).head()
+    val row = checksumPlan(df).head()
     (row.getLong(0), row.getLong(1))
   }
 
@@ -115,6 +128,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load0 = Timing.loadAvg()
       val first = Timing.timeOnce(fn(spark, sfDir))
+      // sample load on BOTH sides of the run: a noise burst that starts
+      // mid-query would otherwise be attributed a calm pre-query loadavg
+      // (round-4 review finding) — the pair brackets the measurement
+      val load1 = Timing.loadAvg()
       // a slow-in-absolute-terms success is re-timed immediately: if the
       // warm re-run is >5× faster the first number was the host, not the
       // plan — report both, headline the one consistent with plan cost
@@ -123,15 +140,18 @@ object Bench {
         else None
       val stall = retry.exists(r => r.ok && first.sec > stallRatio * r.sec)
       val headline = if (stall) retry.get else first
-      (name, headline, first, stall, load0)
+      (name, headline, first, stall, load0, load1)
     }
 
     val failed = results.filter(!_._2.ok)
-    val qs = results.map { case (k, h, _, _, _) => s"\"$k\":${h.sec}" }
+    val qs = results.map { case (k, h, _, _, _, _) => s"\"$k\":${h.sec}" }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, h, f, stall, load0) =>
+    // chk: run-to-run output checksum — a plan regression that changes
+    // values but not cardinality shows up as a checksum drift here
+    val detail = results.map { case (k, h, f, stall, load0, load1) =>
       s""""$k":{"sec":${h.sec},"first_sec":${f.sec},"gc_sec":${f.gcSec},""" +
-        s""""load":$load0,"rows":${h.rows},"ok":${h.ok},""" +
+        s""""load":$load0,"load_after":$load1,"rows":${h.rows},""" +
+        s""""chk":${h.checksum},"ok":${h.ok},""" +
         s""""stall_suspected":$stall,"err":"${h.err}"}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
@@ -149,7 +169,7 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     spark.stop()
     if (failed.nonEmpty) {
-      failed.foreach { case (k, h, _, _, _) =>
+      failed.foreach { case (k, h, _, _, _, _) =>
         System.err.println(s"BENCH FAIL $k: ${h.err}")
       }
       sys.exit(1)

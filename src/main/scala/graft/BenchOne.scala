@@ -25,7 +25,8 @@ object BenchOne {
       val ts = (1 to 3).map { _ => Timing.timeOnce(fn(spark, sfDir)) }
       require(ts.forall(_.ok), s"$name failed: ${ts.find(!_.ok).get.err}")
       println(f"BENCHONE $name ${ts.map(t => f"${t.sec}%.2f").mkString(" ")}" +
-        f" gc=${ts.map(t => f"${t.gcSec}%.2f").mkString(" ")}")
+        f" gc=${ts.map(t => f"${t.gcSec}%.2f").mkString(" ")}" +
+        s" chk=${ts.map(_.checksum).distinct.mkString(",")}")
     }
     spark.stop()
   }

@@ -325,7 +325,9 @@ object SparkEntry {
     dedupCtes + s"""
        |, w AS (
        | SELECT doc_id, unnest(list_transform(
-       |   generate_series(1, greatest(len(th) - $w + 1, 1), $step),
+       |   list_distinct(list_append(
+       |     generate_series(1, greatest(len(th) - $w + 1, 1), $step),
+       |     greatest(len(th) - $w + 1, 1))),
        |   st -> list_slice(th, st, st + ${w - 1}))) AS wth
        | FROM th),
        |wh AS (

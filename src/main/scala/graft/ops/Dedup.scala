@@ -401,9 +401,14 @@ object Dedup {
     // one row per (doc, window): the exploded rows carry only the ≤W-token
     // window slice, never a copy of the full token-hash array — and the
     // slice is materialized by posexplode BEFORE combine3 indexes it (the
-    // same O(tokens²)-re-evaluation trap tokenHashedOf documents)
-    val starts = sequence(lit(1),
-      greatest(size(col("th")) - windowTokens + 1, lit(1)), lit(stride))
+    // same O(tokens²)-re-evaluation trap tokenHashedOf documents).
+    // The stride grid is ANCHORED at the tail too: without the appended
+    // final start, up to stride-1 trailing tokens fall outside every
+    // window and an excerpt copied at the document's end loses most of
+    // its collision probability (round-4 review finding)
+    val lastStart = greatest(size(col("th")) - windowTokens + 1, lit(1))
+    val starts = array_union(
+      sequence(lit(1), lastStart, lit(stride)), array(lastStart))
     val wins = th
       .select(col("doc_id"),
         posexplode(transform(starts, st => slice(col("th"), st, lit(windowTokens)))))

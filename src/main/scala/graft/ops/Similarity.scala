@@ -113,11 +113,19 @@ object Similarity {
   private def signature(v: Column): Column =
     GraftFunctions.signBits(v, typedLit(indexPlanes.map(_.toSeq).toSeq))
 
-  private[ops] def signIndexTable(dir: String): String =
-    s"graft_sign_idx_${Relational.dirSlug(dir)}"
+  /** Layout-table names carry the corpus CONTENT fingerprint, not just
+    * the dir: `ensureTable` is create-once per name, and a name keyed
+    * only by dir would serve a stale index after an in-place corpus
+    * rewrite — probes ranking NEW centroids against OLD cell assignments
+    * (round-4 review finding; the same staleness the centroid cache
+    * already guards against). A rewritten corpus changes the fingerprint
+    * → fresh name → fresh publish; superseded tables are dropped by
+    * [[graft.store.FeatureStore.dropSupersededTables]] at publish time. */
+  private[ops] def signIndexTable(spark: SparkSession, dir: String): String =
+    s"graft_sign_idx_${Relational.dirSlug(dir)}_${java.lang.Long.toHexString(embMtime(spark, dir))}"
 
-  private[ops] def ivfCellsTable(dir: String): String =
-    s"graft_ivf_cells_${Relational.dirSlug(dir)}"
+  private[ops] def ivfCellsTable(spark: SparkSession, dir: String): String =
+    s"graft_ivf_cells_${Relational.dirSlug(dir)}_${java.lang.Long.toHexString(embMtime(spark, dir))}"
 
   /** IVF cell count is a property of the PUBLISHED layout, not a per-call
     * knob — a differing per-call value would be silently ignored whenever
@@ -133,10 +141,13 @@ object Similarity {
     * subsequent query. */
   def ensureSignIndex(spark: SparkSession, dir: String): Unit = {
     GraftFunctions.register(spark)
+    val table = signIndexTable(spark, dir)
+    FeatureStore.dropSupersededTables(spark,
+      s"graft_sign_idx_${Relational.dirSlug(dir)}", table)
     FeatureStore.ensurePlainTable(spark,
       embDouble(spark, dir)
         .select(col("vec_id"), signature(col("embedding")).as("sign_bits")),
-      signIndexTable(dir))
+      table)
   }
 
   /** Cell assignment: argmin over centroids of euclidean distance; |v|² is
@@ -165,10 +176,13 @@ object Similarity {
     * cache and every query re-assigned the whole corpus). */
   def ensureIvfCells(spark: SparkSession, dir: String): Unit = {
     GraftFunctions.register(spark)
+    val table = ivfCellsTable(spark, dir)
+    FeatureStore.dropSupersededTables(spark,
+      s"graft_ivf_cells_${Relational.dirSlug(dir)}", table)
     FeatureStore.ensurePartitionedTable(spark,
       assignCells(embWithNorm(spark, dir),
         quantizerCentroids(spark, dir, ivfNlist)),
-      ivfCellsTable(dir), "cell")
+      table, "cell")
   }
 
   /** Publish both vector-search layouts (sign index + IVF cells) for one
@@ -214,7 +228,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("nrm").as("qn"), signature(col("embedding")).as("q_bits"))
 
-    val index = spark.table(signIndexTable(dir))
+    val index = spark.table(signIndexTable(spark, dir))
     val short = index
       .crossJoin(broadcast(queries.select(col("q_id"), col("q_bits"))))
       .where(col("vec_id") =!= col("q_id"))
@@ -370,7 +384,7 @@ object Similarity {
       .where(col("crnk") <= nProbe)
       .select(col("q_id"), col("qv"), col("qn"), col("cell"))
 
-    val cands = spark.table(ivfCellsTable(dir))
+    val cands = spark.table(ivfCellsTable(spark, dir))
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
         col("nrm").as("cn"), col("cell"))
     val scored = cands.join(broadcast(probed), Seq("cell"))

@@ -91,6 +91,16 @@ object FeatureStore {
         .saveAsTable(table)
     }
 
+  /** Drop every catalog table whose name starts with `prefix` except
+    * `keep` — cleanup for content-fingerprinted layout names (a corpus
+    * rewrite mints a fresh name; the superseded version's table and its
+    * managed files should not accumulate in the warehouse). */
+  def dropSupersededTables(spark: SparkSession, prefix: String,
+                           keep: String): Unit =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith(prefix.toLowerCase) && n != keep.toLowerCase)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+
   /** Publish `df` as a plain (unbucketed, unpartitioned) catalog parquet
     * table — for narrow derived layouts like the ANN sign index, where the
     * reader always scans the whole (tiny-per-row) table and the win is

@@ -193,9 +193,13 @@ object EventStream {
     * contract any streaming pack stage has with its upstream source.
     *
     * State is ONE long per source key no matter how long the stream runs
-    * — the minimal-state topology at 1000 executors; keys partition the
-    * state store by source. Spec asserts parity with the batch twin and
-    * state carry-over across micro-batches. */
+    * — keys partition the state store by source. The honest scaling bound
+    * is the per-(source, micro-batch) GROUP buffer: the sort below
+    * materializes one source's batch rows on-heap (Spark gives stateful
+    * ops no within-group order guarantee), so backfills must bound batch
+    * size (`maxFilesPerTrigger`) — the batch twin, a spillable window
+    * sort, is the right tool for unbounded backfill. Spec asserts parity
+    * with the batch twin and state carry-over across micro-batches. */
   def packChunksStateful(spark: SparkSession, docStream: DataFrame,
                          maxTokens: Int = 256): Dataset[PackedDoc] = {
     import spark.implicits._

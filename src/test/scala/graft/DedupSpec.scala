@@ -148,11 +148,20 @@ class DedupSpec extends SparkSpec {
     // case whole-doc MinHash banding structurally misses
     val host = Seq.fill(400)(s"w${rnd.nextInt(5000)}")
     val excerpt = host.slice(180, 240).mkString(" ")
-    val docs = (Seq((0L, host.mkString(" ")), (1L, excerpt)) ++
+    // second planted pair at the document TAIL, host length off the
+    // stride grid: catches the unanchored-grid recall hole (a final
+    // window must be anchored at n-W+1 or the trailing tokens are
+    // outside every window)
+    val host2 = Seq.fill(391)(s"w${rnd.nextInt(5000)}")
+    val tailExcerpt = host2.takeRight(34).mkString(" ")
+    val docs = (Seq((0L, host.mkString(" ")), (1L, excerpt),
+      (40L, host2.mkString(" ")), (41L, tailExcerpt)) ++
       (2L to 30L).map(i => (i, salad(120)))).toDF("doc_id", "text")
     val found = Dedup.containmentPairsLshOf(docs, minCont = 0.8, windowTokens = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(found.contains((0L, 1L)), s"planted pair missed; found ${found.toSeq}")
+    assert(found.contains((40L, 41L)),
+      s"planted TAIL pair missed; found ${found.toSeq}")
     // and the direction is right: the short doc is contained in the long
     val row = Dedup.containmentPairsLshOf(docs, 0.8, 32)
       .where(col("doc_a") === 0 && col("doc_b") === 1).head()

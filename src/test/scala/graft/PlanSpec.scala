@@ -26,6 +26,19 @@ class PlanSpec extends SparkSpec {
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 
+  test("bench checksum evaluation preserves the final presentation sort") {
+    val df = Relational.pricingSummary(spark, sf) // ends in ORDER BY
+    // the timed plan must still contain the Sort: first(hash) is an
+    // order-sensitive aggregate, so EliminateSorts cannot drop the
+    // query's ORDER BY the way it does under count()/bit_xor alone
+    val timed = plan(Timing.checksumPlan(df))
+    assert(timed.contains("Sort "), timed)
+    // counterfactual: an order-irrelevant aggregate over the same query
+    // DOES lose the sort — proving first(hash) is load-bearing
+    val counted = plan(df.groupBy().count())
+    assert(!counted.contains("Sort "), counted)
+  }
+
   test("q1 pricing summary: one shuffle, partial+final hash aggregation") {
     val p = plan(Relational.pricingSummary(spark, sf))
     assert(countOccurrences(p, "Exchange hashpartitioning") === 1, p)

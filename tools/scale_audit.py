@@ -19,18 +19,27 @@ def load(path):
         return json.load(f)
 
 
+def growth_factor(name):
+    """Row growth sf0.01 -> sf0.1 for the table family a query reads:
+    embeddings grow 4x (500 -> 2000), documents and the star schema 10x.
+    A query is only superlinear past ITS family's factor."""
+    if name.startswith(("q_sim_", "q_dedup_embed", "q_knn")):
+        return 4.0
+    return 10.0
+
+
 def main(paths):
     runs = [load(p) for p in paths]
-    names = sorted(runs[-1]["queries"].keys())
+    # union across runs: a query dropped from (or added to) the surface
+    # between SFs still shows, with '-' cells, instead of vanishing
+    names = sorted({n for r in runs for n in r["queries"]})
     print("| query | sf0.001 s | sf0.01 s | sf0.1 s | 0.1/0.01 | flag |")
     print("|---|---|---|---|---|---|")
     flagged = []
     for n in names:
         secs = [r["queries"].get(n) for r in runs]
         ratio = (secs[2] / secs[1]) if secs[1] and secs[2] else float("nan")
-        # >10x growth for 10x rows = empirically superlinear; fixed
-        # overhead dominates small SFs so only flag clearly super ratios
-        flag = "SUPER" if ratio > 10.0 else ""
+        flag = "SUPER" if ratio > growth_factor(n) else ""
         if flag:
             flagged.append((n, ratio))
         cells = " | ".join("-" if s is None else f"{s:.2f}" for s in secs)
