@@ -41,6 +41,16 @@ object FeatureStore {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC sink/source — the second columnar lake format Spark ships
+    * natively (vectorized reader, predicate pushdown, same
+    * bucketing/partitioning composition as parquet); interop surface for
+    * lakes standardized on ORC. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Publish `df` as a catalog-backed parquet table bucketed (and
     * bucket-sorted) by `key` — the co-partitioned layout that lets every
     * downstream join/aggregate on `key` run with ZERO exchange: the

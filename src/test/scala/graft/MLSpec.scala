@@ -101,6 +101,24 @@ class PipelineSpec extends SparkSpec {
     assert(back.agg(sum("row_id")).head.getLong(0) === (0L until 40L).sum)
   }
 
+  test("feature store ORC round-trips with values and pushdown-friendly schema intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = SyntheticFeatures.generate(spark, 40)
+    graft.store.FeatureStore.writeOrc(df, s"$out/features.orc")
+    val back = graft.store.FeatureStore.readOrc(spark, s"$out/features.orc", df.schema)
+    assert(back.count() === 40)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    // values survive bit-exact (columnar round-trip, no text conversion)
+    assert(back.agg(sum("row_id")).head.getLong(0) === (0L until 40L).sum)
+    val origSum = df.agg(sum("feature_0")).head.getDouble(0)
+    assert(back.agg(sum("feature_0")).head.getDouble(0) === origSum)
+    // and a filter reaches the ORC scan as a pushed predicate
+    val scan = back.where(col("row_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(row_id), EqualTo(row_id,7)"), scan)
+  }
+
   test("feature store CSV round-trips with reference header") {
     val out = java.nio.file.Files.createTempDirectory("graft-store").toString
     val df = SyntheticFeatures.generate(spark, 50).drop("row_id")
