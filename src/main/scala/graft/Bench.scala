@@ -128,10 +128,6 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load0 = Timing.loadAvg()
       val first = Timing.timeOnce(fn(spark, sfDir))
-      // sample load on BOTH sides of the run: a noise burst that starts
-      // mid-query would otherwise be attributed a calm pre-query loadavg
-      // (round-4 review finding) — the pair brackets the measurement
-      val load1 = Timing.loadAvg()
       // a slow-in-absolute-terms success is re-timed immediately: if the
       // warm re-run is >5× faster the first number was the host, not the
       // plan — report both, headline the one consistent with plan cost
@@ -140,6 +136,11 @@ object Bench {
         else None
       val stall = retry.exists(r => r.ok && first.sec > stallRatio * r.sec)
       val headline = if (stall) retry.get else first
+      // sample load AFTER the last timed run (retry included): the pair
+      // (load0, load1) brackets whichever measurement became the
+      // headline, so a noise burst starting mid-query — or mid-retry —
+      // is visible in the artifact (round-4 review, both passes)
+      val load1 = Timing.loadAvg()
       (name, headline, first, stall, load0, load1)
     }
 

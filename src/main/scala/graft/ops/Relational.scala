@@ -431,25 +431,29 @@ object Relational {
     * table build), not query work, and a fresh-JVM bench otherwise
     * charges it to the first read. */
   def publishBucketedJoinTables(spark: SparkSession, dir: String,
-                                buckets: Int = 32): Unit = {
+                                buckets: Int = 32): (String, String) = {
     import graft.store.FeatureStore
     // publish only the join-relevant columns: column pruning at publish
     // time is part of the layout decision (the recurring join never pays
     // for the 8 columns it doesn't read). The two publishes are
     // independent jobs — run them concurrently; the scheduler interleaves
-    // their stages across the executor slots.
+    // their stages across the executor slots. Names are versioned by the
+    // source's fingerprint, so an in-place rewrite of the fact files
+    // republishes instead of serving the pre-rewrite rows (round-4
+    // review: the staleness guard belongs to EVERY layout table).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    val liFp = FeatureStore.versionFingerprint(spark, s"$dir/lineitem.parquet")
+    val ordFp = FeatureStore.versionFingerprint(spark, s"$dir/orders.parquet")
     val pubLi = Future(FeatureStore.ensureBucketedTable(spark,
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-      bucketTableName("lineitem", dir), "l_orderkey", buckets))
+      bucketTableName("lineitem", dir), "l_orderkey", buckets, liFp))
     val pubOrd = Future(FeatureStore.ensureBucketedTable(spark,
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-      bucketTableName("orders", dir), "o_orderkey", buckets))
-    Await.result(pubLi, Duration.Inf)
-    Await.result(pubOrd, Duration.Inf)
+      bucketTableName("orders", dir), "o_orderkey", buckets, ordFp))
+    (Await.result(pubLi, Duration.Inf), Await.result(pubOrd, Duration.Inf))
   }
 
   /** Publish every layout table for one sf dir (bucketed join pair +
@@ -467,9 +471,7 @@ object Relational {
     // whenever the tables already exist (publish is create-once), so the
     // read path takes none (round-3 review finding); choose the layout at
     // publishBucketedJoinTables
-    publishBucketedJoinTables(spark, dir)
-    val liName = bucketTableName("lineitem", dir)
-    val ordName = bucketTableName("orders", dir)
+    val (liName, ordName) = publishBucketedJoinTables(spark, dir)
     spark.table(liName)
       .join(spark.table(ordName).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
@@ -572,18 +574,19 @@ object Relational {
     * files are never listed, opened, or read (spec asserts the scan's
     * PartitionFilters and a partition count of 1). */
   /** Publish the hive-partitioned orders table for
-    * [[partitionPrunedRevenue]] — idempotent; see [[ensureLayoutTables]]. */
-  def publishPartitionedOrders(spark: SparkSession, dir: String): Unit =
+    * [[partitionPrunedRevenue]] — idempotent, version-fingerprinted;
+    * see [[ensureLayoutTables]]. Returns the versioned table name. */
+  def publishPartitionedOrders(spark: SparkSession, dir: String): String =
     graft.store.FeatureStore.ensurePartitionedTable(spark,
       Tables.orders(spark, dir)
         .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"),
           year(col("o_orderdate")).cast("int").as("o_year")),
-      bucketTableName("orders_bydate", dir), "o_year")
+      bucketTableName("orders_bydate", dir), "o_year",
+      graft.store.FeatureStore.versionFingerprint(spark, s"$dir/orders.parquet"))
 
   def partitionPrunedRevenue(spark: SparkSession, dir: String,
                              yr: Int = 1997): DataFrame = {
-    publishPartitionedOrders(spark, dir)
-    val table = bucketTableName("orders_bydate", dir)
+    val table = publishPartitionedOrders(spark, dir)
     spark.table(table)
       .where(col("o_year") === yr)
       .groupBy(month(col("o_orderdate")).cast("int").as("mo"))

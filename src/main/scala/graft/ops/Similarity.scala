@@ -113,19 +113,12 @@ object Similarity {
   private def signature(v: Column): Column =
     GraftFunctions.signBits(v, typedLit(indexPlanes.map(_.toSeq).toSeq))
 
-  /** Layout-table names carry the corpus CONTENT fingerprint, not just
-    * the dir: `ensureTable` is create-once per name, and a name keyed
-    * only by dir would serve a stale index after an in-place corpus
-    * rewrite — probes ranking NEW centroids against OLD cell assignments
-    * (round-4 review finding; the same staleness the centroid cache
-    * already guards against). A rewritten corpus changes the fingerprint
-    * → fresh name → fresh publish; superseded tables are dropped by
-    * [[graft.store.FeatureStore.dropSupersededTables]] at publish time. */
-  private[ops] def signIndexTable(spark: SparkSession, dir: String): String =
-    s"graft_sign_idx_${Relational.dirSlug(dir)}_${java.lang.Long.toHexString(embMtime(spark, dir))}"
-
-  private[ops] def ivfCellsTable(spark: SparkSession, dir: String): String =
-    s"graft_ivf_cells_${Relational.dirSlug(dir)}_${java.lang.Long.toHexString(embMtime(spark, dir))}"
+  /** Fingerprint of the embeddings corpus — the version key for both the
+    * centroid cache and the published vector layouts
+    * ([[graft.store.FeatureStore.versionFingerprint]] for semantics and
+    * honest limits). */
+  private def embFingerprint(spark: SparkSession, dir: String): Long =
+    FeatureStore.versionFingerprint(spark, s"$dir/embeddings.parquet")
 
   /** IVF cell count is a property of the PUBLISHED layout, not a per-call
     * knob — a differing per-call value would be silently ignored whenever
@@ -139,15 +132,12 @@ object Similarity {
     * less and computes one xor+popcount per row instead of a 64-wide dot
     * product. Like every layout table: paid once at publish, read by every
     * subsequent query. */
-  def ensureSignIndex(spark: SparkSession, dir: String): Unit = {
+  def ensureSignIndex(spark: SparkSession, dir: String): String = {
     GraftFunctions.register(spark)
-    val table = signIndexTable(spark, dir)
-    FeatureStore.dropSupersededTables(spark,
-      s"graft_sign_idx_${Relational.dirSlug(dir)}", table)
     FeatureStore.ensurePlainTable(spark,
       embDouble(spark, dir)
         .select(col("vec_id"), signature(col("embedding")).as("sign_bits")),
-      table)
+      s"graft_sign_idx_${Relational.dirSlug(dir)}", embFingerprint(spark, dir))
   }
 
   /** Cell assignment: argmin over centroids of euclidean distance; |v|² is
@@ -174,15 +164,13 @@ object Similarity {
     * of nProbe cell directories — the inverted-file read pattern, and the
     * round-3 verdict's missing piece (centroids lived only in a process
     * cache and every query re-assigned the whole corpus). */
-  def ensureIvfCells(spark: SparkSession, dir: String): Unit = {
+  def ensureIvfCells(spark: SparkSession, dir: String): String = {
     GraftFunctions.register(spark)
-    val table = ivfCellsTable(spark, dir)
-    FeatureStore.dropSupersededTables(spark,
-      s"graft_ivf_cells_${Relational.dirSlug(dir)}", table)
     FeatureStore.ensurePartitionedTable(spark,
       assignCells(embWithNorm(spark, dir),
         quantizerCentroids(spark, dir, ivfNlist)),
-      table, "cell")
+      s"graft_ivf_cells_${Relational.dirSlug(dir)}", "cell",
+      embFingerprint(spark, dir))
   }
 
   /** Publish both vector-search layouts (sign index + IVF cells) for one
@@ -221,14 +209,14 @@ object Similarity {
     * spec-asserted. */
   def annTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
                     k: Int = 10, shortlist: Int = 128): DataFrame = {
-    ensureSignIndex(spark, dir)
+    val indexTable = ensureSignIndex(spark, dir)
     val c = math.max(shortlist, 2 * k)
     val emb = embWithNorm(spark, dir)
     val queries = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("nrm").as("qn"), signature(col("embedding")).as("q_bits"))
 
-    val index = spark.table(signIndexTable(spark, dir))
+    val index = spark.table(indexTable)
     val short = index
       .crossJoin(broadcast(queries.select(col("q_id"), col("q_bits"))))
       .where(col("vec_id") =!= col("q_id"))
@@ -261,26 +249,6 @@ object Similarity {
   private val centroidCache =
     TrieMap.empty[(String, Long, Int, Int, Int), Array[Array[Double]]]
 
-  /** Content-version fingerprint of the embeddings corpus: the top-level
-    * mtime folded with every child file's (mtime, size). A directory's own
-    * mtime misses in-place rewrites that neither add nor remove entries on
-    * many filesystems (round-3 ADVICE), so the children participate too —
-    * still just one FS listing, no data read. */
-  private def embMtime(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return 0L
-    val top = fs.getFileStatus(p)
-    var h = top.getModificationTime
-    if (top.isDirectory) {
-      fs.listStatus(p).foreach { s =>
-        h = h * 31 + s.getModificationTime
-        h = h * 31 + s.getLen
-      }
-    }
-    h
-  }
-
   /** Fit (or fetch) the IVF coarse quantizer: seeded k-means++ + 8 Lloyd
     * iterations over a deterministic, *bounded* hash-sample of the corpus
     * (1-in-`sampleMod` by id hash, capped at `sampleCap` rows — ≤ 2 MB of
@@ -292,7 +260,7 @@ object Similarity {
   private[ops] def quantizerCentroids(spark: SparkSession, dir: String,
                                       nlist: Int, sampleMod: Int = 5,
                                       sampleCap: Int = 4096): Array[Array[Double]] = {
-    val mtime = embMtime(spark, dir)
+    val mtime = embFingerprint(spark, dir)
     // evict superseded-mtime entries for the same config: without this,
     // a long-lived JVM that rewrites the corpus accumulates one centroid
     // matrix per rewrite forever (round-3 review finding)
@@ -363,7 +331,7 @@ object Similarity {
     * Seeded → deterministic; recall (not equality) asserted in the spec. */
   def ivfTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
                     k: Int = 10, nProbe: Int = 8): DataFrame = {
-    ensureIvfCells(spark, dir)
+    val cellsTable = ensureIvfCells(spark, dir)
     val centroids = quantizerCentroids(spark, dir, ivfNlist)
 
     // centroid table is tiny: broadcast to rank cells per query
@@ -384,7 +352,7 @@ object Similarity {
       .where(col("crnk") <= nProbe)
       .select(col("q_id"), col("qv"), col("qn"), col("cell"))
 
-    val cands = spark.table(ivfCellsTable(spark, dir))
+    val cands = spark.table(cellsTable)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
         col("nrm").as("cn"), col("cell"))
     val scored = cands.join(broadcast(probed), Seq("cell"))

@@ -51,45 +51,79 @@ object FeatureStore {
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Version fingerprint of a source path: the top-level mtime folded
+    * with every child file's (mtime, size) — one FS listing, no data
+    * read. Used to key published layout tables to the corpus version
+    * they were built from, so an in-place source rewrite mints a fresh
+    * layout instead of serving stale derived data.
+    *
+    * HONEST LIMITS: mtime+size is a version *proxy*, not a content hash
+    * — a timestamp-preserving restore of equal-size files (rsync -t) or
+    * a rewrite inside one timestamp tick aliases to the same
+    * fingerprint. Deployments whose writers can do that should key on an
+    * explicit publish epoch / snapshot id instead. */
+  def versionFingerprint(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val top = fs.getFileStatus(p)
+    var h = top.getModificationTime
+    if (top.isDirectory) {
+      fs.listStatus(p).foreach { s =>
+        h = h * 31 + s.getModificationTime
+        h = h * 31 + s.getLen
+      }
+    }
+    h
+  }
+
+  /** Serializes publishers per BASE name: concurrent in-JVM publishers of
+    * the same layout (e.g. the two futures in
+    * [[graft.ops.Relational.publishBucketedJoinTables]] racing a warmup
+    * caller) can't both pass the existence check, race the stale-location
+    * delete, or interleave a superseded-version drop with a sibling's
+    * write (round-2 ADVICE; round-4 review). Single-writer is assumed
+    * ACROSS JVMs — the in-memory catalog is process-local anyway; a
+    * shared metastore deployment would rely on the catalog's own atomic
+    * CREATE instead. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Create-once VERSIONED catalog publisher — the one mechanism behind
+    * every published layout table. The physical name is
+    * `<base>_<fp hex>`; on the create path (only), superseded versions of
+    * the same base are dropped and a stale managed location (a previous
+    * JVM's orphan) is cleared, all inside the per-base lock. Steady state
+    * costs one `tableExists` check. Returns the versioned name. */
+  def ensureVersionedTable(spark: SparkSession, base: String, fp: Long)(
+      write: String => Unit): String = {
+    val table = s"${base}_${java.lang.Long.toHexString(fp)}"
+    tableLocks.computeIfAbsent(base.toLowerCase, _ => new Object).synchronized {
+      if (!spark.catalog.tableExists(table)) {
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(n => n.startsWith(base.toLowerCase + "_") &&
+            n != table.toLowerCase)
+          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        write(table)
+      }
+    }
+    table
+  }
+
   /** Publish `df` as a catalog-backed parquet table bucketed (and
     * bucket-sorted) by `key` — the co-partitioned layout that lets every
     * downstream join/aggregate on `key` run with ZERO exchange: the
     * bucketed scan reports `HashPartitioning(key, buckets)`, which
     * satisfies the join/agg distribution requirement outright. At 100 TB
     * this is the single biggest shuffle lever for recurring fact-fact
-    * joins: pay one shuffle at publish time, never again at read time.
-    * Idempotent per session (the in-memory catalog is session-scoped). */
-  /** Create-once-per-session catalog publisher: clears a stale managed
-    * location (a previous JVM's in-memory catalog may have orphaned it —
-    * without catalog metadata the files aren't a bucketed/partitioned
-    * table) and runs `write`.
-    *
-    * The check-then-act (exists → delete location → write) is serialized
-    * per table name, so concurrent publishers of the SAME table within
-    * this JVM (e.g. the two futures in
-    * [[graft.ops.Relational.publishBucketedJoinTables]] racing a warmup
-    * caller) can't both pass the existence check and race the delete
-    * (round-2 ADVICE). Single-writer is assumed ACROSS JVMs — the
-    * in-memory catalog is process-local anyway; a shared metastore
-    * deployment would rely on the catalog's own atomic CREATE instead. */
-  private val tableLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def ensureTable(spark: SparkSession, table: String)(
-      write: => Unit): Unit =
-    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
-      if (!spark.catalog.tableExists(table)) {
-        val wh = spark.conf.get("spark.sql.warehouse.dir")
-        val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-        write
-      }
-    }
-
-  def ensureBucketedTable(spark: SparkSession, df: => DataFrame, table: String,
-                          key: String, buckets: Int = 8): Unit =
-    ensureTable(spark, table) {
+    * joins: pay one shuffle at publish time, never again at read time. */
+  def ensureBucketedTable(spark: SparkSession, df: => DataFrame, base: String,
+                          key: String, buckets: Int, fp: Long): String =
+    ensureVersionedTable(spark, base, fp) { table =>
       // repartition by the bucket key first: Dataset.repartition and the
       // bucketing writer share the same murmur3-mod-n placement, so each
       // write task owns exactly one bucket → ONE sorted file per bucket.
@@ -101,23 +135,13 @@ object FeatureStore {
         .saveAsTable(table)
     }
 
-  /** Drop every catalog table whose name starts with `prefix` except
-    * `keep` — cleanup for content-fingerprinted layout names (a corpus
-    * rewrite mints a fresh name; the superseded version's table and its
-    * managed files should not accumulate in the warehouse). */
-  def dropSupersededTables(spark: SparkSession, prefix: String,
-                           keep: String): Unit =
-    spark.catalog.listTables().collect().map(_.name)
-      .filter(n => n.startsWith(prefix.toLowerCase) && n != keep.toLowerCase)
-      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
-
   /** Publish `df` as a plain (unbucketed, unpartitioned) catalog parquet
     * table — for narrow derived layouts like the ANN sign index, where the
     * reader always scans the whole (tiny-per-row) table and the win is
     * the precomputed column itself, not data placement. */
   def ensurePlainTable(spark: SparkSession, df: => DataFrame,
-                       table: String): Unit =
-    ensureTable(spark, table) {
+                       base: String, fp: Long): String =
+    ensureVersionedTable(spark, base, fp) { table =>
       df.write.mode("overwrite").format("parquet").saveAsTable(table)
     }
 
@@ -127,8 +151,8 @@ object FeatureStore {
     * 100 TB, date-partitioning is the first-line data-skipping lever,
     * ahead of any row-group statistics. */
   def ensurePartitionedTable(spark: SparkSession, df: => DataFrame,
-                             table: String, partCol: String): Unit =
-    ensureTable(spark, table) {
+                             base: String, partCol: String, fp: Long): String =
+    ensureVersionedTable(spark, base, fp) { table =>
       df.write.mode("overwrite").format("parquet")
         .partitionBy(partCol)
         .saveAsTable(table)

@@ -22,8 +22,13 @@ def load(path):
 def growth_factor(name):
     """Row growth sf0.01 -> sf0.1 for the table family a query reads:
     embeddings grow 4x (500 -> 2000), documents and the star schema 10x.
-    A query is only superlinear past ITS family's factor."""
-    if name.startswith(("q_sim_", "q_dedup_embed", "q_knn")):
+    A query is only superlinear past ITS family's factor.
+
+    NOTE: this prefix list must track the Scala query registry — a new
+    embeddings-reading query outside these prefixes silently inherits the
+    10x threshold (review finding; the registry does not export per-query
+    source tables, so the mapping lives here)."""
+    if name.startswith(("q_sim_", "q_dedup_embed", "q_knn", "q_ml_")):
         return 4.0
     return 10.0
 
