@@ -164,13 +164,21 @@ object Similarity {
     * of nProbe cell directories — the inverted-file read pattern, and the
     * round-3 verdict's missing piece (centroids lived only in a process
     * cache and every query re-assigned the whole corpus). */
-  def ensureIvfCells(spark: SparkSession, dir: String): String = {
+  def ensureIvfCells(spark: SparkSession, dir: String): String =
+    ensureIvfCellsFp(spark, dir, embFingerprint(spark, dir))
+
+  /** [[ensureIvfCells]] with the fingerprint already in hand — callers
+    * that also need the quantizer MUST thread one fingerprint through
+    * both, or a corpus rewrite between the two lookups pairs new
+    * centroids with an old cells table for that call (round-4 review,
+    * third pass). */
+  private def ensureIvfCellsFp(spark: SparkSession, dir: String,
+                               fp: Long): String = {
     GraftFunctions.register(spark)
     FeatureStore.ensurePartitionedTable(spark,
       assignCells(embWithNorm(spark, dir),
-        quantizerCentroids(spark, dir, ivfNlist)),
-      s"graft_ivf_cells_${Relational.dirSlug(dir)}", "cell",
-      embFingerprint(spark, dir))
+        quantizerCentroids(spark, dir, ivfNlist, fp = fp)),
+      s"graft_ivf_cells_${Relational.dirSlug(dir)}", "cell", fp)
   }
 
   /** Publish both vector-search layouts (sign index + IVF cells) for one
@@ -259,8 +267,11 @@ object Similarity {
     * at any SF, 8 full lake scans at 100 TB) for a cluster-side fit. */
   private[ops] def quantizerCentroids(spark: SparkSession, dir: String,
                                       nlist: Int, sampleMod: Int = 5,
-                                      sampleCap: Int = 4096): Array[Array[Double]] = {
-    val mtime = embFingerprint(spark, dir)
+                                      sampleCap: Int = 4096,
+                                      fp: Long = Long.MinValue): Array[Array[Double]] = {
+    // callers holding a fingerprint pass it in (one FS listing per query,
+    // and cache + published layout stay pinned to the SAME version)
+    val mtime = if (fp == Long.MinValue) embFingerprint(spark, dir) else fp
     // evict superseded-mtime entries for the same config: without this,
     // a long-lived JVM that rewrites the corpus accumulates one centroid
     // matrix per rewrite forever (round-3 review finding)
@@ -331,8 +342,9 @@ object Similarity {
     * Seeded → deterministic; recall (not equality) asserted in the spec. */
   def ivfTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
                     k: Int = 10, nProbe: Int = 8): DataFrame = {
-    val cellsTable = ensureIvfCells(spark, dir)
-    val centroids = quantizerCentroids(spark, dir, ivfNlist)
+    val fp = embFingerprint(spark, dir)
+    val cellsTable = ensureIvfCellsFp(spark, dir, fp)
+    val centroids = quantizerCentroids(spark, dir, ivfNlist, fp = fp)
 
     // centroid table is tiny: broadcast to rank cells per query
     val centDf = spark.createDataFrame(

@@ -69,9 +69,13 @@ object FeatureStore {
     val top = fs.getFileStatus(p)
     var h = top.getModificationTime
     if (top.isDirectory) {
+      // ORDER-INSENSITIVE combine (sum of per-child mixes): listStatus
+      // enumeration order is filesystem-dependent, and an order-sensitive
+      // fold would mint a fresh fingerprint — and trigger a full spurious
+      // republish — for an unchanged directory after an FS migration
+      // (round-4 review, third pass)
       fs.listStatus(p).foreach { s =>
-        h = h * 31 + s.getModificationTime
-        h = h * 31 + s.getLen
+        h += s.getModificationTime * 1000003L + s.getLen * 31L
       }
     }
     h
@@ -100,14 +104,24 @@ object FeatureStore {
     val table = s"${base}_${java.lang.Long.toHexString(fp)}"
     tableLocks.computeIfAbsent(base.toLowerCase, _ => new Object).synchronized {
       if (!spark.catalog.tableExists(table)) {
+        // drop superseded versions from THIS JVM's catalog...
         spark.catalog.listTables().collect().map(_.name)
           .filter(n => n.startsWith(base.toLowerCase + "_") &&
             n != table.toLowerCase)
           .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+        // ...and clear superseded/stale WAREHOUSE directories by prefix:
+        // the in-memory catalog dies with each JVM, so a fresh process
+        // after a source rewrite would otherwise orphan every prior
+        // <base>_<fp> directory forever — one full layout copy leaked
+        // per rewrite (round-4 review, third pass)
         val wh = spark.conf.get("spark.sql.warehouse.dir")
-        val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        val whPath = new org.apache.hadoop.fs.Path(wh)
+        val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(whPath)) {
+          fs.listStatus(whPath).map(_.getPath)
+            .filter(p => p.getName.startsWith(base.toLowerCase + "_"))
+            .foreach(p => fs.delete(p, true))
+        }
         write(table)
       }
     }
