@@ -107,6 +107,7 @@ object SparkEntry {
     "q_sim_topk" -> ((s, d) => Similarity.topKCosine(s, d)),
     "q_knn_vote" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     "q_sim_pair_cosine" -> ((s, d) => Similarity.pairCosine(s, d)),
+    "q_sim_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
     // rows-only: sign-index plane geometry is engine-specific; spec
     // asserts recall vs the exact brute baseline
     "q_sim_ann_topk" -> ((s, d) => Similarity.annTopKCosine(s, d)),
@@ -1069,6 +1070,23 @@ object SparkEntry {
         | round(list_reduce(list_transform(generate_series(1,64), i -> va[i]*vb[i]), (x,y) -> x+y)
         |  / (na * nb), 6) AS cos_sim
         |FROM a JOIN b USING (pair_id) ORDER BY pair_id""".stripMargin,
+    "q_sim_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        | FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+        | FROM s WHERE scale > 0),
+        |m AS (SELECT vec_id, scale, list_min(qv) AS qmin, list_max(qv) AS qmax,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(v)),
+        |      i -> (v[i] - qv[i]*scale) * (v[i] - qv[i]*scale))),
+        |    (a, b) -> a + b) / len(v) AS mse
+        | FROM q)
+        |SELECT vec_id, round(scale, 9) AS scale, qmin, qmax,
+        | round(mse, 12) AS mse
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q_text_bigrams" -> bigramOracle,
     "q_text_length_filter" ->
       """WITH d AS (

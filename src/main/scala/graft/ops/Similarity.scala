@@ -375,6 +375,37 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Symmetric int8 scalar quantization diagnostics — the storage-side
+    * operator for a 100 TB embedding lake: 4× smaller than float32 (8×
+    * than this pipeline's float64), and dot products stay computable in
+    * integer space rescaled by scale_a·scale_b. Per vector:
+    * scale = max|x|/127, q_i = floor(x_i/scale + 0.5) (EXPLICIT half-up —
+    * both engines replay the same floor arithmetic; built-in round()
+    * tie-break rules differ), reconstruction x̂_i = q_i·scale.
+    *
+    * The declared query reports per-vector diagnostics (scale, quantized
+    * range, reconstruction MSE) — the quality gate a pipeline runs before
+    * committing the lake to int8. Pure per-row projection: zero shuffle
+    * except the presentation sort; ordered left-fold MSE so the DuckDB
+    * oracle matches bit-exactly. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    embDouble(spark, dir)
+      .withColumn("scale", scale)
+      .where(col("scale") > 0)
+      .withColumn("qv", transform(v, x =>
+        floor(x / col("scale") + 0.5).cast("long")))
+      .withColumn("mse",
+        aggregate(zip_with(v, col("qv"),
+          (x, q) => (x - q * col("scale")) * (x - q * col("scale"))),
+          lit(0.0), (acc, e) => acc + e) / size(v))
+      .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+        array_min(col("qv")).as("qmin"), array_max(col("qv")).as("qmax"),
+        round(col("mse"), 12).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
   /** kNN label vote: predict each query vector's label by majority vote
     * over its exact top-k cosine neighbours — retrieval-based labeling,
     * the nearest-neighbour classifier a training pipeline uses for label

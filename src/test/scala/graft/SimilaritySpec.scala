@@ -132,6 +132,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: range bounded, reconstruction error within half a step") {
+    val rows = Similarity.quantizeEmbeddings(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length === n) // no zero vectors in this corpus
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(scale > 0)
+      // int8 range with symmetric half-up quantization
+      assert(r.getAs[Long]("qmin") >= -127L && r.getAs[Long]("qmax") <= 127L)
+      // per-dim error ≤ scale/2 ⇒ mse ≤ (scale/2)²
+      val mse = r.getAs[Double]("mse")
+      assert(mse >= 0 && mse <= scale * scale / 4 + 1e-12,
+        s"vec ${r.getAs[Long]("vec_id")}: mse $mse vs scale $scale")
+    }
+    // fidelity: quantized dot products approximate exact ones — the
+    // property that makes int8 lakes searchable
+    val emb = Similarity.embDouble(spark, sf).limit(50).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def quant(v: Array[Double]): (Array[Long], Double) = {
+      val s = v.map(math.abs).max / 127.0
+      (v.map(x => math.floor(x / s + 0.5).toLong), s)
+    }
+    val ids = emb.keys.toSeq.sorted.take(10)
+    for (a <- ids; b <- ids if a < b) {
+      val exact = emb(a).zip(emb(b)).map { case (x, y) => x * y }.sum
+      val (qa, sa) = quant(emb(a)); val (qb, sb) = quant(emb(b))
+      val approx = qa.zip(qb).map { case (x, y) => x * y }.sum * sa * sb
+      assert(math.abs(exact - approx) < 0.05,
+        s"dot($a,$b): exact $exact vs int8 $approx")
+    }
+  }
+
   test("pair cosine: one row per pair, covers half the table") {
     val n = Tables.embeddings(spark, sf).count()
     val rows = Similarity.pairCosine(spark, sf).collect()
