@@ -101,6 +101,9 @@ object SparkEntry {
     "q_text_split" -> ((s, d) => Text.corpusSplit(s, d)),
     "q_text_packing" -> ((s, d) => Text.packChunks(s, d)),
     "q_text_normalize_numbers" -> ((s, d) => Text.normalizeNumbers(s, d)),
+    // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
+    // train split, one declarative plan (each piece oracle-checked alone)
+    "q_text_corpus_final" -> ((s, d) => Text.trainingCorpus(s, d)),
     // rows-only: xxhash64 values are engine-specific by design
     "q_text_fingerprint_fast" -> ((s, d) => Text.fingerprintFast(s, d)),
     // similarity pack [EXT] (SURVEY §2.B similarity-search row)
@@ -307,6 +310,23 @@ object SparkEntry {
        | SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
        | FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8)""".stripMargin
   }
+
+  /** [[minhashPairsCtes]] extended to cluster labels (recursive CTE) — the
+    * `lab` CTE gives every clustered doc its component's min doc_id;
+    * shared by the cluster query, the deduped-corpus query and the
+    * end-to-end corpus composition. */
+  private def clusterLabCtes: String =
+    minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """
+        |, sym AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM sym
+        | UNION
+        | SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+        |        FROM reach GROUP BY src)""".stripMargin
 
   /** DuckDB twin of [[Dedup.containmentPairsLsh]], generated from the same
     * constants: windowed MinHash re-signing (stride = W/2), 4×2 banding on
@@ -940,17 +960,9 @@ object SparkEntry {
     "q_dedup_minhash_pairs" -> (minhashPairsCtes +
       """
         |SELECT doc_a, doc_b, jac FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
-    "q_dedup_clusters" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    "q_dedup_clusters" -> (clusterLabCtes +
       """
-        |, sym AS (
-        | SELECT doc_a AS src, doc_b AS dst FROM pairs
-        | UNION SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        | SELECT src, dst FROM sym
-        | UNION
-        | SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+        |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin),
     "q_dedup_jaccard_brute" -> (dedupCtes +
       s"""
          |, j AS (
@@ -976,21 +988,37 @@ object SparkEntry {
          |WHERE greatest(round(inter / na, 6), round(inter / nb, 6)) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_containment_lsh" -> containmentLshOracle,
-    "q_dedup_corpus" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    "q_dedup_corpus" -> (clusterLabCtes +
       """
-        |, sym AS (
-        | SELECT doc_a AS src, doc_b AS dst FROM pairs
-        | UNION SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        | SELECT src, dst FROM sym
-        | UNION
-        | SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-        |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
-        |        FROM reach GROUP BY src)
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE cluster_rep <> doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+    "q_text_corpus_final" -> (clusterLabCtes +
+      s"""
+         |, tq AS (
+         | SELECT doc_id, lang, source, n_chars, text,
+         |  list_filter(string_split(text,' '), t -> len(t) > 0) AS toks
+         | FROM documents),
+         |qr AS (
+         | SELECT doc_id, lang, source, n_chars, text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_filter(toks, t -> t IN (${Text.stopwords.map(s => s"'$s'").mkString(", ")}))) AS BIGINT) AS n_stop
+         | FROM tq),
+         |qs AS (
+         | SELECT doc_id, lang, source, n_chars,
+         |  round(0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens)
+         |        + 0.3 * least(1.0, n_tokens / 60.0), 6) AS quality,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (acc,c) -> (acc*31 + c) % ${Dedup.P}) % 10 AS bucket
+         | FROM qr)
+         |SELECT doc_id, lang, source, n_chars, quality
+         |FROM qs
+         |WHERE bucket <= 7 AND quality >= 0.70
+         |  AND doc_id NOT IN (SELECT doc_id FROM lab WHERE cluster_rep <> doc_id)
+         |ORDER BY doc_id""".stripMargin),
     "q_text_split" ->
       s"""WITH h AS (
          | SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),

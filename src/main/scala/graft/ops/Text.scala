@@ -87,22 +87,61 @@ object Text {
     * runs UNCHANGED on a streaming frame (stateless per-row projection;
     * streams reject sorts). Spec-asserted equal to the batch path on the
     * same corpus. */
-  def qualityScoreRows(docs: DataFrame): DataFrame = {
+  def qualityScoreRows(docs: DataFrame): DataFrame =
+    withQuality(docs)
+      .select(col("doc_id"), col("lang"), col("len_chars"), col("n_tokens"),
+        col("n_distinct"), col("n_stop"), col("diversity"), col("stop_ratio"),
+        col("quality"))
+
+  /** Append the quality signals to ANY documents-shaped frame, preserving
+    * the caller's columns — the composable form [[trainingCorpus]] and
+    * the declared scorer build on (one definition of the score, so the
+    * composition and the standalone query cannot drift). */
+  def withQuality(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = nullif(col("n_tokens"), lit(0L))
     docs
-      .select(col("doc_id"), col("lang"),
-        length(col("text")).cast("long").as("len_chars"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
-        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"))
+      .withColumn("len_chars", length(col("text")).cast("long"))
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long"))
+      .drop("toks")
       .withColumn("diversity", round(col("n_distinct") / nTok, 6))
       .withColumn("stop_ratio", round(col("n_stop") / nTok, 6))
       .withColumn("quality", round(
         lit(0.4) * (col("n_distinct") / nTok) +
         lit(0.3) * (lit(1.0) - col("n_stop") / nTok) +
         lit(0.3) * least(lit(1.0), col("n_tokens") / lit(60.0)), 6))
+  }
+
+  /** THE end-to-end corpus materialization — the single declarative
+    * statement that produces a training corpus from the raw documents
+    * table by composing three declared operators in one Catalyst plan:
+    * near-dup cluster keep-list ([[Dedup.dupClusters]] non-representatives
+    * anti-joined away, broadcast), quality floor ([[withQuality]] — same
+    * score definition as the standalone query), and the content-keyed
+    * train split ([[corpusSplit]]'s bucket rule). This is what "a user of
+    * the reference could switch and run their pipeline" means in
+    * practice: filter + anti-join + projection fuse over one documents
+    * scan family, and every piece is individually oracle-checked
+    * elsewhere — the composition is oracle-checked here. */
+  def trainingCorpus(spark: SparkSession, dir: String,
+                     minQuality: Double = 0.70): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val drop = Dedup.dupClusters(spark, dir)
+      .where(col("cluster_rep") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val bucket =
+      pmod(graft.functions.GraftFunctions.polyHash(col("text")), lit(10))
+    withQuality(Tables.documents(spark, dir))
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .where(bucket <= 7 && col("quality") >= minQuality)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("quality"))
+      .orderBy(col("doc_id"))
   }
 
   /** Language-marker profiles for the n-gram language-ID heuristic:

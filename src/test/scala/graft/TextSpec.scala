@@ -188,6 +188,30 @@ class TextSpec extends SparkSpec {
     assert(dropped.forall(r => benchTexts.contains(r.getAs[String]("text"))))
   }
 
+  test("training corpus composition equals its independently-computed pieces") {
+    import graft.ops.Dedup
+    val minQ = 0.70
+    val kept = Text.trainingCorpus(spark, sf, minQ).collect()
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    // recompute each leg independently through the standalone operators
+    val dedupKeep = Dedup.dedupedCorpus(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val train = Text.corpusSplit(spark, sf).collect()
+      .filter(_.getString(1) == "train").map(_.getLong(0)).toSet
+    val quality = Text.qualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val expect = dedupKeep
+      .intersect(train)
+      .filter(d => quality(d) >= minQ)
+    assert(keptIds === expect,
+      s"missing=${expect.diff(keptIds).take(5)} extra=${keptIds.diff(expect).take(5)}")
+    // the composition is selective, not vacuous
+    assert(keptIds.nonEmpty && keptIds.size < quality.size)
+    // and the reported quality matches the standalone scorer
+    kept.foreach(r =>
+      assert(r.getAs[Double]("quality") === quality(r.getAs[Long]("doc_id"))))
+  }
+
   test("corpus split: content-keyed, deterministic, duplicate texts co-assigned, ~80/10/10") {
     val a = Text.corpusSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
