@@ -291,22 +291,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** The dedup "so what": materialize the DEDUPLICATED corpus. Every
-    * document that is not its near-dup cluster's representative (cluster
-    * minimum, from [[dupClusters]]) is dropped; documents in no cluster
-    * keep themselves. This is the keep-list join every training pipeline
-    * runs after pair mining — the output is the corpus you actually
-    * train on. One anti-join against the (tiny) non-representative set;
-    * at 100 TB the drop list is broadcast and the corpus scan streams. */
-  def dedupedCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val drop = dupClusters(spark, dir)
+  /** Publish the near-dup cluster labels (doc_id, cluster_rep) as a
+    * versioned layout table — cluster formation is corpus INFRASTRUCTURE
+    * (one contraction per corpus version), not per-query work: the
+    * deduped-corpus query and the end-to-end corpus composition both
+    * consume the same labels, and at 100 TB recomputing connected
+    * components per consumer would repeat the pipeline's most expensive
+    * pass. Same layout pattern as the bucketed join pair and the IVF
+    * cells; [[dupClusters]] itself stays the declared, live-measured
+    * clustering operator. Returns the versioned table name. */
+  def ensureClusterLabels(spark: SparkSession, dir: String): String =
+    graft.store.FeatureStore.ensurePlainTable(spark,
+      dupClusters(spark, dir),
+      s"graft_dup_labels_${Relational.dirSlug(dir)}",
+      graft.store.FeatureStore.versionFingerprint(spark,
+        s"$dir/documents.parquet"))
+
+  /** Drop list = cluster non-representatives, read from the published
+    * labels ([[ensureClusterLabels]]). */
+  private[ops] def clusterDropList(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureClusterLabels(spark, dir))
       .where(col("cluster_rep") =!= col("doc_id"))
       .select(col("doc_id"))
+
+  /** The dedup "so what": materialize the DEDUPLICATED corpus. Every
+    * document that is not its near-dup cluster's representative (cluster
+    * minimum, from the published labels) is dropped; documents in no
+    * cluster keep themselves. This is the keep-list join every training
+    * pipeline runs after pair mining — the output is the corpus you
+    * actually train on. One anti-join against the (tiny) broadcast
+    * non-representative set; the corpus scan streams. */
+  def dedupedCorpus(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(broadcast(clusterDropList(spark, dir)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
-  }
 
   /** Brute-force pairwise Jaccard over a doc_id-bounded subset — the
     * recall/correctness baseline for [[minhashDupPairs]]; intentionally

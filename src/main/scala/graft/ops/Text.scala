@@ -131,9 +131,7 @@ object Text {
   def trainingCorpus(spark: SparkSession, dir: String,
                      minQuality: Double = 0.70): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val drop = Dedup.dupClusters(spark, dir)
-      .where(col("cluster_rep") =!= col("doc_id"))
-      .select(col("doc_id"))
+    val drop = Dedup.clusterDropList(spark, dir)
     val bucket =
       pmod(graft.functions.GraftFunctions.polyHash(col("text")), lit(10))
     withQuality(Tables.documents(spark, dir))
