@@ -109,10 +109,16 @@ class PipelineSpec extends SparkSpec {
     assert(back.count() === 40)
     assert(back.schema.map(f => (f.name, f.dataType)) ===
       df.schema.map(f => (f.name, f.dataType)))
-    // values survive bit-exact (columnar round-trip, no text conversion)
+    // values survive bit-exact (columnar round-trip, no text conversion) —
+    // compare per-row, not via sum(): fp summation order varies with
+    // partition layout, so an aggregate can differ in the last ulp even
+    // when every stored value is identical
     assert(back.agg(sum("row_id")).head.getLong(0) === (0L until 40L).sum)
-    val origSum = df.agg(sum("feature_0")).head.getDouble(0)
-    assert(back.agg(sum("feature_0")).head.getDouble(0) === origSum)
+    val orig = df.select("row_id", "feature_0").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rt = back.select("row_id", "feature_0").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rt === orig)
     // and a filter reaches the ORC scan as a pushed predicate
     val scan = back.where(col("row_id") === 7L)
       .queryExecution.executedPlan.toString
