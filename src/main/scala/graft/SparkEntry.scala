@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
 import graft.model.Metrics
-import graft.ops.{Dedup, Events, Multimodal, Relational, Similarity, Text}
+import graft.ops.{Dedup, Events, Features, Multimodal, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -151,6 +151,14 @@ object SparkEntry {
     "q_mm_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_mm_decode" -> ((s, d) => Multimodal.decodeSummary(s, d)),
     "q_mm_resize" -> ((s, d) => Multimodal.resizeMeta(s, d)),
+    // feature-engineering pack (SURVEY §2.C feature-engineering rows):
+    // the transforms between raw tables and model input
+    "q_feat_scale" -> ((s, d) => Features.standardize(s, d)),
+    "q_feat_bins" -> ((s, d) => Features.quantileBins(s, d)),
+    "q_feat_target_enc" -> ((s, d) => Features.targetEncode(s, d)),
+    "q_feat_onehot" -> ((s, d) => Features.oneHot(s, d)),
+    "q_feat_hash" -> ((s, d) => Features.hashedBagOfWords(s, d)),
+    "q_text_tfidf" -> ((s, d) => Features.tfidfTopTerms(s, d)),
   )
 
   /** DuckDB twin of [[Metrics.linearPredictions]] — scores and argmax
@@ -1138,5 +1146,78 @@ object SparkEntry {
         |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // feature-engineering pack
+    "q_feat_scale" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round((l_quantity - s.m_qty) / s.sd_qty, 4) AS z_qty,
+        | round((l_extendedprice - s.m_price) / s.sd_price, 4) AS z_price,
+        | round((l_discount - s.mn_disc) / (s.mx_disc - s.mn_disc), 6) AS mm_disc
+        |FROM lineitem CROSS JOIN (
+        | SELECT avg(l_quantity) AS m_qty, stddev_samp(l_quantity) AS sd_qty,
+        |        avg(l_extendedprice) AS m_price,
+        |        stddev_samp(l_extendedprice) AS sd_price,
+        |        min(l_discount) AS mn_disc, max(l_discount) AS mx_disc
+        | FROM lineitem) s
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_feat_bins" ->
+      """WITH b AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
+        |                  quantile_cont(l_quantity, 0.5)  AS q2,
+        |                  quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem)
+        |SELECT CAST(1 + CAST(l_quantity > b.q1 AS INT)
+        |              + CAST(l_quantity > b.q2 AS INT)
+        |              + CAST(l_quantity > b.q3 AS INT) AS BIGINT) AS bin,
+        |       count(*) AS n,
+        |       round(min(l_quantity), 2) AS min_qty,
+        |       round(max(l_quantity), 2) AS max_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem CROSS JOIN b
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_feat_target_enc" ->
+      """WITH j AS (SELECT c_mktsegment, o_totalprice
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |     g AS (SELECT avg(o_totalprice) AS gm FROM j),
+        |     seg AS (SELECT c_mktsegment, count(*) AS n_orders,
+        |                    sum(o_totalprice) AS s
+        |             FROM j GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, n_orders,
+        |       round(s / n_orders, 4) AS seg_mean,
+        |       round((s + 100.0 * g.gm) / (n_orders + 100.0), 4) AS enc_smooth
+        |FROM seg CROSS JOIN g ORDER BY c_mktsegment""".stripMargin,
+    "q_feat_onehot" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_returnflag = 'A' AS INT) AS flag_a,
+        | CAST(l_returnflag = 'N' AS INT) AS flag_n,
+        | CAST(l_returnflag = 'R' AS INT) AS flag_r,
+        | CAST(l_linestatus = 'O' AS INT) AS status_o,
+        | CAST(l_linestatus = 'F' AS INT) AS status_f
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+    "q_feat_hash" ->
+      """SELECT doc_id,
+        | CAST(list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (acc, c) -> (acc * 31 + c) % 1000000007) % 16 AS INT) AS bucket,
+        | count(*) AS n
+        |FROM (SELECT doc_id,
+        |        unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+        |      FROM documents) t
+        |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |        unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+        |      FROM documents),
+        |     tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |            GROUP BY doc_id, token),
+        |     df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+        |            GROUP BY token),
+        |     n AS (SELECT count(*) AS n_total FROM documents),
+        |     s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |             round(tf.tf * ln(CAST(n.n_total AS DOUBLE) / df.df), 6) AS tfidf
+        |           FROM tf JOIN df USING (token) CROSS JOIN n),
+        |     r AS (SELECT *, row_number() OVER (
+        |             PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        |           FROM s)
+        |SELECT doc_id, rk, token, tf, df, tfidf
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
   )
 }

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Feature-engineering pack — the transforms a feature store applies
+  * between raw tables and model input (the reference's domain:
+  * `/root/reference/src/data_generation.py` builds the feature table,
+  * `model_training.py` consumes it; real stores interpose exactly these
+  * operators). SURVEY.md §2.C rows "feature engineering".
+  *
+  * Scale design shared by every operator here: per-column statistics are
+  * ONE global/grouped aggregate reduced to a tiny DataFrame that is then
+  * `broadcast`-cross-joined back to the fact rows — never a window over
+  * an empty `partitionBy` (that plan funnels 100 TB through a single
+  * task). The per-row transform stage is a pure projection:
+  * embarrassingly parallel, whole-stage-codegen'd, zero extra shuffles.
+  */
+object Features {
+
+  /** Column standardization: z-score for the heavy-tailed measures,
+    * min-max for the bounded one — the scalers `sklearn.preprocessing`
+    * users run before the reference's RF fit. Stats via one aggregate,
+    * broadcast back; rounding (4dp / 6dp) absorbs summation-order ulps
+    * between engines so the oracle compares decisions, not fp noise. */
+  def standardize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val stats = li.agg(
+      avg(col("l_quantity")).as("m_qty"),
+      stddev_samp(col("l_quantity")).as("sd_qty"),
+      avg(col("l_extendedprice")).as("m_price"),
+      stddev_samp(col("l_extendedprice")).as("sd_price"),
+      min(col("l_discount")).as("mn_disc"),
+      max(col("l_discount")).as("mx_disc"))
+    li.crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round((col("l_quantity") - col("m_qty")) / col("sd_qty"), 4).as("z_qty"),
+        round((col("l_extendedprice") - col("m_price")) / col("sd_price"), 4)
+          .as("z_price"),
+        round((col("l_discount") - col("mn_disc")) /
+          (col("mx_disc") - col("mn_disc")), 6).as("mm_disc"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Equal-frequency (quartile) binning of `l_quantity` — the
+    * discretization step of feature pipelines. Boundaries come from ONE
+    * array-`percentile` aggregate (same fused pattern as
+    * [[Relational.percentiles]]); bin assignment is a broadcast compare.
+    * `l_quantity` is integer-valued, so the interpolated quartiles
+    * (quarters) are exact in binary and the `>` comparisons are
+    * bit-deterministic in both engines — no boundary-row ambiguity. */
+  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val bounds = li
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("q2"),
+        element_at(col("qs"), 3).as("q3"))
+    li.crossJoin(broadcast(bounds))
+      .select(col("l_quantity"), col("l_extendedprice"),
+        (lit(1) + (col("l_quantity") > col("q1")).cast("int")
+          + (col("l_quantity") > col("q2")).cast("int")
+          + (col("l_quantity") > col("q3")).cast("int")).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_quantity")), 2).as("min_qty"),
+        round(max(col("l_quantity")), 2).as("max_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"))
+      .orderBy(col("bin"))
+  }
+
+  /** Smoothed target (mean) encoding of customer market segment against
+    * order total price — the high-cardinality-categorical encoder
+    * (Micci-Barreca, SIGKDD Expl. 2001): enc = (Σy + m·ȳ)/(n + m) with
+    * prior weight m. One broadcast dim join + one grouped aggregate +
+    * one broadcast of the global mean; at 100 TB the join flips to
+    * shuffle automatically when the dim outgrows the broadcast
+    * threshold, the aggregate shapes are unchanged. */
+  def targetEncode(spark: SparkSession, dir: String, m: Double = 100.0): DataFrame = {
+    val joined = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val globalMean = joined.agg(avg(col("o_totalprice")).as("gm"))
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("s"))
+      .crossJoin(broadcast(globalMean))
+      .select(col("c_mktsegment"), col("n_orders"),
+        round(col("s") / col("n_orders"), 4).as("seg_mean"),
+        round((col("s") + lit(m) * col("gm")) / (col("n_orders") + lit(m)), 4)
+          .as("enc_smooth"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** One-hot encoding of the two lineitem status categoricals with a
+    * PINNED vocabulary (`A/N/R`, `O/F`) — production feature stores
+    * version the vocabulary with the model rather than deriving it from
+    * the batch (a data-dependent vocabulary silently reshapes the
+    * feature matrix between training runs). Pure per-row projection;
+    * the bounded output is a `TakeOrderedAndProject` (no full sort). */
+  def oneHot(spark: SparkSession, dir: String, limit: Int = 1000): DataFrame = {
+    val flags = Seq("A", "N", "R").map(v =>
+      (col("l_returnflag") === lit(v)).cast("int").as(s"flag_${v.toLowerCase}"))
+    val statuses = Seq("O", "F").map(v =>
+      (col("l_linestatus") === lit(v)).cast("int").as(s"status_${v.toLowerCase}"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey") +: col("l_linenumber") +: (flags ++ statuses): _*)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(limit)
+  }
+
+  /** Hashing-trick bag-of-words (Weinberger et al., ICML 2009): token →
+    * `polyHash mod 16` bucket, count per (doc, bucket) — fixed-width
+    * text features with no vocabulary state at all. The poly hash
+    * replays exactly in the DuckDB oracle (same fold as
+    * [[Text.fingerprintPoly]]); the xxhash64 variant is the faster
+    * engine-specific twin. Explode + one partial-agg'd group-by: the
+    * shuffle carries ≤ nDims rows per doc. */
+  def hashedBagOfWords(spark: SparkSession, dir: String, nDims: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        pmod(graft.functions.GraftFunctions.polyHash(col("token")), lit(nDims))
+          .cast("int").as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  /** Per-document top-3 TF-IDF terms (Spärck Jones 1972): tf·ln(N/df),
+    * ranked inside each document. Ranking happens on the ROUNDED score
+    * (6dp) with the token as tiebreaker, so the order is deterministic
+    * and engine-independent — raw fp scores can differ in the last ulp
+    * between libm implementations. Shapes at 100 TB: two token-keyed
+    * aggregates + one token-keyed join (AQE picks shuffle vs broadcast
+    * from the real vocabulary size) + a window partitioned BY DOCUMENT —
+    * never a global window. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("token")).agg(count_distinct(col("doc_id")).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_total").cast("double") / col("df")), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+}

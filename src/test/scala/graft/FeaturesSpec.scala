@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Features
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("standardize: z-scores recenter to ~0/sd ~1, min-max lands in [0,1]") {
+    val out = Features.standardize(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0)
+    val row = out.agg(
+      avg($"z_qty"), stddev_samp($"z_qty"),
+      min($"mm_disc"), max($"mm_disc")).head
+    assert(math.abs(row.getDouble(0)) < 1e-3)          // mean ~ 0
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-3)    // sd ~ 1
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(3) <= 1.0)
+    // the rounded min-max endpoints are attained exactly
+    assert(row.getDouble(2) === 0.0 && row.getDouble(3) === 1.0)
+    out.unpersist()
+  }
+
+  test("quantile bins: 4 bins, ~equal frequency, contiguous non-overlapping ranges") {
+    val bins = Features.quantileBins(spark, sf)
+      .orderBy($"bin").collect()
+    assert(bins.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val counts = bins.map(_.getLong(1))
+    val total = counts.sum
+    // equal-frequency up to the integer-valued ties at the boundaries
+    counts.foreach(c => assert(math.abs(c - total / 4.0) < total * 0.15))
+    // ranges are ordered and non-overlapping
+    val ranges = bins.map(r => (r.getDouble(2), r.getDouble(3)))
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo)
+      case _ => }
+  }
+
+  test("target encoding: shrinks every segment mean toward the global mean") {
+    val joined = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        $"o_custkey" === $"c_custkey")
+    val gm = joined.agg(avg($"o_totalprice")).head.getDouble(0)
+    val enc = Features.targetEncode(spark, sf).collect()
+    assert(enc.length >= 3) // the mkt segments present
+    enc.foreach { r =>
+      val (segMean, smooth) = (r.getDouble(2), r.getDouble(3))
+      // smoothed value lies strictly between the raw mean and the prior
+      assert((smooth - segMean) * (gm - segMean) >= 0.0,
+        s"${r.getString(0)}: $smooth not between $segMean and $gm")
+      assert(math.abs(smooth - gm) <= math.abs(segMean - gm) + 1e-9)
+    }
+  }
+
+  test("one-hot: pinned vocabulary, exactly one flag and one status fire per row") {
+    val out = Features.oneHot(spark, sf, limit = 500)
+    assert(out.columns.toSeq === Seq("l_orderkey", "l_linenumber",
+      "flag_a", "flag_n", "flag_r", "status_o", "status_f"))
+    val bad = out.filter($"flag_a" + $"flag_n" + $"flag_r" =!= 1 ||
+      $"status_o" + $"status_f" =!= 1).count()
+    assert(bad === 0)
+    // bounded output is a TakeOrderedAndProject, not a global sort
+    val plan = Features.oneHot(spark, sf, limit = 500)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("hashed bag-of-words: buckets in [0,16), counts conserve the token volume") {
+    val out = Features.hashedBagOfWords(spark, sf).cache()
+    val r = out.agg(min($"bucket"), max($"bucket"), sum($"n")).head
+    assert(r.getInt(0) >= 0 && r.getInt(1) < 16)
+    val totalTokens = graft.sources.Tables.documents(spark, sf)
+      .select(size(graft.ops.Text.tokens($"text")).cast("long").as("k"))
+      .agg(sum($"k")).head.getLong(0)
+    assert(r.getLong(2) === totalTokens) // no token lost or double-counted
+    out.unpersist()
+  }
+
+  test("tf-idf: k rows per doc, ranks 1..k, corpus-wide stopwords score ~0") {
+    val out = Features.tfidfTopTerms(spark, sf, k = 3).cache()
+    val byDoc = out.groupBy($"doc_id").agg(count(lit(1)).as("c"),
+      min($"rk").as("lo"), max($"rk").as("hi"))
+    assert(byDoc.filter($"c" =!= 3 || $"lo" =!= 1 || $"hi" =!= 3).count() === 0)
+    // a token present in EVERY document has idf = ln(1) = 0, so it can
+    // never outrank a informative token with tfidf > 0
+    val worst = out.agg(min($"tfidf")).head.getDouble(0)
+    assert(worst >= 0.0)
+    // scores are non-increasing down the ranking inside each doc
+    val inverted = out.as[(Long, Long, String, Long, Long, Double)]
+      .groupByKey(_._1).flatMapGroups { (_, it) =>
+        val rows = it.toSeq.sortBy(_._2)
+        rows.sliding(2).collect {
+          case Seq(a, b) if a._6 < b._6 => (a._1, a._2)
+        }
+      }.count()
+    assert(inverted === 0)
+    out.unpersist()
+  }
+}
