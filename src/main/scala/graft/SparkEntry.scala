@@ -159,6 +159,9 @@ object SparkEntry {
     "q_feat_onehot" -> ((s, d) => Features.oneHot(s, d)),
     "q_feat_hash" -> ((s, d) => Features.hashedBagOfWords(s, d)),
     "q_text_tfidf" -> ((s, d) => Features.tfidfTopTerms(s, d)),
+    "q_feat_user_profile" -> ((s, d) => Features.userProfile(s, d)),
+    "q_feat_pit_training" -> ((s, d) => Features.pitTrainingSet(s, d)),
+    "q_feat_cross" -> ((s, d) => Features.crossFeatures(s, d)),
   )
 
   /** DuckDB twin of [[Metrics.linearPredictions]] — scores and argmax
@@ -1219,5 +1222,45 @@ object SparkEntry {
         |           FROM s)
         |SELECT doc_id, rk, token, tf, df, tfidf
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_feat_user_profile" ->
+      """WITH g AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+        |p AS (SELECT user_id, count(*) AS n_events,
+        |        count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        |        count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+        |        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |        count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        |        count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+        |        round(sum(value), 2) AS sum_value,
+        |        round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+        |          AS sum_purchase,
+        |        max(epoch_ms(ts)) AS last_ms
+        |      FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, n_click, n_view, n_purchase, n_signup,
+        |       n_error, sum_value, sum_purchase, (g.mx - last_ms) AS recency_ms
+        |FROM p CROSS JOIN g ORDER BY user_id""".stripMargin,
+    "q_feat_pit_training" ->
+      """SELECT event_id, user_id, n_prior, n_prior_purchases,
+        |       prior_value_sum, label_value
+        |FROM (SELECT event_id, user_id, event_type, value AS label_value,
+        |        count(*) OVER w AS n_prior,
+        |        count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w
+        |          AS n_prior_purchases,
+        |        round(sum(value) OVER w, 2) AS prior_value_sum
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_feat_cross" ->
+      """SELECT CAST(list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(c_mktsegment || '|' || o_orderpriority, ''),
+        |       c -> CAST(ascii(c) AS BIGINT))),
+        |   (acc, c) -> (acc * 31 + c) % 1000000007) % 32 AS INT) AS bucket,
+        | count(*) AS n,
+        | count(DISTINCT c_mktsegment || '|' || o_orderpriority) AS n_crosses,
+        | round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

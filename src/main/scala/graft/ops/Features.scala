@@ -130,6 +130,90 @@ object Features {
       .orderBy(col("doc_id"), col("bucket"))
   }
 
+  /** Per-user profile features from the event stream — the classic
+    * "user feature vector" a feature store materializes for serving:
+    * per-type activity counts, monetary totals, and recency against the
+    * corpus watermark (max event time — a DATA anchor, not wall-clock,
+    * so the feature is reproducible). Purchase spend ships as the
+    * MERGEABLE (sum, count) pair, not a pre-divided average: stores keep
+    * partial aggregates (they re-aggregate across windows), and a
+    * rounded average of a small group of 2-decimal amounts can land
+    * exactly on a decimal half-way boundary where engines' last-ulp
+    * division differences legitimately disagree — a sum of 2-decimal
+    * values can't sit near a 2dp boundary. One grouped aggregate + one
+    * broadcast of the 1-row watermark; the streaming twin of the
+    * (count,sum) core is
+    * [[graft.streaming.EventStream.userTotalsStateful]]. */
+  def userProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val watermark = ev.agg(max(unix_millis(col("ts"))).as("mx"))
+    def typed(t: String) = count(when(col("event_type") === lit(t), 1))
+      .as(s"n_$t")
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        typed("click"), typed("view"), typed("purchase"),
+        typed("signup"), typed("error"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(sum(when(col("event_type") === lit("purchase"), col("value"))), 2)
+          .as("sum_purchase"),
+        max(unix_millis(col("ts"))).as("last_ms"))
+      .crossJoin(broadcast(watermark))
+      .select(col("user_id"), col("n_events"), col("n_click"), col("n_view"),
+        col("n_purchase"), col("n_signup"), col("n_error"), col("sum_value"),
+        col("sum_purchase"), (col("mx") - col("last_ms")).as("recency_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Point-in-time-correct training set — the leakage guard feature
+    * stores exist for: each purchase (label event) is paired with
+    * features computed from that user's STRICTLY EARLIER events only,
+    * via a `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` frame.
+    * Joining the CURRENT profile onto historical labels trains on the
+    * future (Kaggle-famous leakage); the frame makes the cutoff
+    * per-row and exact. Window is partitioned BY USER and ordered by
+    * (ts, event_id) — bounded state per key at any scale, never a
+    * global window. */
+  def pitTrainingSet(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("n_prior_purchases",
+        count(when(col("event_type") === lit("purchase"), 1)).over(w))
+      .withColumn("prior_value_sum", round(sum(col("value")).over(w), 2))
+      .filter(col("event_type") === lit("purchase"))
+      .select(col("event_id"), col("user_id"), col("n_prior"),
+        col("n_prior_purchases"), col("prior_value_sum"),
+        col("value").as("label_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Hashed feature crossing (the cross-column analogue of the hashing
+    * trick): segment × order-priority → `polyHash mod 32` bucket, so
+    * the cross's cardinality is capped without a vocabulary. The
+    * distinct-cross count per bucket exposes collisions — the quantity
+    * a user tunes the dimension against. Broadcast dim join + one
+    * grouped aggregate. */
+  def crossFeatures(spark: SparkSession, dir: String, nDims: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(concat_ws("|", col("c_mktsegment"), col("o_orderpriority"))
+        .as("cross_key"), col("o_totalprice"))
+      .select(pmod(graft.functions.GraftFunctions.polyHash(col("cross_key")),
+        lit(nDims)).cast("int").as("bucket"),
+        col("cross_key"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("cross_key")).as("n_crosses"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-document top-3 TF-IDF terms (Spärck Jones 1972): tf·ln(N/df),
     * ranked inside each document. Ranking happens on the ROUNDED score
     * (6dp) with the token as tiebreaker, so the order is deterministic

@@ -76,6 +76,55 @@ class FeaturesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("user profile: per-type counts partition n_events, recency anchored at the watermark") {
+    val out = Features.userProfile(spark, sf).cache()
+    val bad = out.filter(
+      $"n_click" + $"n_view" + $"n_purchase" + $"n_signup" + $"n_error"
+        =!= $"n_events").count()
+    assert(bad === 0)
+    val r = out.agg(min($"recency_ms"), count(lit(1))).head
+    assert(r.getLong(0) === 0L) // the user holding the corpus's last event
+    assert(r.getLong(1) ===
+      graft.sources.Tables.events(spark, sf)
+        .select($"user_id").distinct().count())
+    out.unpersist()
+  }
+
+  test("pit training set: prior-window features match a strict happened-before recompute") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+    // independent recompute of the point-in-time cutoff via an explicit
+    // happened-before self-join — any future leakage in the window frame
+    // (an off-by-one, a CURRENT ROW inclusion) shows as a count mismatch
+    val prior = ev.as("e").join(ev.as("p"),
+        $"e.user_id" === $"p.user_id" &&
+          ($"p.ts" < $"e.ts" ||
+            ($"p.ts" === $"e.ts" && $"p.event_id" < $"e.event_id")), "left")
+      .groupBy($"e.event_id".as("event_id"))
+      .agg(count($"p.event_id").as("n_prior_ref"),
+        count(when($"p.event_type" === "purchase", 1)).as("n_pp_ref"))
+    val out = Features.pitTrainingSet(spark, sf)
+    val joined = out.join(prior, "event_id")
+    assert(joined.count() > 0)
+    assert(joined.filter($"n_prior" =!= $"n_prior_ref" ||
+      $"n_prior_purchases" =!= $"n_pp_ref").count() === 0)
+  }
+
+  test("feature cross: buckets bounded, counts conserve orders, crosses conserved") {
+    val out = Features.crossFeatures(spark, sf).cache()
+    val r = out.agg(min($"bucket"), max($"bucket"), sum($"n"),
+      sum($"n_crosses")).head
+    assert(r.getInt(0) >= 0 && r.getInt(1) < 32)
+    val joined = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        $"o_custkey" === $"c_custkey")
+    assert(r.getLong(2) === joined.count())
+    assert(r.getLong(3) === joined
+      .select(concat_ws("|", $"c_mktsegment", $"o_orderpriority")).distinct()
+      .count())
+    out.unpersist()
+  }
+
   test("tf-idf: k rows per doc, ranks 1..k, corpus-wide stopwords score ~0") {
     val out = Features.tfidfTopTerms(spark, sf, k = 3).cache()
     val byDoc = out.groupBy($"doc_id").agg(count(lit(1)).as("c"),
