@@ -63,6 +63,7 @@ object SparkEntry {
     "q_csv_json_sources" -> ((s, d) => Relational.csvJsonSourceJoin(s, d)),
     "q_unpivot_measures" -> ((s, d) => Relational.unpivotMeasureStats(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
+    "q_sample_group_k" -> ((s, d) => Relational.groupReservoirSample(s, d)),
     // rows-only: sampleBy's per-row RNG is engine-specific; spec asserts
     // per-class proportions and seed-determinism
     "q_sample_bernoulli" -> ((s, d) => Relational.bernoulliStratifiedSample(s, d)),
@@ -84,6 +85,8 @@ object SparkEntry {
     "q_evt_asof_click" -> ((s, d) => Events.asofLastClick(s, d)),
     "q_evt_trailing_1h" -> ((s, d) => Events.trailingHourSum(s, d)),
     "q_evt_range_join" -> ((s, d) => Events.sessionEventOverlap(s, d)),
+    "q_evt_funnel" -> ((s, d) => Events.funnelStages(s, d)),
+    "q_evt_retention" -> ((s, d) => Events.retentionCohorts(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // rows-only: k-means cell assignment is engine-specific; spec asserts recall
@@ -162,6 +165,8 @@ object SparkEntry {
     "q_feat_user_profile" -> ((s, d) => Features.userProfile(s, d)),
     "q_feat_pit_training" -> ((s, d) => Features.pitTrainingSet(s, d)),
     "q_feat_cross" -> ((s, d) => Features.crossFeatures(s, d)),
+    "q_feat_latest" -> ((s, d) => Features.latestEventSnapshot(s, d)),
+    "q_profile_orders" -> ((s, d) => Stats.columnProfile(s, d)),
   )
 
   /** DuckDB twin of [[Metrics.linearPredictions]] — scores and argmax
@@ -793,6 +798,93 @@ object SparkEntry {
         | round(value, 2) AS purchase_value,
         | round(last_click_value, 2) AS last_click_value
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_sample_group_k" ->
+      """WITH h AS (
+        | SELECT event_type, event_id, user_id, round(value, 2) AS value,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(CAST(event_id AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rk
+        | FROM events),
+        |r AS (
+        | SELECT event_type, event_id, user_id, value,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |         ORDER BY rk, event_id) AS BIGINT) AS rnk
+        | FROM h)
+        |SELECT event_type, rnk, event_id, user_id, value
+        |FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+    "q_evt_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+        |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_view', count(*) FROM s2
+        |UNION ALL SELECT '3_click', count(*) FROM s3
+        |UNION ALL SELECT '4_purchase', count(*) FROM s4
+        |ORDER BY stage""".stripMargin,
+    "q_evt_retention" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |            count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, day,
+        |       min(day) OVER (PARTITION BY user_id) AS cohort_day FROM d)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        | CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        | count(*) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_feat_latest" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+        | event_id AS last_event_id, event_type AS last_event_type,
+        | round(value, 2) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_profile_orders" ->
+      """WITH t AS (SELECT count(*) AS n_rows FROM orders)
+        |SELECT 'o_orderkey' AS "column", t.n_rows,
+        | count(o_orderkey) AS n_nonnull,
+        | count(DISTINCT o_orderkey) AS n_distinct,
+        | round(CAST(min(o_orderkey) AS DOUBLE), 2) AS min_num,
+        | round(CAST(max(o_orderkey) AS DOUBLE), 2) AS max_num,
+        | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders, t GROUP BY t.n_rows
+        |UNION ALL
+        |SELECT 'o_custkey', t.n_rows, count(o_custkey),
+        | count(DISTINCT o_custkey),
+        | round(CAST(min(o_custkey) AS DOUBLE), 2),
+        | round(CAST(max(o_custkey) AS DOUBLE), 2), NULL, NULL
+        |FROM orders, t GROUP BY t.n_rows
+        |UNION ALL
+        |SELECT 'o_totalprice', t.n_rows, count(o_totalprice),
+        | count(DISTINCT o_totalprice),
+        | round(CAST(min(o_totalprice) AS DOUBLE), 2),
+        | round(CAST(max(o_totalprice) AS DOUBLE), 2), NULL, NULL
+        |FROM orders, t GROUP BY t.n_rows
+        |UNION ALL
+        |SELECT 'o_orderstatus', t.n_rows, count(o_orderstatus),
+        | count(DISTINCT o_orderstatus), NULL, NULL,
+        | min(o_orderstatus), max(o_orderstatus)
+        |FROM orders, t GROUP BY t.n_rows
+        |UNION ALL
+        |SELECT 'o_orderpriority', t.n_rows, count(o_orderpriority),
+        | count(DISTINCT o_orderpriority), NULL, NULL,
+        | min(o_orderpriority), max(o_orderpriority)
+        |FROM orders, t GROUP BY t.n_rows
+        |UNION ALL
+        |SELECT 'o_orderdate', t.n_rows, count(o_orderdate),
+        | count(DISTINCT o_orderdate), NULL, NULL,
+        | strftime(min(o_orderdate), '%Y-%m-%d'),
+        | strftime(max(o_orderdate), '%Y-%m-%d')
+        |FROM orders, t GROUP BY t.n_rows
+        |ORDER BY "column"""".stripMargin,
     "q_evt_trailing_1h" ->
       """SELECT event_id, user_id,
         | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)

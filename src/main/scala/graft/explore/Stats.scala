@@ -141,4 +141,56 @@ object Stats {
       .select(round(col("pt"), 6).as("pt"), col("density"))
       .orderBy(col("pt"))
   }
+
+  /** Column-level data profile of the `orders` table — the lake-health
+    * summary (null counts, exact cardinality, typed min/max) a pipeline
+    * runs before trusting a new snapshot; the EDA counterpart of the
+    * reference's `df.describe()` habit, generalized to mixed types.
+    *
+    * ONE scan: every per-column measure fuses into a single aggregate
+    * (the multi-column `count_distinct`s share one Expand pass), and the
+    * wide result row explodes into long form locally — shuffle output is
+    * O(columns), independent of row count. Min/max stay in per-type
+    * columns (`min_num`/`min_str`) rather than casting everything to
+    * string: cross-engine double formatting is not stable, typed values
+    * are. Exact distinct is the oracle-checkable form; at 100 TB swap in
+    * `approx_count_distinct` (declared scale path, `q_approx_distinct`)
+    * to drop the Expand. Dates profile through the string side with an
+    * explicit format. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val dateFmt = "yyyy-MM-dd"
+    val aggs =
+      numCols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        round(min(col(c)).cast("double"), 2).as(s"mn_$c"),
+        round(max(col(c)).cast("double"), 2).as(s"mx_$c"))) ++
+      strCols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"mn_$c"),
+        max(col(c)).as(s"mx_$c"))) ++
+      Seq(
+        count(col("o_orderdate")).as("nn_o_orderdate"),
+        count_distinct(col("o_orderdate")).as("nd_o_orderdate"),
+        date_format(min(col("o_orderdate")), dateFmt).as("mn_o_orderdate"),
+        date_format(max(col("o_orderdate")), dateFmt).as("mx_o_orderdate"),
+        count(lit(1)).as("n_rows"))
+    val wide = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    def entry(c: String, num: Boolean): org.apache.spark.sql.Column =
+      struct(lit(c).as("column"),
+        col("n_rows"),
+        col(s"nn_$c").as("n_nonnull"),
+        col(s"nd_$c").as("n_distinct"),
+        (if (num) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
+        (if (num) col(s"mx_$c") else lit(null).cast("double")).as("max_num"),
+        (if (num) lit(null).cast("string") else col(s"mn_$c")).as("min_str"),
+        (if (num) lit(null).cast("string") else col(s"mx_$c")).as("max_str"))
+    val entries = numCols.map(entry(_, num = true)) ++
+      (strCols :+ "o_orderdate").map(entry(_, num = false))
+    wide.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+      .orderBy(col("column"))
+  }
 }

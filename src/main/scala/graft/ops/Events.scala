@@ -172,6 +172,67 @@ object Events {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Ordered conversion funnel over the event stream: how many users
+    * reach signup → view → click → purchase IN TEMPORAL ORDER (each stage
+    * strictly after the user's first arrival at the previous stage) — the
+    * product-analytics query every event warehouse runs.
+    *
+    * Semantics: stage k's timestamp for a user is the EARLIEST event of
+    * that type occurring strictly after the user's stage-(k-1) timestamp.
+    * Computing each stage as a per-user conditional `min` and chaining
+    * through user-keyed joins is the scalable form: every join and
+    * aggregate shuffles on `user_id` only (AQE reuses the exchange), the
+    * per-stage state is ONE timestamp per user, and nothing ever sorts a
+    * user's full history — unlike the sessionize-then-fold shape whose
+    * state grows with events per user. Stage names carry a numeric prefix
+    * so the output's total order is the funnel order. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+    def next(prev: DataFrame, evType: String): DataFrame =
+      ev.where(col("event_type") === evType)
+        .join(prev, "user_id")
+        .where(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+    val s2 = next(s1, "view")
+    val s3 = next(s2, "click")
+    val s4 = next(s3, "purchase")
+    Seq("1_signup" -> s1, "2_view" -> s2, "3_click" -> s3, "4_purchase" -> s4)
+      .map { case (nm, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(nm).as("stage"), col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
+  /** Day-grain retention cohorts: users grouped by their first-active day,
+    * counted on each subsequent active day — the (cohort_day, day_offset)
+    * retention triangle.
+    *
+    * Shape: one group-by collapses events to distinct (user, day) rows
+    * (partial combine absorbs the per-day event fan-in map-side), a
+    * user-partitioned window `min` tags each row with its cohort day, and
+    * the final aggregate is O(days²) output. After the (user, day)
+    * collapse each user contributes one row per active day, so the final
+    * count is a plain `count(*)` — no distinct expand. State per user is
+    * bounded by calendar days, not events. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("user_id"))
+    perDay
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** As-of join: each `purchase` event picks up the value of the user's
     * most recent *prior* `click` (the point-in-time feature lookup every
     * feature store needs; DuckDB spells it ASOF JOIN).

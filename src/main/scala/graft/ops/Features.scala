@@ -242,4 +242,28 @@ object Features {
         col("tfidf"))
       .orderBy(col("doc_id"), col("rk"))
   }
+
+  /** Latest-row-per-key snapshot: each user's most recent event — the
+    * "current value" read a feature store serves, and the generic
+    * SCD/CDC compaction step (keep the newest version of every key).
+    *
+    * Implemented as ONE hash aggregate: `max` over a struct whose leading
+    * fields are the ordering key (ts, then event_id as the unique
+    * tiebreaker) arg-maxes the whole row with map-side partial combine —
+    * state is one row per key per partition. The window-function spelling
+    * (`row_number() = 1`) sorts every key's full history through the
+    * shuffle instead; at 100 TB with hot keys that is strictly worse, so
+    * the aggregate form is the operator and the window form is only the
+    * oracle's replay. */
+  def latestEventSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"),
+        date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        round(col("last.value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
 }

@@ -731,6 +731,33 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic k-per-group reservoir sample: the k events with the
+    * SMALLEST content hash inside each event type — uniform (the hash is
+    * effectively random over ids), exactly reproducible on any engine,
+    * and sized per group regardless of group skew.
+    *
+    * Shape at 100 TB: ONE bounded-heap aggregate (`graft_top_k` keyed by
+    * (polyHash(id), id)) — partial heaps of size k per partition combine
+    * map-side, so the shuffle carries O(groups·partitions·k) rows, never
+    * a group's full membership. The window spelling (`row_number() <=
+    * k` over hash order) sorts every group's history through the shuffle;
+    * it exists only as the oracle's replay. Same polyHash fold both
+    * sides, so the sampled ids are bit-identical cross-engine. */
+  def groupReservoirSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val keyed = struct(
+      graft.functions.GraftFunctions.polyHash(col("event_id").cast("string")).as("rk"),
+      col("event_id"), col("user_id"), round(col("value"), 2).as("value"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions.topK(keyed, k).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.event_id").as("event_id"), col("col.user_id").as("user_id"),
+        col("col.value").as("value"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   /** Seeded Bernoulli stratified sample (`sampleBy`): per-class keep
     * fractions via per-row RNG — the at-scale default when exact
     * reproducibility across engines isn't required. Rows-only (RNG is

@@ -105,6 +105,61 @@ class EventsSpec extends SparkSpec {
     assert(binned === naive)
   }
 
+  test("funnel: stage counts non-increasing, stage 1 exact, one user hand-walked") {
+    val df = Events.funnelStages(spark, sf).cache()
+    val counts = df.orderBy("stage").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(counts.map(_._1).toSeq ===
+      Seq("1_signup", "2_view", "3_click", "4_purchase"))
+    // the funnel can only narrow
+    assert(counts.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    assert(counts.head._2 === Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count())
+    // hand-walk every user at sf0.001 (15 users): fold the sorted timeline
+    val timeline = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getString(2)))
+    val stagesByUser = timeline.groupBy(_._1).view.mapValues { evs =>
+      val sorted = evs.sortBy(_._2)
+      val order = Seq("signup", "view", "click", "purchase")
+      var reached = 0
+      var tPrev = Long.MinValue
+      // earliest event of the next stage strictly after the previous stage
+      var advanced = true
+      while (advanced && reached < 4) {
+        advanced = false
+        val nxt = sorted.collectFirst {
+          case (_, t, ty) if ty == order(reached) &&
+            (reached == 0 || t > tPrev) => t
+        }
+        nxt.foreach { t => tPrev = t; reached += 1; advanced = true }
+      }
+      reached
+    }.toMap
+    val expected = (1 to 4).map(k => stagesByUser.values.count(_ >= k).toLong)
+    assert(counts.map(_._2).toSeq === expected)
+  }
+
+  test("retention: offset-0 equals cohort size, user-days conserved, offsets sane") {
+    val df = Events.retentionCohorts(spark, sf).cache()
+    assert(df.filter(col("day_offset") < 0).count() === 0)
+    // every (user, active-day) pair lands in exactly one cell
+    val userDays = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().count()
+    assert(df.agg(sum("n_users")).collect().head.getLong(0) === userDays)
+    // day-0 cell of each cohort counts exactly that cohort's users
+    val cohortSizes = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(date_format(min(date_trunc("day", col("ts"))), "yyyy-MM-dd").as("cohort_day"))
+      .groupBy("cohort_day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val day0 = df.filter(col("day_offset") === 0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(day0 === cohortSizes)
+  }
+
   test("json props: k parsed for every row, bounds sane") {
     val r = Events.jsonPropsAgg(spark, sf)
       .agg(sum("n").as("n"), min("min_k").as("mn"), max("max_k").as("mx"))

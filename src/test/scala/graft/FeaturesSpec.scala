@@ -145,4 +145,26 @@ class FeaturesSpec extends SparkSpec {
     assert(inverted === 0)
     out.unpersist()
   }
+
+  test("latest snapshot: one row per user, equals the window-recompute, agg plan") {
+    val out = Features.latestEventSnapshot(spark, sf).cache()
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(out.count() === users)
+    // semantic reference: row_number over (ts desc, event_id desc)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val ref = graft.sources.Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.select($"user_id", $"last_event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+    // the operator is an aggregate (arg-max), not a window sort
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    out.unpersist()
+  }
 }

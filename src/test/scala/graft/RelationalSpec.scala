@@ -317,6 +317,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("group reservoir sample: exactly k per group, equals hash-rank recompute, no window") {
+    val k = 5
+    val out = Relational.groupReservoirSample(spark, sf, k).cache()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(out.count() === k * types)
+    val perType = out.groupBy("event_type").count()
+    assert(perType.filter(col("count") =!= k).count() === 0)
+    // semantic reference: window rank over (polyHash, event_id)
+    graft.functions.GraftFunctions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(graft.functions.GraftFunctions
+        .polyHash(col("event_id").cast("string")), col("event_id"))
+    val ref = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = out.select("event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === ref)
+    // the operator is the bounded-heap aggregate, never a window sort
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    out.unpersist()
+  }
+
   test("sampleBy: seed-deterministic, per-class proportions near fractions") {
     val a = Relational.bernoulliStratifiedSample(spark, sf).collect()
     val b = Relational.bernoulliStratifiedSample(spark, sf).collect()

@@ -86,4 +86,37 @@ class StatsSpec extends SparkSpec {
       .count(_ == "Exchange hashpartitioning")
     assert(hashEx === 1, p)
   }
+
+  test("column profile: one row per column, typed min/max, recompute parity") {
+    // ONE scan: a single aggregate job feeds the profile (the distinct
+    // measures share one Expand), no per-column re-scan union — asserted
+    // BEFORE caching (a cached plan string duplicates the tree)
+    val p = Stats.columnProfile(spark, sf).queryExecution.executedPlan.toString
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 1, p)
+    val df = Stats.columnProfile(spark, sf).cache()
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val n = orders.count()
+    assert(df.count() === 6)
+    assert(df.filter(col("n_rows") =!= n).count() === 0)
+    // synthetic orders has no nulls anywhere
+    assert(df.filter(col("n_nonnull") =!= n).count() === 0)
+    // numeric columns carry num bounds only; string/date columns str only
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("o_orderkey", "o_custkey", "o_totalprice")) {
+      assert(rows(c).isNullAt(rows(c).fieldIndex("min_str")), c)
+      assert(!rows(c).isNullAt(rows(c).fieldIndex("min_num")), c)
+    }
+    for (c <- Seq("o_orderstatus", "o_orderpriority", "o_orderdate")) {
+      assert(rows(c).isNullAt(rows(c).fieldIndex("min_num")), c)
+      assert(!rows(c).isNullAt(rows(c).fieldIndex("min_str")), c)
+    }
+    // spot parity against direct recomputes
+    assert(rows("o_custkey").getAs[Long]("n_distinct") ===
+      orders.select("o_custkey").distinct().count())
+    assert(rows("o_totalprice").getAs[Double]("max_num") ===
+      math.floor(orders.agg(max("o_totalprice")).head.getDouble(0) * 100 + 0.5) / 100)
+    assert(rows("o_orderstatus").getAs[String]("min_str") ===
+      orders.agg(min("o_orderstatus")).head.getString(0))
+    df.unpersist()
+  }
 }
