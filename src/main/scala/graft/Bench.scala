@@ -127,6 +127,9 @@ object Bench {
     // q_dedup_clusters itself still computes live — the algorithm stays
     // a measured query; only its downstream consumers read the table
     graft.ops.Dedup.ensureClusterLabels(spark, sfDir)
+    // yesterday's labels for the incremental-dedup query — same
+    // infrastructure class as the cluster labels above
+    graft.ops.Dedup.ensureIncrementalBase(spark, sfDir)
 
     // sorted order: per-query timings comparable run-to-run and
     // round-to-round (Map iteration order is hash-dependent)

@@ -123,6 +123,7 @@ object SparkEntry {
     "q_dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "q_dedup_incremental" -> ((s, d) => Dedup.incrementalAssign(s, d)),
     "q_dedup_jaccard_brute" -> ((s, d) => Dedup.jaccardPairsBrute(s, d)),
     "q_dedup_containment" -> ((s, d) => Dedup.containmentPairsBrute(s, d)),
     "q_dedup_containment_lsh" -> ((s, d) => Dedup.containmentPairsLsh(s, d)),
@@ -343,6 +344,93 @@ object SparkEntry {
         | SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
         |        FROM reach GROUP BY src)""".stripMargin
+
+  /** DuckDB twin of [[Dedup.incrementalAssign]], generated from the same
+    * constants: the corpus cut, old-corpus labels (recursive CTE), verified
+    * new→old anchors, batch-internal components (second recursive CTE),
+    * and the adopt-or-fresh label rule — identical arithmetic end to end. */
+  private def incrementalOracle: String = {
+    val bandSelects = (0 until Dedup.numBands).map(b =>
+      s"SELECT doc_id, $b AS band, sig_${2 * b} AS s1, sig_${2 * b + 1} AS s2 FROM sig")
+      .mkString("\n  UNION ALL ")
+    dedupCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
+       |, cutv AS (SELECT CAST(floor(max(doc_id) * ${1.0 - Dedup.incNewFrac})
+       |                  AS BIGINT) AS cut FROM documents),
+       |bands AS (
+       |  $bandSelects),
+       |oldb AS (SELECT b.* FROM bands b, cutv WHERE b.doc_id < cut),
+       |newb AS (SELECT b.* FROM bands b, cutv WHERE b.doc_id >= cut),
+       |ocand AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       | FROM oldb x JOIN oldb y
+       |   ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+       |  AND x.doc_id < y.doc_id),
+       |oj AS (
+       | SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS inter,
+       |  len(a.hs) AS na, len(b.hs) AS nb
+       | FROM ocand JOIN hsh a ON ocand.doc_a = a.doc_id
+       |            JOIN hsh b ON ocand.doc_b = b.doc_id),
+       |opairs AS (SELECT doc_a, doc_b FROM oj
+       |           WHERE round(inter / (na + nb - inter), 6) >= 0.8),
+       |osym AS (SELECT doc_a AS src, doc_b AS dst FROM opairs
+       |         UNION SELECT doc_b, doc_a FROM opairs),
+       |oreach AS (
+       | SELECT src, dst FROM osym
+       | UNION
+       | SELECT r.src, s.dst FROM oreach r JOIN osym s ON r.dst = s.src),
+       |olab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+       |         FROM oreach GROUP BY src),
+       |xcand AS (
+       | SELECT DISTINCT n.doc_id AS doc_a, o.doc_id AS doc_b
+       | FROM newb n JOIN oldb o
+       |   ON n.band = o.band AND n.s1 = o.s1 AND n.s2 = o.s2),
+       |xj AS (
+       | SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS inter,
+       |  len(a.hs) AS na, len(b.hs) AS nb
+       | FROM xcand JOIN hsh a ON xcand.doc_a = a.doc_id
+       |            JOIN hsh b ON xcand.doc_b = b.doc_id),
+       |xver AS (SELECT doc_a, doc_b FROM xj
+       |         WHERE round(inter / (na + nb - inter), 6) >= 0.8),
+       |anch AS (
+       | SELECT x.doc_a AS doc_id, min(coalesce(l.cluster_rep, x.doc_b)) AS anchor
+       | FROM xver x LEFT JOIN olab l ON x.doc_b = l.doc_id
+       | GROUP BY x.doc_a),
+       |ncand AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       | FROM newb x JOIN newb y
+       |   ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+       |  AND x.doc_id < y.doc_id),
+       |nj AS (
+       | SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS inter,
+       |  len(a.hs) AS na, len(b.hs) AS nb
+       | FROM ncand JOIN hsh a ON ncand.doc_a = a.doc_id
+       |            JOIN hsh b ON ncand.doc_b = b.doc_id),
+       |npairs AS (SELECT doc_a, doc_b FROM nj
+       |           WHERE round(inter / (na + nb - inter), 6) >= 0.8),
+       |nsym AS (SELECT doc_a AS src, doc_b AS dst FROM npairs
+       |         UNION SELECT doc_b, doc_a FROM npairs),
+       |nreach AS (
+       | SELECT src, dst FROM nsym
+       | UNION
+       | SELECT r.src, s.dst FROM nreach r JOIN nsym s ON r.dst = s.src),
+       |nlab AS (SELECT src AS doc_id, least(src, min(dst)) AS comp0
+       |         FROM nreach GROUP BY src),
+       |wc AS (
+       | SELECT d.doc_id, coalesce(nl.comp0, d.doc_id) AS comp
+       | FROM (SELECT doc_id FROM documents, cutv WHERE doc_id >= cut) d
+       | LEFT JOIN nlab nl ON d.doc_id = nl.doc_id),
+       |ca AS (
+       | SELECT wc.comp, min(a.anchor) AS comp_anchor
+       | FROM wc LEFT JOIN anch a ON wc.doc_id = a.doc_id
+       | GROUP BY wc.comp)
+       |SELECT wc.doc_id, coalesce(ca.comp_anchor, wc.comp) AS cluster_rep,
+       | CAST(ca.comp_anchor IS NOT NULL AS INT) AS attached
+       |FROM wc JOIN ca ON wc.comp = ca.comp
+       |ORDER BY wc.doc_id""".stripMargin
+  }
 
   /** DuckDB twin of [[Dedup.containmentPairsLsh]], generated from the same
     * constants: windowed MinHash re-signing (stride = W/2), 4×2 banding on
@@ -1066,6 +1154,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (clusterLabCtes +
       """
         |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin),
+    "q_dedup_incremental" -> incrementalOracle,
     "q_dedup_jaccard_brute" -> (dedupCtes +
       s"""
          |, j AS (

@@ -147,38 +147,44 @@ object Stats {
     * runs before trusting a new snapshot; the EDA counterpart of the
     * reference's `df.describe()` habit, generalized to mixed types.
     *
-    * ONE scan: every per-column measure fuses into a single aggregate
-    * (the multi-column `count_distinct`s share one Expand pass), and the
-    * wide result row explodes into long form locally — shuffle output is
-    * O(columns), independent of row count. Min/max stay in per-type
-    * columns (`min_num`/`min_str`) rather than casting everything to
-    * string: cross-engine double formatting is not stable, typed values
-    * are. Exact distinct is the oracle-checkable form; at 100 TB swap in
-    * `approx_count_distinct` (declared scale path, `q_approx_distinct`)
-    * to drop the Expand. Dates profile through the string side with an
-    * explicit format. */
+    * TWO scans, both whole-stage hash paths, and the wide result row
+    * explodes into long form locally — shuffle output is O(columns),
+    * independent of row count. Why two: fusing the string min/max into
+    * the same aggregate as the multi-column `count_distinct`s plans a
+    * SortAggregate UNDER the distinct Expand (string buffers are not
+    * UnsafeRow-mutable), sorting a cols× blow-up of the table — measured
+    * 3.8 s at sf0.1 vs ~1 s split. The min/max/count pass keeps its
+    * string buffers in a keyless (sort-free) aggregate; the distinct
+    * pass keeps the Expand but aggregates only long counts. Min/max stay
+    * in per-type columns (`min_num`/`min_str`) rather than casting
+    * everything to string: cross-engine double formatting is not stable,
+    * typed values are. Exact distinct is the oracle-checkable form; at
+    * 100 TB swap in `approx_count_distinct` (declared scale path,
+    * `q_approx_distinct`) to drop the Expand. Dates profile through the
+    * string side with an explicit format. */
   def columnProfile(spark: SparkSession, dir: String): DataFrame = {
     val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val strCols = Seq("o_orderstatus", "o_orderpriority")
     val dateFmt = "yyyy-MM-dd"
-    val aggs =
+    val statAggs =
       numCols.flatMap(c => Seq(
         count(col(c)).as(s"nn_$c"),
-        count_distinct(col(c)).as(s"nd_$c"),
         round(min(col(c)).cast("double"), 2).as(s"mn_$c"),
         round(max(col(c)).cast("double"), 2).as(s"mx_$c"))) ++
       strCols.flatMap(c => Seq(
         count(col(c)).as(s"nn_$c"),
-        count_distinct(col(c)).as(s"nd_$c"),
         min(col(c)).as(s"mn_$c"),
         max(col(c)).as(s"mx_$c"))) ++
       Seq(
         count(col("o_orderdate")).as("nn_o_orderdate"),
-        count_distinct(col("o_orderdate")).as("nd_o_orderdate"),
         date_format(min(col("o_orderdate")), dateFmt).as("mn_o_orderdate"),
         date_format(max(col("o_orderdate")), dateFmt).as("mx_o_orderdate"),
         count(lit(1)).as("n_rows"))
-    val wide = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val allCols = numCols ++ strCols :+ "o_orderdate"
+    val distinctAggs = allCols.map(c => count_distinct(col(c)).as(s"nd_$c"))
+    val orders = Tables.orders(spark, dir)
+    val wide = orders.agg(statAggs.head, statAggs.tail: _*)
+      .crossJoin(broadcast(orders.agg(distinctAggs.head, distinctAggs.tail: _*)))
     def entry(c: String, num: Boolean): org.apache.spark.sql.Column =
       struct(lit(c).as("column"),
         col("n_rows"),

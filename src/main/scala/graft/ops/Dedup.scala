@@ -127,12 +127,45 @@ object Dedup {
 
   /** MinHash signatures: sig_j = min over shingles of (A_j·H + B_j) mod P.
     * One narrow row per document; a pure per-row map over the scan. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesOf(shingled(spark, dir))
+
+  /** [[minhashSignatures]] over an arbitrary (doc_id, hs) frame — shared
+    * by the whole-corpus path and [[incrementalAssign]]'s subsets. */
+  private def signaturesOf(sh: DataFrame): DataFrame = {
     val sigCols = A.indices.map { j =>
       array_min(transform(col("hs"), h => (h * A(j) + B(j)) % P)).as(s"sig_$j")
     }
-    shingled(spark, dir).select(col("doc_id") +: sigCols: _*)
+    sh.select(col("doc_id") +: sigCols: _*)
   }
+
+  /** Exploded LSH band keys of a signature frame: one narrow
+    * (doc_id, (band, s1, s2)) row per band. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (0 until numBands).map(b => struct(lit(b).as("band"),
+        col(s"sig_${2 * b}").as("s1"), col(s"sig_${2 * b + 1}").as("s2"))): _*)).as("bk"))
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the two sides' shingle sets — the "verify on candidates only" stage
+    * shared by every LSH path. */
+  private def jaccardVerify(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+                            minJaccard: Double): DataFrame =
+    cand
+      .join(shA.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(shB.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
+      .where(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+
+  /** Distinct candidate pairs from a band self-join (doc_a < doc_b). */
+  private def selfCandidates(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
 
   /** Near-dup pairs via MinHash-LSH banding, verified with exact Jaccard.
     *
@@ -153,23 +186,8 @@ object Dedup {
     * tiny range partitions. */
   private[graft] def minhashDupPairsUnordered(spark: SparkSession, dir: String,
                       minJaccard: Double = 0.8): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until numBands).map(b => struct(lit(b).as("band"),
-        col(s"sig_${2 * b}").as("s1"), col(s"sig_${2 * b + 1}").as("s2"))): _*)).as("bk"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
     val sh = shingled(spark, dir)
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
-      .withColumn("jac", round(col("inter") /
-        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
-      .where(col("jac") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+    jaccardVerify(selfCandidates(bandsOf(signaturesOf(sh))), sh, sh, minJaccard)
   }
 
   /** Duplicate-cluster formation: connected components over the
@@ -201,9 +219,19 @@ object Dedup {
     * failed query). The DuckDB recursive-CTE oracle checks the *labels*,
     * not the algorithm, so it is unchanged. */
   def dupClusters(spark: SparkSession, dir: String,
-                  maxIters: Int = 20): DataFrame = {
+                  maxIters: Int = 20): DataFrame =
+    connectedComponents(minhashDupPairsUnordered(spark, dir), maxIters)
+      .orderBy(col("doc_id"))
+
+  /** Connected components over an undirected (doc_a < doc_b) edge frame:
+    * (doc_id, cluster_rep = component minimum) for every node that
+    * appears in an edge. The contraction engine behind [[dupClusters]]
+    * and [[incrementalAssign]] — see [[dupClusters]] for algorithm and
+    * checkpoint-hygiene notes. Unsorted; callers order. */
+  private[graft] def connectedComponents(edges: DataFrame,
+                                         maxIters: Int = 20): DataFrame = {
     // pairs guarantee doc_a < doc_b → canonical (hi, lo) directly
-    val raw = minhashDupPairsUnordered(spark, dir)
+    val raw = edges
       .select(col("doc_b").as("hi"), col("doc_a").as("lo")).distinct()
     var cur = raw.localCheckpoint()
     val nodes = cur.select(explode(array(col("hi"), col("lo"))).as("doc_id"))
@@ -288,6 +316,135 @@ object Dedup {
     nodes.join(cur.select(col("hi").as("doc_id"), col("lo").as("rep")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+  }
+
+  /** Incremental near-dup assignment — the daily-ingest shape of
+    * [[dupClusters]]: a NEW batch of documents (the top `newFrac` of
+    * doc_ids, standing in for "today's crawl") is deduplicated against
+    * the EXISTING corpus without re-clustering it.
+    *
+    * Semantics (one round of label propagation, deterministic):
+    *  1. every new doc collects cross-corpus LSH candidates (new bands ×
+    *     old bands on narrow keys), exact-Jaccard verified; its ANCHOR is
+    *     the minimum existing cluster label over verified matches;
+    *  2. the batch clusters internally (band self-join + verify +
+    *     contraction over the batch-only edge set);
+    *  3. a batch component that touches the old corpus adopts its
+    *     members' minimum anchor; an untouched component keeps its own
+    *     minimum doc_id as a fresh label.
+    *
+    * Why this is the 100 TB shape: per-increment work is O(batch +
+    * band-collisions) — the old corpus is touched only through the band
+    * join (pruned to colliding keys) and the verified candidates'
+    * shingle-set lookups; the contraction runs on the BATCH edge set
+    * only. Re-running [[dupClusters]] per ingest would repeat the full
+    * corpus pair pipeline every day. The existing corpus arrives as two
+    * published per-version layouts — its signature index
+    * ([[ensureIncrementalSigs]]) and yesterday's labels
+    * ([[ensureIncrementalBase]]) — both deterministic, so the DuckDB twin
+    * replays them as CTEs and hash-checks the whole pipeline end to end.
+    * A new doc bridging two existing clusters does NOT
+    * merge them (it adopts the smaller label) — the standard incremental
+    * trade, healed by the next full contraction. */
+  /** Fraction of the doc_id range treated as "today's batch" by the
+    * declared incremental query — shared with the generated DuckDB twin
+    * so both engines cut the corpus at the identical id. */
+  val incNewFrac = 0.1
+
+  /** The EXISTING-corpus labels the incremental pass attaches to — in
+    * production these are yesterday's published labels, so they are
+    * layout infrastructure exactly like [[ensureClusterLabels]]: one
+    * contraction per corpus version, published once, read by every
+    * increment. Content is deterministic (the oracle replays it as the
+    * `olab` recursive CTE), so reading the table vs computing live
+    * cannot change the query's result. */
+  def ensureIncrementalBase(spark: SparkSession, dir: String,
+                            newFrac: Double = incNewFrac,
+                            minJaccard: Double = 0.8): String = {
+    val sigs = spark.table(ensureIncrementalSigs(spark, dir, newFrac))
+    val oldSh = sigs.select(col("doc_id"), col("hs"))
+    graft.store.FeatureStore.ensurePlainTable(spark,
+      connectedComponents(jaccardVerify(
+        selfCandidates(bandsOf(sigs)), oldSh, oldSh, minJaccard)),
+      s"graft_inc_base_${Relational.dirSlug(dir)}",
+      graft.store.FeatureStore.versionFingerprint(spark,
+        s"$dir/documents.parquet"))
+  }
+
+  /** The existing corpus's SIGNATURE INDEX (doc_id, shingle set, MinHash
+    * sigs) — the second half of the incremental-dedup contract: without
+    * it every increment would re-tokenize and re-sign the whole existing
+    * corpus just to be joined against. Production systems append to this
+    * index as batches land; here it is a per-version published table. At
+    * 100 TB, bucket it by band key so the cross band-join prunes. */
+  def ensureIncrementalSigs(spark: SparkSession, dir: String,
+                            newFrac: Double = incNewFrac): String =
+    graft.store.FeatureStore.ensurePlainTable(spark,
+      { val oldSh = incOldShingled(spark, dir, newFrac)
+        val sigCols = A.indices.map { j =>
+          array_min(transform(col("hs"), h => (h * A(j) + B(j)) % P)).as(s"sig_$j")
+        }
+        oldSh.select(col("doc_id") +: col("hs") +: sigCols: _*) },
+      s"graft_inc_sigs_${Relational.dirSlug(dir)}",
+      graft.store.FeatureStore.versionFingerprint(spark,
+        s"$dir/documents.parquet"))
+
+  /** (doc_id, hs) of the pre-cut (existing) corpus slice. */
+  private def incOldShingled(spark: SparkSession, dir: String,
+                             newFrac: Double): DataFrame =
+    shingledOf(incTagged(spark, dir, newFrac).where(col("doc_id") < col("cut")))
+
+  /** documents × broadcast cut id (no driver-side collect). */
+  private def incTagged(spark: SparkSession, dir: String,
+                        newFrac: Double): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(
+      floor(max(col("doc_id")) * (1.0 - newFrac)).cast("long").as("cut"))
+    docs.select(col("doc_id"), col("text")).crossJoin(broadcast(cut))
+  }
+
+  def incrementalAssign(spark: SparkSession, dir: String,
+                        newFrac: Double = incNewFrac,
+                        minJaccard: Double = 0.8): DataFrame = {
+    val tagged = incTagged(spark, dir, newFrac)
+    val newSh = shingledOf(tagged.where(col("doc_id") >= col("cut")))
+    val newBands = bandsOf(signaturesOf(newSh))
+    // the existing corpus arrives as published layouts (the incremental
+    // contract): its signature index and yesterday's labels; the first
+    // caller of a fresh corpus version publishes both
+    val sigs = spark.table(ensureIncrementalSigs(spark, dir, newFrac))
+    val oldSh = sigs.select(col("doc_id"), col("hs"))
+    val oldBands = bandsOf(sigs)
+    val oldLabels = spark.table(
+      ensureIncrementalBase(spark, dir, newFrac, minJaccard))
+
+    // 1. anchors: min existing label over verified cross matches
+    val crossCand = newBands.as("n").join(oldBands.as("o"),
+        col("n.bk") === col("o.bk"))
+      .select(col("n.doc_id").as("doc_a"), col("o.doc_id").as("doc_b"))
+      .distinct()
+    val anchors = jaccardVerify(crossCand, newSh, oldSh, minJaccard)
+      .join(oldLabels.select(col("doc_id").as("doc_b"), col("cluster_rep")),
+        Seq("doc_b"), "left")
+      .groupBy(col("doc_a"))
+      // an old doc in no old cluster is its own (singleton) label
+      .agg(min(coalesce(col("cluster_rep"), col("doc_b"))).as("anchor"))
+      .select(col("doc_a").as("doc_id"), col("anchor"))
+
+    // 2. batch-internal components (docs with no batch edge are their own)
+    val comps =
+      connectedComponents(jaccardVerify(selfCandidates(newBands), newSh, newSh, minJaccard))
+    val withComp = tagged.where(col("doc_id") >= col("cut")).select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("comp"))
+
+    // 3. component label = min member anchor, else the component minimum
+    val compAnchor = withComp.join(anchors, Seq("doc_id"), "left")
+      .groupBy(col("comp")).agg(min(col("anchor")).as("comp_anchor"))
+    withComp.join(compAnchor, "comp")
+      .select(col("doc_id"),
+        coalesce(col("comp_anchor"), col("comp")).as("cluster_rep"),
+        col("comp_anchor").isNotNull.cast("int").as("attached"))
       .orderBy(col("doc_id"))
   }
 

@@ -109,6 +109,52 @@ class DedupSpec extends SparkSpec {
     (all -- kept).foreach(d => assert(kept.contains(clusters(d))))
   }
 
+  test("incremental assign: equals an independent union-find replay of the rule") {
+    val out = Dedup.incrementalAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    val maxId = Tables.documents(spark, sf).agg(max("doc_id")).head.getLong(0)
+    val cut = math.floor(maxId * (1.0 - Dedup.incNewFrac)).toLong
+    val newIds = Tables.documents(spark, sf)
+      .where(col("doc_id") >= cut).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.keySet === newIds.toSet)
+    // ONE full-corpus pair run yields all three edge classes (band keys
+    // are per-doc, so old×old / new×old / new×new candidates are
+    // identical whether mined jointly or separately)
+    val pairs = Dedup.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find (components = minimum label)
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toMap
+    }
+    val olab = unionFind(pairs.filter { case (a, b) => a < cut && b < cut })
+    val anchors = pairs.collect { case (a, b) if a < cut && b >= cut =>
+      b -> olab.getOrElse(a, a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val comp = unionFind(pairs.filter { case (a, b) => a >= cut && b >= cut })
+    val byComp = newIds.groupBy(id => comp.getOrElse(id, id))
+    val expected = byComp.toSeq.flatMap { case (c, members) =>
+      val anchor = members.flatMap(anchors.get).minOption
+      members.toSeq.map(id =>
+        id -> (anchor.getOrElse(c), if (anchor.isDefined) 1 else 0))
+    }.toMap
+    assert(out === expected)
+    // attachment always adopts an existing (pre-cut) label
+    out.foreach { case (id, (rep, att)) =>
+      if (att == 1) assert(rep < cut, s"doc $id attached to new-side rep $rep")
+      else assert(rep >= cut && rep <= id, s"doc $id fresh rep $rep out of range")
+    }
+  }
+
   test("containment: superset of Jaccard pairs at equal threshold, bounded asymmetric scores") {
     val jac = Dedup.jaccardPairsBrute(spark, sf, maxDocId = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -88,11 +88,17 @@ class StatsSpec extends SparkSpec {
   }
 
   test("column profile: one row per column, typed min/max, recompute parity") {
-    // ONE scan: a single aggregate job feeds the profile (the distinct
-    // measures share one Expand), no per-column re-scan union — asserted
-    // BEFORE caching (a cached plan string duplicates the tree)
+    // TWO scans exactly: the min/max/count pass and the shared-Expand
+    // distinct pass — never a per-column re-scan union, and no sort
+    // under the Expand (the SortAggregate-under-Expand shape measured
+    // 3.8 s at sf0.1). Asserted BEFORE caching (a cached plan string
+    // duplicates the tree).
     val p = Stats.columnProfile(spark, sf).queryExecution.executedPlan.toString
-    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 1, p)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 2, p)
+    // one Sort node only — the presentation order. A keyless
+    // SortAggregate sorts nothing; the harmful shape was a KEYED sort
+    // under the distinct Expand, which would add a second Sort here.
+    assert(p.sliding("Sort [".length).count(_ == "Sort [") === 1, p)
     val df = Stats.columnProfile(spark, sf).cache()
     val orders = graft.sources.Tables.orders(spark, sf)
     val n = orders.count()
