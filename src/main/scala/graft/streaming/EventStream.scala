@@ -223,6 +223,39 @@ object EventStream {
       }
   }
 
+  /** Per-user latest-event record (the streaming serving state). */
+  final case class UserLatest(user_id: Long, last_ts_us: Long,
+                              last_event_id: Long, last_event_type: String,
+                              last_value: Double)
+
+  /** Streaming twin of [[graft.ops.Features.latestEventSnapshot]]: the
+    * feature-store SERVING state maintained live. State per user is ONE
+    * compacted record — each micro-batch arg-maxes its rows against the
+    * stored (ts, event_id) order, exactly the batch operator's
+    * `max(struct(...))` — so the state store holds the serving table
+    * itself, not history. The spec asserts the final state equals the
+    * batch snapshot across a state-store round trip. */
+  def latestSnapshotStateful(spark: SparkSession, stream: DataFrame): Dataset[UserLatest] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    stream.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, String, Double)]) =>
+          var cur = state.getOption.getOrElse((Long.MinValue, Long.MinValue, "", 0.0))
+          rows.foreach { r =>
+            val cand = (r._2, r._3, r._4, r._5)
+            if (cand._1 > cur._1 || (cand._1 == cur._1 && cand._2 > cur._2))
+              cur = cand
+          }
+          state.update(cur)
+          UserLatest(user, cur._1, cur._2, cur._3, math.rint(cur._4 * 100) / 100)
+      }
+  }
+
   /** Per-user running totals. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

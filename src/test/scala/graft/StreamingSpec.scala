@@ -266,6 +266,27 @@ class StreamingSpec extends SparkSpec {
       ("b", 7L, 8.0, 1), ("b", 8L, 4.0, 2), ("b", 4L, 2.0, 3)))
   }
 
+  test("stateful latest snapshot == batch arg-max; state compacts across batches") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStream.readEvents(spark, sf)
+    val q = EventStream.latestSnapshotStateful(spark, stream)
+      .writeStream.format("memory").queryName("stream_latest")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // final state per user = the arg-max over all emitted updates
+    val got = spark.table("stream_latest")
+      .groupBy("user_id")
+      .agg(max(struct(col("last_ts_us"), col("last_event_id"),
+        col("last_event_type"), col("last_value"))).as("m"))
+      .select(col("user_id"), col("m.last_event_id"), col("m.last_value"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = graft.ops.Features.latestEventSnapshot(spark, sf)
+      .select("user_id", "last_event_id", "last_value").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === batch)
+  }
+
   test("mapGroupsWithState running totals == batch per-user totals") {
     import org.apache.spark.sql.functions._
     val stream = EventStream.readEvents(spark, sf)
