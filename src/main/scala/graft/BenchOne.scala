@@ -20,8 +20,8 @@ object BenchOne {
       .agg(avg(length(col("text")))).collect()
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
-      // full-output checksum evaluation, same protocol as Bench: count()
-      // lets Catalyst prune per-row expressions and drop the final sort
+      // full-output checksum evaluation, same protocol as Bench (all
+      // columns hashed, final sort kept in the timed plan)
       val ts = (1 to 3).map { _ => Timing.timeOnce(fn(spark, sfDir)) }
       require(ts.forall(_.ok), s"$name failed: ${ts.find(!_.ok).get.err}")
       println(f"BENCHONE $name ${ts.map(t => f"${t.sec}%.2f").mkString(" ")}" +

@@ -114,6 +114,7 @@ object SparkEntry {
     "q_knn_vote" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     "q_sim_pair_cosine" -> ((s, d) => Similarity.pairCosine(s, d)),
     "q_sim_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
+    "q_sim_centroids" -> ((s, d) => Similarity.labelCentroidStats(s, d)),
     // rows-only: sign-index plane geometry is engine-specific; spec
     // asserts recall vs the exact brute baseline
     "q_sim_ann_topk" -> ((s, d) => Similarity.annTopKCosine(s, d)),
@@ -1307,6 +1308,45 @@ object SparkEntry {
         |SELECT vec_id, round(scale, 9) AS scale, qmin, qmax,
         | round(mse, 12) AS mse
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q_sim_centroids" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |u AS (SELECT label, unnest(v) AS x,
+        |       unnest(generate_series(1, len(v))) AS i FROM e),
+        |cd AS (SELECT label, i, avg(x) AS cx FROM u GROUP BY 1, 2),
+        |cent AS (SELECT label, list(cx ORDER BY i) AS cv FROM cd GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(cv, c -> c * c)), (a, b) -> a + b)) AS cnrm
+        | FROM cent),
+        |nn AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+        |coh AS (
+        | SELECT e.label, avg(
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |     list_transform(generate_series(1, len(v)), i -> v[i] * cv[i])),
+        |     (a, b) -> a + b)
+        |   / nullif(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |       list_transform(v, q -> q * q)), (a, b) -> a + b)) * cnrm, 0.0))
+        |   AS coh
+        | FROM e JOIN cn ON e.label = cn.label GROUP BY e.label),
+        |sep AS (
+        | SELECT a.label, b.label AS other,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(a.cv)), i -> a.cv[i] * b.cv[i])),
+        |    (x, y) -> x + y) / nullif(a.cnrm * b.cnrm, 0.0), 6) AS cos
+        | FROM cn a JOIN cn b ON a.label <> b.label),
+        |nb AS (
+        | SELECT label, other AS nearest_label, cos AS nearest_cos,
+        |  row_number() OVER (PARTITION BY label
+        |                     ORDER BY cos DESC, other) AS rk
+        | FROM sep)
+        |SELECT cn.label, nn.n, round(cn.cnrm, 6) AS centroid_norm,
+        | round(coh.coh, 6) AS avg_cos_to_centroid,
+        | nb.nearest_label, nb.nearest_cos
+        |FROM cn JOIN nn ON cn.label = nn.label
+        |JOIN coh ON cn.label = coh.label
+        |JOIN nb ON cn.label = nb.label AND nb.rk = 1
+        |ORDER BY cn.label""".stripMargin,
     "q_text_bigrams" -> bigramOracle,
     "q_text_length_filter" ->
       """WITH d AS (

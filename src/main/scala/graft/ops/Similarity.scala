@@ -448,4 +448,52 @@ object Similarity {
           .as("cos_sim"))
       .orderBy(col("pair_id"))
   }
+
+  /** Per-label embedding centroids with cohesion and separation — the
+    * classification-EDA pass over an embedding lake: how tight is each
+    * class (mean cosine of members to their centroid) and which other
+    * class sits nearest (max centroid-centroid cosine, the confusability
+    * signal).
+    *
+    * Scale shape: the centroid is MLlib `Summarizer.mean` — a real
+    * partial+final aggregate whose state is ONE dense vector per label
+    * per partition — never an explode to (label, dim, value) rows, which
+    * would push dims× the input through the shuffle. Cohesion re-joins
+    * the tiny centroid frame broadcast; separation is a labels² cross of
+    * the centroid frame only. The nearest label is chosen on the ROUNDED
+    * cosine with the label id as tiebreaker (deterministic cross-engine,
+    * same rule as TF-IDF ranking); 6dp rounding absorbs the
+    * summation-order ulps between Summarizer's partition-order sums and
+    * the oracle's. */
+  def labelCentroidStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    GraftFunctions.register(spark)
+    val e = embDouble(spark, dir)
+    val cent = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        Summarizer.mean(array_to_vector(col("embedding"))).as("cv"))
+      .withColumn("cv", vector_to_array(col("cv")))
+      .withColumn("cnrm", sqrt(GraftFunctions.dot(col("cv"), col("cv"))))
+    val coh = e.join(broadcast(cent.select(col("label"), col("cv"), col("cnrm"))), "label")
+      .withColumn("vnrm", sqrt(GraftFunctions.dot(col("embedding"), col("embedding"))))
+      .withColumn("cos", GraftFunctions.dot(col("embedding"), col("cv"))
+        / nullif(col("vnrm") * col("cnrm"), lit(0.0)))
+      .groupBy(col("label")).agg(avg(col("cos")).as("coh"))
+    val sep = cent.as("a").join(broadcast(cent.as("b")),
+        col("a.label") =!= col("b.label"))
+      .select(col("a.label").as("label"), col("b.label").as("other"),
+        round(GraftFunctions.dot(col("a.cv"), col("b.cv"))
+          / nullif(col("a.cnrm") * col("b.cnrm"), lit(0.0)), 6).as("cos"))
+      .groupBy(col("label"))
+      .agg(max(struct(col("cos"), (-col("other")).as("nego"), col("other"))).as("m"))
+      .select(col("label"), col("m.other").as("nearest_label"),
+        col("m.cos").as("nearest_cos"))
+    cent.select(col("label"), col("n"), round(col("cnrm"), 6).as("centroid_norm"))
+      .join(coh, "label").join(sep, "label")
+      .select(col("label"), col("n"), col("centroid_norm"),
+        round(col("coh"), 6).as("avg_cos_to_centroid"),
+        col("nearest_label"), col("nearest_cos"))
+      .orderBy(col("label"))
+  }
 }

@@ -172,4 +172,25 @@ class SimilaritySpec extends SparkSpec {
       val c = r.getAs[Double]("cos_sim"); c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9
     })
   }
+
+  test("label centroids: counts conserved, parity with explode recompute, no dim explode in plan") {
+    val df = Similarity.labelCentroidStats(spark, sf)
+    // the Summarizer centroid path never explodes (label, dim, value)
+    // rows — no Generate before the final assembly
+    assert(!df.queryExecution.executedPlan.toString.contains("Generate"))
+    val out = df.collect()
+    assert(out.map(_.getAs[Long]("n")).sum === Tables.embeddings(spark, sf).count())
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("avg_cos_to_centroid")) <= 1.0 + 1e-9)
+      assert(math.abs(r.getAs[Double]("nearest_cos")) <= 1.0 + 1e-9)
+      assert(r.getAs[Int]("nearest_label") !== r.getAs[Int]("label"))
+    }
+    // centroid-norm parity for one label against an explode recompute
+    val lbl = out.head.getAs[Int]("label")
+    val meanSq = Similarity.embDouble(spark, sf).where(col("label") === lbl)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg("x").as("m"))
+      .agg(sum(col("m") * col("m"))).head.getDouble(0)
+    assert(math.abs(out.head.getAs[Double]("centroid_norm") - math.sqrt(meanSq)) < 2e-6)
+  }
 }
