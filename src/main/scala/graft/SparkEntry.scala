@@ -101,6 +101,7 @@ object SparkEntry {
     "q_text_length_filter" -> ((s, d) => Text.lengthFilteredStats(s, d)),
     "q_text_repetition" -> ((s, d) => Text.repetitionSignals(s, d)),
     "q_text_decontaminate" -> ((s, d) => Text.decontaminate(s, d)),
+    "q_text_decon_ngram" -> ((s, d) => Text.decontaminateNgram(s, d)),
     "q_text_split" -> ((s, d) => Text.corpusSplit(s, d)),
     "q_text_packing" -> ((s, d) => Text.packChunks(s, d)),
     "q_text_normalize_numbers" -> ((s, d) => Text.normalizeNumbers(s, d)),
@@ -1363,6 +1364,16 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM documents b
         |                  WHERE b.doc_id % 100 = 0 AND b.text = d.text)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_decon_ngram" -> (dedupCtes +
+      """
+        |, bset AS (SELECT DISTINCT unnest(hs) AS h FROM hsh
+        |           WHERE doc_id % 50 = 0),
+        |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh WHERE doc_id % 50 <> 0),
+        |shr AS (SELECT e.doc_id, count(*) AS n_shared
+        |        FROM ex e JOIN bset b ON e.h = b.h GROUP BY e.doc_id)
+        |SELECT s.doc_id, d.source, s.n_shared
+        |FROM shr s JOIN documents d ON s.doc_id = d.doc_id
+        |WHERE s.n_shared >= 3 ORDER BY s.doc_id""".stripMargin),
     "q_text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

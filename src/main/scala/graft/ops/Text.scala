@@ -331,6 +331,38 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Fuzzy n-gram decontamination — the screen exact matching misses:
+    * flag every corpus document sharing at least `minShared` distinct
+    * hashed 3-gram shingles with ANY benchmark document (stand-in
+    * benchmark: doc_id ≡ 0 mod 50). This is the published-corpus recipe
+    * (the GPT-3 report's 13-gram overlap filter, Brown et al. 2020,
+    * applied here at the 3-gram granularity the dedup pack already
+    * hashes); paraphrased or partially-copied eval items survive an
+    * exact anti-join but still collide on shingles.
+    *
+    * Scale shape: the benchmark side collapses to a DISTINCT shingle-key
+    * set (eval suites are small — always broadcastable); the corpus side
+    * explodes to (doc_id, shingle) longs and broadcast-hash-joins — all
+    * codegen, no shuffle until the per-doc count. Per-doc shingle sets
+    * are distinct, so the shared count is a plain `count(*)` after the
+    * join. At 100 TB the corpus explode streams; nothing is ever
+    * pairwise. */
+  def decontaminateNgram(spark: SparkSession, dir: String,
+                         minShared: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val withSh = docs.select(col("doc_id"), col("source"),
+      Dedup.shingleHashes(col("text")).as("hs"))
+    val benchSet = withSh.where(pmod(col("doc_id"), lit(50)) === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    withSh.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+      .join(broadcast(benchSet), "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the document's characters:
     * fp = fold(chars, 0, (acc, ch) => (acc*31 + ascii(ch)) mod 1e9+7).
     *

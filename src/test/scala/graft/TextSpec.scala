@@ -174,6 +174,35 @@ class TextSpec extends SparkSpec {
       s"kept $totalKept of $total")
   }
 
+  test("n-gram decontamination flags exact bench copies at full overlap; broadcast plan") {
+    val df = Text.decontaminateNgram(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val flagged = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // independent recompute: shared distinct shingles vs the bench union
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ops.Dedup.shingleHashes(col("text")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val benchUnion = sh.collect { case (id, s) if id % 50 == 0 => s }
+      .foldLeft(Set.empty[Long])(_ ++ _)
+    sh.foreach { case (id, s) =>
+      if (id % 50 != 0 && s.nonEmpty) {
+        val shared = (s & benchUnion).size.toLong
+        if (shared >= 3) assert(flagged(id) === shared, s"doc $id")
+        else assert(!flagged.contains(id), s"doc $id under threshold")
+      }
+    }
+    // any corpus doc whose text equals a bench doc's must be flagged with
+    // FULL overlap (the planted exact-copy case fuzzy matching subsumes)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val benchTexts = texts.collect { case (id, t) if id % 50 == 0 => t }.toSet
+    texts.foreach { case (id, t) =>
+      if (id % 50 != 0 && benchTexts.contains(t) && sh(id).size >= 3)
+        assert(flagged(id) === sh(id).size.toLong, s"exact copy $id")
+    }
+  }
+
   test("decontamination removes exactly the benchmark-text documents") {
     val docs = Tables.documents(spark, sf)
     val benchTexts = docs.where(pmod(col("doc_id"), lit(100)) === 0)
