@@ -87,6 +87,8 @@ object SparkEntry {
     "q_evt_range_join" -> ((s, d) => Events.sessionEventOverlap(s, d)),
     "q_evt_funnel" -> ((s, d) => Events.funnelStages(s, d)),
     "q_evt_retention" -> ((s, d) => Events.retentionCohorts(s, d)),
+    "q_evt_transitions" -> ((s, d) => Events.typeTransitions(s, d)),
+    "q_profile_skew" -> ((s, d) => Stats.keySkewProfile(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // rows-only: k-means cell assignment is engine-specific; spec asserts recall
@@ -920,6 +922,30 @@ object SparkEntry {
         |UNION ALL SELECT '3_click', count(*) FROM s3
         |UNION ALL SELECT '4_purchase', count(*) FROM s4
         |ORDER BY stage""".stripMargin,
+    "q_evt_transitions" ->
+      """WITH l AS (
+        | SELECT event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS prev_type
+        | FROM events),
+        |g AS (SELECT prev_type, event_type, count(*) AS n FROM l
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        | round(n / (sum(n) OVER (PARTITION BY prev_type)), 6) AS p
+        |FROM g ORDER BY prev_type, event_type""".stripMargin,
+    "q_profile_skew" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem
+        |           GROUP BY l_orderkey),
+        |s AS (SELECT count(*) AS n_keys, sum(cnt) AS n_rows,
+        |       max(cnt) AS max_cnt, avg(cnt) AS avg_cnt FROM c),
+        |r AS (SELECT l_orderkey, cnt,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, l_orderkey)
+        |            AS BIGINT) AS rnk
+        |      FROM c)
+        |SELECT rnk, l_orderkey, cnt,
+        | round(cnt * 100.0 / n_rows, 6) AS share_pct, n_keys,
+        | round(max_cnt / avg_cnt, 4) AS skew_factor
+        |FROM r, s WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
     "q_evt_retention" ->
       """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
         |            count(*) AS n_events

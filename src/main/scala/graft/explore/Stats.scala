@@ -199,4 +199,35 @@ object Stats {
     wide.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
       .orderBy(col("column"))
   }
+
+  /** Shuffle-key skew profile of `lineitem.l_orderkey` (the engine's
+    * hottest join key): the top-10 heaviest keys with their row share,
+    * plus the global skew factor max/avg — the diagnostic that decides
+    * between a plain shuffle join, AQE skew splitting, and the explicit
+    * salted fallback the engine ships (`q_skew_salted_join`). Run this
+    * before picking a strategy, not after the straggler appears.
+    *
+    * Shape: one per-key count (the same aggregate any join would pay),
+    * a bounded-heap top-10 over it (`graft_top_k` — shuffle carries
+    * O(parts·k) rows, never a full sort), and a broadcast single-row
+    * stats frame for the shares. */
+  def keySkewProfile(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"), avg(col("cnt")).as("avg_cnt"))
+    val keyed = struct((-col("cnt")).as("negcnt"), col("l_orderkey"), col("cnt"))
+    counts
+      .agg(graft.functions.GraftFunctions.topK(keyed, k).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.l_orderkey").as("l_orderkey"), col("col.cnt").as("cnt"))
+      .crossJoin(broadcast(stats))
+      .select(col("rnk"), col("l_orderkey"), col("cnt"),
+        round(col("cnt") * 100.0 / col("n_rows"), 6).as("share_pct"),
+        col("n_keys"),
+        round(col("max_cnt") / col("avg_cnt"), 4).as("skew_factor"))
+      .orderBy(col("rnk"))
+  }
 }

@@ -233,6 +233,29 @@ object Events {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Event-type transition matrix: counts of consecutive (prev_type →
+    * type) steps inside each user's timeline plus the per-source
+    * transition probability — the first-order Markov view of user
+    * behavior (what follows what), the flip side of [[funnelStages]]'
+    * fixed-order question.
+    *
+    * One window pass per user for the lag (ordered by (ts, event_id) for
+    * determinism), one 25-cell group-count, and the row-probability via
+    * a window sum over the tiny result — shuffle output is
+    * O(event_types²). */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wp = Window.partitionBy(col("prev_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(wp), 6))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** As-of join: each `purchase` event picks up the value of the user's
     * most recent *prior* `click` (the point-in-time feature lookup every
     * feature store needs; DuckDB spells it ASOF JOIN).

@@ -160,6 +160,19 @@ class EventsSpec extends SparkSpec {
     assert(day0 === cohortSizes)
   }
 
+  test("transitions: steps conserved, probabilities sum to 1 per prev type") {
+    val df = Events.typeTransitions(spark, sf).cache()
+    // every event except each user's first contributes exactly one step
+    val events = Tables.events(spark, sf)
+    val expectedSteps = events.count() -
+      events.select("user_id").distinct().count()
+    assert(df.agg(sum("n")).collect().head.getLong(0) === expectedSteps)
+    val probSums = df.groupBy("prev_type").agg(sum("p").as("s")).collect()
+    probSums.foreach(r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, r.getString(0)))
+    df.unpersist()
+  }
+
   test("json props: k parsed for every row, bounds sane") {
     val r = Events.jsonPropsAgg(spark, sf)
       .agg(sum("n").as("n"), min("min_k").as("mn"), max("max_k").as("mx"))

@@ -87,6 +87,23 @@ class StatsSpec extends SparkSpec {
     assert(hashEx === 1, p)
   }
 
+  test("skew profile: top keys equal a full-sort recompute, no window in plan") {
+    val out = Stats.keySkewProfile(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("rnk")).toSeq === (1L to 10L))
+    val counts = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val top = counts.sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(out.map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("cnt"))).toSeq
+      === top.toSeq)
+    val mx = counts.map(_._2).max.toDouble
+    val av = counts.map(_._2).sum.toDouble / counts.length
+    assert(math.abs(out.head.getAs[Double]("skew_factor") -
+      math.floor(mx / av * 10000 + 0.5) / 10000) < 1e-9)
+    val p = Stats.keySkewProfile(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+  }
+
   test("column profile: one row per column, typed min/max, recompute parity") {
     // TWO scans exactly: the min/max/count pass and the shared-Expand
     // distinct pass — never a per-column re-scan union, and no sort
