@@ -122,6 +122,14 @@ object Dedup {
   private def shingledOf(docs: DataFrame): DataFrame =
     tokenHashedOf(docs).select(col("doc_id"), combine3(col("th")).as("hs"))
 
+  /** Public face of [[shingledOf]] for the other ops packs (text
+    * decontamination): ALWAYS go through this, not a per-row
+    * [[shingleHashes]] projection — the two-step form materializes the
+    * token-hash array first, keeping shingling O(tokens); the inlined
+    * expression re-evaluates the token transform per shingle index and
+    * goes O(tokens²) (measured 180 s vs 2 s on the sf0.1 corpus scan). */
+  private[ops] def shingleSets(docs: DataFrame): DataFrame = shingledOf(docs)
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledOf(Tables.documents(spark, dir))
 

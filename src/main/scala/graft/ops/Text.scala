@@ -347,19 +347,35 @@ object Text {
     * are distinct, so the shared count is a plain `count(*)` after the
     * join. At 100 TB the corpus explode streams; nothing is ever
     * pairwise. */
-  def decontaminateNgram(spark: SparkSession, dir: String,
+  def decontaminateNgram(spark0: SparkSession, dir: String,
                          minShared: Int = 3): DataFrame = {
+    // Conf surgery on a CLONED session (the bloom-join precedent — never
+    // the caller's conf): InferFiltersFromGenerate adds `size(hs) > 0`
+    // for the explode below, and predicate pushdown then substitutes the
+    // FULL shingle expression into that Filter — re-evaluating the token
+    // transform per shingle index, O(tokens²) per document (measured
+    // 180 s at sf0.1 vs ~1 s with the rule off). The inferred filter is
+    // an optimization, not a correctness requirement: explode of an
+    // empty array emits nothing either way.
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     val docs = Tables.documents(spark, dir)
-    val withSh = docs.select(col("doc_id"), col("source"),
-      Dedup.shingleHashes(col("text")).as("hs"))
-    val benchSet = withSh.where(pmod(col("doc_id"), lit(50)) === 0)
+    // shingle via the dedup pack's materialized two-step projection —
+    // NEVER an inline shingleHashes column, which re-evaluates the token
+    // transform per shingle index (the same quadratic shape, at plan
+    // construction instead of optimization)
+    val sh = Dedup.shingleSets(docs)
+    val benchSet = sh.where(pmod(col("doc_id"), lit(50)) === 0)
       .select(explode(col("hs")).as("h")).distinct()
-    withSh.where(pmod(col("doc_id"), lit(50)) =!= 0)
-      .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+    val flagged = sh.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
       .join(broadcast(benchSet), "h")
-      .groupBy(col("doc_id"), col("source"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+    flagged.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_shared"))
       .orderBy(col("doc_id"))
   }
 

@@ -176,7 +176,14 @@ class TextSpec extends SparkSpec {
 
   test("n-gram decontamination flags exact bench copies at full overlap; broadcast plan") {
     val df = Text.decontaminateNgram(spark, sf)
-    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    // the shingle-combine arithmetic (marker: the 1009 multiplier) must
+    // never appear inside a Filter — InferFiltersFromGenerate once pushed
+    // an inlined `size(hs) > 0` below the projections and made the scan
+    // O(tokens²) per doc (180 s at sf0.1); the rule is excluded on the
+    // query's cloned session
+    assert(!p.linesIterator.exists(l => l.contains("Filter") && l.contains("1009")), p)
     val flagged = df.collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     // independent recompute: shared distinct shingles vs the bench union
