@@ -48,6 +48,7 @@ object SparkEntry {
     "q_bucket_join_revenue" -> ((s, d) => Relational.bucketedJoinRevenue(s, d)),
     "q_sub_scalar_q17" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
     "q_sub_corr_in" -> ((s, d) => Relational.lateShippedOrders(s, d)),
+    "q_sub_not_in_naaj" -> ((s, d) => Relational.customersNoUrgentOrders(s, d)),
     "q7_nation_trade" -> ((s, d) => Relational.nationTradeVolume(s, d)),
     // rows-only: HLL++/t-digest estimates are engine-specific by design;
     // specs assert tolerance vs the exact twins
@@ -583,6 +584,12 @@ object SparkEntry {
         |WHERE p_brand = 'Brand#23'
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q_sub_not_in_naaj" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "q_sub_corr_in" ->
       """SELECT o_orderkey, o_orderpriority
         |FROM orders

@@ -515,6 +515,31 @@ object Relational {
       Map("brand" -> brand))
   }
 
+  /** NOT IN over a NULLABLE subquery column — customers with no urgent
+    * order. Unlike the anti-join spelling (`q_anti_customers_no_orders`),
+    * `NOT IN` carries three-valued-logic semantics: one NULL in the
+    * subquery output makes EVERY row's predicate UNKNOWN and the result
+    * empty, so Catalyst cannot plan a plain anti join unless it proves
+    * the column non-null. This corpus declares `o_custkey` nullable, so
+    * the plan is Spark's null-aware anti join (BroadcastHashJoin with
+    * the NAAJ flag, spec-asserted) — the single-build-side 3VL-correct
+    * form. At 100 TB the lesson is the operator choice itself: prefer
+    * NOT EXISTS / anti join unless 3VL semantics are genuinely wanted,
+    * because NAAJ must broadcast its build side whole. */
+  def customersNoUrgentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cu = viewName("customer", dir)
+    val or = viewName("orders", dir)
+    Tables.customer(spark, dir).createOrReplaceTempView(cu)
+    Tables.orders(spark, dir).createOrReplaceTempView(or)
+    spark.sql(
+      s"""SELECT c_custkey, c_mktsegment
+         |FROM $cu
+         |WHERE c_custkey NOT IN (SELECT o_custkey FROM $or
+         |                        WHERE o_orderpriority = '1-URGENT')
+         |ORDER BY c_custkey
+         |""".stripMargin)
+  }
+
   /** Correlated IN subquery: orders having a lineitem shipped more than
     * `lagDays` days after the order date. Exercises Catalyst's
     * RewritePredicateSubquery IN-path with an outer reference in the

@@ -317,6 +317,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("NOT IN plans a null-aware anti join and matches the anti-join recompute") {
+    val df = Relational.customersNoUrgentOrders(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // Spark renders the NAAJ flag as a trailing `true` on the
+    // BroadcastHashJoin LeftAnti line
+    assert(p.contains("LeftAnti"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("LeftAnti") && l.contains("true")), p)
+    // o_custkey has no actual nulls in this corpus, so 3VL NOT IN and the
+    // plain anti join agree — the recompute is the semantic reference
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val want = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("group reservoir sample: exactly k per group, equals hash-rank recompute, no window") {
     val k = 5
     val out = Relational.groupReservoirSample(spark, sf, k).cache()
