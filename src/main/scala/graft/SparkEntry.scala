@@ -49,6 +49,7 @@ object SparkEntry {
     "q_sub_scalar_q17" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
     "q_sub_corr_in" -> ((s, d) => Relational.lateShippedOrders(s, d)),
     "q_sub_not_in_naaj" -> ((s, d) => Relational.customersNoUrgentOrders(s, d)),
+    "q_sub_lateral_topn" -> ((s, d) => Relational.regionTopNationsLateral(s, d)),
     "q7_nation_trade" -> ((s, d) => Relational.nationTradeVolume(s, d)),
     // rows-only: HLL++/t-digest estimates are engine-specific by design;
     // specs assert tolerance vs the exact twins
@@ -584,6 +585,14 @@ object SparkEntry {
         |WHERE p_brand = 'Brand#23'
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q_sub_lateral_topn" ->
+      """SELECT r_name, n_name, bal
+        |FROM region r, LATERAL (
+        |  SELECT n_name, round(sum(c_acctbal), 2) AS bal
+        |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = r.r_regionkey
+        |  GROUP BY n_name ORDER BY bal DESC, n_name LIMIT 2) t
+        |ORDER BY r_name, bal DESC, n_name""".stripMargin,
     "q_sub_not_in_naaj" ->
       """SELECT c_custkey, c_mktsegment
         |FROM customer

@@ -515,6 +515,32 @@ object Relational {
       Map("brand" -> brand))
   }
 
+  /** Correlated LATERAL subquery: each region's top-2 nations by total
+    * customer balance — the per-row-subquery spelling of grouped top-k
+    * (SQL:1999 LATERAL; Spark decorrelates it via DecorrelateInnerQuery
+    * into a join + windowed limit rather than executing per-row). The
+    * same answer as a window rank, but exercises a distinct Catalyst
+    * path: a correlated aggregate + ORDER BY + LIMIT in the FROM clause.
+    * Scale: after decorrelation the plan is the usual shuffle-agg +
+    * bounded rank — no nested-loop re-execution per outer row. */
+  def regionTopNationsLateral(spark: SparkSession, dir: String): DataFrame = {
+    val re = viewName("region", dir)
+    val na = viewName("nation", dir)
+    val cu = viewName("customer", dir)
+    Tables.region(spark, dir).createOrReplaceTempView(re)
+    Tables.nation(spark, dir).createOrReplaceTempView(na)
+    Tables.customer(spark, dir).createOrReplaceTempView(cu)
+    spark.sql(
+      s"""SELECT r_name, n_name, bal
+         |FROM $re r, LATERAL (
+         |  SELECT n_name, round(sum(c_acctbal), 2) AS bal
+         |  FROM $na JOIN $cu ON c_nationkey = n_nationkey
+         |  WHERE n_regionkey = r.r_regionkey
+         |  GROUP BY n_name ORDER BY bal DESC, n_name LIMIT 2) t
+         |ORDER BY r_name, bal DESC, n_name
+         |""".stripMargin)
+  }
+
   /** NOT IN over a NULLABLE subquery column — customers with no urgent
     * order. Unlike the anti-join spelling (`q_anti_customers_no_orders`),
     * `NOT IN` carries three-valued-logic semantics: one NULL in the

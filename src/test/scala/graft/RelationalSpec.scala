@@ -317,6 +317,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("lateral top-n decorrelates and equals the window-rank recompute") {
+    val df = Relational.regionTopNationsLateral(spark, sf)
+    // the logical plan is a LateralJoin; the executed plan must be the
+    // decorrelated join + bounded rank, never a per-row nested loop
+    assert(df.queryExecution.analyzed.toString.contains("LateralJoin"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("r_name")).orderBy(col("bal").desc, col("n_name"))
+    val want = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("c_acctbal")), 2).as("bal"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 2)
+      .orderBy(col("r_name"), col("bal").desc, col("n_name"))
+      .select("r_name", "n_name", "bal")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("NOT IN plans a null-aware anti join and matches the anti-join recompute") {
     val df = Relational.customersNoUrgentOrders(spark, sf)
     val p = df.queryExecution.executedPlan.toString
