@@ -140,11 +140,18 @@ object Dedup {
 
   /** [[minhashSignatures]] over an arbitrary (doc_id, hs) frame — shared
     * by the whole-corpus path and [[incrementalAssign]]'s subsets. */
-  private def signaturesOf(sh: DataFrame): DataFrame = {
+  private def signaturesOf(sh: DataFrame): DataFrame =
+    signaturesKeeping(sh)
+
+  /** THE MinHash signature arithmetic — single source of truth (the
+    * [[combine2]] rule: a second copy would silently desynchronize the
+    * live side from published indexes). `keep` threads extra columns
+    * (e.g. the shingle set) through alongside the signatures. */
+  private def signaturesKeeping(sh: DataFrame, keep: Column*): DataFrame = {
     val sigCols = A.indices.map { j =>
       array_min(transform(col("hs"), h => (h * A(j) + B(j)) % P)).as(s"sig_$j")
     }
-    sh.select(col("doc_id") +: sigCols: _*)
+    sh.select((col("doc_id") +: keep) ++ sigCols: _*)
   }
 
   /** Exploded LSH band keys of a signature frame: one narrow
@@ -326,6 +333,68 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
   }
 
+  /** Fraction of the doc_id range treated as "today's batch" by the
+    * declared incremental query — shared with the generated DuckDB twin
+    * so both engines cut the corpus at the identical id. */
+  val incNewFrac = 0.1
+
+  /** Layout-name suffix binding a published incremental table to the
+    * parameters it was built with — without it, a call with different
+    * `newFrac`/`minJaccard` would silently reuse a table built for other
+    * parameters (same corpus fingerprint, wrong content). */
+  private def incParamSlug(newFrac: Double, minJaccard: Double = 0.0): String = {
+    val nf = math.round(newFrac * 1000)
+    if (minJaccard == 0.0) s"nf$nf" else s"nf${nf}_j${math.round(minJaccard * 1000)}"
+  }
+
+  /** The EXISTING-corpus labels the incremental pass attaches to — in
+    * production these are yesterday's published labels, so they are
+    * layout infrastructure exactly like [[ensureClusterLabels]]: one
+    * contraction per corpus version, published once, read by every
+    * increment. Content is deterministic (the oracle replays it as the
+    * `olab` recursive CTE), so reading the table vs computing live
+    * cannot change the query's result. */
+  def ensureIncrementalBase(spark: SparkSession, dir: String,
+                            newFrac: Double = incNewFrac,
+                            minJaccard: Double = 0.8): String = {
+    val sigs = spark.table(ensureIncrementalSigs(spark, dir, newFrac))
+    val oldSh = sigs.select(col("doc_id"), col("hs"))
+    graft.store.FeatureStore.ensurePlainTable(spark,
+      connectedComponents(jaccardVerify(
+        selfCandidates(bandsOf(sigs)), oldSh, oldSh, minJaccard)),
+      s"graft_inc_base_${Relational.dirSlug(dir)}_${incParamSlug(newFrac, minJaccard)}",
+      graft.store.FeatureStore.versionFingerprint(spark,
+        s"$dir/documents.parquet"))
+  }
+
+  /** The existing corpus's SIGNATURE INDEX (doc_id, shingle set, MinHash
+    * sigs) — the second half of the incremental-dedup contract: without
+    * it every increment would re-tokenize and re-sign the whole existing
+    * corpus just to be joined against. Production systems append to this
+    * index as batches land; here it is a per-version published table. At
+    * 100 TB, bucket it by band key so the cross band-join prunes. */
+  def ensureIncrementalSigs(spark: SparkSession, dir: String,
+                            newFrac: Double = incNewFrac): String =
+    graft.store.FeatureStore.ensurePlainTable(spark,
+      signaturesKeeping(incOldShingled(spark, dir, newFrac), col("hs")),
+      s"graft_inc_sigs_${Relational.dirSlug(dir)}_${incParamSlug(newFrac)}",
+      graft.store.FeatureStore.versionFingerprint(spark,
+        s"$dir/documents.parquet"))
+
+  /** (doc_id, hs) of the pre-cut (existing) corpus slice. */
+  private def incOldShingled(spark: SparkSession, dir: String,
+                             newFrac: Double): DataFrame =
+    shingledOf(incTagged(spark, dir, newFrac).where(col("doc_id") < col("cut")))
+
+  /** documents × broadcast cut id (no driver-side collect). */
+  private def incTagged(spark: SparkSession, dir: String,
+                        newFrac: Double): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(
+      floor(max(col("doc_id")) * (1.0 - newFrac)).cast("long").as("cut"))
+    docs.select(col("doc_id"), col("text")).crossJoin(broadcast(cut))
+  }
+
   /** Incremental near-dup assignment — the daily-ingest shape of
     * [[dupClusters]]: a NEW batch of documents (the top `newFrac` of
     * doc_ids, standing in for "today's crawl") is deduplicated against
@@ -351,66 +420,9 @@ object Dedup {
     * ([[ensureIncrementalSigs]]) and yesterday's labels
     * ([[ensureIncrementalBase]]) — both deterministic, so the DuckDB twin
     * replays them as CTEs and hash-checks the whole pipeline end to end.
-    * A new doc bridging two existing clusters does NOT
-    * merge them (it adopts the smaller label) — the standard incremental
-    * trade, healed by the next full contraction. */
-  /** Fraction of the doc_id range treated as "today's batch" by the
-    * declared incremental query — shared with the generated DuckDB twin
-    * so both engines cut the corpus at the identical id. */
-  val incNewFrac = 0.1
-
-  /** The EXISTING-corpus labels the incremental pass attaches to — in
-    * production these are yesterday's published labels, so they are
-    * layout infrastructure exactly like [[ensureClusterLabels]]: one
-    * contraction per corpus version, published once, read by every
-    * increment. Content is deterministic (the oracle replays it as the
-    * `olab` recursive CTE), so reading the table vs computing live
-    * cannot change the query's result. */
-  def ensureIncrementalBase(spark: SparkSession, dir: String,
-                            newFrac: Double = incNewFrac,
-                            minJaccard: Double = 0.8): String = {
-    val sigs = spark.table(ensureIncrementalSigs(spark, dir, newFrac))
-    val oldSh = sigs.select(col("doc_id"), col("hs"))
-    graft.store.FeatureStore.ensurePlainTable(spark,
-      connectedComponents(jaccardVerify(
-        selfCandidates(bandsOf(sigs)), oldSh, oldSh, minJaccard)),
-      s"graft_inc_base_${Relational.dirSlug(dir)}",
-      graft.store.FeatureStore.versionFingerprint(spark,
-        s"$dir/documents.parquet"))
-  }
-
-  /** The existing corpus's SIGNATURE INDEX (doc_id, shingle set, MinHash
-    * sigs) — the second half of the incremental-dedup contract: without
-    * it every increment would re-tokenize and re-sign the whole existing
-    * corpus just to be joined against. Production systems append to this
-    * index as batches land; here it is a per-version published table. At
-    * 100 TB, bucket it by band key so the cross band-join prunes. */
-  def ensureIncrementalSigs(spark: SparkSession, dir: String,
-                            newFrac: Double = incNewFrac): String =
-    graft.store.FeatureStore.ensurePlainTable(spark,
-      { val oldSh = incOldShingled(spark, dir, newFrac)
-        val sigCols = A.indices.map { j =>
-          array_min(transform(col("hs"), h => (h * A(j) + B(j)) % P)).as(s"sig_$j")
-        }
-        oldSh.select(col("doc_id") +: col("hs") +: sigCols: _*) },
-      s"graft_inc_sigs_${Relational.dirSlug(dir)}",
-      graft.store.FeatureStore.versionFingerprint(spark,
-        s"$dir/documents.parquet"))
-
-  /** (doc_id, hs) of the pre-cut (existing) corpus slice. */
-  private def incOldShingled(spark: SparkSession, dir: String,
-                             newFrac: Double): DataFrame =
-    shingledOf(incTagged(spark, dir, newFrac).where(col("doc_id") < col("cut")))
-
-  /** documents × broadcast cut id (no driver-side collect). */
-  private def incTagged(spark: SparkSession, dir: String,
-                        newFrac: Double): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val cut = docs.agg(
-      floor(max(col("doc_id")) * (1.0 - newFrac)).cast("long").as("cut"))
-    docs.select(col("doc_id"), col("text")).crossJoin(broadcast(cut))
-  }
-
+    * A new doc bridging two existing clusters does NOT merge them (it
+    * adopts the smaller label) — the standard incremental trade, healed
+    * by the next full contraction. */
   def incrementalAssign(spark: SparkSession, dir: String,
                         newFrac: Double = incNewFrac,
                         minJaccard: Double = 0.8): DataFrame = {

@@ -221,7 +221,7 @@ object Events {
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val perDay = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n_events"))
+      .distinct()
     val w = Window.partitionBy(col("user_id"))
     perDay
       .withColumn("cohort_day", min(col("day")).over(w))

@@ -252,7 +252,14 @@ object EventStream {
               cur = cand
           }
           state.update(cur)
-          UserLatest(user, cur._1, cur._2, cur._3, math.rint(cur._4 * 100) / 100)
+          // Spark's round(col, 2) = BigDecimal.valueOf (shortest decimal
+          // repr) + HALF_UP — replicated exactly so the batch-parity spec
+          // can compare doubles bit-for-bit; math.rint is half-EVEN on
+          // value*100 and diverges on .xx5 values (review finding)
+          UserLatest(user, cur._1, cur._2, cur._3,
+            BigDecimal.valueOf(cur._4)
+              .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
       }
   }
 
