@@ -263,6 +263,47 @@ object EventStream {
       }
   }
 
+  /** Per-user funnel progress (streaming state). */
+  final case class UserStage(user_id: Long, stage_reached: Int)
+
+  /** Streaming twin of [[graft.ops.Events.funnelStages]]: each user's
+    * funnel position (signup → view → click → purchase, each stage
+    * STRICTLY after the previous stage's timestamp) maintained live as a
+    * two-field state machine (stage, last-stage ts).
+    *
+    * The batch rule "stage k's time = earliest type-k event after stage
+    * k-1's time" is exactly a greedy scan of the user's time-ordered
+    * events, so each micro-batch sorts its slice by (ts, event_id) and
+    * folds the same advance rule from the stored state — equivalence
+    * holds whenever micro-batches arrive in event-time order (the
+    * watermark discipline every funnel pipeline runs under; the spec
+    * drives a two-batch time-split stream through the state store and
+    * asserts parity with the batch operator). State per user is 12
+    * bytes — the 1000-executor shape. */
+  def funnelStagesStateful(spark: SparkSession, stream: DataFrame): Dataset[UserStage] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val order = Array("signup", "view", "click", "purchase")
+    stream.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Int, Long)]) =>
+          var (reached, tPrev) = state.getOption.getOrElse((0, Long.MinValue))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (reached < order.length && r._4 == order(reached) &&
+                (reached == 0 || r._2 > tPrev)) {
+              tPrev = r._2
+              reached += 1
+            }
+          }
+          state.update((reached, tPrev))
+          UserStage(user, reached)
+      }
+  }
+
   /** Per-user running totals. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

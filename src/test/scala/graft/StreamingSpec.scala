@@ -266,6 +266,41 @@ class StreamingSpec extends SparkSpec {
       ("b", 7L, 8.0, 1), ("b", 8L, 4.0, 2), ("b", 4L, 2.0, 3)))
   }
 
+  test("streaming funnel == batch funnel; stage machine survives a time-split batch boundary") {
+    import org.apache.spark.sql.functions._
+    // the same events split into two files AT A TIME BOUNDARY = two
+    // micro-batches in event-time order (the watermark discipline the
+    // operator documents); the stage machine must carry (stage, ts)
+    // across the state-store round trip
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_stream").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    val mid = ev.agg(expr("percentile(unix_micros(ts), 0.5)")).head.getDouble(0).toLong
+    ev.where(unix_micros(col("ts")) < mid)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b1")
+    ev.where(unix_micros(col("ts")) >= mid)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b2")
+    // order batches by path (b1 before b2): latestFirst=false + mtime —
+    // rewrite b1 is older; rely on maxFilesPerTrigger=1 + default order
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/b*")
+    val q = EventStream.funnelStagesStateful(spark, stream)
+      .writeStream.format("memory").queryName("stream_funnel")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // final state per user = last (max) stage across updates (monotone)
+    val got = spark.table("stream_funnel")
+      .groupBy("user_id").agg(max("stage_reached").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // batch reference: stage counts → per-stage user counts must agree
+    val batchCounts = graft.ops.Events.funnelStages(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 4).zip(Seq("1_signup", "2_view", "3_click", "4_purchase")).foreach {
+      case (k, nm) =>
+        assert(got.values.count(_ >= k).toLong === batchCounts(nm), nm)
+    }
+  }
+
   test("stateful latest snapshot == batch arg-max; state compacts across batches") {
     import org.apache.spark.sql.functions._
     val stream = EventStream.readEvents(spark, sf)
