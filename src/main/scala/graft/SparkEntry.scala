@@ -173,6 +173,7 @@ object SparkEntry {
     "q_feat_pit_training" -> ((s, d) => Features.pitTrainingSet(s, d)),
     "q_feat_cross" -> ((s, d) => Features.crossFeatures(s, d)),
     "q_feat_latest" -> ((s, d) => Features.latestEventSnapshot(s, d)),
+    "q_feat_assoc" -> ((s, d) => Features.categoricalAssociation(s, d)),
     "q_profile_orders" -> ((s, d) => Stats.columnProfile(s, d)),
   )
 
@@ -972,6 +973,25 @@ object SparkEntry {
         | CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
         | count(*) AS n_users
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_feat_assoc" ->
+      """WITH j AS (SELECT l_returnflag, l_linestatus, count(*) AS n_xy
+        |           FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n,
+        |       count(DISTINCT l_returnflag) AS r,
+        |       count(DISTINCT l_linestatus) AS c FROM j),
+        |mx AS (SELECT l_returnflag, sum(n_xy) AS n_x FROM j GROUP BY 1),
+        |my AS (SELECT l_linestatus, sum(n_xy) AS n_y FROM j GROUP BY 1),
+        |s AS (
+        | SELECT any_value(n) AS n,
+        |  round(sum((n_xy / n) * ln(n_xy * n / (n_x * n_y))), 6) AS mi,
+        |  round(sum(pow(n_xy - n_x * n_y / n, 2)
+        |            / (n_x * n_y / n)), 4) AS chi2,
+        |  any_value(r) AS r, any_value(c) AS c
+        | FROM j JOIN mx USING (l_returnflag) JOIN my USING (l_linestatus)
+        | CROSS JOIN t)
+        |SELECT n, mi, chi2,
+        | round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+        |FROM s""".stripMargin,
     "q_feat_latest" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
         | event_id AS last_event_id, event_type AS last_event_type,

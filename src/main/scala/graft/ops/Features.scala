@@ -243,6 +243,43 @@ object Features {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Categorical association between two columns — mutual information,
+    * the chi-square statistic, and Cramér's V over the
+    * (l_returnflag, l_linestatus) contingency table: the feature-
+    * relevance screen a store runs before admitting a categorical
+    * feature (MI ranks predictive value; Cramér's V normalizes it for
+    * cross-pair comparison).
+    *
+    * Shape at 100 TB: ONE group-by builds the joint table (cells =
+    * cardinality product, tiny); marginals and the scalar statistics
+    * derive from the joint — the raw table is never rescanned. All
+    * inputs to ln/χ² are exact integer counts, so 6dp rounding absorbs
+    * the last-ulp libm differences between engines. */
+  def categoricalAssociation(spark: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_xy"))
+    val totals = joint.agg(sum(col("n_xy")).as("n"),
+      count_distinct(col("l_returnflag")).as("r"),
+      count_distinct(col("l_linestatus")).as("c"))
+    val mx = joint.groupBy(col("l_returnflag")).agg(sum(col("n_xy")).as("n_x"))
+    val my = joint.groupBy(col("l_linestatus")).agg(sum(col("n_xy")).as("n_y"))
+    joint
+      .join(broadcast(mx), "l_returnflag")
+      .join(broadcast(my), "l_linestatus")
+      .crossJoin(broadcast(totals))
+      .agg(
+        first(col("n")).as("n"),
+        round(sum((col("n_xy") / col("n")) *
+          log(col("n_xy") * col("n") / (col("n_x") * col("n_y")))), 6).as("mi"),
+        round(sum(pow(col("n_xy") - col("n_x") * col("n_y") / col("n"), 2)
+          / (col("n_x") * col("n_y") / col("n"))), 4).as("chi2"),
+        first(col("r")).as("r"), first(col("c")).as("c"))
+      .select(col("n"), col("mi"), col("chi2"),
+        round(sqrt(col("chi2") / (col("n") *
+          least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
+  }
+
   /** Latest-row-per-key snapshot: each user's most recent event — the
     * "current value" read a feature store serves, and the generic
     * SCD/CDC compaction step (keep the newest version of every key).

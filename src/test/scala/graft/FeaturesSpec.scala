@@ -146,6 +146,28 @@ class FeaturesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("categorical association: matches a driver-side contingency recompute") {
+    val r = Features.categoricalAssociation(spark, sf).collect().head
+    val joint = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag", $"l_linestatus").count().collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val n = joint.map(_._3).sum.toDouble
+    val mx = joint.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val my = joint.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val mi = joint.map { case (x, y, c) =>
+      (c / n) * math.log(c * n / (mx(x).toDouble * my(y))) }.sum
+    val chi2 = joint.map { case (x, y, c) =>
+      val e = mx(x).toDouble * my(y) / n; math.pow(c - e, 2) / e }.sum
+    assert(r.getAs[Long]("n") === n.toLong)
+    assert(math.abs(r.getAs[Double]("mi") - mi) < 1e-5)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-3)
+    // MI and chi2 are non-negative; V in [0, 1]
+    assert(r.getAs[Double]("mi") >= -1e-9)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0 + 1e-9)
+  }
+
   test("latest snapshot: one row per user, equals the window-recompute, agg plan") {
     val out = Features.latestEventSnapshot(spark, sf).cache()
     val users = graft.sources.Tables.events(spark, sf)
