@@ -174,6 +174,7 @@ object SparkEntry {
     "q_feat_cross" -> ((s, d) => Features.crossFeatures(s, d)),
     "q_feat_latest" -> ((s, d) => Features.latestEventSnapshot(s, d)),
     "q_feat_assoc" -> ((s, d) => Features.categoricalAssociation(s, d)),
+    "q_feat_anova" -> ((s, d) => Features.anovaScreen(s, d)),
     "q_profile_orders" -> ((s, d) => Stats.columnProfile(s, d)),
   )
 
@@ -973,6 +974,22 @@ object SparkEntry {
         | CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
         | count(*) AS n_users
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_feat_anova" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n_g,
+        |            avg(l_extendedprice) AS mean_g,
+        |            var_samp(l_extendedprice) AS var_g
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+        |       sum(n_g * mean_g) / sum(n_g) AS grand,
+        |       sum((n_g - 1) * var_g) AS ssw FROM g),
+        |f AS (SELECT any_value(n) AS n, any_value(k) AS k,
+        |       any_value(ssw) AS ssw,
+        |       sum(n_g * pow(mean_g - grand, 2)) AS ssb
+        |      FROM g CROSS JOIN t)
+        |SELECT g.l_returnflag, g.n_g, round(g.mean_g, 4) AS mean_g,
+        | round(sqrt(g.var_g), 4) AS sd_g,
+        | round((f.ssb / (f.k - 1)) / (f.ssw / (f.n - f.k)), 6) AS f_stat
+        |FROM g CROSS JOIN f ORDER BY g.l_returnflag""".stripMargin,
     "q_feat_assoc" ->
       """WITH j AS (SELECT l_returnflag, l_linestatus, count(*) AS n_xy
         |           FROM lineitem GROUP BY 1, 2),

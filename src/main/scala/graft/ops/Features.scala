@@ -280,6 +280,42 @@ object Features {
           least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
   }
 
+  /** One-way ANOVA screen: does `l_returnflag` explain variance in
+    * `l_extendedprice`? Per-group moments plus the F-statistic
+    * (between-group mean square / within-group mean square) — the
+    * numeric counterpart of [[categoricalAssociation]]'s MI for ranking
+    * a categorical feature against a numeric target.
+    *
+    * Shape: ONE group-by computes each group's (n, mean, variance); the
+    * grand mean, both mean squares, and F derive from that tiny frame —
+    * the fact table is scanned once. Per-group rows carry the shared F
+    * so the output is a single relation. */
+  def anovaScreen(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_g"),
+        avg(col("l_extendedprice")).as("mean_g"),
+        var_samp(col("l_extendedprice")).as("var_g"))
+    val totals = g.agg(
+      sum(col("n_g")).as("n"),
+      count(lit(1)).as("k"),
+      (sum(col("n_g") * col("mean_g")) / sum(col("n_g"))).as("grand"),
+      sum((col("n_g") - 1) * col("var_g")).as("ssw"))
+    val f = g.crossJoin(broadcast(totals))
+      .agg(first(col("n")).as("n"), first(col("k")).as("k"),
+        first(col("ssw")).as("ssw"),
+        sum(col("n_g") * pow(col("mean_g") - col("grand"), 2)).as("ssb"))
+      .select(
+        round((col("ssb") / (col("k") - 1)) / (col("ssw") / (col("n") - col("k"))), 6)
+          .as("f_stat"))
+    g.crossJoin(broadcast(f))
+      .select(col("l_returnflag"), col("n_g"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(sqrt(col("var_g")), 4).as("sd_g"),
+        col("f_stat"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Latest-row-per-key snapshot: each user's most recent event — the
     * "current value" read a feature store serves, and the generic
     * SCD/CDC compaction step (keep the newest version of every key).

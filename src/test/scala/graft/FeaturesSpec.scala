@@ -168,6 +168,26 @@ class FeaturesSpec extends SparkSpec {
     assert(v >= 0.0 && v <= 1.0 + 1e-9)
   }
 
+  test("anova screen: F matches a driver-side recompute, groups complete") {
+    val out = Features.anovaScreen(spark, sf).collect()
+    val vals = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val byG = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(out.map(_.getString(0)).toSet === byG.keySet)
+    val n = vals.length.toDouble
+    val grand = vals.map(_._2).sum / n
+    val k = byG.size
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    val ssb = byG.values.map(xs => xs.length * math.pow(mean(xs) - grand, 2)).sum
+    val ssw = byG.values.map(xs => {
+      val m = mean(xs); xs.map(x => math.pow(x - m, 2)).sum
+    }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(out.head.getAs[Double]("f_stat") - f) < 1e-3 * math.max(1.0, f))
+    out.foreach(r => assert(r.getAs[Long]("n_g") === byG(r.getString(0)).length.toLong))
+  }
+
   test("latest snapshot: one row per user, equals the window-recompute, agg plan") {
     val out = Features.latestEventSnapshot(spark, sf).cache()
     val users = graft.sources.Tables.events(spark, sf)
