@@ -996,16 +996,27 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n,
         |       count(DISTINCT l_returnflag) AS r,
         |       count(DISTINCT l_linestatus) AS c FROM j),
-        |mx AS (SELECT l_returnflag, sum(n_xy) AS n_x FROM j GROUP BY 1),
-        |my AS (SELECT l_linestatus, sum(n_xy) AS n_y FROM j GROUP BY 1),
+        |mx AS (SELECT l_returnflag, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |       FROM j GROUP BY 1),
+        |my AS (SELECT l_linestatus, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |       FROM j GROUP BY 1),
+        |grid AS (
+        | SELECT mx.l_returnflag, my.l_linestatus, mx.n_x, my.n_y,
+        |  coalesce(j.n_xy, 0) AS n_xy
+        | FROM mx CROSS JOIN my
+        | LEFT JOIN j ON j.l_returnflag = mx.l_returnflag
+        |            AND j.l_linestatus = my.l_linestatus),
         |s AS (
         | SELECT any_value(n) AS n,
-        |  round(sum((n_xy / n) * ln(n_xy * n / (n_x * n_y))), 6) AS mi,
-        |  round(sum(pow(n_xy - n_x * n_y / n, 2)
-        |            / (n_x * n_y / n)), 4) AS chi2,
+        |  round(sum(CASE WHEN n_xy > 0 THEN
+        |    (n_xy / CAST(n AS DOUBLE)) *
+        |    ln((n_xy / CAST(n AS DOUBLE)) /
+        |       ((n_x / CAST(n AS DOUBLE)) * (n_y / CAST(n AS DOUBLE))))
+        |    ELSE 0.0 END), 6) AS mi,
+        |  round(sum(pow(n_xy - (n_x / CAST(n AS DOUBLE)) * (n_y / CAST(n AS DOUBLE)) * n, 2)
+        |            / ((n_x / CAST(n AS DOUBLE)) * (n_y / CAST(n AS DOUBLE)) * n)), 4) AS chi2,
         |  any_value(r) AS r, any_value(c) AS c
-        | FROM j JOIN mx USING (l_returnflag) JOIN my USING (l_linestatus)
-        | CROSS JOIN t)
+        | FROM grid CROSS JOIN t)
         |SELECT n, mi, chi2,
         | round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
         |FROM s""".stripMargin,

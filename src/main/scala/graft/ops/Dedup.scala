@@ -341,10 +341,14 @@ object Dedup {
   /** Layout-name suffix binding a published incremental table to the
     * parameters it was built with — without it, a call with different
     * `newFrac`/`minJaccard` would silently reuse a table built for other
-    * parameters (same corpus fingerprint, wrong content). */
+    * parameters (same corpus fingerprint, wrong content). Encoded from
+    * the raw IEEE bits so DISTINCT parameter values can never collide
+    * (a rounded encoding would alias e.g. 0.8 and 0.8004). */
   private def incParamSlug(newFrac: Double, minJaccard: Double = 0.0): String = {
-    val nf = math.round(newFrac * 1000)
-    if (minJaccard == 0.0) s"nf$nf" else s"nf${nf}_j${math.round(minJaccard * 1000)}"
+    def bits(d: Double) = java.lang.Long.toHexString(
+      java.lang.Double.doubleToLongBits(d))
+    if (minJaccard == 0.0) s"nf${bits(newFrac)}"
+    else s"nf${bits(newFrac)}_j${bits(minJaccard)}"
   }
 
   /** The EXISTING-corpus labels the incremental pass attaches to — in

@@ -252,9 +252,15 @@ object Features {
     *
     * Shape at 100 TB: ONE group-by builds the joint table (cells =
     * cardinality product, tiny); marginals and the scalar statistics
-    * derive from the joint — the raw table is never rescanned. All
-    * inputs to ln/χ² are exact integer counts, so 6dp rounding absorbs
-    * the last-ulp libm differences between engines. */
+    * derive from the joint — the raw table is never rescanned. χ² runs
+    * over the FULL r×c grid (marginal cross join, joint left-joined in):
+    * a structural zero cell still contributes its expected count, and
+    * omitting it understates the statistic exactly when association is
+    * strong. MI sums observed cells only (0·ln 0 = 0 by convention).
+    * All count arithmetic converts to ratios-of-doubles before
+    * multiplying — n_xy·n and n_x·n_y overflow 64-bit integers at
+    * trillion-row scale — and 4-6dp rounding absorbs last-ulp libm
+    * differences between engines. */
   def categoricalAssociation(spark: SparkSession, dir: String): DataFrame = {
     val joint = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -264,16 +270,19 @@ object Features {
       count_distinct(col("l_linestatus")).as("c"))
     val mx = joint.groupBy(col("l_returnflag")).agg(sum(col("n_xy")).as("n_x"))
     val my = joint.groupBy(col("l_linestatus")).agg(sum(col("n_xy")).as("n_y"))
-    joint
-      .join(broadcast(mx), "l_returnflag")
-      .join(broadcast(my), "l_linestatus")
+    val px = col("n_x").cast("double") / col("n")
+    val py = col("n_y").cast("double") / col("n")
+    val pxy = col("n_xy").cast("double") / col("n")
+    val e = px * py * col("n")
+    broadcast(mx).crossJoin(broadcast(my))
+      .join(joint, Seq("l_returnflag", "l_linestatus"), "left")
+      .withColumn("n_xy", coalesce(col("n_xy"), lit(0L)))
       .crossJoin(broadcast(totals))
       .agg(
         first(col("n")).as("n"),
-        round(sum((col("n_xy") / col("n")) *
-          log(col("n_xy") * col("n") / (col("n_x") * col("n_y")))), 6).as("mi"),
-        round(sum(pow(col("n_xy") - col("n_x") * col("n_y") / col("n"), 2)
-          / (col("n_x") * col("n_y") / col("n"))), 4).as("chi2"),
+        round(sum(when(col("n_xy") > 0,
+          pxy * log(pxy / (px * py))).otherwise(lit(0.0))), 6).as("mi"),
+        round(sum(pow(col("n_xy") - e, 2) / e), 4).as("chi2"),
         first(col("r")).as("r"), first(col("c")).as("c"))
       .select(col("n"), col("mi"), col("chi2"),
         round(sqrt(col("chi2") / (col("n") *

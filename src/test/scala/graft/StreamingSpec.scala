@@ -279,8 +279,15 @@ class StreamingSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b1")
     ev.where(unix_micros(col("ts")) >= mid)
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b2")
-    // order batches by path (b1 before b2): latestFirst=false + mtime —
-    // rewrite b1 is older; rely on maxFilesPerTrigger=1 + default order
+    // FileStreamSource (latestFirst=false) orders by file MTIME; two
+    // writes can land in the same millisecond, so pin the order
+    // explicitly instead of relying on write latency (review finding)
+    def setMtime(dir: String, ms: Long): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach(p =>
+        p.toFile.setLastModified(ms))
+    val base = System.currentTimeMillis()
+    setMtime(s"$tmp/b1", base - 60000)
+    setMtime(s"$tmp/b2", base)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(s"$tmp/b*")
