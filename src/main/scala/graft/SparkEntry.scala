@@ -160,6 +160,7 @@ object SparkEntry {
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_mm_decode" -> ((s, d) => Multimodal.decodeSummary(s, d)),
+    "q_mm_audio_features" -> ((s, d) => Multimodal.audioFeatures(s, d)),
     "q_mm_resize" -> ((s, d) => Multimodal.resizeMeta(s, d)),
     // feature-engineering pack (SURVEY §2.C feature-engineering rows):
     // the transforms between raw tables and model input
@@ -1177,6 +1178,41 @@ object SparkEntry {
     // replays the encode arithmetic: images/video posters are w×h-pixel
     // BMPs with pixel i = codepoint(i mod n) & 255; audio is one WAV
     // sample per codepoint. The JDK decoders recover exactly these units.
+    "q_mm_audio_features" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id,
+        |  list_transform(string_split(text,''),
+        |    c -> CAST(ascii(c) & 255 AS BIGINT)) AS u,
+        |  CAST(length(text) AS BIGINT) AS n
+        | FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT media_id,
+        |       CASE WHEN n = 0 THEN [CAST(0 AS BIGINT)] ELSE u END AS u
+        |      FROM m),
+        |w AS (
+        | SELECT media_id,
+        |  CAST(unnest(generate_series(0, (len(u) - 1) // 64)) AS BIGINT) AS win_id,
+        |  u
+        | FROM s),
+        |x AS (
+        | SELECT media_id, win_id,
+        |  list_transform(list_slice(u, win_id * 64 + 1,
+        |    least((win_id + 1) * 64, len(u))), v -> v - 128) AS xs
+        | FROM w),
+        |f AS (
+        | SELECT media_id, win_id, CAST(len(xs) AS BIGINT) AS n_samples,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(xs, v -> CAST(v * v AS DOUBLE))),
+        |    (a, b) -> a + b) / len(xs)), 6) AS rms,
+        |  CASE WHEN len(xs) > 1 THEN
+        |    round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(xs) - 1),
+        |        i -> CAST(CASE WHEN (xs[i] >= 0) <> (xs[i+1] >= 0)
+        |                  THEN 1 ELSE 0 END AS BIGINT))),
+        |      (a, b) -> a + b) / CAST(len(xs) - 1 AS DOUBLE), 6)
+        |  ELSE 0.0 END AS zcr
+        | FROM x)
+        |SELECT media_id, win_id, n_samples, rms, zcr
+        |FROM f ORDER BY media_id, win_id""".stripMargin,
     "q_mm_decode" ->
       """WITH m AS (
         | SELECT doc_id AS media_id,

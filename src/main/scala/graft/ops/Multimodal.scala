@@ -162,6 +162,38 @@ object Multimodal {
         col("mean_unit"))
       .orderBy(col("media_id"))
 
+  /** Windowed audio features over the REAL WAV payloads: per 64-sample
+    * window, RMS energy and zero-crossing rate of the centered PCM8
+    * signal — the first two features every audio pipeline extracts
+    * (silence/energy gating, voiced/unvoiced heuristics). The payload is
+    * parsed by the JDK decoder ([[MediaCodec.decodeWavPcm8]]); because
+    * the encoded samples derive deterministically from the text's code
+    * points, the whole decode→window→feature pipeline is oracle-checkable
+    * by replaying the arithmetic in SQL. Shape: per-partition decode +
+    * window flatMap, no shuffle until the presentation sort. */
+  def audioFeatures(spark: SparkSession, dir: String, window: Int = 64): DataFrame = {
+    import spark.implicits._
+    mediaBinary(spark, dir)
+      .filter(_.media_type == "audio")
+      .mapPartitions(_.flatMap { m =>
+        val x = MediaCodec.decodeWavPcm8(m.payload).map(_ - 128)
+        def r6(d: Double): Double =
+          BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        x.grouped(window).zipWithIndex.map { case (w, i) =>
+          val n = w.length
+          val rms = math.sqrt(w.map(v => v.toDouble * v).sum / n)
+          val crossings = w.sliding(2)
+            .count(p => p.length == 2 && ((p(0) >= 0) != (p(1) >= 0)))
+          val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
+          (m.media_id, i, n, r6(rms), r6(zcr))
+        }
+      })
+      .toDF("media_id", "win_id", "n_samples", "rms", "zcr")
+      .select(col("media_id"), col("win_id").cast("long").as("win_id"),
+        col("n_samples").cast("long").as("n_samples"), col("rms"), col("zcr"))
+      .orderBy(col("media_id"), col("win_id"))
+  }
+
   /** "Resize": recompute metadata for a target box preserving aspect —
     * pure column arithmetic over the metadata (a real impl would also
     * rewrite the blob in [[decodeBatch]]'s kernel). */

@@ -107,6 +107,37 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("media_id")).toSet === videos)
   }
 
+  test("audio features: windows cover every sample, hand recompute for one doc") {
+    val out = Multimodal.audioFeatures(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per-media sample conservation: window sizes sum to the sample count
+    val audioDocs = Tables.documents(spark, sf)
+      .where(pmod(col("doc_id"), lit(3)) === 1)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byMedia = out.groupBy(_.getAs[Long]("media_id"))
+    assert(byMedia.keySet === audioDocs.keySet)
+    byMedia.foreach { case (id, rows) =>
+      val total = rows.map(_.getAs[Long]("n_samples")).sum
+      assert(total === math.max(1, audioDocs(id).codePoints().count()), s"media $id")
+      // win_ids dense from 0
+      assert(rows.map(_.getAs[Long]("win_id")).sorted.toSeq ===
+        (0L until rows.length).toSeq)
+      rows.foreach { r =>
+        assert(r.getAs[Double]("rms") >= 0.0 && r.getAs[Double]("rms") <= 128.0)
+        val z = r.getAs[Double]("zcr"); assert(z >= 0.0 && z <= 1.0)
+      }
+    }
+    // hand-walk the first window of one media item
+    val (id0, text0) = audioDocs.minBy(_._1)
+    val x = text0.codePoints().toArray.map(cp => (cp & 255) - 128)
+    val w0 = x.take(64)
+    val rms = math.sqrt(w0.map(v => v.toDouble * v).sum / w0.length)
+    val got = out.filter(r => r.getAs[Long]("media_id") == id0 &&
+      r.getAs[Long]("win_id") == 0L).head
+    assert(math.abs(got.getAs[Double]("rms") - rms) < 1e-5)
+  }
+
   test("resize: output box bounded by maxSide, aspect preserved") {
     val rows = Multimodal.resizeMeta(spark, sf, maxSide = 16).collect()
     rows.foreach { r =>
