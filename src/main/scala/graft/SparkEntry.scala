@@ -161,6 +161,7 @@ object SparkEntry {
     "q_mm_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_mm_decode" -> ((s, d) => Multimodal.decodeSummary(s, d)),
     "q_mm_audio_features" -> ((s, d) => Multimodal.audioFeatures(s, d)),
+    "q_mm_image_features" -> ((s, d) => Multimodal.imageFeatures(s, d)),
     "q_mm_resize" -> ((s, d) => Multimodal.resizeMeta(s, d)),
     // feature-engineering pack (SURVEY §2.C feature-engineering rows):
     // the transforms between raw tables and model input
@@ -1178,6 +1179,42 @@ object SparkEntry {
     // replays the encode arithmetic: images/video posters are w×h-pixel
     // BMPs with pixel i = codepoint(i mod n) & 255; audio is one WAV
     // sample per codepoint. The JDK decoders recover exactly these units.
+    "q_mm_image_features" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id,
+        |  CAST(16 + length(text) % 32 AS BIGINT) AS w,
+        |  CAST(16 + (length(text) // 7) % 32 AS BIGINT) AS h,
+        |  list_transform(string_split(text,''),
+        |    c -> CAST(ascii(c) & 255 AS BIGINT)) AS u,
+        |  CAST(length(text) AS BIGINT) AS n
+        | FROM documents WHERE doc_id % 3 <> 1),
+        |p AS (
+        | SELECT media_id, w, h, w * h AS np,
+        |  CASE WHEN n = 0 THEN list_transform(generate_series(0, w*h - 1), i -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(generate_series(0, w*h - 1), i -> u[(i % n) + 1])
+        |  END AS px
+        | FROM m),
+        |a AS (
+        | SELECT media_id, w, np, px,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), px), (x, y) -> x + y)
+        |    / CAST(np AS DOUBLE) AS mean_px
+        | FROM p),
+        |f AS (
+        | SELECT media_id,
+        |  mean_px,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(px, v -> (v - mean_px) * (v - mean_px))),
+        |    (x, y) -> x + y) / np) AS contrast,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(0, CAST(np AS INT) - 2),
+        |      i -> CASE WHEN i % w < w - 1 THEN abs(px[i+2] - px[i+1])
+        |                ELSE CAST(0 AS BIGINT) END)),
+        |    (x, y) -> x + y)
+        |    / CAST((np // w) * (w - 1) AS DOUBLE) AS edge_density
+        | FROM a)
+        |SELECT media_id, round(mean_px, 6) AS mean_px,
+        | round(contrast, 6) AS contrast, round(edge_density, 6) AS edge_density
+        |FROM f ORDER BY media_id""".stripMargin,
     "q_mm_audio_features" ->
       """WITH m AS (
         | SELECT doc_id AS media_id,

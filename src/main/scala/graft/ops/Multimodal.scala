@@ -194,6 +194,39 @@ object Multimodal {
       .orderBy(col("media_id"), col("win_id"))
   }
 
+  /** Per-image features over the REAL BMP payloads: luminance mean,
+    * contrast (pixel population stddev), and horizontal edge density
+    * (mean |∇x|) of the JDK-decoded raster — the blur/flat-image screens
+    * an image-ingest pipeline gates on before paying for a model
+    * forward pass. Like [[audioFeatures]], fully oracle-checkable: both
+    * engines fold the pixel list in index order, so the sums are
+    * bit-identical before rounding. Per-partition decode, no shuffle. */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBinary(spark, dir)
+      .filter(_.media_type != "audio")
+      .mapPartitions(_.map { m =>
+        val (w, _, px) = MediaCodec.decodeImageGray(m.payload)
+        val n = px.length
+        def r6(d: Double): Double =
+          BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val mean = px.foldLeft(0L)(_ + _).toDouble / n
+        val contrast = math.sqrt(
+          px.foldLeft(0.0)((a, v) => a + (v - mean) * (v - mean)) / n)
+        var gsum = 0L
+        var i = 0
+        while (i < n - 1) {
+          if (i % w < w - 1) gsum += math.abs(px(i + 1) - px(i))
+          i += 1
+        }
+        val gcnt = n / w * (w - 1)
+        val grad = if (gcnt == 0) 0.0 else gsum.toDouble / gcnt
+        (m.media_id, r6(mean), r6(contrast), r6(grad))
+      })
+      .toDF("media_id", "mean_px", "contrast", "edge_density")
+      .orderBy(col("media_id"))
+  }
+
   /** "Resize": recompute metadata for a target box preserving aspect —
     * pure column arithmetic over the metadata (a real impl would also
     * rewrite the blob in [[decodeBatch]]'s kernel). */

@@ -138,6 +138,29 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("rms") - rms) < 1e-5)
   }
 
+  test("image features: one row per non-audio item, hand recompute for one doc") {
+    val out = Multimodal.imageFeatures(spark, sf).collect()
+    val imgDocs = Tables.documents(spark, sf)
+      .where(pmod(col("doc_id"), lit(3)) =!= 1)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.map(_.getLong(0)).toSet === imgDocs.keySet)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_px") >= 0.0 && r.getAs[Double]("mean_px") <= 255.0)
+      assert(r.getAs[Double]("contrast") >= 0.0)
+      assert(r.getAs[Double]("edge_density") >= 0.0)
+    }
+    // hand recompute one doc from the published pixel rule
+    val (id0, t0) = imgDocs.minBy(_._1)
+    val cps = t0.codePoints().toArray
+    val (w, h) = (16 + t0.length % 32, 16 + (t0.length / 7) % 32)
+    val px = Array.tabulate(w * h)(i =>
+      if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff)
+    val mean = px.sum.toDouble / px.length
+    val got = out.find(_.getLong(0) == id0).get
+    assert(math.abs(got.getAs[Double]("mean_px") - mean) < 1e-5)
+  }
+
   test("resize: output box bounded by maxSide, aspect preserved") {
     val rows = Multimodal.resizeMeta(spark, sf, maxSide = 16).collect()
     rows.foreach { r =>
