@@ -16,6 +16,14 @@ run / fork := true
 // contract of graft.Bench (round-1 driver bench recorded "parsed": null
 // because the metric line arrived as "[info] {...}").
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and no "[success] Total time" trailer AFTER it: four rounds of bench
+// artifacts carried "parsed": null because sbt's success summary was the
+// last stdout line instead of the Bench JSON. Exit codes still signal
+// failure; compile/test logging is unaffected.
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not a task — exempt it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

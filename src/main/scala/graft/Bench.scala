@@ -135,6 +135,7 @@ object Bench {
     // round-to-round (Map iteration order is hash-dependent)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load0 = Timing.loadAvg()
+      val cc0 = graft.ops.Dedup.lastContraction.get()
       val first = Timing.timeOnce(fn(spark, sfDir))
       // a slow-in-absolute-terms success is re-timed immediately: if the
       // warm re-run is >5× faster the first number was the host, not the
@@ -149,19 +150,24 @@ object Bench {
       // headline, so a noise burst starting mid-query — or mid-retry —
       // is visible in the artifact (round-4 review, both passes)
       val load1 = Timing.loadAvg()
-      (name, headline, first, stall, load0, load1)
+      // if this query ran a connected-components contraction, attach the
+      // per-round breakdown (rounds, edge counts, per-round seconds)
+      val cc1 = graft.ops.Dedup.lastContraction.get()
+      val cc = if (cc1 != cc0) cc1 else ""
+      (name, headline, first, stall, load0, load1, cc)
     }
 
     val failed = results.filter(!_._2.ok)
-    val qs = results.map { case (k, h, _, _, _, _) => s"\"$k\":${h.sec}" }
+    val qs = results.map { case (k, h, _, _, _, _, _) => s"\"$k\":${h.sec}" }
       .mkString("{", ",", "}")
     // chk: run-to-run output checksum — a plan regression that changes
     // values but not cardinality shows up as a checksum drift here
-    val detail = results.map { case (k, h, f, stall, load0, load1) =>
+    val detail = results.map { case (k, h, f, stall, load0, load1, cc) =>
       s""""$k":{"sec":${h.sec},"first_sec":${f.sec},"gc_sec":${f.gcSec},""" +
         s""""load":$load0,"load_after":$load1,"rows":${h.rows},""" +
         s""""chk":${h.checksum},"ok":${h.ok},""" +
-        s""""stall_suspected":$stall,"err":"${h.err}"}"""
+        s""""stall_suspected":$stall,"err":"${h.err}"""" +
+        (if (cc.nonEmpty) s""","cc":"$cc"""" else "") + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     val wallTotal = results.map(_._3.sec).sum
@@ -178,7 +184,7 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     spark.stop()
     if (failed.nonEmpty) {
-      failed.foreach { case (k, h, _, _, _, _) =>
+      failed.foreach { case (k, h, _, _, _, _, _) =>
         System.err.println(s"BENCH FAIL $k: ${h.err}")
       }
       sys.exit(1)

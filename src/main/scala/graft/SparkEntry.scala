@@ -76,6 +76,10 @@ object SparkEntry {
     // rows-only: the synthetic feature table's hash-RNG draws are
     // engine-specific; spec asserts per-column parity with a recompute
     "q_histogram_features" -> ((s, _) => Stats.featureHistograms(s)),
+    // rows-only: same engine-specific hash-RNG input as
+    // q_histogram_features; spec asserts per-column parity with an
+    // independent driver-side KDE recompute + trapezoid integral ≈ 1
+    "q_kde_features" -> ((s, _) => Stats.featureKde(s)),
     "q_kde_discount" -> ((s, d) =>
       Stats.kdeDensity(s, d, kdeColumn, kdeBandwidth, kdePoints)),
     // events pack [EXT] (SURVEY §2.B streaming/window rows)
@@ -130,6 +134,7 @@ object SparkEntry {
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.incrementalAssign(s, d)),
+    "q_dedup_inc_writeback" -> ((s, d) => Dedup.mergedIncrementalLabels(s, d)),
     "q_dedup_jaccard_brute" -> ((s, d) => Dedup.jaccardPairsBrute(s, d)),
     "q_dedup_containment" -> ((s, d) => Dedup.containmentPairsBrute(s, d)),
     "q_dedup_containment_lsh" -> ((s, d) => Dedup.containmentPairsLsh(s, d)),
@@ -359,7 +364,24 @@ object SparkEntry {
     * constants: the corpus cut, old-corpus labels (recursive CTE), verified
     * new→old anchors, batch-internal components (second recursive CTE),
     * and the adopt-or-fresh label rule — identical arithmetic end to end. */
-  private def incrementalOracle: String = {
+  private def incrementalOracle: String = incrementalCtes + """
+    |SELECT wc.doc_id, coalesce(ca.comp_anchor, wc.comp) AS cluster_rep,
+    | CAST(ca.comp_anchor IS NOT NULL AS INT) AS attached
+    |FROM wc JOIN ca ON wc.comp = ca.comp
+    |ORDER BY wc.doc_id""".stripMargin
+
+  /** DuckDB twin of [[Dedup.mergedIncrementalLabels]] — the write-back
+    * half of the daily loop: yesterday's labels (`olab`) concatenated with
+    * today's assignments, same CTEs as [[incrementalOracle]]. */
+  private def incWritebackOracle: String = incrementalCtes + """
+    |SELECT doc_id, cluster_rep FROM olab
+    |UNION ALL
+    |SELECT wc.doc_id AS doc_id,
+    | coalesce(ca.comp_anchor, wc.comp) AS cluster_rep
+    |FROM wc JOIN ca ON wc.comp = ca.comp
+    |ORDER BY doc_id""".stripMargin
+
+  private def incrementalCtes: String = {
     val bandSelects = (0 until Dedup.numBands).map(b =>
       s"SELECT doc_id, $b AS band, sig_${2 * b} AS s1, sig_${2 * b + 1} AS s2 FROM sig")
       .mkString("\n  UNION ALL ")
@@ -435,11 +457,7 @@ object SparkEntry {
        |ca AS (
        | SELECT wc.comp, min(a.anchor) AS comp_anchor
        | FROM wc LEFT JOIN anch a ON wc.doc_id = a.doc_id
-       | GROUP BY wc.comp)
-       |SELECT wc.doc_id, coalesce(ca.comp_anchor, wc.comp) AS cluster_rep,
-       | CAST(ca.comp_anchor IS NOT NULL AS INT) AS attached
-       |FROM wc JOIN ca ON wc.comp = ca.comp
-       |ORDER BY wc.doc_id""".stripMargin
+       | GROUP BY wc.comp)""".stripMargin
   }
 
   /** DuckDB twin of [[Dedup.containmentPairsLsh]], generated from the same
@@ -1295,17 +1313,41 @@ object SparkEntry {
         |, act AS (SELECT label AS cls, count(*) AS support FROM p GROUP BY 1),
         |prd AS (SELECT pred AS cls, count(*) AS n_pred FROM p GROUP BY 1),
         |tp AS (SELECT label AS cls, count(*) AS n_tp FROM p WHERE label = pred GROUP BY 1),
-        |r AS (
+        |j AS (
         | SELECT act.cls, support,
-        |  CAST(coalesce(n_tp, 0) AS DOUBLE) / nullif(coalesce(n_pred, 0), 0) AS precision,
-        |  CAST(coalesce(n_tp, 0) AS DOUBLE) / support AS recall
+        |  coalesce(n_pred, 0) AS n_pred, coalesce(n_tp, 0) AS n_tp,
+        |  CASE WHEN coalesce(n_pred, 0) > 0
+        |       THEN CAST(coalesce(n_tp, 0) AS DOUBLE) / n_pred ELSE 0.0 END AS p,
+        |  CAST(coalesce(n_tp, 0) AS DOUBLE) / support AS r
         | FROM act LEFT JOIN prd ON act.cls = prd.cls
-        |          LEFT JOIN tp ON act.cls = tp.cls)
-        |SELECT cls, round(coalesce(precision, 0.0), 6) AS precision,
-        | round(coalesce(recall, 0.0), 6) AS recall,
-        | round(coalesce(2.0 * precision * recall / nullif(precision + recall, 0.0), 0.0), 6) AS f1,
-        | support
-        |FROM r ORDER BY cls""".stripMargin),
+        |          LEFT JOIN tp ON act.cls = tp.cls),
+        |m AS (
+        | SELECT cls, support, n_tp,
+        |  CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS p6,
+        |  CAST(floor(r * 1e6 + 0.5) AS BIGINT) AS r6,
+        |  CAST(floor((CASE WHEN p + r > 0.0 THEN 2.0 * p * r / (p + r)
+        |              ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS f6
+        | FROM j),
+        |t AS (
+        | SELECT count(*) AS c, CAST(sum(support) AS BIGINT) AS n,
+        |  sum(n_tp) AS s_tp,
+        |  sum(p6) AS sp, sum(r6) AS sr, sum(f6) AS sf,
+        |  sum(support * p6) AS wp, sum(support * r6) AS wr,
+        |  sum(support * f6) AS wf
+        | FROM m)
+        |SELECT CAST(cls AS VARCHAR) AS cls, p6 / 1e6 AS precision,
+        | r6 / 1e6 AS recall, f6 / 1e6 AS f1, support FROM m
+        |UNION ALL SELECT 'accuracy', NULL, NULL,
+        | floor(CAST(s_tp AS DOUBLE) / n * 1e6 + 0.5) / 1e6, n FROM t
+        |UNION ALL SELECT 'macro avg',
+        | floor(CAST(sp AS DOUBLE) / c + 0.5) / 1e6,
+        | floor(CAST(sr AS DOUBLE) / c + 0.5) / 1e6,
+        | floor(CAST(sf AS DOUBLE) / c + 0.5) / 1e6, n FROM t
+        |UNION ALL SELECT 'weighted avg',
+        | floor(CAST(wp AS DOUBLE) / n + 0.5) / 1e6,
+        | floor(CAST(wr AS DOUBLE) / n + 0.5) / 1e6,
+        | floor(CAST(wf AS DOUBLE) / n + 0.5) / 1e6, n FROM t
+        |ORDER BY cls""".stripMargin),
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
@@ -1320,6 +1362,7 @@ object SparkEntry {
       """
         |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin),
     "q_dedup_incremental" -> incrementalOracle,
+    "q_dedup_inc_writeback" -> incWritebackOracle,
     "q_dedup_jaccard_brute" -> (dedupCtes +
       s"""
          |, j AS (
@@ -1477,7 +1520,8 @@ object SparkEntry {
         |           FROM embeddings),
         |u AS (SELECT label, unnest(v) AS x,
         |       unnest(generate_series(1, len(v))) AS i FROM e),
-        |cd AS (SELECT label, i, avg(x) AS cx FROM u GROUP BY 1, 2),
+        |cd AS (SELECT label, i,
+        |        floor(avg(x) * 1e9 + 0.5) / 1e9 AS cx FROM u GROUP BY 1, 2),
         |cent AS (SELECT label, list(cx ORDER BY i) AS cv FROM cd GROUP BY label),
         |cn AS (SELECT label, cv,
         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1485,12 +1529,13 @@ object SparkEntry {
         | FROM cent),
         |nn AS (SELECT label, count(*) AS n FROM e GROUP BY label),
         |coh AS (
-        | SELECT e.label, avg(
+        | SELECT e.label, sum(CAST(floor(
         |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |     list_transform(generate_series(1, len(v)), i -> v[i] * cv[i])),
         |     (a, b) -> a + b)
         |   / nullif(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |       list_transform(v, q -> q * q)), (a, b) -> a + b)) * cnrm, 0.0))
+        |       list_transform(v, q -> q * q)), (a, b) -> a + b)) * cnrm, 0.0)
+        |   * 1e12 + 0.5) AS BIGINT)) / (count(*) * 1e12)
         |   AS coh
         | FROM e JOIN cn ON e.label = cn.label GROUP BY e.label),
         |sep AS (
@@ -1546,16 +1591,30 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // feature-engineering pack
     "q_feat_scale" ->
-      """SELECT l_orderkey, l_linenumber,
-        | round((l_quantity - s.m_qty) / s.sd_qty, 4) AS z_qty,
-        | round((l_extendedprice - s.m_price) / s.sd_price, 4) AS z_price,
-        | round((l_discount - s.mn_disc) / (s.mx_disc - s.mn_disc), 6) AS mm_disc
-        |FROM lineitem CROSS JOIN (
-        | SELECT avg(l_quantity) AS m_qty, stddev_samp(l_quantity) AS sd_qty,
-        |        avg(l_extendedprice) AS m_price,
-        |        stddev_samp(l_extendedprice) AS sd_price,
-        |        min(l_discount) AS mn_disc, max(l_discount) AS mx_disc
-        | FROM lineitem) s
+      """WITH sums AS (
+        | SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS s_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,0))
+        |         * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS s2_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2_price,
+        |  min(l_discount) AS mn_disc, max(l_discount) AS mx_disc
+        | FROM lineitem),
+        |s AS (
+        | SELECT s_qty / n AS m_qty,
+        |  sqrt((s2_qty - s_qty * s_qty / n) / (n - 1)) AS sd_qty,
+        |  s_price / n AS m_price,
+        |  sqrt((s2_price - s_price * s_price / n) / (n - 1)) AS sd_price,
+        |  mn_disc, mx_disc
+        | FROM sums)
+        |SELECT l_orderkey, l_linenumber,
+        | floor((l_quantity - s.m_qty) / s.sd_qty * 1e4 + 0.5) / 1e4 AS z_qty,
+        | floor((l_extendedprice - s.m_price) / s.sd_price * 1e4 + 0.5) / 1e4
+        |   AS z_price,
+        | floor((l_discount - s.mn_disc) / (s.mx_disc - s.mn_disc) * 1e6 + 0.5)
+        |   / 1e6 AS mm_disc
+        |FROM lineitem CROSS JOIN s
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_feat_bins" ->
       """WITH b AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,

@@ -142,6 +142,53 @@ object Stats {
       .orderBy(col("pt"))
   }
 
+  /** Fused multi-column KDE — reference R15's `kde=True` overlay at full
+    * breadth (`src/data_exploration.py:16-18` draws a KDE on EVERY one of
+    * the 20 feature histograms; round 4 shipped only the single-column
+    * [[kdeDensity]]): ONE job evaluates every column's Gaussian KDE on its
+    * own `points`-point grid, in long form (feature, pt, density).
+    *
+    * Per-column bandwidth is Silverman's rule h = 1.06·σ·n^(-1/5) — σ
+    * comes from the same fused bounds aggregate as min/max, so the whole
+    * operator is: one stats pass → broadcast 1-row bounds → one keyless
+    * aggregate carrying all cols×points partial means. No explode on the
+    * fact rows (cols×points aggregate buffers instead of a cols×points
+    * row blow-up through the shuffle) — shuffle output is O(cols·points),
+    * independent of row count, the same 100 TB shape as
+    * [[featureHistograms]]. Declared rows-only: the synthetic generator's
+    * hash-RNG draws are engine-specific; the spec asserts per-column
+    * parity with an independent driver-side recompute and a ≈1 trapezoid
+    * integral. */
+  def featureKde(spark: SparkSession, n: Long = 10000,
+                 points: Int = 11): DataFrame = {
+    val feats = (0 until graft.datagen.SyntheticFeatures.numFeatures)
+      .map(i => s"feature_$i")
+    val df = graft.datagen.SyntheticFeatures.generate(spark, n)
+    val boundAggs = count(lit(1)).as("n_rows") +: feats.flatMap(c => Seq(
+      min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+      stddev_samp(col(c)).as(s"sd_$c")))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    val sqrt2pi = math.sqrt(2.0 * math.Pi)
+    def h(c: String) =
+      col(s"sd_$c") * lit(1.06) * pow(col("n_rows").cast("double"), lit(-0.2))
+    def pt(c: String, j: Int) = col(s"mn_$c") +
+      (col(s"mx_$c") - col(s"mn_$c")) * lit(j.toDouble / (points - 1))
+    val densAggs = for { c <- feats; j <- 0 until points } yield
+      avg(exp((col(c) - pt(c, j)) * (pt(c, j) - col(c))
+        / (lit(2.0) * h(c) * h(c))) / (h(c) * lit(sqrt2pi))).as(s"d_${c}_$j")
+    val gridAggs = feats.flatMap(c =>
+      Seq(first(col(s"mn_$c")).as(s"mn_$c"), first(col(s"mx_$c")).as(s"mx_$c")))
+    val all = densAggs ++ gridAggs
+    val wide = df.crossJoin(broadcast(bounds)).agg(all.head, all.tail: _*)
+    val entries = for { c <- feats; j <- 0 until points } yield
+      struct(lit(c).as("feature"), round(pt(c, j), 6).as("pt"),
+        round(col(s"d_${c}_$j"), 6).as("density"))
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.feature").as("feature"), col("e.pt").as("pt"),
+        col("e.density").as("density"))
+      .orderBy(col("feature"), col("pt"))
+  }
+
   /** Column-level data profile of the `orders` table — the lake-health
     * summary (null counts, exact cardinality, typed min/max) a pipeline
     * runs before trusting a new snapshot; the EDA counterpart of the

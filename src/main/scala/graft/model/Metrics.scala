@@ -54,38 +54,109 @@ object Metrics {
   def linearAccuracy(spark: SparkSession, dir: String): DataFrame =
     TrainEval.accuracy(linearPredictions(spark, dir), "label", "pred")
 
-  /** Per-class precision / recall / F1 / support — the reference's
-    * `classification_report` (R11) as a DataFrame. Computed from three
-    * skinny aggregates (actual counts, predicted counts, true positives)
-    * outer-joined on class; absent classes get 0 via coalesce so the
-    * arithmetic matches the oracle exactly. */
-  def classificationReport(pred: DataFrame, actualCol: String,
-                           predCol: String): DataFrame = {
-    val act = pred.groupBy(col(actualCol).as("cls"))
-      .agg(count(lit(1)).as("support"))
-    val prd = pred.groupBy(col(predCol).as("cls"))
-      .agg(count(lit(1)).as("n_pred"))
-    val tp = pred.where(col(actualCol) === col(predCol))
-      .groupBy(col(actualCol).as("cls")).agg(count(lit(1)).as("n_tp"))
-    // nullif divisor: a class with zero predictions must yield precision 0,
-    // not an ANSI DIVIDE_BY_ZERO (Spark 4 default; found by GraftProps)
-    val precision = coalesce(col("n_tp"), lit(0L)).cast("double") /
-      nullif(coalesce(col("n_pred"), lit(0L)), lit(0L))
-    val recall = coalesce(col("n_tp"), lit(0L)).cast("double") / col("support")
-    act.join(prd, Seq("cls"), "left").join(tp, Seq("cls"), "left")
-      .select(col("cls"),
-        round(coalesce(precision, lit(0.0)), 6).as("precision"),
-        round(coalesce(recall, lit(0.0)), 6).as("recall"),
-        round(coalesce(
-          lit(2.0) * precision * recall / nullif(precision + recall, lit(0.0)),
-          lit(0.0)), 6).as("f1"),
-        col("support"))
-      .orderBy(col("cls"))
+  /** Per-class (support, n_pred, n_tp) derived from ONE confusion-matrix
+    * scan of the predictions. The round-4 version ran three independent
+    * aggregates directly over the predictions, so the 640-multiply scoring
+    * projection was evaluated 3× (4.9 s in the driver bench; a real cost at
+    * 100 TB of predictions). Here the expensive input is scanned exactly
+    * once into the ≤C² (label, pred, n) frame; each cm row then expands
+    * into its actual-side and predicted-side contributions (a 2-row
+    * Expand, no join back to the facts) and one tiny regroup produces all
+    * three counts. Classes never observed as actuals are dropped (support
+    * 0), matching the previous report surface. */
+  private def classCounts(pred: DataFrame, actualCol: String,
+                          predCol: String): DataFrame = {
+    val cm = pred.groupBy(col(actualCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    cm.select(explode(array(
+        struct(col("label").as("cls"), col("n").as("d_support"),
+          lit(0L).as("d_pred"),
+          when(col("label") === col("pred"), col("n")).otherwise(lit(0L))
+            .as("d_tp")),
+        struct(col("pred").as("cls"), lit(0L).as("d_support"),
+          col("n").as("d_pred"), lit(0L).as("d_tp")))).as("r"))
+      .groupBy(col("r.cls").as("cls"))
+      .agg(sum(col("r.d_support")).as("support"),
+        sum(col("r.d_pred")).as("n_pred"),
+        sum(col("r.d_tp")).as("n_tp"))
+      .where(col("support") > 0)
   }
 
-  /** R11 over the deterministic linear scorer — the oracle-checked form. */
+  // metric formulas over exact integer counts: the divisions are IEEE-
+  // correctly-rounded ops on identical inputs in every engine, and the
+  // floor-based half-up scaling to 6dp integers (the repo's cross-engine
+  // rounding idiom) makes downstream averages exact-integer arithmetic
+  private val pRaw = when(col("n_pred") > 0,
+    col("n_tp").cast("double") / col("n_pred")).otherwise(lit(0.0))
+  private val rRaw = col("n_tp").cast("double") / col("support")
+  private val f1Raw = when(pRaw + rRaw > 0.0,
+    lit(2.0) * pRaw * rRaw / (pRaw + rRaw)).otherwise(lit(0.0))
+  private def s6(c: Column) = floor(c * 1e6 + 0.5).cast("long")
+
+  /** Per-class precision / recall / F1 / support — the reference's
+    * `classification_report` (R11) per-class body as a DataFrame. */
+  def classificationReport(pred: DataFrame, actualCol: String,
+                           predCol: String): DataFrame =
+    classCounts(pred, actualCol, predCol)
+      .select(col("cls"),
+        (s6(pRaw) / 1e6).as("precision"),
+        (s6(rRaw) / 1e6).as("recall"),
+        (s6(f1Raw) / 1e6).as("f1"),
+        col("support"))
+      .orderBy(col("cls"))
+
+  /** Full `classification_report` at reference breadth
+    * (`/root/reference/src/model_training.py:12`): per-class rows PLUS the
+    * `accuracy`, `macro avg`, and `weighted avg` summary rows sklearn
+    * emits. The accuracy row carries the value in the f1 column with null
+    * precision/recall, support = total n — sklearn's exact layout. Summary
+    * averages are computed over the 6dp scaled-INTEGER per-class metrics
+    * (sums of longs are exact and order-independent), so the oracle replay
+    * is bit-deterministic. Row order: '0'..'9' < 'accuracy' < 'macro avg'
+    * < 'weighted avg' lexicographically, so one ORDER BY cls suffices. */
+  def classificationReportFull(pred: DataFrame, actualCol: String,
+                               predCol: String): DataFrame = {
+    val m = classCounts(pred, actualCol, predCol)
+      .select(col("cls"), col("support"), col("n_tp"),
+        s6(pRaw).as("p6"), s6(rRaw).as("r6"), s6(f1Raw).as("f6"))
+    val perClass = m.select(col("cls").cast("string").as("cls"),
+      (col("p6") / 1e6).as("precision"), (col("r6") / 1e6).as("recall"),
+      (col("f6") / 1e6).as("f1"), col("support"))
+    val t = m.agg(count(lit(1)).as("c"), sum(col("support")).as("n"),
+      sum(col("n_tp")).as("s_tp"),
+      sum(col("p6")).as("sp"), sum(col("r6")).as("sr"), sum(col("f6")).as("sf"),
+      sum(col("support") * col("p6")).as("wp"),
+      sum(col("support") * col("r6")).as("wr"),
+      sum(col("support") * col("f6")).as("wf"))
+    val nullD = lit(null).cast("double")
+    def avg6(s: Column, den: Column) =
+      floor(s.cast("double") / den + 0.5) / 1e6
+    val summary = t.select(explode(array(
+        struct(lit("accuracy").as("cls"), nullD.as("precision"),
+          nullD.as("recall"),
+          (floor(col("s_tp").cast("double") / col("n") * 1e6 + 0.5) / 1e6)
+            .as("f1"),
+          col("n").as("support")),
+        struct(lit("macro avg").as("cls"),
+          avg6(col("sp"), col("c")).as("precision"),
+          avg6(col("sr"), col("c")).as("recall"),
+          avg6(col("sf"), col("c")).as("f1"),
+          col("n").as("support")),
+        struct(lit("weighted avg").as("cls"),
+          avg6(col("wp"), col("n")).as("precision"),
+          avg6(col("wr"), col("n")).as("recall"),
+          avg6(col("wf"), col("n")).as("f1"),
+          col("n").as("support")))).as("r"))
+      .select(col("r.cls").as("cls"), col("r.precision").as("precision"),
+        col("r.recall").as("recall"), col("r.f1").as("f1"),
+        col("r.support").as("support"))
+    perClass.unionAll(summary).orderBy(col("cls"))
+  }
+
+  /** R11 over the deterministic linear scorer — the oracle-checked form,
+    * at full sklearn breadth (per-class + accuracy/macro/weighted rows). */
   def linearReport(spark: SparkSession, dir: String): DataFrame =
-    classificationReport(linearPredictions(spark, dir), "label", "pred")
+    classificationReportFull(linearPredictions(spark, dir), "label", "pred")
 
   /** Seeded RF on the embeddings table (real MLlib train/predict, R8/R9),
     * reported as a holdout confusion matrix. Not oracle-checkable (tree

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -22,25 +22,49 @@ object Features {
 
   /** Column standardization: z-score for the heavy-tailed measures,
     * min-max for the bounded one — the scalers `sklearn.preprocessing`
-    * users run before the reference's RF fit. Stats via one aggregate,
-    * broadcast back; rounding (4dp / 6dp) absorbs summation-order ulps
-    * between engines so the oracle compares decisions, not fp noise. */
+    * users run before the reference's RF fit.
+    *
+    * Determinism: `avg`/`stddev_samp` over doubles are summation-order-
+    * dependent (Spark's partition merge vs any single-pass oracle differ
+    * in the last ulp), and a z-score within an ulp of a 4dp rounding
+    * boundary then flips between engines (round-4 correctness fail). So
+    * the moments come from EXACT decimal sums — `l_quantity` is integer-
+    * valued and `l_extendedprice` has 2 decimals, so Σx and Σx² as
+    * decimals are exact and order-independent — converted once to double;
+    * mean/stddev/z are then pure IEEE-correctly-rounded ops on identical
+    * inputs, bit-equal on both engines, and the final floor-based half-up
+    * rounding is the repo's cross-engine idiom (BASELINE.md round-1
+    * lesson). One aggregate, broadcast back; per-row stage is a pure
+    * projection — same 100 TB shape as before. */
   def standardize(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val stats = li.agg(
-      avg(col("l_quantity")).as("m_qty"),
-      stddev_samp(col("l_quantity")).as("sd_qty"),
-      avg(col("l_extendedprice")).as("m_price"),
-      stddev_samp(col("l_extendedprice")).as("sd_price"),
+    val qd = col("l_quantity").cast("decimal(18,0)")
+    val pd = col("l_extendedprice").cast("decimal(18,2)")
+    val sums = li.agg(
+      count(lit(1)).as("n"),
+      sum(qd).cast("double").as("s_qty"),
+      sum(qd * qd).cast("double").as("s2_qty"),
+      sum(pd).cast("double").as("s_price"),
+      sum(pd * pd).cast("double").as("s2_price"),
       min(col("l_discount")).as("mn_disc"),
       max(col("l_discount")).as("mx_disc"))
+    def sd(s2: Column, s: Column) =
+      sqrt((s2 - s * s / col("n")) / (col("n") - 1))
+    val stats = sums.select(
+      (col("s_qty") / col("n")).as("m_qty"),
+      sd(col("s2_qty"), col("s_qty")).as("sd_qty"),
+      (col("s_price") / col("n")).as("m_price"),
+      sd(col("s2_price"), col("s_price")).as("sd_price"),
+      col("mn_disc"), col("mx_disc"))
+    def halfUp(c: Column, k: Double) = floor(c * k + 0.5) / k
     li.crossJoin(broadcast(stats))
       .select(col("l_orderkey"), col("l_linenumber"),
-        round((col("l_quantity") - col("m_qty")) / col("sd_qty"), 4).as("z_qty"),
-        round((col("l_extendedprice") - col("m_price")) / col("sd_price"), 4)
+        halfUp((col("l_quantity") - col("m_qty")) / col("sd_qty"), 1e4)
+          .as("z_qty"),
+        halfUp((col("l_extendedprice") - col("m_price")) / col("sd_price"), 1e4)
           .as("z_price"),
-        round((col("l_discount") - col("mn_disc")) /
-          (col("mx_disc") - col("mn_disc")), 6).as("mm_disc"))
+        halfUp((col("l_discount") - col("mn_disc")) /
+          (col("mx_disc") - col("mn_disc")), 1e6).as("mm_disc"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -309,7 +333,12 @@ object Features {
       sum(col("n_g")).as("n"),
       count(lit(1)).as("k"),
       (sum(col("n_g") * col("mean_g")) / sum(col("n_g"))).as("grand"),
-      sum((col("n_g") - 1) * col("var_g")).as("ssw"))
+      // a singleton group's var_samp is NULL (modern) or NaN under
+      // spark.sql.legacy.statisticalAggregate; 0×NaN = NaN would poison
+      // ssw, so gate on n_g > 1 — zero contribution either way (matches
+      // the oracle, which skips the NULL)
+      sum(when(col("n_g") > 1, (col("n_g") - 1) * col("var_g"))
+        .otherwise(lit(0.0))).as("ssw"))
     val f = g.crossJoin(broadcast(totals))
       .agg(first(col("n")).as("n"), first(col("k")).as("k"),
         first(col("ssw")).as("ssw"),

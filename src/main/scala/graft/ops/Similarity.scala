@@ -473,13 +473,26 @@ object Similarity {
     val cent = e.groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         Summarizer.mean(array_to_vector(col("embedding"))).as("cv"))
-      .withColumn("cv", vector_to_array(col("cv")))
+      // floor-round each centroid component at 9dp (pure IEEE ops, the
+      // repo's cross-engine idiom): Summarizer.mean sums in partition
+      // order, the oracle's avg in its own — a last-ulp difference fed
+      // raw into the dot products can flip a 6dp output boundary
+      // (round-4 ADVICE). After this, every downstream fold is
+      // bit-identical arithmetic on identical inputs.
+      .withColumn("cv", transform(vector_to_array(col("cv")),
+        c => floor(c * 1e9 + 0.5) / 1e9))
       .withColumn("cnrm", sqrt(GraftFunctions.dot(col("cv"), col("cv"))))
     val coh = e.join(broadcast(cent.select(col("label"), col("cv"), col("cnrm"))), "label")
       .withColumn("vnrm", sqrt(GraftFunctions.dot(col("embedding"), col("embedding"))))
       .withColumn("cos", GraftFunctions.dot(col("embedding"), col("cv"))
         / nullif(col("vnrm") * col("cnrm"), lit(0.0)))
-      .groupBy(col("label")).agg(avg(col("cos")).as("coh"))
+      // mean of per-member cosines as exact integer arithmetic: each cos
+      // is bit-identical cross-engine (deterministic inputs, sequential
+      // 64-dim fold both sides), so scale to 1e12 longs, sum exactly
+      // (order-independent), divide once
+      .groupBy(col("label"))
+      .agg((sum(floor(col("cos") * 1e12 + 0.5)) /
+        (count(lit(1)) * lit(1e12))).as("coh"))
     val sep = cent.as("a").join(broadcast(cent.as("b")),
         col("a.label") =!= col("b.label"))
       .select(col("a.label").as("label"), col("b.label").as("other"),

@@ -7,6 +7,21 @@ import graft.sources.Tables
 
 class DedupSpec extends SparkSpec {
 
+  /** Driver-side union-find (components = minimum label) — the
+    * independent replay oracle for the contraction and increment specs. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
   test("exact dedup: one row per distinct text, copies sum to row count") {
     val docs = Tables.documents(spark, sf)
     val rows = Dedup.exactDedup(spark, sf).collect()
@@ -123,19 +138,6 @@ class DedupSpec extends SparkSpec {
     // identical whether mined jointly or separately)
     val pairs = Dedup.minhashDupPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    // driver-side union-find (components = minimum label)
-    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      parent.keys.map(x => x -> find(x)).toMap
-    }
     val olab = unionFind(pairs.filter { case (a, b) => a < cut && b < cut })
     val anchors = pairs.collect { case (a, b) if a < cut && b >= cut =>
       b -> olab.getOrElse(a, a) }
@@ -152,6 +154,87 @@ class DedupSpec extends SparkSpec {
     out.foreach { case (id, (rep, att)) =>
       if (att == 1) assert(rep < cut, s"doc $id attached to new-side rep $rep")
       else assert(rep >= cut && rep <= id, s"doc $id fresh rep $rep out of range")
+    }
+  }
+
+  test("incremental write-back: increment N+1 consumes N's PUBLISHED labels; " +
+    "the chain equals a staged union-find replay") {
+    val docs = Tables.documents(spark, sf)
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val cut1 = math.floor(maxId * 0.8).toLong
+    val cut2 = math.floor(maxId * 0.9).toLong
+    val base = docs.where(col("doc_id") < cut1)
+    val b1 = docs.where(col("doc_id") >= cut1 && col("doc_id") < cut2)
+    val b2 = docs.where(col("doc_id") >= cut2)
+    val fp = graft.store.FeatureStore.versionFingerprint(spark,
+      s"$sf/documents.parquet")
+
+    // day 0: full contraction of the base slice, published
+    val labels0 = Dedup.connectedComponents(
+      Dedup.selfVerifiedPairs(Dedup.shingleSets(base), 0.8))
+    // day 1: increment batch1 against the base, publish merged labels
+    val assign1 = Dedup.assignIncrement(
+      Dedup.sigIndexOf(Dedup.shingleSets(base)), labels0,
+      b1.select("doc_id"), Dedup.shingleSets(b1), 0.8)
+    val t1 = graft.store.FeatureStore.ensurePlainTable(spark,
+      labels0.select(col("doc_id"), col("cluster_rep"))
+        .unionAll(assign1.select(col("doc_id"), col("cluster_rep"))),
+      "graft_test_chain_m1", fp)
+    // day 2: increment batch2 CONSUMING day 1's published table
+    val assign2 = Dedup.assignIncrement(
+      Dedup.sigIndexOf(Dedup.shingleSets(docs.where(col("doc_id") < cut2))),
+      spark.table(t1), b2.select("doc_id"), Dedup.shingleSets(b2), 0.8)
+    val merged2 = spark.table(t1)
+      .unionAll(assign2.select(col("doc_id"), col("cluster_rep")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // staged replay over ONE full-corpus pair mine (band keys are
+    // per-doc, so slice-restricted pair sets are identical either way)
+    val pairs = Dedup.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baseEdges = pairs.filter { case (a, b) => a < cut1 && b < cut1 }
+    // connectedComponents labels EVERY node of an edge, including each
+    // component's representative (rep → rep); mirror that here
+    val olab = {
+      val uf = unionFind(baseEdges)
+      baseEdges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> uf.getOrElse(x, x)).toMap
+    }
+    def stage(prev: Map[Long, Long], lo: Long, hi: Long,
+              batchIds: Seq[Long]): Map[Long, (Long, Int)] = {
+      val anchors = pairs
+        .collect { case (a, b) if a < lo && b >= lo && b < hi =>
+          b -> prev.getOrElse(a, a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val comp = unionFind(pairs.filter { case (a, b) =>
+        a >= lo && a < hi && b >= lo && b < hi })
+      batchIds.groupBy(id => comp.getOrElse(id, id)).toSeq
+        .flatMap { case (c, members) =>
+          val anchor = members.flatMap(anchors.get).minOption
+          members.map(id =>
+            id -> (anchor.getOrElse(c), if (anchor.isDefined) 1 else 0))
+        }.toMap
+    }
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val lab1 = stage(olab, cut1, cut2, idsOf(b1))
+    val m1 = olab ++ lab1.view.mapValues(_._1).toMap
+    val lab2 = stage(m1, cut2, Long.MaxValue, idsOf(b2))
+    val expected = m1 ++ lab2.view.mapValues(_._1).toMap
+    assert(merged2 === expected)
+    // the attached flags of increment 2 match the replay's
+    val att2 = assign2.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(att2 === lab2.view.mapValues(_._2).toMap)
+    // every label a batch-2 doc attached to is an existing-corpus label:
+    // either a label already in day 1's published base, or the own id of
+    // an old doc that had no cluster yet (the singleton-anchor rule) —
+    // never a batch-2 id. The loop is closed, not re-derived.
+    val m1Labels = spark.table(t1).collect().map(_.getLong(1)).toSet
+    att2.foreach { case (id, a) =>
+      if (a == 1) assert(
+        m1Labels.contains(merged2(id)) || merged2(id) < cut2,
+        s"doc $id attached to non-existing-corpus label ${merged2(id)}")
     }
   }
 

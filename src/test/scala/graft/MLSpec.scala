@@ -151,19 +151,31 @@ class MetricsSpec extends SparkSpec {
     assert(train.select("row_id").intersect(test.select("row_id")).count() === 0)
   }
 
-  test("classification report: weighted recall equals accuracy, bounds hold") {
+  test("classification report: summary rows consistent with per-class body") {
     val rep = Metrics.linearReport(spark, sf).collect()
+    val byCls = rep.map(r => r.getString(0) -> r).toMap
+    assert(Seq("accuracy", "macro avg", "weighted avg").forall(byCls.contains))
     val acc = Metrics.linearAccuracy(spark, sf).head.getDouble(0)
-    val n = rep.map(_.getAs[Long]("support")).sum
-    val weightedRecall = rep.map(r =>
+    // sklearn layout: accuracy row carries the value in f1, null p/r
+    val accRow = byCls("accuracy")
+    assert(math.abs(accRow.getAs[Double]("f1") - acc) < 1e-4)
+    assert(accRow.isNullAt(accRow.fieldIndex("precision")))
+    val perClass = rep.filter(_.getString(0).forall(_.isDigit))
+    val n = perClass.map(_.getAs[Long]("support")).sum
+    val weightedRecall = perClass.map(r =>
       r.getAs[Double]("recall") * r.getAs[Long]("support")).sum / n
-    assert(math.abs(weightedRecall - acc) < 1e-4)
-    rep.foreach { r =>
+    val wRow = byCls("weighted avg")
+    assert(math.abs(wRow.getAs[Double]("recall") - weightedRecall) < 1e-4)
+    assert(math.abs(wRow.getAs[Double]("recall") - acc) < 1e-4)
+    val macroF1 = perClass.map(_.getAs[Double]("f1")).sum / perClass.length
+    assert(math.abs(byCls("macro avg").getAs[Double]("f1") - macroF1) < 1e-4)
+    perClass.foreach { r =>
       Seq("precision", "recall", "f1").foreach { c =>
         val v = r.getAs[Double](c); assert(v >= 0.0 && v <= 1.0)
       }
     }
     assert(n === Tables.embeddings(spark, sf).count())
+    assert(accRow.getAs[Long]("support") === n)
   }
 
   test("confusion matrix counts cover every vector") {

@@ -76,6 +76,54 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("fused 20-column KDE: every feature on its grid, parity with a recompute, integral ≈ 1") {
+    val n = 2000L
+    val points = 11
+    val rows = Stats.featureKde(spark, n, points).collect()
+    val byFeature = rows.groupBy(_.getAs[String]("feature"))
+    assert(byFeature.keySet ===
+      (0 until graft.datagen.SyntheticFeatures.numFeatures)
+        .map(i => s"feature_$i").toSet)
+    byFeature.values.foreach(rs => assert(rs.length === points))
+    val data = graft.datagen.SyntheticFeatures.generate(spark, n).collect()
+    Seq("feature_0", "feature_7", "feature_19").foreach { f =>
+      val xs = data.map(_.getAs[Double](f))
+      val (mn, mx) = (xs.min, xs.max)
+      val h = 1.06 * stddevSamp(xs) * math.pow(n.toDouble, -0.2)
+      val norm = 1.0 / (h * math.sqrt(2.0 * math.Pi))
+      val got = byFeature(f).sortBy(_.getAs[Double]("pt"))
+      (0 until points).foreach { j =>
+        val pt = mn + (mx - mn) * j / (points - 1).toDouble
+        val expect = xs.map(x =>
+          math.exp(-(x - pt) * (x - pt) / (2 * h * h)) * norm).sum / n
+        assert(math.abs(got(j).getAs[Double]("density") - expect) < 1e-4,
+          s"$f pt$j")
+      }
+      // trapezoid integral over the grid ≈ 1 (minus the Gaussian tails
+      // beyond [mn, mx] and grid discretization)
+      val pts = got.map(_.getAs[Double]("pt"))
+      val ds = got.map(_.getAs[Double]("density"))
+      val integral = (1 until points).map(j =>
+        (pts(j) - pts(j - 1)) * (ds(j) + ds(j - 1)) / 2).sum
+      assert(integral > 0.7 && integral < 1.1, s"$f integral=$integral")
+    }
+  }
+
+  private def stddevSamp(xs: Array[Double]): Double = {
+    val m = xs.sum / xs.length
+    math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+  }
+
+  test("fused 20-column KDE is one pass: no cartesian, one broadcast of the bounds") {
+    val df = Stats.featureKde(spark, 1000, 11)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the fact rows are never hash-exchanged: the keyless density agg is
+    // partial → single-partition final; the only exchanges are the 1-row
+    // bounds broadcast and the final 220-row sort
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("fused 20-column histogram is ONE aggregation job, not 20 scans") {
     val df = Stats.featureHistograms(spark, 1000, 10)
     val p = df.queryExecution.executedPlan.toString
