@@ -113,6 +113,8 @@ object SparkEntry {
     "q_text_split" -> ((s, d) => Text.corpusSplit(s, d)),
     "q_text_packing" -> ((s, d) => Text.packChunks(s, d)),
     "q_text_normalize_numbers" -> ((s, d) => Text.normalizeNumbers(s, d)),
+    "q_text_lm_score" -> ((s, d) => Text.lmQualityScore(s, d)),
+    "q_text_mix_sample" -> ((s, d) => Text.temperatureMix(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
     "q_text_corpus_final" -> ((s, d) => Text.trainingCorpus(s, d)),
@@ -127,6 +129,9 @@ object SparkEntry {
     // rows-only: sign-index plane geometry is engine-specific; spec
     // asserts recall vs the exact brute baseline
     "q_sim_ann_topk" -> ((s, d) => Similarity.annTopKCosine(s, d)),
+    // rows-only: same sign-index geometry; precision exact by
+    // construction (cosine verify), recall + planted-regime specs
+    "q_sim_range" -> ((s, d) => Similarity.annRangeSearch(s, d)),
     // dedup pack [EXT] (SURVEY §2.B dedup row)
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_dedup_corpus" -> ((s, d) => Dedup.dedupedCorpus(s, d)),
@@ -1450,6 +1455,52 @@ object SparkEntry {
         | CAST(sum(digit_chars) AS BIGINT) AS digit_chars,
         | CAST(sum(norm_len) AS BIGINT) AS norm_chars
         |FROM n GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_lm_score" ->
+      s"""WITH t AS (
+         | SELECT doc_id, list_filter(string_split(text,' '), s -> len(s)>0) AS toks
+         | FROM documents),
+         |th AS (
+         | SELECT doc_id, list_transform(toks, tok ->
+         |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |     list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+         |     (acc,c) -> (acc*31 + c) % ${Dedup.P})) AS th
+         | FROM t WHERE len(toks) >= 2),
+         |tru AS (
+         | SELECT doc_id, th, unnest(generate_series(1, len(th)-1)) AS i FROM th),
+         |tr AS (
+         | SELECT doc_id, th[i] AS h1,
+         |  (th[i]*${Dedup.shingleMult} + th[i+1]) % ${Dedup.P} AS bh
+         | FROM tru),
+         |lm AS (SELECT h1, bh, count(*) AS c12 FROM tr GROUP BY 1, 2),
+         |ctx AS (SELECT h1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+         |v AS (SELECT count(DISTINCT h) AS v
+         |      FROM (SELECT unnest(th) AS h FROM th)),
+         |s AS (
+         | SELECT tr.doc_id,
+         |  ln((lm.c12 + 0.5) / (ctx.c1 + 0.5 * v.v)) AS lp
+         | FROM tr JOIN lm ON tr.h1 = lm.h1 AND tr.bh = lm.bh
+         |         JOIN ctx ON tr.h1 = ctx.h1 CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_trans, round(avg(lp), 6) AS lm_score
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_mix_sample" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_docs FROM documents
+         |           GROUP BY source),
+         |w AS (SELECT max(pow(CAST(n_docs AS DOUBLE), ${Text.mixExponent})) AS w_max
+         |      FROM s),
+         |p AS (SELECT source, n_docs,
+         |       pow(CAST(n_docs AS DOUBLE), ${Text.mixExponent}) / w_max AS p
+         |      FROM s, w),
+         |acc AS (
+         | SELECT d.source, count(*) AS n_sampled
+         | FROM documents d JOIN p ON d.source = p.source
+         | WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(CAST(d.doc_id AS VARCHAR),''),
+         |      c -> CAST(ascii(c) AS BIGINT))),
+         |    (acc,c) -> (acc*31 + c) % ${Dedup.P}) % 1000000 < floor(p.p * 1e6)
+         | GROUP BY d.source)
+         |SELECT p.source, p.n_docs, round(p.p, 6) AS p_accept, acc.n_sampled
+         |FROM p JOIN acc ON p.source = acc.source
+         |ORDER BY p.source""".stripMargin,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_simhash_pairs" -> {
       val blocks = 4

@@ -531,6 +531,21 @@ object Dedup {
   private[graft] def sigIndexOf(sh: DataFrame): DataFrame =
     signaturesKeeping(sh, col("hs"))
 
+  /** Flat (doc_id, band, s1, s2) LSH band-key rows of a documents frame —
+    * a pure per-row projection (tokenize → hash → sign → band), so it
+    * runs UNCHANGED on a streaming frame; the streaming candidate miner
+    * ([[graft.streaming.EventStream.lshCandidatesStateful]]) groups these
+    * by key against its bucket state. */
+  private[graft] def bandKeyRows(docs: DataFrame): DataFrame =
+    bandsOf(signaturesOf(shingledOf(docs)))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.s1").as("s1"), col("bk.s2").as("s2"))
+
+  /** Distinct LSH candidate pairs of a documents frame (pre-verify) —
+    * the batch twin the streaming miner is spec-checked against. */
+  private[graft] def selfCandidatePairs(docs: DataFrame): DataFrame =
+    selfCandidates(bandsOf(signaturesOf(shingledOf(docs))))
+
   /** The write-back half of the incremental-dedup loop: yesterday's
     * labels ∪ today's batch assignments = the label base the NEXT
     * increment consumes. Round 4 shipped [[incrementalAssign]] reading a

@@ -246,6 +246,51 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Radius (range) search via the persisted sign index: every corpus
+    * neighbor with cosine ≥ `minCos` for each query vector — the "find
+    * everything this similar" retrieval (dedup-by-query, contamination
+    * lookup, near-duplicate audit), where [[annTopKCosine]] answers
+    * "the k best however far".
+    *
+    * Same two bounded stages as top-k: (1) scan the narrow 16 B/row sign
+    * index and keep candidates whose hamming distance ≤
+    * ceil(64·arccos(minCos)/π) + `hamMargin` — for a pair at exactly
+    * minCos the expected hamming is 64·θ/π, so the margin buys per-pair
+    * recall (≈1.5σ of the binomial spread at the default); (2) exact
+    * cosine verify on the candidates only — precision is exact by
+    * construction, recall is spec-asserted. Near the corpus's random-pair
+    * regime (θ → π/2) the hamming window necessarily overlaps noise and
+    * the verify stage carries the cost; in the operator's real near-dup
+    * regime (cos ≥ 0.8 → cutoff ≈ 19 vs noise mean 32) the index
+    * excludes ~99.8% of the corpus before any dot product. Rows-only in
+    * the driver gate (plane geometry is engine-specific). */
+  def annRangeSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
+                     minCos: Double = 0.3, hamMargin: Int = 4): DataFrame = {
+    val indexTable = ensureSignIndex(spark, dir)
+    val hamCut = math.ceil(64.0 * math.acos(minCos) / math.Pi).toInt + hamMargin
+    val emb = embWithNorm(spark, dir)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), signature(col("embedding")).as("q_bits"))
+    val cand = spark.table(indexTable)
+      .crossJoin(broadcast(queries.select(col("q_id"), col("q_bits"))))
+      .where(col("vec_id") =!= col("q_id") &&
+        bit_count(col("sign_bits").bitwiseXOR(col("q_bits"))) <= hamCut)
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    // exact verify on candidates only; candidate volume is data-dependent
+    // (radius semantics), so the join strategy is left to AQE — never a
+    // forced broadcast of an unbounded set
+    emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+      .join(cand, "cand_id")
+      .join(broadcast(queries.select(col("q_id"), col("qv"), col("qn"))), "q_id")
+      .select(col("q_id"), col("cand_id"),
+        round(GraftFunctions.dot(col("qv"), col("cv")) /
+          nullif(col("qn") * col("cn"), lit(0.0)), 6).as("cos_sim"))
+      .where(col("cos_sim") >= minCos)
+      .orderBy(col("q_id"), col("cos_sim").desc, col("cand_id"))
+  }
+
   /** Coarse-quantizer centroid cache: (sf dir, corpus mtime, nlist,
     * sampleMod, sampleCap) → centroids. The quantizer is corpus geometry,
     * not query state — refitting it per query was the #2 bench hotspot in

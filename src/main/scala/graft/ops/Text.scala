@@ -467,4 +467,101 @@ object Text {
         sum(col("norm_len")).as("norm_chars"))
       .orderBy(col("source"))
   }
+
+  /** Corpus bigram-LM quality proxy — the perplexity filter of CCNet
+    * (Wenzek et al., LREC 2020: keep documents whose n-gram LM score is
+    * good): each document's mean log-probability of its token
+    * transitions under an add-k-smoothed bigram model ESTIMATED FROM THE
+    * CORPUS ITSELF, so the operator is self-contained and
+    * oracle-replayable (no pretrained KenLM in this container).
+    * Boilerplate and natural text score high (their transitions repeat
+    * corpus-wide); garbled or unique-gibberish text scores low.
+    *
+    * Shapes at 100 TB: the LM table is ONE explode + hash-keyed
+    * group-by over (head-hash, bigram-hash) — the vocabulary crosses the
+    * shuffle, not the corpus; context counts derive from the LM table
+    * itself (never a second corpus pass); scoring joins each transition
+    * against the LM by hash key, AQE picking broadcast vs shuffle from
+    * the real vocabulary size. In production the LM table is published
+    * once per corpus version like every other layout; here estimation
+    * and scoring fuse into one plan and exchange reuse dedupes the scan.
+    */
+  def lmQualityScore(spark: SparkSession, dir: String,
+                     k: Double = 0.5): DataFrame =
+    lmQualityScoreOf(Tables.documents(spark, dir), k)
+
+  /** Core of [[lmQualityScore]] over any documents-shaped frame. */
+  private[graft] def lmQualityScoreOf(docs: DataFrame,
+                                      k: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val th = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), transform(col("t"),
+        tok => graft.functions.GraftFunctions.polyHash(tok)).as("th"))
+    val trans = th.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("th")) - 1), i =>
+          struct(element_at(col("th"), i).as("h1"),
+            Dedup.combine2(element_at(col("th"), i),
+              element_at(col("th"), i + 1)).as("bh")))).as("tr"))
+      .select(col("doc_id"), col("tr.h1").as("h1"), col("tr.bh").as("bh"))
+    // the LM: bigram counts keyed by (head, bigram); context counts are
+    // a regroup of the LM frame, NOT a second corpus aggregate
+    val lm = trans.groupBy(col("h1"), col("bh")).agg(count(lit(1)).as("c12"))
+    val ctx = lm.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
+    val vocab = th.select(explode(col("th")).as("h"))
+      .agg(count_distinct(col("h")).as("v"))
+    trans
+      .join(lm, Seq("h1", "bh"))
+      .join(ctx, Seq("h1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        round(avg(log((col("c12") + lit(k)) /
+          (col("c1") + lit(k) * col("v")))), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-flattened source mixing — the data-mixing step of
+    * multi-source LLM training (Raffel et al., JMLR 2020 §5.4.3:
+    * examples sampled ∝ n_s^α with temperature α < 1 so small
+    * high-quality sources aren't drowned by the big crawl). Acceptance
+    * probability p_s = n_s^(α-1) / max_s n_s^(α-1) (the smallest source
+    * keeps everything); the accept decision is a DETERMINISTIC hash of
+    * the doc_id against floor(p_s·10^6) — reproducible across engines
+    * and runs, unlike an RNG sample. Emits the per-source mixing audit
+    * (corpus count, acceptance rate, sampled count).
+    *
+    * Shape at 100 TB: one per-source count (tiny), broadcast back, one
+    * per-row hash filter, one regroup — the corpus streams through
+    * exactly once. */
+  /** Default mixing temperature — shared with the generated DuckDB twin
+    * so both engines exponentiate with the IDENTICAL double (0.7 - 1 is
+    * NOT the double -0.3; the oracle embeds this constant via toString
+    * round-trip, the kdeOracle precedent). */
+  val mixAlpha = 0.7
+  val mixExponent: Double = mixAlpha - 1
+
+  def temperatureMix(spark: SparkSession, dir: String,
+                     alpha: Double = mixAlpha): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val bySource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val maxW = bySource.agg(
+      max(pow(col("n_docs").cast("double"), lit(alpha - 1))).as("w_max"))
+    val probs = bySource.crossJoin(broadcast(maxW))
+      .select(col("source"), col("n_docs"),
+        (pow(col("n_docs").cast("double"), lit(alpha - 1)) / col("w_max"))
+          .as("p"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(probs), "source")
+      .where(pmod(graft.functions.GraftFunctions.polyHash(
+        col("doc_id").cast("string")), lit(1000000L)) <
+        floor(col("p") * 1e6))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        round(first(col("p")), 6).as("p_accept"),
+        count(lit(1)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
 }

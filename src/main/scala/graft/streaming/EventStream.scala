@@ -304,6 +304,56 @@ object EventStream {
       }
   }
 
+  /** A near-dup candidate pair surfaced by the streaming LSH miner. */
+  final case class CandPair(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Streaming near-dup candidate mining — the ingest-time half of the
+    * dedup pipeline run LIVE: each arriving document's MinHash band keys
+    * (a pure per-row projection, [[graft.ops.Dedup.bandKeyRows]]) probe a
+    * per-bucket membership state, and every (new doc × existing bucket
+    * member) collision is emitted as a candidate pair the moment it
+    * exists — no nightly batch wait. Downstream, candidates flow into the
+    * same exact-Jaccard verify and incremental label assignment the batch
+    * path uses ([[graft.ops.Dedup.incrementalAssign]]).
+    *
+    * State topology at scale: one member list per OCCUPIED band bucket,
+    * partitioned by the band key — the same key the batch self-join
+    * shuffles on, so hot buckets (boilerplate clusters) are the
+    * already-known skew surface. Per-arrival work is O(bucket size); the
+    * `maxBucket` cap bounds the quadratic blowup of a degenerate bucket:
+    * beyond it new members still join the bucket but pair only against
+    * the first `maxBucket` members (candidate recall within a mega-
+    * cluster degrades last — by then the cluster is already connected).
+    * Spec asserts exact candidate-set parity with the batch LSH self-join
+    * in one micro-batch AND across a two-micro-batch split (bucket state
+    * survives the state-store round trip). */
+  def lshCandidatesStateful(spark: SparkSession, docStream: DataFrame,
+                            maxBucket: Int = 1024): Dataset[CandPair] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.ops.Dedup.bandKeyRows(docStream)
+      .as[(Long, Int, Long, Long)]
+      .groupByKey { case (_, band, s1, s2) => (band, s1, s2) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long, Long), rows: Iterator[(Long, Int, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
+          var members = state.getOption.getOrElse(Seq.empty[Long])
+          // deterministic within-batch arrival order (streams give none)
+          val arriving = rows.map(_._1).toSeq.distinct.sorted
+          val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+          arriving.foreach { id =>
+            if (!members.contains(id)) {
+              members.iterator.take(maxBucket).foreach { m =>
+                out += CandPair(math.min(m, id), math.max(m, id), key._1)
+              }
+              members = members :+ id
+            }
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+
   /** Per-user running totals. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

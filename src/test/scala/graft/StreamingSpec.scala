@@ -353,4 +353,47 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(got(u)._2 - s) < 1e-9, s"user $u sum")
     }
   }
+
+  test("streaming LSH candidate mining == batch self-join; bucket state survives micro-batches") {
+    val batchCands = graft.ops.Dedup
+      .selfCandidatePairs(graft.sources.Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchCands.nonEmpty)
+
+    // one micro-batch: candidate-set parity with the batch band self-join
+    val stream = spark.readStream
+      .schema(graft.sources.Tables.documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    val q = EventStream.lshCandidatesStateful(spark, stream)
+      .writeStream.format("memory").queryName("stream_lsh").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batchCands)
+
+    // two micro-batches: the same corpus split in half must surface the
+    // SAME candidate set — cross-batch pairs only exist if the bucket
+    // membership survived the state-store round trip
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.col
+    docs.where(col("doc_id") < 250)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/f1")
+    docs.where(col("doc_id") >= 250)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/f2")
+    bumpFileMtimes(s"$tmp/f2")
+    val twoBatch = spark.readStream
+      .schema(graft.sources.Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/f*")
+    val q2 = EventStream.lshCandidatesStateful(spark, twoBatch)
+      .writeStream.format("memory").queryName("stream_lsh_2b").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val twoBatched = spark.table("stream_lsh_2b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twoBatched === batchCands)
+    // cross-half pairs exist on this corpus — the carry-over is exercised
+    assert(batchCands.exists { case (a, b) => a < 250 && b >= 250 })
+  }
 }

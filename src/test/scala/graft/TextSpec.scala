@@ -304,4 +304,79 @@ class TextSpec extends SparkSpec {
     }
     assert(got === expect)
   }
+
+  /** The engine's polynomial char fold, replicated independently. */
+  private def polyFold(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+
+  test("lm quality score: repeated corpus phrasing outscores unique gibberish; exact recompute") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog"
+    val docs = ((0L until 20L).map(i => (i, common)) ++
+      Seq((20L, "zq xv qj wk pf bn mz lx"),
+        (21L, "the quick brown fox"),
+        (22L, "one"))) // <2 tokens: excluded
+      .toDF("doc_id", "text")
+    val out = graft.ops.Text.lmQualityScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("lm_score"))).toMap
+    assert(!out.contains(22L)) // single-token doc has no transitions
+    // every score is a mean log-probability: <= 0
+    out.values.foreach { case (_, s) => assert(s <= 0.0) }
+    // n_trans = tokens - 1
+    assert(out(20L)._1 === 7L)
+    assert(out(0L)._1 === 8L)
+    // corpus-common phrasing scores strictly higher than unique gibberish
+    assert(out(0L)._2 > out(20L)._2)
+    // a prefix of the common phrase also scores well
+    assert(out(21L)._2 > out(20L)._2)
+    // exact recompute of the formula on this tiny corpus
+    val texts = ((0L until 20L).map(i => (i, common)) :+
+      (20L, "zq xv qj wk pf bn mz lx") :+ (21L, "the quick brown fox"))
+    val P = 1000000007L
+    val trans = texts.flatMap { case (id, t) =>
+      val hs = t.split(" ").filter(_.nonEmpty).map(polyFold)
+      hs.sliding(2).map(p => (id, p(0), (p(0) * 1009 + p(1)) % P)).toSeq
+    }
+    val c12 = trans.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    val c1 = trans.groupBy(_._2).view.mapValues(_.size).toMap
+    val v = texts.flatMap(_._2.split(" ").filter(_.nonEmpty)).map(polyFold)
+      .distinct.size
+    texts.map(_._1).foreach { id =>
+      val lps = trans.filter(_._1 == id).map { case (_, h1, bh) =>
+        math.log((c12((h1, bh)) + 0.5) / (c1(h1) + 0.5 * v)) }
+      val expect = lps.sum / lps.length
+      assert(math.abs(out(id)._2 - expect) < 1e-5, s"doc $id")
+    }
+  }
+
+  test("temperature mix: smallest source keeps all, rates flatten, counts equal a hash replay") {
+    val out = Text.temperatureMix(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("p_accept"), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    val minSource = out.minBy(_._2._1)
+    // p = n^(α-1)/max: the smallest source's acceptance is exactly 1
+    assert(minSource._2._2 === 1.0)
+    // acceptance is monotone non-increasing in source size
+    out.toSeq.sortBy(_._2._1).map(_._2._2).sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b - 1e-9)
+      case _ =>
+    }
+    // sampled counts equal an independent driver-side hash replay
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val wMax = n.values.map(c => math.pow(c.toDouble, Text.mixExponent)).max
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val p = math.pow(n(src).toDouble, Text.mixExponent) / wMax
+      val thr = math.floor(p * 1e6).toLong
+      val expect = ds.count { case (id, _) =>
+        polyFold(id.toString) % 1000000L < thr }
+      assert(out(src)._3 === expect.toLong, src)
+      assert(out(src)._1 === n(src), src)
+      // sampled share tracks the acceptance probability (hash uniformity)
+      assert(math.abs(out(src)._3.toDouble / n(src) - p) < 0.05, src)
+    }
+  }
 }
