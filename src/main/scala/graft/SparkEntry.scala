@@ -115,6 +115,8 @@ object SparkEntry {
     "q_text_normalize_numbers" -> ((s, d) => Text.normalizeNumbers(s, d)),
     "q_text_lm_score" -> ((s, d) => Text.lmQualityScore(s, d)),
     "q_text_mix_sample" -> ((s, d) => Text.temperatureMix(s, d)),
+    "q_text_chunk_windows" -> ((s, d) => Text.chunkWindows(s, d)),
+    "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
     "q_text_corpus_final" -> ((s, d) => Text.trainingCorpus(s, d)),
@@ -1501,6 +1503,51 @@ object SparkEntry {
          |SELECT p.source, p.n_docs, round(p.p, 6) AS p_accept, acc.n_sampled
          |FROM p JOIN acc ON p.source = acc.source
          |ORDER BY p.source""".stripMargin,
+    "q_text_chunk_windows" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text,' '), s -> len(s)>0))
+         |    AS BIGINT) AS n_tok
+         | FROM documents),
+         |w AS (
+         | SELECT doc_id, n_tok,
+         |  CASE WHEN n_tok <= ${Text.chunkWindowTokens} THEN 1
+         |       ELSE CAST(floor((n_tok - ${Text.chunkWindowTokens}
+         |         + ${Text.chunkStride - 1}) / ${Text.chunkStride}.0)
+         |         AS BIGINT) + 1
+         |  END AS n_win
+         | FROM t),
+         |u AS (
+         | SELECT doc_id, n_tok,
+         |  CAST(unnest(generate_series(0, n_win - 1)) AS BIGINT) AS win_id
+         | FROM w)
+         |SELECT doc_id, win_id,
+         | win_id * ${Text.chunkStride} AS start_tok,
+         | least(CAST(${Text.chunkWindowTokens} AS BIGINT),
+         |   n_tok - win_id * ${Text.chunkStride}) AS win_tokens
+         |FROM u ORDER BY doc_id, win_id""".stripMargin,
+    "q_sim_dim_stats" ->
+      """WITH e AS (
+        | SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (
+        | SELECT CAST(unnest(generate_series(1, len(v))) - 1 AS BIGINT) AS dim,
+        |  v FROM e),
+        |x AS (SELECT dim, v[CAST(dim AS INT) + 1] AS x FROM u),
+        |g AS (
+        | SELECT dim, count(*) AS n,
+        |  CAST(sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+        |  CAST(sum(CAST(floor(x * x * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+        |  min(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS mnq,
+        |  max(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS mxq
+        | FROM x GROUP BY dim)
+        |SELECT dim, n,
+        | floor(CAST(s1 AS DOUBLE) / n / 1e3 + 0.5) / 1e6 AS mean,
+        | floor(sqrt((CAST(s2 AS DOUBLE) / 1e12 -
+        |   (CAST(s1 AS DOUBLE) / 1e9) * (CAST(s1 AS DOUBLE) / 1e9) / n)
+        |   / (n - 1)) * 1e6 + 0.5) / 1e6 AS sd,
+        | CAST(mnq AS DOUBLE) / 1e9 AS min_x,
+        | CAST(mxq AS DOUBLE) / 1e9 AS max_x
+        |FROM g ORDER BY dim""".stripMargin,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_simhash_pairs" -> {
       val blocks = 4

@@ -291,6 +291,37 @@ object Similarity {
       .orderBy(col("q_id"), col("cos_sim").desc, col("cand_id"))
   }
 
+  /** Per-dimension statistics of the embedding lake — the vector-lake
+    * health screen (a dead dimension, a runaway scale, a shifted mean all
+    * break cosine retrieval silently; this is the profile a pipeline
+    * checks before trusting a new embedding snapshot, and the input to
+    * any whitening/recentering decision).
+    *
+    * Determinism: per-element values quantize to 1e9-scaled LONGS
+    * (floor half-up — exact per element in any engine), so the sums are
+    * exact integer arithmetic regardless of partition order; mean and
+    * variance derive from those integers as IEEE-identical doubles. The
+    * 64-dim explode inflates rows 64× but collapses map-side into 64
+    * groups — shuffle output is O(dims), independent of corpus size. */
+  def dimensionStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val q = floor(col("x") * 1e9 + 0.5).cast("long")
+    val q2 = floor(col("x") * col("x") * 1e12 + 0.5).cast("long")
+    e.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(q).as("s1"), sum(q2).as("s2"),
+        min(q).as("mnq"), max(q).as("mxq"))
+      .select(col("dim"), col("n"),
+        (floor(col("s1").cast("double") / col("n") / 1e3 + 0.5) / 1e6)
+          .as("mean"),
+        (floor(sqrt((col("s2").cast("double") / 1e12 -
+          (col("s1").cast("double") / 1e9) * (col("s1").cast("double") / 1e9)
+            / col("n")) / (col("n") - 1)) * 1e6 + 0.5) / 1e6).as("sd"),
+        (col("mnq").cast("double") / 1e9).as("min_x"),
+        (col("mxq").cast("double") / 1e9).as("max_x"))
+      .orderBy(col("dim"))
+  }
+
   /** Coarse-quantizer centroid cache: (sf dir, corpus mtime, nlist,
     * sampleMod, sampleCap) → centroids. The quantizer is corpus geometry,
     * not query state — refitting it per query was the #2 bench hotspot in

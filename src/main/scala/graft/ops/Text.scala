@@ -535,6 +535,38 @@ object Text {
     * Shape at 100 TB: one per-source count (tiny), broadcast back, one
     * per-row hash filter, one regroup — the corpus streams through
     * exactly once. */
+  /** Context-window chunking with overlap — the pretokenization step that
+    * turns long documents into fixed-size training windows (stride <
+    * window ⇒ consecutive windows overlap, so no token boundary is ever
+    * only at a window edge). Emits one row per (doc, window): start
+    * offset and actual token count (the final window is short). Pure
+    * integer arithmetic on the token count — bit-exact in any engine —
+    * and a per-row explode of O(n_tok/stride) window indices: no shuffle
+    * at all until the presentation sort. Greedy cross-doc packing is the
+    * SEPARATE operator ([[packChunks]]); this one is per-document and
+    * order-free, so it parallelizes embarrassingly at 100 TB. */
+  /** Chunking geometry — shared with the generated DuckDB twin. */
+  val chunkWindowTokens = 128
+  val chunkStride = 96
+
+  def chunkWindows(spark: SparkSession, dir: String,
+                   windowTokens: Int = chunkWindowTokens,
+                   stride: Int = chunkStride): DataFrame = {
+    val w = windowTokens.toLong
+    val s = stride.toLong
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("n_win", when(col("n_tok") <= w, lit(1L))
+        .otherwise(floor((col("n_tok") - w + (s - 1)) / lit(s.toDouble))
+          .cast("long") + 1))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_win") - 1)).as("win_id"))
+      .select(col("doc_id"), col("win_id"),
+        (col("win_id") * s).as("start_tok"),
+        least(lit(w), col("n_tok") - col("win_id") * s).as("win_tokens"))
+      .orderBy(col("doc_id"), col("win_id"))
+  }
+
   /** Default mixing temperature — shared with the generated DuckDB twin
     * so both engines exponentiate with the IDENTICAL double (0.7 - 1 is
     * NOT the double -0.3; the oracle embeds this constant via toString

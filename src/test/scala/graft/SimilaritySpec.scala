@@ -115,6 +115,32 @@ class SimilaritySpec extends SparkSpec {
     assert(again === out.keySet)
   }
 
+  test("dimension stats: every dim covered, exact parity with a quantized driver replay") {
+    val out = Similarity.dimensionStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dims = vecs.head.length
+    assert(out.keySet === (0L until dims.toLong).toSet)
+    (0 until dims).foreach { d =>
+      val q = vecs.map(v => math.floor(v(d) * 1e9 + 0.5).toLong)
+      val q2 = vecs.map(v => math.floor(v(d) * v(d) * 1e12 + 0.5).toLong)
+      val n = q.length.toLong
+      val s1 = q.sum; val s2 = q2.sum
+      val mean = math.floor(s1.toDouble / n / 1e3 + 0.5) / 1e6
+      val sd = math.floor(math.sqrt((s2.toDouble / 1e12 -
+        (s1.toDouble / 1e9) * (s1.toDouble / 1e9) / n) / (n - 1)) * 1e6 + 0.5) / 1e6
+      val r = out(d.toLong)
+      assert(r.getLong(1) === n)
+      assert(r.getAs[Double]("mean") === mean, s"dim $d mean")
+      assert(r.getAs[Double]("sd") === sd, s"dim $d sd")
+      assert(r.getAs[Double]("min_x") === q.min.toDouble / 1e9, s"dim $d min")
+      assert(r.getAs[Double]("max_x") === q.max.toDouble / 1e9, s"dim $d max")
+      assert(r.getAs[Double]("sd") >= 0.0)
+    }
+  }
+
   test("ANN shortlist reads the published narrow sign index, not the wide table") {
     Similarity.ensureSignIndex(spark, sf)
     val df = Similarity.annTopKCosine(spark, sf, nQueries = 3, k = 5)

@@ -349,6 +349,32 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("chunk windows: stride coverage, bounded sizes, equals a driver replay") {
+    val w = Text.chunkWindowTokens
+    val s = Text.chunkStride
+    val out = Text.chunkWindows(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === nTok.keySet)
+    nTok.foreach { case (id, n) =>
+      val wins = out(id).sortBy(_.getLong(1))
+      val expectWins = if (n <= w) 1 else ((n - w + s - 1) / s + 1).toInt
+      assert(wins.length === expectWins, s"doc $id")
+      wins.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) === i.toLong)
+        assert(r.getLong(2) === i.toLong * s)          // start_tok
+        assert(r.getLong(3) === math.min(w.toLong, n - i.toLong * s))
+      }
+      // the final window reaches the end of the document
+      val last = wins.last
+      assert(last.getLong(2) + last.getLong(3) === math.max(n, last.getLong(2)))
+      // consecutive windows overlap by w - s tokens (full windows)
+      if (wins.length > 2) assert(wins(0).getLong(2) + w - wins(1).getLong(2) === (w - s).toLong)
+    }
+  }
+
   test("temperature mix: smallest source keeps all, rates flatten, counts equal a hash replay") {
     val out = Text.temperatureMix(spark, sf).collect()
       .map(r => r.getString(0) ->
