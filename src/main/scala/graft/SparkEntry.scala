@@ -116,6 +116,7 @@ object SparkEntry {
     "q_text_lm_score" -> ((s, d) => Text.lmQualityScore(s, d)),
     "q_text_mix_sample" -> ((s, d) => Text.temperatureMix(s, d)),
     "q_text_chunk_windows" -> ((s, d) => Text.chunkWindows(s, d)),
+    "q_text_boilerplate" -> ((s, d) => Text.boilerplateSpans(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -1526,6 +1527,35 @@ object SparkEntry {
          | least(CAST(${Text.chunkWindowTokens} AS BIGINT),
          |   n_tok - win_id * ${Text.chunkStride}) AS win_tokens
          |FROM u ORDER BY doc_id, win_id""".stripMargin,
+    "q_text_boilerplate" ->
+      s"""WITH t AS (
+         | SELECT doc_id, list_filter(string_split(text,' '), s -> len(s)>0) AS toks
+         | FROM documents),
+         |th AS (
+         | SELECT doc_id, list_transform(toks, tok ->
+         |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |     list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+         |     (acc,c) -> (acc*31 + c) % ${Dedup.P})) AS th
+         | FROM t WHERE len(toks) >= ${Text.boilWindowTokens}),
+         |u AS (
+         | SELECT doc_id, th,
+         |  unnest(generate_series(0,
+         |    CAST(floor((len(th) - ${Text.boilWindowTokens})
+         |      / ${Text.boilStride}.0) AS BIGINT))) AS j
+         | FROM th),
+         |sp AS (
+         | SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_slice(th, j * ${Text.boilStride} + 1,
+         |      j * ${Text.boilStride} + ${Text.boilWindowTokens})),
+         |    (acc, h) -> (acc * ${Dedup.shingleMult} + h) % ${Dedup.P}) AS sh
+         | FROM u),
+         |g AS (
+         | SELECT sh, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+         |  min(doc_id) AS first_doc
+         | FROM sp GROUP BY sh)
+         |SELECT sh, n_docs, n_occ, first_doc FROM g
+         |WHERE n_docs >= 2 ORDER BY n_docs DESC, sh LIMIT 50""".stripMargin,
     "q_sim_dim_stats" ->
       """WITH e AS (
         | SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

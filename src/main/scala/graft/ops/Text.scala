@@ -567,6 +567,53 @@ object Text {
       .orderBy(col("doc_id"), col("win_id"))
   }
 
+  /** Boilerplate-span geometry — shared with the generated DuckDB twin. */
+  val boilWindowTokens = 16
+  val boilStride = 8
+
+  /** Repeated-span (boilerplate) detection — the cross-document
+    * repetition miner behind C4/RefinedWeb-style boilerplate stripping:
+    * token windows (width [[boilWindowTokens]], stride [[boilStride]])
+    * are rolling-hashed and grouped; a span hash appearing in ≥ `minDocs`
+    * DISTINCT documents is shared content (headers, footers, license
+    * blocks, templated text) that whole-document dedup never catches.
+    * Emits the top spans by document reach with deterministic
+    * (n_docs desc, hash) order.
+    *
+    * Shape at 100 TB: per-row window hashing is a pure projection (one
+    * token-hash pass, then O(n_tok/stride) constant-width integer folds);
+    * the only shuffle is the span-hash group-by whose output is the
+    * distinct-span count, not the corpus. All arithmetic is the shared
+    * integer poly fold — the DuckDB twin replays it hash-exactly. */
+  def boilerplateSpans(spark: SparkSession, dir: String, minDocs: Int = 2,
+                       k: Int = 50): DataFrame =
+    boilerplateSpansOf(Tables.documents(spark, dir), minDocs, k)
+
+  /** Core of [[boilerplateSpans]] over any documents-shaped frame. */
+  private[graft] def boilerplateSpansOf(docs: DataFrame, minDocs: Int = 2,
+                                        k: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = boilWindowTokens
+    val s = boilStride
+    val th = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= w)
+      .select(col("doc_id"), transform(col("t"),
+        tok => graft.functions.GraftFunctions.polyHash(tok)).as("th"))
+    val spans = th.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0),
+          floor((size(col("th")) - w) / lit(s.toDouble)).cast("int")),
+        j => aggregate(slice(col("th"), j * s + 1, lit(w)), lit(0L),
+          (acc, h) => (acc * Dedup.shingleMult + h) % Dedup.P))).as("sh"))
+    spans.groupBy(col("sh"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("sh"))
+      .limit(k)
+  }
+
   /** Default mixing temperature — shared with the generated DuckDB twin
     * so both engines exponentiate with the IDENTICAL double (0.7 - 1 is
     * NOT the double -0.3; the oracle embeds this constant via toString

@@ -375,6 +375,35 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate spans: planted shared header found across docs, not unique bodies") {
+    import spark.implicits._
+    val header = (1 to Text.boilWindowTokens).map(i => s"hdr$i").mkString(" ")
+    def body(seed: Int) = (1 to 24).map(i => s"w${seed}_$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$header ${body(0)}"),
+      (1L, s"$header ${body(1)}"),
+      (2L, s"$header ${body(2)}"),
+      (3L, body(3)), // no header — its spans are unique
+      (4L, body(4))).toDF("doc_id", "text")
+    val out = graft.ops.Text.boilerplateSpansOf(docs, minDocs = 2).collect()
+    assert(out.nonEmpty)
+    // the top span reaches exactly the three header-carrying docs
+    val top = out.head
+    assert(top.getAs[Long]("n_docs") === 3L)
+    assert(top.getAs[Long]("first_doc") === 0L)
+    // the planted header's hash (independent driver fold) is among them
+    val P = 1000000007L
+    def fold(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val hdrHash = header.split(" ").map(fold)
+      .foldLeft(0L)((a, h) => (a * 1009 + h) % P)
+    assert(out.map(_.getAs[Long]("sh")).contains(hdrHash))
+    // every reported span reaches >= 2 distinct docs; unique bodies absent
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2L)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("temperature mix: smallest source keeps all, rates flatten, counts equal a hash replay") {
     val out = Text.temperatureMix(spark, sf).collect()
       .map(r => r.getString(0) ->
