@@ -573,6 +573,26 @@ object Dedup {
       graft.store.FeatureStore.versionFingerprint(spark,
         s"$dir/documents.parquet"))
 
+  /** The scheduled HEALING pass that closes [[incrementalAssign]]'s
+    * documented trade: a batch doc bridging two existing clusters adopts
+    * the smaller label and does NOT merge them — each increment is exact
+    * for attachment but approximate at bridges. On a schedule (nightly/
+    * weekly at 100 TB), rerun the full contraction over the whole corpus
+    * and publish it as the new label base; every accumulated bridge
+    * merges in one pass, and the next increment chains off the healed
+    * labels. The production loop is therefore: increment daily (O(batch)
+    * work, bridge-approximate) → heal on schedule (O(corpus), exact).
+    * Spec: a constructed A–bridge–B corpus where the increment provably
+    * leaves A and B separate and healing provably merges them. */
+  def healIncrementalBase(spark: SparkSession, dir: String,
+                          minJaccard: Double = 0.8): String =
+    graft.store.FeatureStore.ensurePlainTable(spark,
+      connectedComponents(minhashDupPairsUnordered(spark, dir, minJaccard))
+        .orderBy(col("doc_id")),
+      s"graft_inc_healed_${Relational.dirSlug(dir)}_${incParamSlug(minJaccard)}",
+      graft.store.FeatureStore.versionFingerprint(spark,
+        s"$dir/documents.parquet"))
+
   /** Publish the near-dup cluster labels (doc_id, cluster_rep) as a
     * versioned layout table — cluster formation is corpus INFRASTRUCTURE
     * (one contraction per corpus version), not per-query work: the

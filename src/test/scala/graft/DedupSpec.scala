@@ -238,6 +238,55 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bridge doc does NOT merge existing clusters; the healing contraction does") {
+    import spark.implicits._
+    // shared 30-token block X; clusters A = {0,1} and B = {2,3} share X
+    // but differ in their unique tails (J(A,B) ≈ 0.58 < 0.7 → separate);
+    // the bridge doc 4 is X alone (J(bridge, A) = J(bridge, B) ≈ 0.74 ≥ 0.7)
+    val x = (1 to 30).map(i => s"x$i").mkString(" ")
+    val u = (1 to 10).map(i => s"u$i").mkString(" ")
+    val v = (1 to 10).map(i => s"v$i").mkString(" ")
+    val old = Seq((0L, s"$x $u"), (1L, s"$x $u"),
+      (2L, s"$x $v"), (3L, s"$x $v")).toDF("doc_id", "text")
+    val all = old.unionAll(Seq((4L, x)).toDF("doc_id", "text"))
+    val minJ = 0.7
+
+    // construction sanity: the bridge really links to both sides and the
+    // sides really don't link to each other (else the scenario is void)
+    val oldPairs = Dedup.selfVerifiedPairs(Dedup.shingleSets(old), minJ)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oldPairs === Set((0L, 1L), (2L, 3L)))
+    val crossPairs = Dedup.crossVerifiedPairs(
+      Dedup.shingleSets(all.where(col("doc_id") === 4)),
+      Dedup.sigIndexOf(Dedup.shingleSets(old)), minJ)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(crossPairs === Set((4L, 0L), (4L, 1L), (4L, 2L), (4L, 3L)),
+      s"bridge candidates incomplete: $crossPairs")
+
+    // the increment: doc 4 attaches to min(label(0..3)) = 0; cluster B
+    // KEEPS label 2 — the documented bridge trade
+    val labels0 = Dedup.connectedComponents(
+      Dedup.selfVerifiedPairs(Dedup.shingleSets(old), minJ))
+    val assign = Dedup.assignIncrement(
+      Dedup.sigIndexOf(Dedup.shingleSets(old)), labels0,
+      Seq(4L).toDF("doc_id"), Dedup.shingleSets(all.where(col("doc_id") === 4)),
+      minJ).collect()
+    assert(assign.length === 1)
+    assert(assign.head.getLong(1) === 0L) // adopts the smaller label
+    assert(assign.head.getInt(2) === 1)
+    val merged = labels0.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap + (4L -> 0L)
+    assert(merged(2L) === 2L && merged(3L) === 2L,
+      "increment must NOT merge cluster B into A")
+
+    // the healing pass: full contraction over the whole corpus merges
+    // everything the bridge connected
+    val healed = Dedup.connectedComponents(
+      Dedup.selfVerifiedPairs(Dedup.shingleSets(all), minJ)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(healed === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("containment: superset of Jaccard pairs at equal threshold, bounded asymmetric scores") {
     val jac = Dedup.jaccardPairsBrute(spark, sf, maxDocId = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
