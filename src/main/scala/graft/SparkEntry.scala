@@ -117,6 +117,8 @@ object SparkEntry {
     "q_text_mix_sample" -> ((s, d) => Text.temperatureMix(s, d)),
     "q_text_chunk_windows" -> ((s, d) => Text.chunkWindows(s, d)),
     "q_text_boilerplate" -> ((s, d) => Text.boilerplateSpans(s, d)),
+    "q_text_boiler_ratio" -> ((s, d) => Text.boilerplateRatio(s, d)),
+    "q_ml_logloss" -> ((s, d) => Metrics.linearLogLoss(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -1556,6 +1558,67 @@ object SparkEntry {
          | FROM sp GROUP BY sh)
          |SELECT sh, n_docs, n_occ, first_doc FROM g
          |WHERE n_docs >= 2 ORDER BY n_docs DESC, sh LIMIT 50""".stripMargin,
+    "q_text_boiler_ratio" ->
+      s"""WITH t AS (
+         | SELECT doc_id, list_filter(string_split(text,' '), s -> len(s)>0) AS toks
+         | FROM documents),
+         |th AS (
+         | SELECT doc_id, list_transform(toks, tok ->
+         |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |     list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+         |     (acc,c) -> (acc*31 + c) % ${Dedup.P})) AS th
+         | FROM t WHERE len(toks) >= ${Text.boilWindowTokens}),
+         |u AS (
+         | SELECT doc_id, th,
+         |  unnest(generate_series(0,
+         |    CAST(floor((len(th) - ${Text.boilWindowTokens})
+         |      / ${Text.boilStride}.0) AS BIGINT))) AS j
+         | FROM th),
+         |sp AS (
+         | SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_slice(th, j * ${Text.boilStride} + 1,
+         |      j * ${Text.boilStride} + ${Text.boilWindowTokens})),
+         |    (acc, h) -> (acc * ${Dedup.shingleMult} + h) % ${Dedup.P}) AS sh
+         | FROM u),
+         |shared AS (
+         | SELECT sh FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+         |x AS (
+         | SELECT d.source,
+         |  CASE WHEN shared.sh IS NOT NULL THEN 1 ELSE 0 END AS is_shared
+         | FROM sp JOIN documents d ON sp.doc_id = d.doc_id
+         |         LEFT JOIN shared ON sp.sh = shared.sh)
+         |SELECT source, count(*) AS n_windows,
+         | CAST(sum(is_shared) AS BIGINT) AS n_shared,
+         | floor(CAST(sum(is_shared) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
+         |   AS shared_ratio
+         |FROM x GROUP BY source ORDER BY source""".stripMargin,
+    "q_ml_logloss" -> {
+      val scoreExprs = (0 until Metrics.numClasses).map { c =>
+        val terms = (1 to Metrics.numDims)
+          .map(i => s"v[$i]*(${Metrics.weight(c, i - 1)}.0)").mkString(" + ")
+        s"($terms) AS score_$c"
+      }.mkString(",\n  ")
+      val names = (0 until Metrics.numClasses).map(c => s"score_$c")
+      val yCase = (0 until Metrics.numClasses)
+        .map(c => s"WHEN $c THEN score_$c").mkString(" ")
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, label,
+         |  $scoreExprs
+         | FROM e),
+         |sm AS (SELECT label, greatest(${names.mkString(", ")}) AS m,
+         |  ${names.mkString(", ")}
+         | FROM s),
+         |ll AS (
+         | SELECT m + ln(${names.map(n => s"exp($n - m)").mkString(" + ")})
+         |  - (CASE label $yCase END) AS ll
+         | FROM sm)
+         |SELECT count(*) AS n,
+         | floor(CAST(sum(CAST(floor(ll * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         |   / count(*) + 0.5) / 1e6 AS log_loss
+         |FROM ll""".stripMargin
+    },
     "q_sim_dim_stats" ->
       """WITH e AS (
         | SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -24,17 +24,22 @@ object Metrics {
   val numClasses = 10
   val numDims = 64
 
-  /** Deterministic "model": score_c = ⟨embedding, w_c⟩, prediction =
-    * argmax_c (ties → lowest class). Pure column arithmetic, no UDF. */
-  def linearPredictions(spark: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, label, score_0..score_C) — the deterministic linear scorer's
+    * per-class scores, shared by argmax prediction and log-loss. */
+  private def scoredFrame(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val emb = Similarity.embDouble(spark, dir)
-    val scored = emb.select(
+    Similarity.embDouble(spark, dir).select(
       col("vec_id") +: col("label").cast("long").as("label") +:
         (0 until numClasses).map { c =>
           val w = array((0 until numDims).map(d => lit(weight(c, d).toDouble)): _*)
           graft.functions.GraftFunctions.dot(col("embedding"), w).as(s"score_$c")
         }: _*)
+  }
+
+  /** Deterministic "model": score_c = ⟨embedding, w_c⟩, prediction =
+    * argmax_c (ties → lowest class). Pure column arithmetic, no UDF. */
+  def linearPredictions(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoredFrame(spark, dir)
     val pred = (0 until numClasses - 1).foldRight(lit((numClasses - 1).toLong)) {
       case (c, elseCol) =>
         val beatsRest = ((c + 1) until numClasses)
@@ -42,6 +47,28 @@ object Metrics {
         when(beatsRest, lit(c.toLong)).otherwise(elseCol)
     }
     scored.select(col("vec_id"), col("label"), pred.as("pred"))
+  }
+
+  /** Multinomial (softmax) log-loss of the linear scorer — sklearn's
+    * `log_loss` companion to R10's accuracy: mean over rows of
+    * logsumexp(scores) − score_label, max-subtracted for overflow safety.
+    * Determinism: the per-row loss is IEEE arithmetic on identical
+    * inputs in both engines (the exp-sum folds left-to-right in array
+    * order on each side), then quantizes to a 1e6-scaled long so the
+    * corpus mean is exact integer arithmetic regardless of partition
+    * order. One scan, one keyless aggregate. */
+  def linearLogLoss(spark: SparkSession, dir: String): DataFrame = {
+    val s = scoredFrame(spark, dir)
+    val scores = array((0 until numClasses).map(c => col(s"score_$c")): _*)
+    val m = array_max(scores)
+    val lse = m + log(aggregate(scores, lit(0.0), (acc, x) => acc + exp(x - m)))
+    val yScore = element_at(scores, col("label").cast("int") + 1)
+    s.select((lse - yScore).as("ll"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("ll") * 1e6 + 0.5).cast("long")).as("s6"))
+      .select(col("n"),
+        (floor(col("s6").cast("double") / col("n") + 0.5) / 1e6)
+          .as("log_loss"))
   }
 
   /** Confusion matrix of the linear scorer: (label, pred, n). */

@@ -591,7 +591,17 @@ object Text {
 
   /** Core of [[boilerplateSpans]] over any documents-shaped frame. */
   private[graft] def boilerplateSpansOf(docs: DataFrame, minDocs: Int = 2,
-                                        k: Int = 50): DataFrame = {
+                                        k: Int = 50): DataFrame =
+    spanHashes(docs).groupBy(col("sh"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("sh"))
+      .limit(k)
+
+  /** (doc_id, sh) rolling window hashes — the span primitive shared by
+    * [[boilerplateSpans]] and [[boilerplateRatio]]. */
+  private def spanHashes(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = boilWindowTokens
     val s = boilStride
@@ -600,18 +610,40 @@ object Text {
       .where(size(col("t")) >= w)
       .select(col("doc_id"), transform(col("t"),
         tok => graft.functions.GraftFunctions.polyHash(tok)).as("th"))
-    val spans = th.select(col("doc_id"),
+    th.select(col("doc_id"),
       explode(transform(
         sequence(lit(0),
           floor((size(col("th")) - w) / lit(s.toDouble)).cast("int")),
         j => aggregate(slice(col("th"), j * s + 1, lit(w)), lit(0L),
           (acc, h) => (acc * Dedup.shingleMult + h) % Dedup.P))).as("sh"))
-    spans.groupBy(col("sh"))
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
-      .where(col("n_docs") >= minDocs)
-      .orderBy(col("n_docs").desc, col("sh"))
-      .limit(k)
+  }
+
+  /** Per-source boilerplate exposure — the "so what" consumer of
+    * [[boilerplateSpans]]: what fraction of each source's token windows
+    * is cross-document shared content? The cleanup-priority ranking a
+    * pipeline runs before deciding which source needs boilerplate
+    * stripping. Shape: the span frame is computed once, the shared-span
+    * key set derives from it by one regroup (never a second corpus
+    * pass), and the exposure join is span-hash keyed; the final ratio is
+    * integer arithmetic (floor-scaled), hash-exact cross-engine. */
+  def boilerplateRatio(spark: SparkSession, dir: String,
+                       minDocs: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spans = spanHashes(docs)
+    val shared = spans.groupBy(col("sh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("sh"), lit(1L).as("is_shared"))
+    spans
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .join(shared, Seq("sh"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_shared"), lit(0L))).as("n_shared"))
+      .select(col("source"), col("n_windows"), col("n_shared"),
+        (floor(col("n_shared").cast("double") * 1e6 / col("n_windows") + 0.5)
+          / 1e6).as("shared_ratio"))
+      .orderBy(col("source"))
   }
 
   /** Default mixing temperature — shared with the generated DuckDB twin

@@ -178,6 +178,29 @@ class MetricsSpec extends SparkSpec {
     assert(accRow.getAs[Long]("support") === n)
   }
 
+  test("log-loss: positive, covers the corpus, equals a driver softmax replay") {
+    val row = Metrics.linearLogLoss(spark, sf).head()
+    val n = row.getLong(0)
+    val ll = row.getDouble(1)
+    assert(n === Tables.embeddings(spark, sf).count())
+    assert(ll > 0.0)
+    // independent replay: scores from the same public weight formula
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val expect = vecs.map { case (label, v) =>
+      val scores = (0 until Metrics.numClasses).map { c =>
+        (0 until Metrics.numDims).map(d =>
+          v(d) * Metrics.weight(c, d).toDouble).sum
+      }
+      val m = scores.max
+      val lse = m + math.log(scores.map(s => math.exp(s - m)).sum)
+      lse - scores(label.toInt)
+    }
+    val mean = expect.map(x => math.floor(x * 1e6 + 0.5).toLong).sum.toDouble / expect.length
+    assert(math.abs(ll - math.floor(mean + 0.5) / 1e6) < 1e-4)
+  }
+
   test("confusion matrix counts cover every vector") {
     val total = Metrics.linearConfusion(spark, sf).agg(sum("n")).head.getLong(0)
     assert(total === Tables.embeddings(spark, sf).count())

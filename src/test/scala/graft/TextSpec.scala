@@ -404,6 +404,31 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate ratio: window accounting matches the chunk geometry, ratios bounded") {
+    val out = Text.boilerplateRatio(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("shared_ratio"))).toMap
+    assert(out.nonEmpty)
+    // window totals per source equal the span geometry replayed on token
+    // counts: floor((n-16)/8)+1 windows per doc with >= 16 tokens
+    val perSource = Tables.documents(spark, sf)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 >= Text.boilWindowTokens)
+      .groupBy(_._1).view.mapValues(_.map { case (_, n) =>
+        (n - Text.boilWindowTokens) / Text.boilStride + 1 }.sum).toMap
+    assert(out.keySet === perSource.keySet)
+    perSource.foreach { case (src, nWin) =>
+      val (n, nShared, ratio) = out(src)
+      assert(n === nWin, src)
+      assert(nShared >= 0 && nShared <= n, src)
+      assert(ratio >= 0.0 && ratio <= 1.0, src)
+      assert(math.abs(ratio - math.floor(nShared.toDouble * 1e6 / n + 0.5) / 1e6) < 1e-12, src)
+    }
+    // the corpus contains exact duplicates, so some sharing must exist
+    assert(out.values.map(_._2).sum > 0)
+  }
+
   test("temperature mix: smallest source keeps all, rates flatten, counts equal a hash replay") {
     val out = Text.temperatureMix(spark, sf).collect()
       .map(r => r.getString(0) ->
