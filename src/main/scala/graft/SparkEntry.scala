@@ -1482,10 +1482,13 @@ object SparkEntry {
          |      FROM (SELECT unnest(th) AS h FROM th)),
          |s AS (
          | SELECT tr.doc_id,
-         |  ln((lm.c12 + 0.5) / (ctx.c1 + 0.5 * v.v)) AS lp
+         |  CAST(floor(ln((lm.c12 + 0.5) / (ctx.c1 + 0.5 * v.v)) * 1e9 + 0.5)
+         |    AS BIGINT) AS lp9
          | FROM tr JOIN lm ON tr.h1 = lm.h1 AND tr.bh = lm.bh
          |         JOIN ctx ON tr.h1 = ctx.h1 CROSS JOIN v)
-         |SELECT doc_id, count(*) AS n_trans, round(avg(lp), 6) AS lm_score
+         |SELECT doc_id, count(*) AS n_trans,
+         | floor(CAST(sum(lp9) AS DOUBLE) / count(*) / 1e3 + 0.5) / 1e6
+         |   AS lm_score
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_mix_sample" ->
       s"""WITH s AS (SELECT source, count(*) AS n_docs FROM documents

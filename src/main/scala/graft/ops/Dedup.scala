@@ -24,12 +24,25 @@ import graft.sources.Tables
 object Dedup {
 
   /** Diagnostics from the most recent [[connectedComponents]] run in this
-    * JVM: round count, total seconds, and per-round (edge count, seconds).
-    * [[graft.Bench]] snapshots it around each timed query so a contraction
-    * query's bench record carries its own per-round breakdown — the
-    * round-4 driver artifact had a 13 s `q_dedup_clusters` with no way to
-    * attribute the time to a round vs the host. */
+    * JVM: a monotonic generation id (so two runs that happen to format
+    * identically still compare unequal in [[graft.Bench]]'s before/after
+    * snapshot), round count, total seconds, and per-round (edge count,
+    * seconds). Bench snapshots it around each timed query so a
+    * contraction query's bench record carries its own per-round
+    * breakdown — the round-4 driver artifact had a 13 s
+    * `q_dedup_clusters` with no way to attribute the time to a round vs
+    * the host. */
   val lastContraction = new java.util.concurrent.atomic.AtomicReference[String]("")
+  private val contractionGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Locale-independent 2dp seconds (the f"%.2f" interpolator follows the
+    * default locale — a decimal comma would corrupt the cc field's
+    * comma-separated grammar). */
+  private def sec2(nanos: Long): String = {
+    val centis = math.rint(nanos / 1e7).toLong
+    val frac = (centis % 100).toString
+    s"${centis / 100}.${if (frac.length < 2) "0" + frac else frac}"
+  }
 
   val P: Long = 1000000007L
   /** Affine MinHash permutation constants h_j(x) = (A(j)·x + B(j)) mod P. */
@@ -335,13 +348,13 @@ object Dedup {
         freeCheckpoint(cur)   // superseded: next is materialized
         cur = next
         i += 1
-        roundLog += f"r$i%d:e=${c.getLong(1)}%d,s=${(System.nanoTime() - tRound) / 1e9}%.2f"
+        roundLog += s"r$i:e=${c.getLong(1)},s=${sec2(System.nanoTime() - tRound)}"
       }
       if (!converged) throw new IllegalStateException(
         s"dupClusters did not reach a star forest within $maxIters " +
           "rounds — pathological edge growth; raise maxIters")
-      lastContraction.set(s"rounds=$i,total=" +
-        f"${(System.nanoTime() - tStart) / 1e9}%.2f," +
+      lastContraction.set(s"g=${contractionGen.incrementAndGet()}," +
+        s"rounds=$i,total=${sec2(System.nanoTime() - tStart)}," +
         roundLog.mkString(";"))
     } catch {
       case e: Throwable =>
@@ -585,13 +598,18 @@ object Dedup {
     * Spec: a constructed A–bridge–B corpus where the increment provably
     * leaves A and B separate and healing provably merges them. */
   def healIncrementalBase(spark: SparkSession, dir: String,
-                          minJaccard: Double = 0.8): String =
+                          minJaccard: Double = 0.8): String = {
+    // slug carries ONLY the jaccard threshold (healing has no batch cut);
+    // reusing incParamSlug positionally would mislabel it as a newFrac
+    val slug = "j" + java.lang.Long.toHexString(
+      java.lang.Double.doubleToLongBits(minJaccard))
     graft.store.FeatureStore.ensurePlainTable(spark,
       connectedComponents(minhashDupPairsUnordered(spark, dir, minJaccard))
         .orderBy(col("doc_id")),
-      s"graft_inc_healed_${Relational.dirSlug(dir)}_${incParamSlug(minJaccard)}",
+      s"graft_inc_healed_${Relational.dirSlug(dir)}_$slug",
       graft.store.FeatureStore.versionFingerprint(spark,
         s"$dir/documents.parquet"))
+  }
 
   /** Publish the near-dup cluster labels (doc_id, cluster_rep) as a
     * versioned layout table — cluster formation is corpus INFRASTRUCTURE

@@ -566,8 +566,11 @@ object Similarity {
       // is bit-identical cross-engine (deterministic inputs, sequential
       // 64-dim fold both sides), so scale to 1e12 longs, sum exactly
       // (order-independent), divide once
+      // cast BEFORE the sum: floor() returns double, and a label with
+      // >~9e3 members would push double partial sums past 2^53 —
+      // order-dependent again; long sums stay exact to 2^63
       .groupBy(col("label"))
-      .agg((sum(floor(col("cos") * 1e12 + 0.5)) /
+      .agg((sum(floor(col("cos") * 1e12 + 0.5).cast("long")) /
         (count(lit(1)) * lit(1e12))).as("coh"))
     val sep = cent.as("a").join(broadcast(cent.as("b")),
         col("a.label") =!= col("b.label"))

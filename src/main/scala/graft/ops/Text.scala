@@ -511,30 +511,24 @@ object Text {
     val ctx = lm.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
     val vocab = th.select(explode(col("th")).as("h"))
       .agg(count_distinct(col("h")).as("v"))
+    // per-doc mean via 1e9-scaled longs: each transition's log-prob is
+    // bit-identical cross-engine (integer counts in, one log out), but a
+    // raw avg() folds in partition order — the round-4 q_feat_scale trap.
+    // Exact integer sum / one division instead.
     trans
       .join(lm, Seq("h1", "bh"))
       .join(ctx, Seq("h1"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trans"),
-        round(avg(log((col("c12") + lit(k)) /
-          (col("c1") + lit(k) * col("v")))), 6).as("lm_score"))
+        sum(floor(log((col("c12") + lit(k)) /
+          (col("c1") + lit(k) * col("v"))) * 1e9 + 0.5).cast("long")).as("s9"))
+      .select(col("doc_id"), col("n_trans"),
+        (floor(col("s9").cast("double") / col("n_trans") / 1e3 + 0.5) / 1e6)
+          .as("lm_score"))
       .orderBy(col("doc_id"))
   }
 
-  /** Temperature-flattened source mixing — the data-mixing step of
-    * multi-source LLM training (Raffel et al., JMLR 2020 §5.4.3:
-    * examples sampled ∝ n_s^α with temperature α < 1 so small
-    * high-quality sources aren't drowned by the big crawl). Acceptance
-    * probability p_s = n_s^(α-1) / max_s n_s^(α-1) (the smallest source
-    * keeps everything); the accept decision is a DETERMINISTIC hash of
-    * the doc_id against floor(p_s·10^6) — reproducible across engines
-    * and runs, unlike an RNG sample. Emits the per-source mixing audit
-    * (corpus count, acceptance rate, sampled count).
-    *
-    * Shape at 100 TB: one per-source count (tiny), broadcast back, one
-    * per-row hash filter, one regroup — the corpus streams through
-    * exactly once. */
   /** Context-window chunking with overlap — the pretokenization step that
     * turns long documents into fixed-size training windows (stride <
     * window ⇒ consecutive windows overlap, so no token boundary is ever
@@ -653,6 +647,19 @@ object Text {
   val mixAlpha = 0.7
   val mixExponent: Double = mixAlpha - 1
 
+  /** Temperature-flattened source mixing — the data-mixing step of
+    * multi-source LLM training (Raffel et al., JMLR 2020 §5.4.3:
+    * examples sampled ∝ n_s^α with temperature α < 1 so small
+    * high-quality sources aren't drowned by the big crawl). Acceptance
+    * probability p_s = n_s^(α-1) / max_s n_s^(α-1) (the smallest source
+    * keeps everything); the accept decision is a DETERMINISTIC hash of
+    * the doc_id against floor(p_s·10^6) — reproducible across engines
+    * and runs, unlike an RNG sample. Emits the per-source mixing audit
+    * (corpus count, acceptance rate, sampled count).
+    *
+    * Shape at 100 TB: one per-source count (tiny), broadcast back, one
+    * per-row hash filter, one regroup — the corpus streams through
+    * exactly once. */
   def temperatureMix(spark: SparkSession, dir: String,
                      alpha: Double = mixAlpha): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -287,6 +287,28 @@ class DedupSpec extends SparkSpec {
     assert(healed === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("published write-back and healed tables equal their live computations") {
+    // the production publish plumbing (table naming, fingerprint binding,
+    // ordering) must serve exactly what the live operators compute
+    val mergedTable = Dedup.ensureMergedIncrementalLabels(spark, sf)
+    val mergedLive = Dedup.mergedIncrementalLabels(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mergedPub = spark.table(mergedTable)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mergedPub.toSeq === mergedLive.toSeq)
+
+    val healedTable = Dedup.healIncrementalBase(spark, sf)
+    val healedLive = Dedup.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val healedPub = spark.table(healedTable)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(healedPub.toSeq === healedLive.toSeq)
+    // distinct layout families: one slug per parameterization
+    assert(mergedTable !== healedTable)
+  }
+
   test("containment: superset of Jaccard pairs at equal threshold, bounded asymmetric scores") {
     val jac = Dedup.jaccardPairsBrute(spark, sf, maxDocId = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
