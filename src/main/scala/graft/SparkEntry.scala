@@ -118,7 +118,12 @@ object SparkEntry {
     "q_text_chunk_windows" -> ((s, d) => Text.chunkWindows(s, d)),
     "q_text_boilerplate" -> ((s, d) => Text.boilerplateSpans(s, d)),
     "q_text_boiler_ratio" -> ((s, d) => Text.boilerplateRatio(s, d)),
+    "q_text_vocab" -> ((s, d) => Text.vocabStats(s, d)),
+    "q_text_oov" -> ((s, d) => Text.oovRate(s, d)),
+    "q_text_pmi" -> ((s, d) => Text.pmiCollocations(s, d)),
     "q_ml_logloss" -> ((s, d) => Metrics.linearLogLoss(s, d)),
+    "q_ml_auc" -> ((s, d) => Metrics.linearAucOvr(s, d)),
+    "q_ml_calibration" -> ((s, d) => Metrics.linearCalibration(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -1622,6 +1627,72 @@ object SparkEntry {
          |   / count(*) + 0.5) / 1e6 AS log_loss
          |FROM ll""".stripMargin
     },
+    "q_ml_auc" -> {
+      val scoreExprs = (0 until Metrics.numClasses).map { c =>
+        val terms = (1 to Metrics.numDims)
+          .map(i => s"v[$i]*(${Metrics.weight(c, i - 1)}.0)").mkString(" + ")
+        s"($terms) AS score_$c"
+      }.mkString(",\n  ")
+      val melt = (0 until Metrics.numClasses).map { c =>
+        s"SELECT $c AS cls, score_$c AS score, " +
+          s"CASE WHEN label = $c THEN 1 ELSE 0 END AS pos FROM s"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, label,
+         |  $scoreExprs
+         | FROM e),
+         |m AS (
+         |  $melt),
+         |g AS (SELECT cls, score, CAST(sum(pos) AS BIGINT) AS np,
+         |       CAST(sum(1 - pos) AS BIGINT) AS nn
+         |      FROM m GROUP BY cls, score),
+         |c AS (SELECT cls, np, nn,
+         |       CAST(coalesce(sum(nn) OVER (PARTITION BY cls ORDER BY score
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS BIGINT) AS cum_nn
+         |      FROM g)
+         |SELECT CAST(cls AS BIGINT) AS cls,
+         | CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         | floor(CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE)
+         |   / CAST(2 * sum(np) * sum(nn) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS auc
+         |FROM c GROUP BY cls ORDER BY cls""".stripMargin
+    },
+    "q_ml_calibration" -> {
+      val names = (0 until Metrics.numClasses).map(c => s"score_$c")
+      val scoreExprs = (0 until Metrics.numClasses).map { c =>
+        val terms = (1 to Metrics.numDims)
+          .map(i => s"v[$i]*(${Metrics.weight(c, i - 1)}.0)").mkString(" + ")
+        s"($terms) AS score_$c"
+      }.mkString(",\n  ")
+      val caseChain = (0 until Metrics.numClasses - 1).map { c =>
+        val conds = ((c + 1) until Metrics.numClasses)
+          .map(r => s"score_$c >= score_$r").mkString(" AND ")
+        s"WHEN $conds THEN $c"
+      }.mkString("\n   ", "\n   ", s"\n   ELSE ${Metrics.numClasses - 1}")
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, label,
+         |  $scoreExprs
+         | FROM e),
+         |x AS (SELECT label,
+         |  CAST(CASE$caseChain END AS BIGINT) AS pred,
+         |  greatest(${names.mkString(", ")}) AS mx,
+         |  ${names.mkString(", ")}
+         | FROM s),
+         |cf AS (SELECT label, pred,
+         |  1.0 / (${names.map(n => s"exp($n - mx)").mkString(" + ")}) AS conf
+         | FROM x),
+         |b AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
+         |       conf, CASE WHEN label = pred THEN 1 ELSE 0 END AS hit
+         |      FROM cf)
+         |SELECT bin, count(*) AS n,
+         | floor(CAST(sum(CAST(floor(conf * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         |   / count(*) + 0.5) / 1e6 AS avg_conf,
+         | floor(CAST(sum(hit) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+         |   AS accuracy
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+    },
     "q_sim_dim_stats" ->
       """WITH e AS (
         | SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1751,6 +1822,57 @@ object SparkEntry {
         |JOIN nb ON cn.label = nb.label AND nb.rk = 1
         |ORDER BY cn.label""".stripMargin,
     "q_text_bigrams" -> bigramOracle,
+    "q_text_vocab" ->
+      """WITH tk AS (
+        | SELECT source,
+        |  unnest(list_filter(string_split(text,' '), s -> len(s)>0)) AS token
+        | FROM documents),
+        |g AS (SELECT source, token, count(*) AS n FROM tk
+        |      GROUP BY source, token)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        | floor(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5)
+        |   / 1e6 AS ttr
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_oov" ->
+      s"""WITH tk AS (
+         | SELECT source,
+         |  unnest(list_filter(string_split(text,' '), s -> len(s)>0)) AS token
+         | FROM documents),
+         |g AS (SELECT source, token, count(*) AS n FROM tk
+         |      GROUP BY source, token),
+         |v AS (SELECT token FROM (
+         |       SELECT token, count(*) AS n FROM tk GROUP BY token
+         |       ORDER BY n DESC, token LIMIT ${Text.oovVocabSize}))
+         |SELECT g.source, CAST(sum(g.n) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN v.token IS NULL THEN g.n ELSE 0 END) AS BIGINT)
+         |   AS n_oov,
+         | floor(CAST(sum(CASE WHEN v.token IS NULL THEN g.n ELSE 0 END)
+         |     AS DOUBLE) / CAST(sum(g.n) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         |   AS oov_rate
+         |FROM g LEFT JOIN v ON g.token = v.token
+         |GROUP BY g.source ORDER BY g.source""".stripMargin,
+    "q_text_pmi" ->
+      s"""WITH t AS (
+         | SELECT list_filter(string_split(text,' '), s -> len(s)>0) AS t
+         | FROM documents),
+         |t2 AS (SELECT t FROM t WHERE len(t) >= 2),
+         |b AS (SELECT unnest(list_transform(generate_series(1, len(t)-1),
+         |        i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u FROM t2),
+         |p AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS n_xy FROM b
+         |      GROUP BY u.w1, u.w2),
+         |nx AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) AS n_x FROM p
+         |       GROUP BY w1),
+         |ny AS (SELECT w2, CAST(sum(n_xy) AS BIGINT) AS n_y FROM p
+         |       GROUP BY w2),
+         |tt AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_tot FROM p)
+         |SELECT p.w1, p.w2, CAST(p.n_xy AS BIGINT) AS n_xy,
+         | floor(ln(CAST(p.n_xy * tt.n_tot AS DOUBLE)
+         |   / CAST(nx.n_x * ny.n_y AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS pmi
+         |FROM p JOIN nx USING (w1) JOIN ny USING (w2) CROSS JOIN tt
+         |WHERE p.n_xy >= ${Text.pmiMinCount}
+         |ORDER BY pmi DESC, w1, w2 LIMIT ${Text.pmiTopK}""".stripMargin,
     "q_text_length_filter" ->
       """WITH d AS (
         | SELECT doc_id, lang,

@@ -36,18 +36,21 @@ object Metrics {
         }: _*)
   }
 
-  /** Deterministic "model": score_c = ⟨embedding, w_c⟩, prediction =
-    * argmax_c (ties → lowest class). Pure column arithmetic, no UDF. */
-  def linearPredictions(spark: SparkSession, dir: String): DataFrame = {
-    val scored = scoredFrame(spark, dir)
-    val pred = (0 until numClasses - 1).foldRight(lit((numClasses - 1).toLong)) {
+  /** Argmax over `score_0..score_C` as a column (ties → lowest class) —
+    * shared by predictions and calibration so the two can't drift. */
+  private def argmaxPred: Column =
+    (0 until numClasses - 1).foldRight(lit((numClasses - 1).toLong)) {
       case (c, elseCol) =>
         val beatsRest = ((c + 1) until numClasses)
           .map(r => col(s"score_$c") >= col(s"score_$r")).reduce(_ && _)
         when(beatsRest, lit(c.toLong)).otherwise(elseCol)
     }
-    scored.select(col("vec_id"), col("label"), pred.as("pred"))
-  }
+
+  /** Deterministic "model": score_c = ⟨embedding, w_c⟩, prediction =
+    * argmax_c (ties → lowest class). Pure column arithmetic, no UDF. */
+  def linearPredictions(spark: SparkSession, dir: String): DataFrame =
+    scoredFrame(spark, dir)
+      .select(col("vec_id"), col("label"), argmaxPred.as("pred"))
 
   /** Multinomial (softmax) log-loss of the linear scorer — sklearn's
     * `log_loss` companion to R10's accuracy: mean over rows of
@@ -209,5 +212,85 @@ object Metrics {
         col("prediction").cast("long").as("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("pred"))
+  }
+
+  /** One-vs-rest ROC AUC per class of the linear scorer — sklearn
+    * `roc_auc_score(..., multi_class="ovr")` breadth for R10, via the
+    * rank-statistic identity AUC = U/(n⁺·n⁻) with the Mann–Whitney
+    * U = Σ⁺rank − n⁺(n⁺+1)/2 and average ranks for ties.
+    *
+    * Computed without per-row ranks: aggregate to the DISTINCT-score
+    * frame per class first (one hash shuffle with map-side combine),
+    * then one cumulative window over that frame gives, per score s,
+    * the negatives strictly below; 2U = Σ_s n⁺_s·(2·cum⁻_<s + n⁻_s)
+    * (the n⁻_s term is the tie half-credit, doubled to stay integer).
+    * All counts are exact longs, so the only float op is the final
+    * division of two exact-in-double integers — bit-identical in any
+    * engine — then the repo's floor-based 6dp rounding.
+    *
+    * Scale: the melt is a 10× row inflation collapsed map-side; the
+    * per-class window sorts the distinct-score frame in one task per
+    * class — the canonical exact-AUC cost. At 100 TB quantize the
+    * scores (e.g. 1e6-scaled longs) before the group-by: cardinality
+    * becomes bounded by score range, the same code computes the
+    * binned AUC, and the error is bounded by the bin width. */
+  def linearAucOvr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val melted = scoredFrame(spark, dir)
+      .select(explode(array((0 until numClasses).map { c =>
+        struct(lit(c.toLong).as("cls"), col(s"score_$c").as("score"),
+          when(col("label") === c, lit(1L)).otherwise(lit(0L)).as("pos"))
+      }: _*)).as("r"))
+      .select(col("r.cls").as("cls"), col("r.score").as("score"),
+        col("r.pos").as("pos"))
+    val grouped = melted.groupBy(col("cls"), col("score"))
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val below = Window.partitionBy(col("cls")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .groupBy(col("cls"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (col("cum_nn") * 2 + col("nn"))).as("u2"))
+      .select(col("cls"), col("n_pos"), col("n_neg"),
+        (floor(col("u2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2).cast("double") * 1e6 + 0.5)
+          / 1e6).as("auc"))
+      .orderBy(col("cls"))
+  }
+
+  /** Calibration (reliability) table of the linear scorer — Guo et al.,
+    * ICML 2017 §2: bin the max-softmax confidence into `bins` equal-width
+    * bins; per bin report count, mean confidence, and empirical accuracy
+    * (the gap between the last two is the per-bin ECE contribution).
+    * Confidence = softmax probability of the argmax class
+    * = 1/Σᵢ exp(sᵢ − s_max) — the exp-sum folds in array-index order on
+    * both engines (the `q_ml_logloss` determinism pattern), so the bin
+    * assignment of a bit-identical double is deterministic. Mean
+    * confidence and accuracy go through 1e6-scaled long sums (exact,
+    * order-independent), divided once. One scan, one ≤`bins`-row shuffle. */
+  def linearCalibration(spark: SparkSession, dir: String,
+                        bins: Int = 10): DataFrame = {
+    val s = scoredFrame(spark, dir)
+    val scores = array((0 until numClasses).map(c => col(s"score_$c")): _*)
+    val m = array_max(scores)
+    val conf = lit(1.0) /
+      aggregate(scores, lit(0.0), (acc, x) => acc + exp(x - m))
+    s.select(col("label"), argmaxPred.as("pred"), conf.as("conf"))
+      .select(
+        least(floor(col("conf") * bins).cast("long"),
+          lit(bins - 1L)).as("bin"),
+        col("conf"),
+        when(col("label") === col("pred"), 1L).otherwise(0L).as("hit"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("conf") * 1e6 + 0.5).cast("long")).as("c6"),
+        sum(col("hit")).as("n_hit"))
+      .select(col("bin"), col("n"),
+        (floor(col("c6").cast("double") / col("n") + 0.5) / 1e6)
+          .as("avg_conf"),
+        (floor(col("n_hit").cast("double") / col("n") * 1e6 + 0.5) / 1e6)
+          .as("accuracy"))
+      .orderBy(col("bin"))
   }
 }

@@ -682,4 +682,105 @@ object Text {
         count(lit(1)).as("n_sampled"))
       .orderBy(col("source"))
   }
+
+  /** Per-source vocabulary profile — lexical-diversity screen of a
+    * multi-source corpus: total tokens, distinct types, hapax legomena
+    * (types seen once — the Zipf tail that dominates vocabulary growth,
+    * Baayen, *Word Frequency Distributions* 2001), and type–token ratio.
+    * A crawl source whose TTR collapses is template spam; one whose hapax
+    * share explodes is OCR noise — the two standard red flags.
+    *
+    * Scale: the explode collapses map-side into (source, token) partial
+    * counts, so the one real shuffle carries ~|sources|·|vocab| rows, not
+    * the corpus; the second group-by is |vocab|-sized input, |sources|
+    * output. TTR is an integer-exact 6dp ratio. */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (floor(col("n_types").cast("double") / col("n_tokens") * 1e6 + 0.5)
+          / 1e6).as("ttr"))
+      .orderBy(col("source"))
+
+  /** Per-source out-of-vocabulary rate against the corpus top-`vocabSize`
+    * token vocabulary — the tokenizer-coverage screen run before training
+    * a tokenizer or reusing one across corpora: sources whose token mass
+    * falls outside the head vocabulary force long BPE splits and waste
+    * context length. Vocabulary selection is the deterministic total
+    * order (count desc, token), so the cut is reproducible cross-engine.
+    *
+    * Scale: per-source token counts collapse map-side (the same
+    * (source, token) shuffle as [[vocabStats]]); the vocabulary is a
+    * top-k over the global count frame, broadcast to the membership
+    * join — the corpus itself is never reshuffled. */
+  val oovVocabSize = 16
+
+  def oovRate(spark: SparkSession, dir: String,
+              vocabSize: Int = oovVocabSize): DataFrame = {
+    val vocab = tokenCounts(spark, dir, vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (floor(col("n_oov").cast("double") / col("n_tokens") * 1e6 + 0.5)
+          / 1e6).as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Pointwise mutual information of adjacent-token pairs (Church &
+    * Hanks, CL 1990) — collocation mining: PMI = ln(n_xy·N / (n_x·n_y))
+    * with n_x/n_y the marginal counts of x as first and y as second
+    * element. High-PMI pairs are multi-word expressions a tokenizer
+    * should keep intact; they also expose templated boilerplate that
+    * repeats verbatim. Only pairs with n_xy ≥ `minCount` rank (the PMI
+    * low-frequency pathology), top `k` by (pmi, pair).
+    *
+    * Determinism: both ln arguments are EXACT long products (n_xy·N and
+    * n_x·n_y stay far under 2^63 at any tested SF — at 100 TB widen to
+    * decimal(38,0) before the cast), so the double division and the one
+    * ln see bit-identical inputs in both engines; PMI is floor-rounded
+    * to 6dp BEFORE the ordering so the top-k cut is deterministic too.
+    *
+    * Scale: bigram explode collapses map-side into (w1,w2) partials —
+    * the shuffle carries distinct pairs; marginals derive from the pair
+    * frame (never re-reading the corpus) and join back on pair-frame
+    * cardinality; top-k is TakeOrdered, no global sort. */
+  val pmiMinCount = 5
+  val pmiTopK = 30
+
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Int = pmiMinCount,
+                      k: Int = pmiTopK): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+    val nx = pairs.groupBy(col("w1")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = pairs.groupBy(col("w2")).agg(sum(col("n_xy")).as("n_y"))
+    val total = pairs.agg(sum(col("n_xy")).as("n_tot"))
+    pairs.where(col("n_xy") >= minCount)
+      .join(nx, "w1").join(ny, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_xy"),
+        (floor(log((col("n_xy") * col("n_tot")).cast("double") /
+            (col("n_x") * col("n_y")).cast("double")) * 1e6 + 0.5) / 1e6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -206,6 +206,53 @@ class MetricsSpec extends SparkSpec {
     assert(total === Tables.embeddings(spark, sf).count())
   }
 
+  test("ovr AUC equals a brute pairwise replay, bounded, covers every class") {
+    val auc = Metrics.linearAucOvr(spark, sf).collect()
+    assert(auc.map(_.getLong(0)).toSeq === (0L until 10L))
+    val n = Tables.embeddings(spark, sf).count()
+    auc.foreach { r =>
+      assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") === n)
+      val a = r.getAs[Double]("auc"); assert(a >= 0.0 && a <= 1.0)
+    }
+    // brute replay: AUC_c = (#[s+ > s-] + 0.5·#[s+ = s-]) / (n+·n-)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    for (c <- Seq(0, 3, 9)) {
+      val scores = vecs.map { case (label, v) =>
+        (label == c, (0 until Metrics.numDims).map(d =>
+          v(d) * Metrics.weight(c, d).toDouble).sum)
+      }
+      val pos = scores.filter(_._1).map(_._2)
+      val neg = scores.filterNot(_._1).map(_._2)
+      val u2 = (for (p <- pos; q <- neg) yield
+        if (p > q) 2L else if (p == q) 1L else 0L).sum
+      val expect = math.floor(u2.toDouble /
+        (2.0 * pos.length * neg.length) * 1e6 + 0.5) / 1e6
+      assert(auc(c).getAs[Double]("auc") === expect)
+    }
+  }
+
+  test("calibration bins cover the corpus; confidence inside bin bounds") {
+    val cal = Metrics.linearCalibration(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(cal.map(_.getAs[Long]("n")).sum === n)
+    cal.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val avgConf = r.getAs[Double]("avg_conf")
+      assert(bin >= 0 && bin <= 9)
+      // max-softmax of 10 classes is ≥ 1/10; mean stays in the bin (6dp slack)
+      assert(avgConf >= bin / 10.0 - 1e-6)
+      assert(avgConf <= (bin + 1) / 10.0 + 1e-6)
+      val acc = r.getAs[Double]("accuracy"); assert(acc >= 0.0 && acc <= 1.0)
+    }
+    // count-weighted bin accuracy = overall accuracy
+    val overall = Metrics.linearAccuracy(spark, sf).head.getDouble(0)
+    val weighted = cal.map(r =>
+      r.getAs[Double]("accuracy") * r.getAs[Long]("n")).sum / n
+    assert(math.abs(weighted - overall) < 1e-4)
+  }
+
   test("RF on embeddings: confusion covers the holdout, labels in range") {
     // embeddings carry no label signal by construction → no accuracy bar;
     // learnability is asserted on the synthetic features pipeline instead

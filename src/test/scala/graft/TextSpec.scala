@@ -459,4 +459,63 @@ class TextSpec extends SparkSpec {
       assert(math.abs(out(src)._3.toDouble / n(src) - p) < 0.05, src)
     }
   }
+
+  test("vocab stats: totals equal token accounting, hapax/types bounded") {
+    val out = Text.vocabStats(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per-source whitespace-token totals from the already-proven accounting
+    val acc = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .join(Text.tokenAccounting(spark, sf), "doc_id")
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_ws_tokens")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (src, nTok, nTyp, nHap, ttr) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getAs[Double]("ttr"))
+      assert(nTok === acc(src), src)
+      assert(nTyp >= 1 && nTyp <= nTok, src)
+      assert(nHap >= 0 && nHap <= nTyp, src)
+      assert(math.abs(ttr -
+        math.floor(nTyp.toDouble / nTok * 1e6 + 0.5) / 1e6) < 1e-12, src)
+    }
+  }
+
+  test("oov rate: zero under a full vocabulary, monotone in vocab size") {
+    val full = Text.oovRate(spark, sf, vocabSize = 1 << 20).collect()
+    full.foreach(r => assert(r.getAs[Long]("n_oov") === 0L))
+    val small = Text.oovRate(spark, sf, vocabSize = 4).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("oov_rate")).toMap
+    val default = Text.oovRate(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("oov_rate")).toMap
+    default.foreach { case (src, rate) =>
+      assert(rate >= 0.0 && rate <= 1.0, src)
+      // a larger head vocabulary can only cover more token mass
+      assert(rate <= small(src) + 1e-12, src)
+    }
+  }
+
+  test("pmi collocations equal a driver-side replay over the token stream") {
+    val out = Text.pmiCollocations(spark, sf).collect()
+    assert(out.nonEmpty)
+    // independent replay: bigram counts + marginals from the raw text
+    val toks = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty)).filter(_.length >= 2)
+    val nXY = collection.mutable.Map.empty[(String, String), Long]
+    toks.foreach(t => t.sliding(2).foreach { case Array(a, b) =>
+      nXY((a, b)) = nXY.getOrElse((a, b), 0L) + 1 })
+    val nX = nXY.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nY = nXY.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nTot = nXY.values.sum
+    val expect = nXY.toSeq
+      .filter(_._2 >= Text.pmiMinCount)
+      .map { case ((a, b), n) =>
+        (a, b, n, math.floor(math.log(
+          (n * nTot).toDouble / (nX(a) * nY(b)).toDouble) * 1e6 + 0.5) / 1e6)
+      }
+      .sortBy { case (a, b, _, p) => (-p, a, b) }
+      .take(Text.pmiTopK)
+    val got = out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getAs[Double]("pmi"))).toSeq
+    assert(got === expect)
+  }
 }
