@@ -588,4 +588,35 @@ object Similarity {
         col("nearest_label"), col("nearest_cos"))
       .orderBy(col("label"))
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al., 2023): connected
+    * components over the cosine-similarity graph, keeping one
+    * representative (the min vec_id) per semantic cluster — the
+    * embedding-space twin of [[Dedup.dupClusters]]' text-shingle
+    * clustering. Emits the full keep-list: every vector with its
+    * cluster representative and a keep flag (singletons keep
+    * themselves).
+    *
+    * The edge set here is the brute pair scan — the subset-bounded
+    * oracle baseline, exactly like `q_dedup_jaccard_brute`. The scale
+    * path at 100 TB swaps in [[Dedup.embeddingDupPairsLsh]]'s banded
+    * sign-LSH edges (recall-bounded spec) feeding the same O(log n)
+    * contraction; keep-list application is then one broadcast
+    * anti-join, as in [[Dedup.dedupedCorpus]]. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    maxVecId: Long = 1000,
+                    minCos: Double = 0.4): DataFrame = {
+    val pairs = Dedup.embeddingDupPairs(spark, dir, maxVecId, minCos)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val lab = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    Tables.embeddings(spark, dir).where(col("vec_id") < maxVecId)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .join(lab, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("cluster_rep"), col("vec_id")).as("cluster_rep"))
+      .withColumn("keep",
+        (col("vec_id") === col("cluster_rep")).cast("int"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -261,4 +261,28 @@ class SimilaritySpec extends SparkSpec {
       .agg(sum(col("m") * col("m"))).head.getDouble(0)
     assert(math.abs(out.head.getAs[Double]("centroid_norm") - math.sqrt(meanSq)) < 2e-6)
   }
+
+  test("semantic dedup: covers the subset, one keeper per cluster, edges co-labeled") {
+    val out = Similarity.semanticDedup(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf)
+      .where(col("vec_id") < 1000).count()
+    assert(out.length === n)
+    val rep = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // representative is a member of its own cluster and keeps itself
+    out.foreach { r =>
+      val (id, cr, keep) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(cr <= id)
+      assert(rep(cr) === cr)
+      assert(keep === (if (id == cr) 1 else 0))
+    }
+    // every similarity edge joins two same-cluster vectors
+    val edges = graft.ops.Dedup.embeddingDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) => assert(rep(a) === rep(b), (a, b)) }
+    // keepers = exactly the distinct clusters (one representative each)
+    val keepers = out.count(_.getInt(3) == 1)
+    assert(keepers === rep.values.toSet.size)
+    // non-keepers are exactly the vectors shadowed by a smaller rep
+    assert(n - keepers === out.count(r => r.getLong(2) < r.getLong(0)))
+  }
 }
