@@ -124,6 +124,8 @@ object SparkEntry {
     "q_ml_logloss" -> ((s, d) => Metrics.linearLogLoss(s, d)),
     "q_ml_auc" -> ((s, d) => Metrics.linearAucOvr(s, d)),
     "q_ml_calibration" -> ((s, d) => Metrics.linearCalibration(s, d)),
+    "q_ml_fold_eval" -> ((s, d) => Metrics.foldAccuracy(s, d)),
+    "q_feat_psi" -> ((s, d) => Features.psiDrift(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -156,6 +158,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashDupPairs(s, d)),
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
+    "q_sim_semdedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     // rows-only: LSH bucket geometry is engine-specific; precision exact
     // by construction (cosine verify), recall spec vs the brute baseline.
     // Geometry pinned EXPLICITLY to the prune-first 8×8 profile: this
@@ -1658,6 +1661,37 @@ object SparkEntry {
          |   / CAST(2 * sum(np) * sum(nn) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS auc
          |FROM c GROUP BY cls ORDER BY cls""".stripMargin
     },
+    "q_ml_fold_eval" -> (mlPredCte +
+      """
+        |SELECT vec_id % 5 AS fold, count(*) AS n,
+        | CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_hit,
+        | floor(CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*) * 1e6 + 0.5) / 1e6 AS accuracy
+        |FROM p GROUP BY vec_id % 5 ORDER BY fold""".stripMargin),
+    "q_feat_psi" ->
+      """WITH mm AS (
+        | SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS mx FROM orders),
+        |b AS (
+        | SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - mn) * 10
+        |    / (mx - mn)) AS BIGINT), 9) AS bin,
+        |  CASE WHEN o_orderdate < DATE '1995-01-01' THEN 1 ELSE 0 END
+        |    AS is_ref
+        | FROM orders CROSS JOIN mm),
+        |g AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+        |       CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+        |      FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |       CAST(sum(n_cur) AS BIGINT) AS t_cur FROM g),
+        |x AS (
+        | SELECT bin, n_ref, n_cur,
+        |  (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(t_ref AS DOUBLE) + 5.0) AS p,
+        |  (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(t_cur AS DOUBLE) + 5.0) AS q
+        | FROM g CROSS JOIN t)
+        |SELECT bin, n_ref, n_cur,
+        | floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS psi_term
+        |FROM x ORDER BY bin""".stripMargin,
     "q_ml_calibration" -> {
       val names = (0 until Metrics.numClasses).map(c => s"score_$c")
       val scoreExprs = (0 until Metrics.numClasses).map { c =>
@@ -1750,6 +1784,33 @@ object SparkEntry {
         | FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM p
         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_sim_semdedup" ->
+      """WITH RECURSIVE e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        | FROM embeddings WHERE vec_id < 1000),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+        | FROM e),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_reduce(list_transform(generate_series(1,64), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |   / (a.nrm * b.nrm), 6) AS cos_sim
+        | FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |pr AS (SELECT vec_a, vec_b FROM p WHERE cos_sim >= 0.4),
+        |sym AS (
+        | SELECT vec_a AS src, vec_b AS dst FROM pr
+        | UNION SELECT vec_b, vec_a FROM pr),
+        |reach AS (
+        | SELECT src, dst FROM sym
+        | UNION
+        | SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |lab AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_rep
+        |        FROM reach GROUP BY src)
+        |SELECT emb.vec_id, CAST(emb.label AS BIGINT) AS label,
+        | coalesce(lab.cluster_rep, emb.vec_id) AS cluster_rep,
+        | CAST(emb.vec_id = coalesce(lab.cluster_rep, emb.vec_id) AS INT)
+        |   AS keep
+        |FROM embeddings emb LEFT JOIN lab ON emb.vec_id = lab.vec_id
+        |WHERE emb.vec_id < 1000 ORDER BY emb.vec_id""".stripMargin,
     "q_sim_pair_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

@@ -259,6 +259,27 @@ object Metrics {
       .orderBy(col("cls"))
   }
 
+  /** Per-fold holdout evaluation with a deterministic modulo fold
+    * assignment — the fold-split + per-fold-metric plumbing of k-fold
+    * cross-validation (sklearn `cross_val_score` shape), evaluated on
+    * the fixed linear scorer so the whole path replays in any engine
+    * (per-fold model FITTING is MLlib's domain — seeded tree induction
+    * isn't portable SQL — and is spec-covered via [[rfConfusion]]).
+    * Fold variance across deterministic splits is the cheap
+    * sanity-check that a metric isn't an artifact of one split.
+    * One scan, k-row output. */
+  def foldAccuracy(spark: SparkSession, dir: String,
+                   k: Int = 5): DataFrame =
+    linearPredictions(spark, dir)
+      .select(pmod(col("vec_id"), lit(k.toLong)).as("fold"),
+        when(col("label") === col("pred"), 1L).otherwise(0L).as("hit"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("n_hit"))
+      .select(col("fold"), col("n"), col("n_hit"),
+        (floor(col("n_hit").cast("double") / col("n") * 1e6 + 0.5) / 1e6)
+          .as("accuracy"))
+      .orderBy(col("fold"))
+
   /** Calibration (reliability) table of the linear scorer — Guo et al.,
     * ICML 2017 §2: bin the max-softmax confidence into `bins` equal-width
     * bins; per bin report count, mean confidence, and empirical accuracy

@@ -366,6 +366,52 @@ object Features {
     * shuffle instead; at 100 TB with hot keys that is strictly worse, so
     * the aggregate form is the operator and the window form is only the
     * oracle's replay. */
+  /** Population-stability-index drift screen (the standard credit-risk /
+    * feature-monitoring statistic; see e.g. Yurdakul, *Statistical
+    * Properties of PSI*, 2018): split `orders` into a reference window
+    * (before the date cut) and a current window, histogram
+    * `o_totalprice` into `nBins` equal-width bins from the GLOBAL
+    * min/max, and report per-bin counts plus the PSI contribution
+    * (p−q)·ln(p/q) with +0.5 Laplace smoothing so empty bins stay
+    * finite. Σ psi_term > 0.2 is the conventional "investigate" line.
+    *
+    * Determinism: bin edges derive from one global min/max aggregate
+    * (exact decimals → correctly-rounded doubles, identical in both
+    * engines), so bin assignment of identical doubles matches; the
+    * smoothed proportions are built from exact integer counts with a
+    * fixed operation order, so the one ln sees bit-identical inputs.
+    * Scale: one min/max scan, broadcast edges, one per-row projection
+    * into a `nBins`-row aggregate — the corpus streams through once. */
+  def psiDrift(spark: SparkSession, dir: String,
+               nBins: Int = 10, dateCut: String = "1995-01-01"): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val mm = o.agg(
+      min(col("o_totalprice")).cast("double").as("mn"),
+      max(col("o_totalprice")).cast("double").as("mx"))
+    val binned = o.crossJoin(broadcast(mm))
+      .select(
+        least(floor((col("o_totalprice").cast("double") - col("mn")) *
+          nBins / (col("mx") - col("mn"))).cast("long"),
+          lit(nBins - 1L)).as("bin"),
+        when(col("o_orderdate") < to_date(lit(dateCut)), 1L).otherwise(0L)
+          .as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(col("is_ref")).as("n_ref"),
+        sum(lit(1L) - col("is_ref")).as("n_cur"))
+    val tot = binned.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        ((col("n_ref").cast("double") + 0.5) /
+          (col("t_ref").cast("double") + lit(0.5 * nBins))).as("p"),
+        ((col("n_cur").cast("double") + 0.5) /
+          (col("t_cur").cast("double") + lit(0.5 * nBins))).as("q"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        (floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e6 + 0.5)
+          / 1e6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   def latestEventSnapshot(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"))

@@ -209,4 +209,23 @@ class FeaturesSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     out.unpersist()
   }
+
+  test("psi drift: bins cover the table, terms replay, stable split stays calm") {
+    val out = Features.psiDrift(spark, sf).collect()
+    val nOrders = graft.sources.Tables.orders(spark, sf).count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum === nOrders)
+    out.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    // driver replay of the smoothed PSI contribution per bin
+    val tRef = out.map(_.getLong(1)).sum.toDouble
+    val tCur = out.map(_.getLong(2)).sum.toDouble
+    out.foreach { r =>
+      val p = (r.getLong(1) + 0.5) / (tRef + 5.0)
+      val q = (r.getLong(2) + 0.5) / (tCur + 5.0)
+      val expect = math.floor((p - q) * math.log(p / q) * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("psi_term") === expect, r)
+    }
+    // TPC-H order prices are date-independent: the split must read stable
+    val psi = out.map(_.getAs[Double]("psi_term")).sum
+    assert(psi >= 0.0 && psi < 0.1, psi)
+  }
 }

@@ -233,6 +233,23 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("fold eval: covers the corpus, weighted accuracy equals overall") {
+    val out = Metrics.foldAccuracy(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L until 5L))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum === n)
+    out.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(math.abs(acc - math.floor(r.getAs[Long]("n_hit").toDouble /
+        r.getAs[Long]("n") * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+    val overall = Metrics.linearAccuracy(spark, sf).head.getDouble(0)
+    val weighted = out.map(r =>
+      r.getAs[Long]("n_hit")).sum.toDouble / n
+    assert(math.abs(weighted - overall) < 1e-4)
+  }
+
   test("calibration bins cover the corpus; confidence inside bin bounds") {
     val cal = Metrics.linearCalibration(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
