@@ -144,6 +144,9 @@ object SparkEntry {
     // rows-only: same sign-index geometry; precision exact by
     // construction (cosine verify), recall + planted-regime specs
     "q_sim_range" -> ((s, d) => Similarity.annRangeSearch(s, d)),
+    // rows-only: compares the two retrievals above, so it inherits the
+    // sign-index geometry; spec pins the recall floor and determinism
+    "q_sim_ann_recall" -> ((s, d) => Similarity.annRecallAtK(s, d)),
     // dedup pack [EXT] (SURVEY §2.B dedup row)
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_dedup_corpus" -> ((s, d) => Dedup.dedupedCorpus(s, d)),

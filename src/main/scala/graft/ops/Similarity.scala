@@ -589,6 +589,36 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** ANN index-quality monitor: per-query recall@k of the sign-index
+    * retrieval ([[annTopKCosine]]) against the exact scan
+    * ([[topKCosine]]) — the production health check run on a sampled
+    * query set whenever the index is rebuilt (recall decay = stale or
+    * mis-parameterized index). Declared rows-only: the hyperplane
+    * constants are library-internal JVM state, not SQL-replayable; the
+    * spec pins the recall floor and determinism instead.
+    *
+    * Scale: both retrievals are already bounded (broadcast query set ×
+    * bounded-heap top-k / narrow index scan); everything after is
+    * nQueries·k-row arithmetic. At 100 TB the monitor runs on exactly
+    * this kind of sampled query set — the corpus is never rescanned
+    * beyond the two retrievals being compared. */
+  def annRecallAtK(spark: SparkSession, dir: String,
+                   nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val brute = topKCosine(spark, dir, nQueries, k)
+      .select(col("q_id"), col("cand_id"))
+    val ann = annTopKCosine(spark, dir, nQueries, k)
+      .select(col("q_id"), col("cand_id"))
+    val nTrue = brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+    val nHit = brute.join(ann, Seq("q_id", "cand_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    nTrue.join(nHit, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        floor(col("n_hit").cast("double") / col("n_true") * 1e6 + 0.5) / 1e6)
+      .orderBy(col("q_id"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al., 2023): connected
     * components over the cosine-similarity graph, keeping one
     * representative (the min vec_id) per semantic cluster — the

@@ -262,6 +262,23 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("centroid_norm") - math.sqrt(meanSq)) < 2e-6)
   }
 
+  test("ann recall monitor: full coverage, recall floor, deterministic rerun") {
+    val out = Similarity.annRecallAtK(spark, sf).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getLong(1) === 10L)          // exact top-k always finds k
+      val (hit, rec) = (r.getLong(2), r.getAs[Double]("recall"))
+      assert(hit >= 0 && hit <= 10)
+      assert(rec === math.floor(hit.toDouble / 10 * 1e6 + 0.5) / 1e6)
+    }
+    // corpus-level floor consistent with the ann spec's recall bar
+    val mean = out.map(_.getAs[Double]("recall")).sum / out.length
+    assert(mean >= 0.7, mean)
+    // deterministic rerun (fixed planes, deterministic tie-breaks)
+    val again = Similarity.annRecallAtK(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("semantic dedup: covers the subset, one keeper per cluster, edges co-labeled") {
     val out = Similarity.semanticDedup(spark, sf).collect()
     val n = Tables.embeddings(spark, sf)
