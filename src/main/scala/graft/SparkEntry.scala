@@ -1660,41 +1660,50 @@ object SparkEntry {
          |      FROM g)
          |SELECT CAST(cls AS BIGINT) AS cls,
          | CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
-         | floor(CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE)
-         |   / CAST(2 * sum(np) * sum(nn) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS auc
+         | CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+         |  floor(CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE)
+         |   / CAST(2 * sum(np) * sum(nn) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         | END AS auc
          |FROM c GROUP BY cls ORDER BY cls""".stripMargin
     },
     "q_ml_fold_eval" -> (mlPredCte +
-      """
-        |SELECT vec_id % 5 AS fold, count(*) AS n,
-        | CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_hit,
-        | floor(CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS DOUBLE)
-        |   / count(*) * 1e6 + 0.5) / 1e6 AS accuracy
-        |FROM p GROUP BY vec_id % 5 ORDER BY fold""".stripMargin),
-    "q_feat_psi" ->
-      """WITH mm AS (
-        | SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
-        |  CAST(max(o_totalprice) AS DOUBLE) AS mx FROM orders),
-        |b AS (
-        | SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - mn) * 10
-        |    / (mx - mn)) AS BIGINT), 9) AS bin,
-        |  CASE WHEN o_orderdate < DATE '1995-01-01' THEN 1 ELSE 0 END
-        |    AS is_ref
-        | FROM orders CROSS JOIN mm),
-        |g AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
-        |       CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
-        |      FROM b GROUP BY bin),
-        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
-        |       CAST(sum(n_cur) AS BIGINT) AS t_cur FROM g),
-        |x AS (
-        | SELECT bin, n_ref, n_cur,
-        |  (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(t_ref AS DOUBLE) + 5.0) AS p,
-        |  (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(t_cur AS DOUBLE) + 5.0) AS q
-        | FROM g CROSS JOIN t)
-        |SELECT bin, n_ref, n_cur,
-        | floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS psi_term
-        |FROM x ORDER BY bin""".stripMargin,
+      s"""
+         |SELECT vec_id % ${Metrics.cvFolds} AS fold, count(*) AS n,
+         | CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_hit,
+         | floor(CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*) * 1e6 + 0.5) / 1e6 AS accuracy
+         |FROM p GROUP BY vec_id % ${Metrics.cvFolds}
+         |ORDER BY fold""".stripMargin),
+    "q_feat_psi" -> {
+      val nb = Features.psiBins
+      s"""WITH mm AS (
+         | SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+         |  CAST(max(o_totalprice) AS DOUBLE) AS mx FROM orders),
+         |b AS (
+         | SELECT CASE WHEN mx > mn THEN
+         |    least(CAST(floor((CAST(o_totalprice AS DOUBLE) - mn) * $nb
+         |      / (mx - mn)) AS BIGINT), ${nb - 1})
+         |   ELSE 0 END AS bin,
+         |  CASE WHEN o_orderdate < DATE '${Features.psiDateCut}'
+         |   THEN 1 ELSE 0 END AS is_ref
+         | FROM orders CROSS JOIN mm),
+         |g AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+         |       CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+         |      FROM b GROUP BY bin),
+         |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         |       CAST(sum(n_cur) AS BIGINT) AS t_cur FROM g),
+         |x AS (
+         | SELECT bin, n_ref, n_cur,
+         |  (CAST(n_ref AS DOUBLE) + 0.5)
+         |    / (CAST(t_ref AS DOUBLE) + ${0.5 * nb}) AS p,
+         |  (CAST(n_cur AS DOUBLE) + 0.5)
+         |    / (CAST(t_cur AS DOUBLE) + ${0.5 * nb}) AS q
+         | FROM g CROSS JOIN t)
+         |SELECT bin, n_ref, n_cur,
+         | floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS psi_term
+         |FROM x ORDER BY bin""".stripMargin
+    },
     "q_ml_calibration" -> {
       val names = (0 until Metrics.numClasses).map(c => s"score_$c")
       val scoreExprs = (0 until Metrics.numClasses).map { c =>

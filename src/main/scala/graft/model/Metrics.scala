@@ -252,10 +252,14 @@ object Metrics {
       .groupBy(col("cls"))
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * (col("cum_nn") * 2 + col("nn"))).as("u2"))
+      // degenerate one-sided class (no positives or no negatives): AUC is
+      // undefined — emit null rather than letting 0/0 diverge between
+      // engines (Spark floors NaN to 0, DuckDB propagates it)
       .select(col("cls"), col("n_pos"), col("n_neg"),
-        (floor(col("u2").cast("double") /
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          floor(col("u2").cast("double") /
             (col("n_pos") * col("n_neg") * 2).cast("double") * 1e6 + 0.5)
-          / 1e6).as("auc"))
+            / 1e6).as("auc"))
       .orderBy(col("cls"))
   }
 
@@ -268,8 +272,10 @@ object Metrics {
     * Fold variance across deterministic splits is the cheap
     * sanity-check that a metric isn't an artifact of one split.
     * One scan, k-row output. */
+  val cvFolds = 5
+
   def foldAccuracy(spark: SparkSession, dir: String,
-                   k: Int = 5): DataFrame =
+                   k: Int = cvFolds): DataFrame =
     linearPredictions(spark, dir)
       .select(pmod(col("vec_id"), lit(k.toLong)).as("fold"),
         when(col("label") === col("pred"), 1L).otherwise(0L).as("hit"))

@@ -366,6 +366,21 @@ object Features {
     * shuffle instead; at 100 TB with hot keys that is strictly worse, so
     * the aggregate form is the operator and the window form is only the
     * oracle's replay. */
+  def latestEventSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"),
+        date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        round(col("last.value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+
+  val psiBins = 10
+  val psiDateCut = "1995-01-01"
+
   /** Population-stability-index drift screen (the standard credit-risk /
     * feature-monitoring statistic; see e.g. Yurdakul, *Statistical
     * Properties of PSI*, 2018): split `orders` into a reference window
@@ -383,16 +398,20 @@ object Features {
     * Scale: one min/max scan, broadcast edges, one per-row projection
     * into a `nBins`-row aggregate — the corpus streams through once. */
   def psiDrift(spark: SparkSession, dir: String,
-               nBins: Int = 10, dateCut: String = "1995-01-01"): DataFrame = {
+               nBins: Int = psiBins,
+               dateCut: String = psiDateCut): DataFrame = {
     val o = Tables.orders(spark, dir)
     val mm = o.agg(
       min(col("o_totalprice")).cast("double").as("mn"),
       max(col("o_totalprice")).cast("double").as("mx"))
     val binned = o.crossJoin(broadcast(mm))
       .select(
-        least(floor((col("o_totalprice").cast("double") - col("mn")) *
-          nBins / (col("mx") - col("mn"))).cast("long"),
-          lit(nBins - 1L)).as("bin"),
+        // degenerate constant column (mx == mn): everything lands in bin
+        // 0 explicitly — 0/0 would NaN-diverge between engines
+        when(col("mx") > col("mn"),
+          least(floor((col("o_totalprice").cast("double") - col("mn")) *
+            nBins / (col("mx") - col("mn"))).cast("long"),
+            lit(nBins - 1L))).otherwise(lit(0L)).as("bin"),
         when(col("o_orderdate") < to_date(lit(dateCut)), 1L).otherwise(0L)
           .as("is_ref"))
       .groupBy(col("bin"))
@@ -411,16 +430,4 @@ object Features {
           / 1e6).as("psi_term"))
       .orderBy(col("bin"))
   }
-
-  def latestEventSnapshot(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
-        col("value"))).as("last"))
-      .select(col("user_id"),
-        date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
-        col("last.event_id").as("last_event_id"),
-        col("last.event_type").as("last_event_type"),
-        round(col("last.value"), 2).as("last_value"))
-      .orderBy(col("user_id"))
 }

@@ -564,13 +564,12 @@ object Similarity {
         / nullif(col("vnrm") * col("cnrm"), lit(0.0)))
       // mean of per-member cosines as exact integer arithmetic: each cos
       // is bit-identical cross-engine (deterministic inputs, sequential
-      // 64-dim fold both sides), so scale to 1e12 longs, sum exactly
-      // (order-independent), divide once
-      // cast BEFORE the sum: floor() returns double, and a label with
-      // >~9e3 members would push double partial sums past 2^53 —
-      // order-dependent again; long sums stay exact to 2^63
+      // 64-dim fold both sides), so scale to 1e12 longs (Spark's floor
+      // already yields LongType, so the sum is exact to 2^63 regardless
+      // of partition order — the DuckDB twin needs its explicit BIGINT
+      // cast because ITS floor returns double), divide once
       .groupBy(col("label"))
-      .agg((sum(floor(col("cos") * 1e12 + 0.5).cast("long")) /
+      .agg((sum(floor(col("cos") * 1e12 + 0.5)) /
         (count(lit(1)) * lit(1e12))).as("coh"))
     val sep = cent.as("a").join(broadcast(cent.as("b")),
         col("a.label") =!= col("b.label"))

@@ -707,6 +707,8 @@ object Text {
           / 1e6).as("ttr"))
       .orderBy(col("source"))
 
+  val oovVocabSize = 16
+
   /** Per-source out-of-vocabulary rate against the corpus top-`vocabSize`
     * token vocabulary — the tokenizer-coverage screen run before training
     * a tokenizer or reusing one across corpora: sources whose token mass
@@ -714,19 +716,22 @@ object Text {
     * context length. Vocabulary selection is the deterministic total
     * order (count desc, token), so the cut is reproducible cross-engine.
     *
-    * Scale: per-source token counts collapse map-side (the same
-    * (source, token) shuffle as [[vocabStats]]); the vocabulary is a
-    * top-k over the global count frame, broadcast to the membership
-    * join — the corpus itself is never reshuffled. */
-  val oovVocabSize = 16
-
+    * Scale: ONE tokenize + one (source, token) shuffle that collapses
+    * map-side; the global vocabulary derives from that same aggregate
+    * (identical counts and tie-break as [[tokenCounts]] — the shared
+    * subtree lets Spark reuse the exchange instead of rescanning the
+    * corpus) and is broadcast to the membership join. */
   def oovRate(spark: SparkSession, dir: String,
               vocabSize: Int = oovVocabSize): DataFrame = {
-    val vocab = tokenCounts(spark, dir, vocabSize)
-      .select(col("token"), lit(1).as("in_vocab"))
-    Tables.documents(spark, dir)
+    val perSource = Tables.documents(spark, dir)
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+    val vocab = perSource.groupBy(col("token"))
+      .agg(sum(col("n")).as("ng"))
+      .orderBy(col("ng").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    perSource
       .join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("source"))
       .agg(sum(col("n")).as("n_tokens"),
@@ -737,6 +742,9 @@ object Text {
           / 1e6).as("oov_rate"))
       .orderBy(col("source"))
   }
+
+  val pmiMinCount = 5
+  val pmiTopK = 30
 
   /** Pointwise mutual information of adjacent-token pairs (Church &
     * Hanks, CL 1990) — collocation mining: PMI = ln(n_xy·N / (n_x·n_y))
@@ -756,9 +764,6 @@ object Text {
     * the shuffle carries distinct pairs; marginals derive from the pair
     * frame (never re-reading the corpus) and join back on pair-frame
     * cardinality; top-k is TakeOrdered, no global sort. */
-  val pmiMinCount = 5
-  val pmiTopK = 30
-
   def pmiCollocations(spark: SparkSession, dir: String,
                       minCount: Int = pmiMinCount,
                       k: Int = pmiTopK): DataFrame = {
