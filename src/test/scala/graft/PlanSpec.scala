@@ -134,4 +134,37 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange ") === 1, p)
     assert(p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("oov rate: the (source, token) aggregate is computed once, stage reused") {
+    // exchange reuse is an AQE runtime decision: execute, then read the
+    // final adaptive plan for the shared (source, token) shuffle stage
+    spark.sharedState.cacheManager.clearCache()
+    val df = graft.ops.Text.oovRate(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.toLowerCase.contains("reused"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ovr auc: melt collapses map-side; one window over the distinct-score frame") {
+    val p = plan(graft.model.Metrics.linearAucOvr(spark, sf))
+    // the 10x melt must pre-aggregate in partial mode before its shuffle
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+    assert(countOccurrences(p, "Window") === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("psi drift: stats rows broadcast back, never a cartesian product") {
+    val p = plan(graft.ops.Features.psiDrift(spark, sf))
+    // min/max frame and totals frame each broadcast to their consumers
+    assert(countOccurrences(p, "BroadcastExchange") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pmi: top-k is TakeOrderedAndProject over the pair frame, no global sort") {
+    val p = plan(graft.ops.Text.pmiCollocations(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
