@@ -363,6 +363,78 @@ object EventStream {
     * engine exposes for logic `session_window`/aggregates can't express.
     * State is one small record per user key, partitioned by key: the
     * standard bounded-state topology at 1000 executors. */
+  final case class WindowDrift(window_start: String, n: Long, psi: Double)
+
+  /** Streaming twin of [[graft.ops.Features.psiDrift]] — ONLINE drift
+    * monitoring: each tumbling hour window's `value` distribution is
+    * scored against the static reference histogram (the corpus the
+    * serving model was trained on), emitting the running PSI per window
+    * as events arrive. The production alert: PSI > 0.2 for a closed
+    * window pages before the model degrades.
+    *
+    * Reference side: ONE batch aggregate over the static table reduced
+    * to `nBins` smoothed proportions — a documented bounded collect
+    * (nBins rows, like the IVF quantizer sample), closed over by the
+    * state function. Stream side: state per window is the `nBins`-long
+    * count vector (bounded regardless of event volume), keyed by window
+    * start so the state store partitions by window — at 100 TB/day the
+    * hot keys are the handful of open windows, each a 10-long array.
+    * Same +0.5 Laplace smoothing and mx==mn degenerate guard as the
+    * batch operator. */
+  def driftStateful(spark: SparkSession, stream: DataFrame, dir: String,
+                    nBins: Int = graft.ops.Features.psiBins,
+                    windowLen: String = "1 hour"): Dataset[WindowDrift] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val ev = Tables.events(spark, dir)
+    val mm = ev.agg(min(col("value")).cast("double"),
+      max(col("value")).cast("double")).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    // clamped both ends: a live stream can drift OUTSIDE the reference
+    // range (that drift lands in the edge bins and raises PSI, as it
+    // should — never an out-of-bounds state write)
+    def binOf(x: Double): Int =
+      if (mx > mn)
+        math.max(0, math.min(
+          math.floor((x - mn) * nBins / (mx - mn)).toInt, nBins - 1))
+      else 0
+    val binExpr =
+      if (mx > mn)
+        least(floor((col("value").cast("double") - lit(mn)) * nBins /
+          lit(mx - mn)).cast("int"), lit(nBins - 1))
+      else lit(0)
+    val refCounts = ev.groupBy(binExpr.as("bin"))
+      .agg(count(lit(1)).as("n")).collect()
+      .foldLeft(Array.fill(nBins)(0L)) { (a, r) =>
+        a(r.getInt(0)) = r.getLong(1); a
+      }
+    val tRef = refCounts.sum.toDouble
+    val pRef = refCounts.map(c => (c + 0.5) / (tRef + 0.5 * nBins))
+    stream
+      .select(window(col("ts"), windowLen).getField("start").as("ws"),
+        col("value").cast("double").as("v"))
+      .as[(java.sql.Timestamp, Double)]
+      .groupByKey(_._1.getTime)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (wsMillis: Long, rows: Iterator[(java.sql.Timestamp, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
+          val counts = state.getOption.getOrElse(Array.fill(nBins)(0L))
+          rows.foreach(r => counts(binOf(r._2)) += 1)
+          state.update(counts)
+          val tCur = counts.sum.toDouble
+          val psi = pRef.zip(
+            counts.map(c => (c + 0.5) / (tCur + 0.5 * nBins)))
+            .map { case (p, q) => (p - q) * math.log(p / q) }.sum
+          // formatter built here: DateTimeFormatter isn't Serializable,
+          // so it can't ride the closure to the executors
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss")
+            .withZone(java.time.ZoneOffset.UTC)
+          WindowDrift(fmt.format(java.time.Instant.ofEpochMilli(wsMillis)),
+            counts.sum, math.floor(psi * 1e6 + 0.5) / 1e6)
+      }
+  }
+
   def userTotalsStateful(spark: SparkSession, stream: DataFrame): Dataset[UserTotals] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout

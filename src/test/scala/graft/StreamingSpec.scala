@@ -396,4 +396,67 @@ class StreamingSpec extends SparkSpec {
     // cross-half pairs exist on this corpus — the carry-over is exercised
     assert(batchCands.exists { case (a, b) => a < 250 && b >= 250 })
   }
+
+  test("streaming drift monitor == driver replay per window; self-reference stays calm") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStream.readEvents(spark, sf)
+    val q = EventStream.driftStateful(spark, stream, sf)
+      .writeStream.format("memory").queryName("stream_drift")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per window is the full-window PSI
+    val got = spark.table("stream_drift")
+      .groupBy("window_start")
+      .agg(max(struct(col("n"), col("psi"))).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> {
+        val m = r.getStruct(1); (m.getLong(0), m.getDouble(1))
+      }).toMap
+
+    // driver replay with the same binning and smoothing
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(date_format(window(col("ts"), "1 hour").getField("start"),
+        "yyyy-MM-dd HH:mm:ss").as("w"), col("value").cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val nBins = graft.ops.Features.psiBins
+    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
+    def binOf(x: Double): Int = math.max(0,
+      math.min(math.floor((x - mn) * nBins / (mx - mn)).toInt, nBins - 1))
+    val ref = Array.fill(nBins)(0L)
+    ev.foreach(e => ref(binOf(e._2)) += 1)
+    val pRef = ref.map(c => (c + 0.5) / (ev.length + 0.5 * nBins))
+    val want = ev.groupBy(_._1).map { case (w, rows) =>
+      val c = Array.fill(nBins)(0L)
+      rows.foreach(r => c(binOf(r._2)) += 1)
+      val t = rows.length.toDouble
+      val psi = pRef.zip(c.map(x => (x + 0.5) / (t + 0.5 * nBins)))
+        .map { case (p, qq) => (p - qq) * math.log(p / qq) }.sum
+      w -> ((rows.length.toLong, math.floor(psi * 1e6 + 0.5) / 1e6))
+    }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (w, (n, psi)) =>
+      assert(got(w)._1 === n, s"window $w count")
+      assert(got(w)._2 === psi, s"window $w psi")
+    }
+    // sparse hour windows (~2 events at this SF) legitimately read hot
+    // through the smoothing; PSI is provably nonnegative though
+    want.values.foreach { case (_, psi) => assert(psi >= 0.0, psi) }
+
+    // calmness needs sampled windows: at 7-day windows (~200 events
+    // each of the same corpus distribution) the monitor must sit under
+    // the 0.2 alert line
+    val q7 = EventStream.driftStateful(spark, stream, sf, windowLen = "7 days")
+      .writeStream.format("memory").queryName("stream_drift_7d")
+      .outputMode("update").start()
+    try q7.processAllAvailable() finally q7.stop()
+    val calm = spark.table("stream_drift_7d")
+      .groupBy("window_start")
+      .agg(max(struct(col("n"), col("psi"))).as("m"))
+      .collect().map(r => (r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1)))
+    assert(calm.nonEmpty)
+    calm.foreach { case (n, psi) =>
+      if (n >= 100) assert(psi < 0.2, s"n=$n psi=$psi")
+    }
+    assert(calm.exists(_._1 >= 100))
+  }
 }
