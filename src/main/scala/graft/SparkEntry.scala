@@ -161,6 +161,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_pairs" -> ((s, d) => Dedup.simhashDupPairs(s, d)),
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
+    "q_dedup_source_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
     "q_sim_semdedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     // rows-only: LSH bucket geometry is engine-specific; precision exact
     // by construction (cosine verify), recall spec vs the brute baseline.
@@ -188,6 +189,8 @@ object SparkEntry {
     "q_mm_decode" -> ((s, d) => Multimodal.decodeSummary(s, d)),
     "q_mm_audio_features" -> ((s, d) => Multimodal.audioFeatures(s, d)),
     "q_mm_image_features" -> ((s, d) => Multimodal.imageFeatures(s, d)),
+    "q_mm_dhash" -> ((s, d) => Multimodal.imageDHash(s, d)
+      .orderBy(org.apache.spark.sql.functions.col("media_id"))),
     "q_mm_resize" -> ((s, d) => Multimodal.resizeMeta(s, d)),
     // feature-engineering pack (SURVEY §2.C feature-engineering rows):
     // the transforms between raw tables and model input
@@ -1218,6 +1221,36 @@ object SparkEntry {
     // replays the encode arithmetic: images/video posters are w×h-pixel
     // BMPs with pixel i = codepoint(i mod n) & 255; audio is one WAV
     // sample per codepoint. The JDK decoders recover exactly these units.
+    "q_mm_dhash" -> {
+      val rows = graft.ops.Multimodal.dhashRows
+      val cols = graft.ops.Multimodal.dhashCols
+      val perRow = cols - 1
+      val sigBits = rows * perRow
+      s"""WITH m AS (
+         | SELECT doc_id AS media_id,
+         |  CAST(16 + length(text) % 32 AS BIGINT) AS w,
+         |  CAST(16 + (length(text) // 7) % 32 AS BIGINT) AS h,
+         |  list_transform(string_split(text,''),
+         |    c -> CAST(ascii(c) & 255 AS BIGINT)) AS u,
+         |  CAST(length(text) AS BIGINT) AS n
+         | FROM documents WHERE doc_id % 3 <> 1),
+         |p AS (
+         | SELECT media_id, w, h,
+         |  CASE WHEN n = 0 THEN list_transform(generate_series(0, w*h - 1), i -> CAST(0 AS BIGINT))
+         |       ELSE list_transform(generate_series(0, w*h - 1), i -> u[(i % n) + 1])
+         |  END AS px
+         | FROM m)
+         |SELECT media_id,
+         | list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(generate_series(0, ${sigBits - 1}), b ->
+         |   CASE WHEN px[(b // $perRow) * h // $rows * w
+         |                 + ((b % $perRow) + 1) * w // $cols + 1] >
+         |             px[(b // $perRow) * h // $rows * w
+         |                 + (b % $perRow) * w // $cols + 1]
+         |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+         |  (x, y) -> x + y) AS dhash
+         |FROM p ORDER BY media_id""".stripMargin
+    },
     "q_mm_image_features" ->
       """WITH m AS (
         | SELECT doc_id AS media_id,
@@ -1382,6 +1415,16 @@ object SparkEntry {
     "q_dedup_clusters" -> (clusterLabCtes +
       """
         |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin),
+    "q_dedup_source_matrix" -> (minhashPairsCtes +
+      """
+        |, m AS (
+        | SELECT least(da.source, db.source) AS source_lo,
+        |        greatest(da.source, db.source) AS source_hi
+        | FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+        |              JOIN documents db ON p.doc_b = db.doc_id)
+        |SELECT source_lo, source_hi, count(*) AS n_pairs
+        |FROM m GROUP BY source_lo, source_hi
+        |ORDER BY source_lo, source_hi""".stripMargin),
     "q_dedup_incremental" -> incrementalOracle,
     "q_dedup_inc_writeback" -> incWritebackOracle,
     "q_dedup_jaccard_brute" -> (dedupCtes +

@@ -226,6 +226,35 @@ object Dedup {
     jaccardVerify(selfCandidates(bandsOf(signaturesOf(sh))), sh, sh, minJaccard)
   }
 
+  /** Cross-source duplication matrix — the provenance screen over the
+    * verified near-dup edge set: for every unordered source pair, how
+    * many near-dup pairs join a document in one to a document in the
+    * other. The diagonal is within-source duplication (template spam);
+    * heavy off-diagonal cells expose mirror/scrape relationships between
+    * crawl sources — the "which source copies which" ranking that decides
+    * dedup ORDER at ingest (dedup the copier against the original, not
+    * vice versa).
+    *
+    * Scale: the edge set is the banded-LSH pair frame (never all-pairs);
+    * the two source lookups are joins against the (doc_id, source)
+    * projection — hash joins on the pair frame's cardinality, AQE
+    * broadcast when the projection is small; output is |sources|². */
+  def sourceDupMatrix(spark: SparkSession, dir: String,
+                      minJaccard: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    minhashDupPairsUnordered(spark, dir, minJaccard)
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
   /** Duplicate-cluster formation: connected components over the
     * [[minhashDupPairs]] edge set, labeling every involved document with
     * its component's minimum doc_id — the step that turns pairwise
@@ -813,30 +842,40 @@ object Dedup {
     * over b bands shares ≥ 1 exact band when h < numBlocks), so the join
     * never goes O(n²). */
   def simhashDupPairs(spark: SparkSession, dir: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSig(spark, dir)
+                      maxHamming: Int = 3): DataFrame =
+    hammingBandedPairs(simhashSig(spark, dir), "doc_id", "simhash",
+      simhashBits, maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Blocked-LSH hamming self-join over any (id, 60-bit signature) frame
+    * — the banding engine behind [[simhashDupPairs]], shared with the
+    * perceptual image-hash pairs ([[Multimodal.imageDHashPairs]]): 4
+    * blocks of 16 bits, pairs colliding on ≥1 block, exact popcount
+    * verify, emitted by their FIRST colliding block (structural dedupe
+    * instead of a DISTINCT over the up-to-4× duplicated candidate
+    * stream). Emits (id_a, id_b, hamming), unsorted. */
+  private[graft] def hammingBandedPairs(sig: DataFrame, idCol: String,
+                                        sigCol: String, sigBits: Int,
+                                        maxHamming: Int): DataFrame = {
     val blocks = 4
-    val bits = simhashBits / blocks + 1  // 8 bits per block covers 30 bits
+    val bits = sigBits / blocks + 1  // 16 bits per block covers 60 bits
     def blockKey(s: Column, i: Int): Column =
       shiftright(s, i * bits).bitwiseAND((1L << bits) - 1)
-    val banded = sig.select(col("doc_id"), col("simhash"), explode(array(
-      (0 until blocks).map(i => struct(lit(i).as("blk"),
-        blockKey(col("simhash"), i).as("key"))): _*)).as("bk"))
-    // a pair is emitted only by its FIRST colliding block — structural
-    // dedupe instead of a DISTINCT over the (up to 4×) duplicated
-    // candidate stream, which dominated when signatures cluster
+    val banded = sig.select(col(idCol).as("id"), col(sigCol).as("sg"),
+      explode(array((0 until blocks).map(i => struct(lit(i).as("blk"),
+        blockKey(col(sigCol), i).as("key"))): _*)).as("bk"))
     val firstMatch = (0 until blocks).map { j =>
       (col("x.bk.blk") <= j) ||
-        (blockKey(col("x.simhash"), j) =!= blockKey(col("y.simhash"), j))
+        (blockKey(col("x.sg"), j) =!= blockKey(col("y.sg"), j))
     }.reduce(_ && _)
     // SHUFFLE_HASH (not broadcast): both sides then share one identical
     // shuffle of the signature pipeline, which ReuseExchange computes once
     banded.as("x").hint("shuffle_hash").join(banded.as("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id") && firstMatch)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id") && firstMatch)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sg").bitwiseXOR(col("y.sg"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Embedding near-dup pairs via sign-random-projection LSH (Charikar

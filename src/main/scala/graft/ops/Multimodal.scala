@@ -239,4 +239,58 @@ object Multimodal {
         floor(col("width") * col("scale")).cast("int").as("out_w"),
         floor(col("height") * col("scale")).cast("int").as("out_h"))
       .orderBy(col("media_id"))
+
+  /** 60-bit perceptual dHash geometry: 6 sample rows × 11 sample
+    * columns → 10 adjacent-brightness comparisons per row. 60 bits (not
+    * the classic 64) so the pair stage reuses the repo's proven
+    * 60-bit / 4-block banding arithmetic ([[Dedup.hammingBandedPairs]]).
+    */
+  val dhashRows = 6
+  val dhashCols = 11
+
+  /** Perceptual difference-hash per image (Krawetz's dHash, the standard
+    * near-duplicate IMAGE fingerprint): decode the gray payload, sample
+    * a `dhashRows`×`dhashCols` grid (nearest-pixel at integer grid
+    * coordinates — deterministic, no resampling kernel), set bit
+    * r·(cols−1)+c iff grid(r,c+1) > grid(r,c). Brightness/contrast
+    * shifts move absolute pixel values but rarely flip adjacent
+    * ORDERINGS, which is why dHash survives re-encodes that break exact
+    * byte hashing. Decode runs in the same batched `mapPartitions`
+    * kernel family as [[decodeAll]] — per-row work, zero shuffle. */
+  def imageDHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBinary(spark, dir)
+      .filter(_.media_type != "audio")
+      .mapPartitions(_.map { m =>
+        val (w, h, px) = MediaCodec.decodeImageGray(m.payload)
+        def at(r: Int, c: Int): Int = px(((r * h) / dhashRows) * w + ((c * w) / dhashCols))
+        var hash = 0L
+        var bit = 0
+        var r = 0
+        while (r < dhashRows) {
+          var c = 0
+          while (c < dhashCols - 1) {
+            if (at(r, c + 1) > at(r, c)) hash |= 1L << bit
+            bit += 1
+            c += 1
+          }
+          r += 1
+        }
+        (m.media_id, hash)
+      })
+      .toDF("media_id", "dhash")
+  }
+
+  /** Near-duplicate image pairs: blocked-LSH hamming self-join over the
+    * [[imageDHash]] signatures — the multimodal twin of
+    * [[Dedup.simhashDupPairs]], same 4×16-bit banding, exact popcount
+    * verify, never all-pairs. The image-side answer to "this crawl
+    * stores the same picture under a thousand URLs". */
+  def imageDHashPairs(spark: SparkSession, dir: String,
+                      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingBandedPairs(imageDHash(spark, dir), "media_id", "dhash",
+      dhashRows * (dhashCols - 1), maxHamming)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
+        col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
 }

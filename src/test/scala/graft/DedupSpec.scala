@@ -309,6 +309,24 @@ class DedupSpec extends SparkSpec {
     assert(mergedTable !== healedTable)
   }
 
+  test("source dup matrix equals a driver-side regroup of the verified pairs") {
+    val out = Dedup.sourceDupMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val srcOf = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(out === want)
+    assert(out.values.sum === pairs.length.toLong)
+    out.keys.foreach { case (lo, hi) => assert(lo <= hi) }
+  }
+
   test("containment: superset of Jaccard pairs at equal threshold, bounded asymmetric scores") {
     val jac = Dedup.jaccardPairsBrute(spark, sf, maxDocId = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -168,4 +168,71 @@ class MultimodalSpec extends SparkSpec {
       assert(w <= 16 && h <= 16 && (w === 16 || h === 16))
     }
   }
+
+  test("image dHash: codepoint replay per image; pairs equal a brute driver scan") {
+    // driver replay of the whole encode->decode->sample->hash path from
+    // the raw text (the same arithmetic the oracle uses)
+    def replayHash(text: String): Long = {
+      val cps = text.codePoints().toArray
+      val n = text.length
+      val w = 16 + n % 32
+      val h = 16 + (n / 7) % 32
+      def pxAt(i: Int): Int = if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff
+      def at(r: Int, c: Int): Int =
+        pxAt(((r * h) / Multimodal.dhashRows) * w + ((c * w) / Multimodal.dhashCols))
+      var hash = 0L; var bit = 0
+      for (r <- 0 until Multimodal.dhashRows; c <- 0 until Multimodal.dhashCols - 1) {
+        if (at(r, c + 1) > at(r, c)) hash |= 1L << bit
+        bit += 1
+      }
+      hash
+    }
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(_.getLong(0) % 3 != 1)
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hashes = Multimodal.imageDHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet === texts.keySet)
+    texts.foreach { case (id, t) => assert(hashes(id) === replayHash(t), id) }
+
+    // pairs == brute hamming scan over the collected hashes (word-soup
+    // images carry no near-dups at this SF, so this mostly proves the
+    // banded join emits NO false positives; recall is planted below)
+    val ids = hashes.keys.toArray.sorted
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j)))
+      if h <= 3
+    } yield (ids(i), ids(j), h)).toSet
+    val got = Multimodal.imageDHashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+  }
+
+  test("image dHash pairs: planted duplicate images surface through the full pipeline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dhash").toString
+    val base = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val oneOff = base.updated(5, 'x')
+    // ids = 0 mod 3 so every row is image-typed in mediaTable
+    Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (3L, base, "en", "s0", base.length.toLong),
+      (6L, oneOff, "en", "s0", oneOff.length.toLong),
+      (9L, base.reverse, "en", "s0", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Multimodal.imageDHashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // identical texts -> identical images -> the banded join finds the
+    // hamming-0 pair (recall at distance 0 is guaranteed by pigeonhole)
+    assert(pairs.contains((0L, 3L, 0)))
+    // one flipped codepoint perturbs few adjacent orderings: the hashes
+    // stay close while the reversed text drifts much further
+    val h = Multimodal.imageDHash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(ham(0L, 6L) < ham(0L, 9L))
+  }
 }
