@@ -119,6 +119,7 @@ object SparkEntry {
     "q_text_boilerplate" -> ((s, d) => Text.boilerplateSpans(s, d)),
     "q_text_boiler_ratio" -> ((s, d) => Text.boilerplateRatio(s, d)),
     "q_text_vocab" -> ((s, d) => Text.vocabStats(s, d)),
+    "q_text_zipf" -> ((s, d) => Text.zipfSlope(s, d)),
     "q_text_oov" -> ((s, d) => Text.oovRate(s, d)),
     "q_text_pmi" -> ((s, d) => Text.pmiCollocations(s, d)),
     "q_ml_logloss" -> ((s, d) => Metrics.linearLogLoss(s, d)),
@@ -1951,6 +1952,40 @@ object SparkEntry {
         | floor(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5)
         |   / 1e6 AS ttr
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_zipf" ->
+      s"""WITH tk AS (
+         | SELECT source,
+         |  unnest(list_filter(string_split(text,' '), s -> len(s)>0)) AS token
+         | FROM documents),
+         |g AS (SELECT source, token, count(*) AS n FROM tk
+         |      GROUP BY source, token),
+         |r AS (SELECT source, n,
+         |       row_number() OVER (PARTITION BY source
+         |         ORDER BY n DESC, token) AS rnk
+         |      FROM g),
+         |q AS (
+         | SELECT source,
+         |  CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS x9,
+         |  CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS y9,
+         |  CAST(floor(ln(CAST(rnk AS DOUBLE)) * ln(CAST(n AS DOUBLE)) * 1e12
+         |    + 0.5) AS BIGINT) AS xy12,
+         |  CAST(floor(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) * 1e12
+         |    + 0.5) AS BIGINT) AS xx12
+         | FROM r WHERE rnk <= ${Text.zipfTopK}),
+         |s AS (SELECT source, count(*) AS n_top,
+         |       CAST(sum(x9) AS BIGINT) AS sx, CAST(sum(y9) AS BIGINT) AS sy,
+         |       CAST(sum(xy12) AS BIGINT) AS sxy,
+         |       CAST(sum(xx12) AS BIGINT) AS sxx
+         |      FROM q GROUP BY source)
+         |SELECT source, n_top,
+         | CASE WHEN n_top > 1 THEN
+         |  floor((n_top * (CAST(sxy AS DOUBLE) / 1e12) -
+         |      (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9)) /
+         |    (n_top * (CAST(sxx AS DOUBLE) / 1e12) -
+         |      (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+         |    * 1e6 + 0.5) / 1e6
+         | END AS slope
+         |FROM s ORDER BY source""".stripMargin,
     "q_text_oov" ->
       s"""WITH tk AS (
          | SELECT source,

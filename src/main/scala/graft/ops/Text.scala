@@ -743,6 +743,59 @@ object Text {
       .orderBy(col("source"))
   }
 
+  val zipfTopK = 32
+
+  /** Per-source Zipf slope — least-squares fit of ln(count) on ln(rank)
+    * over the top-`k` tokens (Zipf's law: a natural-language source sits
+    * near −1; templated/generated text reads flatter, OCR noise steeper
+    * — a one-number fingerprint of the frequency distribution that
+    * complements [[vocabStats]]' TTR).
+    *
+    * Determinism: ranks are integers from the total order (count desc,
+    * token); each per-row term (ln-rank, ln-count and their products) is
+    * IEEE arithmetic on identical inputs, quantized to 1e9/1e12-scaled
+    * longs BEFORE the per-source sums so the Σ's are exact integers
+    * regardless of partition order; the closed-form slope then divides
+    * exact-in-double sums — bit-identical cross-engine.
+    *
+    * Scale: the same map-side-collapsed (source, token) shuffle as
+    * [[vocabStats]]; the rank window sorts |vocab| rows per source (not
+    * the corpus), and everything after is ≤k rows per source. */
+  def zipfSlope(spark: SparkSession, dir: String,
+                k: Int = zipfTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+    val ranked = counts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("token"))))
+      .where(col("rnk") <= k)
+    val x = log(col("rnk").cast("double"))
+    val y = log(col("n").cast("double"))
+    ranked
+      .select(col("source"),
+        floor(x * 1e9 + 0.5).cast("long").as("x9"),
+        floor(y * 1e9 + 0.5).cast("long").as("y9"),
+        floor(x * y * 1e12 + 0.5).cast("long").as("xy12"),
+        floor(x * x * 1e12 + 0.5).cast("long").as("xx12"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_top"),
+        sum(col("x9")).as("sx"), sum(col("y9")).as("sy"),
+        sum(col("xy12")).as("sxy"), sum(col("xx12")).as("sxx"))
+      // a single-type source (n_top = 1) has zero x-variance: slope is
+      // undefined — null on both engines, never 0/0
+      .select(col("source"), col("n_top"),
+        when(col("n_top") > 1,
+          floor((col("n_top") * (col("sxy").cast("double") / 1e12) -
+              (col("sx").cast("double") / 1e9) * (col("sy").cast("double") / 1e9)) /
+            (col("n_top") * (col("sxx").cast("double") / 1e12) -
+              (col("sx").cast("double") / 1e9) * (col("sx").cast("double") / 1e9))
+            * 1e6 + 0.5) / 1e6).as("slope"))
+      .orderBy(col("source"))
+  }
+
   val pmiMinCount = 5
   val pmiTopK = 30
 
