@@ -190,8 +190,7 @@ object SparkEntry {
     "q_mm_decode" -> ((s, d) => Multimodal.decodeSummary(s, d)),
     "q_mm_audio_features" -> ((s, d) => Multimodal.audioFeatures(s, d)),
     "q_mm_image_features" -> ((s, d) => Multimodal.imageFeatures(s, d)),
-    "q_mm_dhash" -> ((s, d) => Multimodal.imageDHash(s, d)
-      .orderBy(org.apache.spark.sql.functions.col("media_id"))),
+    "q_mm_dhash" -> ((s, d) => Multimodal.imageDHash(s, d)),
     "q_mm_resize" -> ((s, d) => Multimodal.resizeMeta(s, d)),
     // feature-engineering pack (SURVEY §2.C feature-engineering rows):
     // the transforms between raw tables and model input

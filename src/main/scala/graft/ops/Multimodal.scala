@@ -257,7 +257,14 @@ object Multimodal {
     * ORDERINGS, which is why dHash survives re-encodes that break exact
     * byte hashing. Decode runs in the same batched `mapPartitions`
     * kernel family as [[decodeAll]] — per-row work, zero shuffle. */
-  def imageDHash(spark: SparkSession, dir: String): DataFrame = {
+  def imageDHash(spark: SparkSession, dir: String): DataFrame =
+    imageDHashUnordered(spark, dir).orderBy(col("media_id"))
+
+  /** [[imageDHash]] without the presentation sort — the pair stage
+    * re-shuffles by band key anyway (the [[Dedup]] ordered-public /
+    * unordered-private pattern). */
+  private[ops] def imageDHashUnordered(spark: SparkSession,
+                                       dir: String): DataFrame = {
     import spark.implicits._
     mediaBinary(spark, dir)
       .filter(_.media_type != "audio")
@@ -288,8 +295,8 @@ object Multimodal {
     * stores the same picture under a thousand URLs". */
   def imageDHashPairs(spark: SparkSession, dir: String,
                       maxHamming: Int = 3): DataFrame =
-    Dedup.hammingBandedPairs(imageDHash(spark, dir), "media_id", "dhash",
-      dhashRows * (dhashCols - 1), maxHamming)
+    Dedup.hammingBandedPairs(imageDHashUnordered(spark, dir), "media_id",
+      "dhash", dhashRows * (dhashCols - 1), maxHamming)
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
         col("hamming"))
       .orderBy(col("media_a"), col("media_b"))

@@ -365,11 +365,18 @@ object EventStream {
     * standard bounded-state topology at 1000 executors. */
   final case class WindowDrift(window_start: String, n: Long, psi: Double)
 
+  /** UTC second-resolution formatter for window-start keys. Held as an
+    * object field: executors reference it as a static, so it is built
+    * once per JVM and never serialized with a closure. */
+  private val windowFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(java.time.ZoneOffset.UTC)
+
   /** Streaming twin of [[graft.ops.Features.psiDrift]] — ONLINE drift
-    * monitoring: each tumbling hour window's `value` distribution is
-    * scored against the static reference histogram (the corpus the
-    * serving model was trained on), emitting the running PSI per window
-    * as events arrive. The production alert: PSI > 0.2 for a closed
+    * monitoring: each tumbling window's `value` distribution is scored
+    * against the static reference histogram (the corpus the serving
+    * model was trained on), emitting the running PSI per window as
+    * events arrive. The production alert: PSI > 0.2 for a closed
     * window pages before the model degrades.
     *
     * Reference side: ONE batch aggregate over the static table reduced
@@ -377,19 +384,37 @@ object EventStream {
     * (nBins rows, like the IVF quantizer sample), closed over by the
     * state function. Stream side: state per window is the `nBins`-long
     * count vector (bounded regardless of event volume), keyed by window
-    * start so the state store partitions by window — at 100 TB/day the
-    * hot keys are the handful of open windows, each a 10-long array.
-    * Same +0.5 Laplace smoothing and mx==mn degenerate guard as the
-    * batch operator. */
+    * start so the state store partitions by window, and EXPIRED by
+    * event-time timeout once the watermark passes the window end — the
+    * live state really is just the open windows, not the stream's
+    * history. A straggler arriving after expiry re-opens the window
+    * with a fresh count (an understated late blip, the standard
+    * watermark trade). Same +0.5 Laplace smoothing and mx==mn
+    * degenerate guard as the batch operator. */
   def driftStateful(spark: SparkSession, stream: DataFrame, dir: String,
                     nBins: Int = graft.ops.Features.psiBins,
-                    windowLen: String = "1 hour"): Dataset[WindowDrift] = {
+                    windowLen: String = "1 hour",
+                    watermarkDelay: String = "2 hours"): Dataset[WindowDrift] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    val windowMs: Long = {
+      val Array(num, unit) = windowLen.trim.split("\\s+")
+      num.toLong * (unit.stripSuffix("s") match {
+        case "second" => 1000L
+        case "minute" => 60L * 1000
+        case "hour"   => 3600L * 1000
+        case "day"    => 86400L * 1000
+        case u => throw new IllegalArgumentException(s"window unit: $u")
+      })
+    }
     val ev = Tables.events(spark, dir)
     val mm = ev.agg(min(col("value")).cast("double"),
       max(col("value")).cast("double")).head()
-    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    // empty reference table: degenerate single-bin histogram (mn = mx)
+    // instead of an NPE off the null min/max
+    val (mn, mx) =
+      if (mm.isNullAt(0)) (0.0, 0.0)
+      else (mm.getDouble(0), mm.getDouble(1))
     // clamped both ends: a live stream can drift OUTSIDE the reference
     // range (that drift lands in the edge bins and raises PSI, as it
     // should — never an out-of-bounds state write)
@@ -411,27 +436,42 @@ object EventStream {
     val tRef = refCounts.sum.toDouble
     val pRef = refCounts.map(c => (c + 0.5) / (tRef + 0.5 * nBins))
     stream
+      .withWatermark("ts", watermarkDelay)
       .select(window(col("ts"), windowLen).getField("start").as("ws"),
-        col("value").cast("double").as("v"))
-      .as[(java.sql.Timestamp, Double)]
+        col("value").cast("double").as("v"), col("ts"))
+      .as[(java.sql.Timestamp, Double, java.sql.Timestamp)]
       .groupByKey(_._1.getTime)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (wsMillis: Long, rows: Iterator[(java.sql.Timestamp, Double)],
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (wsMillis: Long, rows: Iterator[(java.sql.Timestamp, Double, java.sql.Timestamp)],
          state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
-          val counts = state.getOption.getOrElse(Array.fill(nBins)(0L))
-          rows.foreach(r => counts(binOf(r._2)) += 1)
-          state.update(counts)
-          val tCur = counts.sum.toDouble
-          val psi = pRef.zip(
-            counts.map(c => (c + 0.5) / (tCur + 0.5 * nBins)))
-            .map { case (p, q) => (p - q) * math.log(p / q) }.sum
-          // formatter built here: DateTimeFormatter isn't Serializable,
-          // so it can't ride the closure to the executors
-          val fmt = java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd HH:mm:ss")
-            .withZone(java.time.ZoneOffset.UTC)
-          WindowDrift(fmt.format(java.time.Instant.ofEpochMilli(wsMillis)),
-            counts.sum, math.floor(psi * 1e6 + 0.5) / 1e6)
+          if (state.hasTimedOut) {
+            // watermark passed window end: final score, then free the state
+            val counts = state.get
+            val total = counts.sum
+            val psi = pRef.zip(
+              counts.map(c => (c + 0.5) / (total + 0.5 * nBins)))
+              .map { case (p, q) => (p - q) * math.log(p / q) }.sum
+            state.remove()
+            WindowDrift(windowFmt.format(
+              java.time.Instant.ofEpochMilli(wsMillis)),
+              total, math.floor(psi * 1e6 + 0.5) / 1e6)
+          } else {
+            val counts = state.getOption.getOrElse(Array.fill(nBins)(0L))
+            rows.foreach(r => counts(binOf(r._2)) += 1)
+            state.update(counts)
+            // expire once the watermark passes the window end (clamped
+            // past the current watermark: GroupState rejects timestamps
+            // at or before it — the late-reopen case)
+            state.setTimeoutTimestamp(math.max(wsMillis + windowMs,
+              state.getCurrentWatermarkMs() + 1))
+            val total = counts.sum
+            val psi = pRef.zip(
+              counts.map(c => (c + 0.5) / (total + 0.5 * nBins)))
+              .map { case (p, q) => (p - q) * math.log(p / q) }.sum
+            WindowDrift(windowFmt.format(
+              java.time.Instant.ofEpochMilli(wsMillis)),
+              total, math.floor(psi * 1e6 + 0.5) / 1e6)
+          }
       }
   }
 

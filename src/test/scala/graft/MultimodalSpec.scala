@@ -174,7 +174,9 @@ class MultimodalSpec extends SparkSpec {
     // the raw text (the same arithmetic the oracle uses)
     def replayHash(text: String): Long = {
       val cps = text.codePoints().toArray
-      val n = text.length
+      // code-point count, not String.length: Spark/DuckDB length() count
+      // code points, and a supplementary character would shift w/h
+      val n = cps.length
       val w = 16 + n % 32
       val h = 16 + (n / 7) % 32
       def pxAt(i: Int): Int = if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff

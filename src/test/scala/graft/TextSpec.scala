@@ -502,30 +502,35 @@ class TextSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)))
     val bySource = docs.groupBy(_._1)
     out.foreach { r =>
-      val (src, nTop, slope) =
-        (r.getString(0), r.getLong(1), r.getAs[Double]("slope"))
+      val (src, nTop) = (r.getString(0), r.getLong(1))
       val counts = bySource(src).flatMap(_._2.split(" ").filter(_.nonEmpty))
         .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
       val top = counts.toSeq.sortBy { case (t, n) => (-n, t) }
         .take(Text.zipfTopK).zipWithIndex
       assert(nTop === top.length.toLong, src)
-      val terms = top.map { case ((_, n), i) =>
-        val x = math.log((i + 1).toDouble); val y = math.log(n.toDouble)
-        (math.floor(x * 1e9 + 0.5).toLong, math.floor(y * 1e9 + 0.5).toLong,
-          math.floor(x * y * 1e12 + 0.5).toLong,
-          math.floor(x * x * 1e12 + 0.5).toLong)
+      if (nTop == 1) {
+        // single-type source: slope is contractually null, never 0/0
+        assert(r.isNullAt(r.fieldIndex("slope")), src)
+      } else {
+        val slope = r.getAs[Double]("slope")
+        val terms = top.map { case ((_, n), i) =>
+          val x = math.log((i + 1).toDouble); val y = math.log(n.toDouble)
+          (math.floor(x * 1e9 + 0.5).toLong, math.floor(y * 1e9 + 0.5).toLong,
+            math.floor(x * y * 1e12 + 0.5).toLong,
+            math.floor(x * x * 1e12 + 0.5).toLong)
+        }
+        val (sx, sy, sxy, sxx) = (terms.map(_._1).sum, terms.map(_._2).sum,
+          terms.map(_._3).sum, terms.map(_._4).sum)
+        val n = top.length.toDouble
+        val expect = math.floor(
+          (n * (sxy.toDouble / 1e12) - (sx.toDouble / 1e9) * (sy.toDouble / 1e9)) /
+            (n * (sxx.toDouble / 1e12) - (sx.toDouble / 1e9) * (sx.toDouble / 1e9))
+            * 1e6 + 0.5) / 1e6
+        assert(slope === expect, src)
+        // counts are non-increasing in rank, so the fitted slope can't
+        // be positive
+        assert(slope <= 0.0, src)
       }
-      val (sx, sy, sxy, sxx) = (terms.map(_._1).sum, terms.map(_._2).sum,
-        terms.map(_._3).sum, terms.map(_._4).sum)
-      val n = top.length.toDouble
-      val expect = math.floor(
-        (n * (sxy.toDouble / 1e12) - (sx.toDouble / 1e9) * (sy.toDouble / 1e9)) /
-          (n * (sxx.toDouble / 1e12) - (sx.toDouble / 1e9) * (sx.toDouble / 1e9))
-          * 1e6 + 0.5) / 1e6
-      assert(slope === expect, src)
-      // counts are non-increasing in rank, so the fitted slope can't be
-      // positive
-      assert(slope <= 0.0, src)
     }
   }
 
