@@ -209,20 +209,28 @@ object SparkEntry {
     "q_profile_orders" -> ((s, d) => Stats.columnProfile(s, d)),
   )
 
+  /** The 10x64-term score expressions and the argmax CASE chain shared by
+    * every ML oracle twin - ONE generator so an edit to [[Metrics.weight]]
+    * or the tie-break rule can never desynchronize a subset of the SQL
+    * twins from the Spark scorer. */
+  private def mlScoreExprs: String = (0 until Metrics.numClasses).map { c =>
+    val terms = (1 to Metrics.numDims)
+      .map(i => s"v[$i]*(${Metrics.weight(c, i - 1)}.0)").mkString(" + ")
+    s"($terms) AS score_$c"
+  }.mkString(",\n  ")
+
+  private def mlCaseChain: String = (0 until Metrics.numClasses - 1).map { c =>
+    val conds = ((c + 1) until Metrics.numClasses)
+      .map(r => s"score_$c >= score_$r").mkString(" AND ")
+    s"WHEN $conds THEN $c"
+  }.mkString("\n   ", "\n   ", s"\n   ELSE ${Metrics.numClasses - 1}")
+
   /** DuckDB twin of [[Metrics.linearPredictions]] — scores and argmax
     * generated from the same weight formula, explicit left-assoc sums so
     * the fold order matches Spark's `aggregate` exactly. */
   private def mlPredCte: String = {
-    val scoreExprs = (0 until Metrics.numClasses).map { c =>
-      val terms = (1 to Metrics.numDims)
-        .map(i => s"v[$i]*(${Metrics.weight(c, i - 1)}.0)").mkString(" + ")
-      s"($terms) AS score_$c"
-    }.mkString(",\n  ")
-    val caseChain = (0 until Metrics.numClasses - 1).map { c =>
-      val conds = ((c + 1) until Metrics.numClasses)
-        .map(r => s"score_$c >= score_$r").mkString(" AND ")
-      s"WHEN $conds THEN $c"
-    }.mkString("\n   ", "\n   ", s"\n   ELSE ${Metrics.numClasses - 1}")
+    val scoreExprs = mlScoreExprs
+    val caseChain = mlCaseChain
     s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |s AS (SELECT vec_id, label,
@@ -1388,7 +1396,8 @@ object SparkEntry {
         |  sum(p6) AS sp, sum(r6) AS sr, sum(f6) AS sf,
         |  sum(support * p6) AS wp, sum(support * r6) AS wr,
         |  sum(support * f6) AS wf
-        | FROM m)
+        | FROM m),
+        |rep AS (
         |SELECT CAST(cls AS VARCHAR) AS cls, p6 / 1e6 AS precision,
         | r6 / 1e6 AS recall, f6 / 1e6 AS f1, support FROM m
         |UNION ALL SELECT 'accuracy', NULL, NULL,
@@ -1400,8 +1409,10 @@ object SparkEntry {
         |UNION ALL SELECT 'weighted avg',
         | floor(CAST(wp AS DOUBLE) / n + 0.5) / 1e6,
         | floor(CAST(wr AS DOUBLE) / n + 0.5) / 1e6,
-        | floor(CAST(wf AS DOUBLE) / n + 0.5) / 1e6, n FROM t
-        |ORDER BY cls""".stripMargin),
+        | floor(CAST(wf AS DOUBLE) / n + 0.5) / 1e6, n FROM t)
+        |SELECT * FROM rep
+        |ORDER BY CASE WHEN cls IN ('accuracy', 'macro avg', 'weighted avg')
+        |  THEN 1 ELSE 0 END, TRY_CAST(cls AS DOUBLE), cls""".stripMargin),
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
@@ -1576,7 +1587,7 @@ object SparkEntry {
          |         + ${Text.chunkStride - 1}) / ${Text.chunkStride}.0)
          |         AS BIGINT) + 1
          |  END AS n_win
-         | FROM t),
+         | FROM t WHERE n_tok > 0),
          |u AS (
          | SELECT doc_id, n_tok,
          |  CAST(unnest(generate_series(0, n_win - 1)) AS BIGINT) AS win_id
@@ -1651,11 +1662,7 @@ object SparkEntry {
          |   AS shared_ratio
          |FROM x GROUP BY source ORDER BY source""".stripMargin,
     "q_ml_logloss" -> {
-      val scoreExprs = (0 until Metrics.numClasses).map { c =>
-        val terms = (1 to Metrics.numDims)
-          .map(i => s"v[$i]*(${Metrics.weight(c, i - 1)}.0)").mkString(" + ")
-        s"($terms) AS score_$c"
-      }.mkString(",\n  ")
+      val scoreExprs = mlScoreExprs
       val names = (0 until Metrics.numClasses).map(c => s"score_$c")
       val yCase = (0 until Metrics.numClasses)
         .map(c => s"WHEN $c THEN score_$c").mkString(" ")
@@ -1677,11 +1684,7 @@ object SparkEntry {
          |FROM ll""".stripMargin
     },
     "q_ml_auc" -> {
-      val scoreExprs = (0 until Metrics.numClasses).map { c =>
-        val terms = (1 to Metrics.numDims)
-          .map(i => s"v[$i]*(${Metrics.weight(c, i - 1)}.0)").mkString(" + ")
-        s"($terms) AS score_$c"
-      }.mkString(",\n  ")
+      val scoreExprs = mlScoreExprs
       val melt = (0 until Metrics.numClasses).map { c =>
         s"SELECT $c AS cls, score_$c AS score, " +
           s"CASE WHEN label = $c THEN 1 ELSE 0 END AS pos FROM s"
@@ -1731,9 +1734,14 @@ object SparkEntry {
          |  CASE WHEN o_orderdate < DATE '${Features.psiDateCut}'
          |   THEN 1 ELSE 0 END AS is_ref
          | FROM orders CROSS JOIN mm),
-         |g AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+         |g0 AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
          |       CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
          |      FROM b GROUP BY bin),
+         |bins AS (SELECT unnest(generate_series(0, ${nb - 1})) AS bin),
+         |g AS (SELECT bins.bin AS bin,
+         |       coalesce(g0.n_ref, 0) AS n_ref,
+         |       coalesce(g0.n_cur, 0) AS n_cur
+         |      FROM bins LEFT JOIN g0 ON bins.bin = g0.bin),
          |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
          |       CAST(sum(n_cur) AS BIGINT) AS t_cur FROM g),
          |x AS (
@@ -1749,16 +1757,8 @@ object SparkEntry {
     },
     "q_ml_calibration" -> {
       val names = (0 until Metrics.numClasses).map(c => s"score_$c")
-      val scoreExprs = (0 until Metrics.numClasses).map { c =>
-        val terms = (1 to Metrics.numDims)
-          .map(i => s"v[$i]*(${Metrics.weight(c, i - 1)}.0)").mkString(" + ")
-        s"($terms) AS score_$c"
-      }.mkString(",\n  ")
-      val caseChain = (0 until Metrics.numClasses - 1).map { c =>
-        val conds = ((c + 1) until Metrics.numClasses)
-          .map(r => s"score_$c >= score_$r").mkString(" AND ")
-        s"WHEN $conds THEN $c"
-      }.mkString("\n   ", "\n   ", s"\n   ELSE ${Metrics.numClasses - 1}")
+      val scoreExprs = mlScoreExprs
+      val caseChain = mlCaseChain
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
          |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s AS (SELECT vec_id, label,
@@ -1909,16 +1909,18 @@ object SparkEntry {
         |    list_transform(cv, c -> c * c)), (a, b) -> a + b)) AS cnrm
         | FROM cent),
         |nn AS (SELECT label, count(*) AS n FROM e GROUP BY label),
-        |coh AS (
-        | SELECT e.label, sum(CAST(floor(
+        |cohx AS (
+        | SELECT e.label, CAST(floor(
         |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |     list_transform(generate_series(1, len(v)), i -> v[i] * cv[i])),
         |     (a, b) -> a + b)
         |   / nullif(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |       list_transform(v, q -> q * q)), (a, b) -> a + b)) * cnrm, 0.0)
-        |   * 1e12 + 0.5) AS BIGINT)) / (count(*) * 1e12)
-        |   AS coh
-        | FROM e JOIN cn ON e.label = cn.label GROUP BY e.label),
+        |   * 1e12 + 0.5) AS BIGINT) AS c12
+        | FROM e JOIN cn ON e.label = cn.label),
+        |coh AS (
+        | SELECT label, sum(c12) / (count(c12) * 1e12) AS coh
+        | FROM cohx GROUP BY label),
         |sep AS (
         | SELECT a.label, b.label AS other,
         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -180,7 +180,13 @@ object Metrics {
       .select(col("r.cls").as("cls"), col("r.precision").as("precision"),
         col("r.recall").as("recall"), col("r.f1").as("f1"),
         col("r.support").as("support"))
-    perClass.unionAll(summary).orderBy(col("cls"))
+    // numeric-aware order: per-class rows by class VALUE (string sort
+    // would put '10' before '2' and '-1' before '0'), then the three
+    // summary rows alphabetically — sklearn's layout for any label set
+    perClass.unionAll(summary).orderBy(
+      when(col("cls").isin("accuracy", "macro avg", "weighted avg"), 1)
+        .otherwise(0),
+      expr("try_cast(cls AS double)"), col("cls"))
   }
 
   /** R11 over the deterministic linear scorer — the oracle-checked form,

@@ -492,18 +492,25 @@ object Dedup {
     * replays them as CTEs and hash-checks the whole pipeline end to end.
     * A new doc bridging two existing clusters does NOT merge them (it
     * adopts the smaller label) — the standard incremental trade, healed
-    * by the next full contraction. */
+    * by the next full contraction.
+    *
+    * `baseTable` plugs a DIFFERENT published label base into the loop —
+    * the output of [[ensureMergedIncrementalLabels]] (yesterday's
+    * write-back) or [[healIncrementalBase]] (the scheduled full
+    * contraction) — so the daily chain really consumes what the
+    * previous step published; `None` keeps the day-0 base. */
   def incrementalAssign(spark: SparkSession, dir: String,
                         newFrac: Double = incNewFrac,
-                        minJaccard: Double = 0.8): DataFrame = {
+                        minJaccard: Double = 0.8,
+                        baseTable: Option[String] = None): DataFrame = {
     val tagged = incTagged(spark, dir, newFrac)
     val newSh = shingledOf(tagged.where(col("doc_id") >= col("cut")))
     // the existing corpus arrives as published layouts (the incremental
     // contract): its signature index and yesterday's labels; the first
     // caller of a fresh corpus version publishes both
     val sigs = spark.table(ensureIncrementalSigs(spark, dir, newFrac))
-    val oldLabels = spark.table(
-      ensureIncrementalBase(spark, dir, newFrac, minJaccard))
+    val oldLabels = spark.table(baseTable.getOrElse(
+      ensureIncrementalBase(spark, dir, newFrac, minJaccard)))
     assignIncrement(sigs, oldLabels,
       tagged.where(col("doc_id") >= col("cut")).select(col("doc_id")),
       newSh, minJaccard)

@@ -417,9 +417,17 @@ object Features {
       .groupBy(col("bin"))
       .agg(sum(col("is_ref")).as("n_ref"),
         sum(lit(1L) - col("is_ref")).as("n_cur"))
-    val tot = binned.agg(sum(col("n_ref")).as("t_ref"),
+    // ALL nBins rows, not just occupied ones: a bin empty in both
+    // windows still carries a nonzero smoothed term when the window
+    // totals differ, and the streaming twin sums the full vector — the
+    // two monitors must agree on the same data
+    val full = spark.range(nBins).select(col("id").as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = full.agg(sum(col("n_ref")).as("t_ref"),
       sum(col("n_cur")).as("t_cur"))
-    binned.crossJoin(broadcast(tot))
+    full.crossJoin(broadcast(tot))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         ((col("n_ref").cast("double") + 0.5) /
           (col("t_ref").cast("double") + lit(0.5 * nBins))).as("p"),

@@ -568,9 +568,12 @@ object Similarity {
       // already yields LongType, so the sum is exact to 2^63 regardless
       // of partition order — the DuckDB twin needs its explicit BIGINT
       // cast because ITS floor returns double), divide once
+      // denominator counts SCORED members (count(cos), null-skipping
+      // like the sum) — a zero-norm member contributes to neither side
+      // instead of silently deflating the mean
       .groupBy(col("label"))
       .agg((sum(floor(col("cos") * 1e12 + 0.5)) /
-        (count(lit(1)) * lit(1e12))).as("coh"))
+        (count(col("cos")) * lit(1e12))).as("coh"))
     val sep = cent.as("a").join(broadcast(cent.as("b")),
         col("a.label") =!= col("b.label"))
       .select(col("a.label").as("label"), col("b.label").as("other"),

@@ -550,6 +550,9 @@ object Text {
     val s = stride.toLong
     Tables.documents(spark, dir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      // a zero-token document yields NO windows (a zero-length training
+      // window is garbage downstream), not one empty window
+      .where(col("n_tok") > 0)
       .withColumn("n_win", when(col("n_tok") <= w, lit(1L))
         .otherwise(floor((col("n_tok") - w + (s - 1)) / lit(s.toDouble))
           .cast("long") + 1))

@@ -338,15 +338,27 @@ object EventStream {
         (key: (Int, Long, Long), rows: Iterator[(Long, Int, Long, Long)],
          state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
           var members = state.getOption.getOrElse(Seq.empty[Long])
+          // O(1) membership probes, built once per invocation; the
+          // stored Seq itself is CAPPED at maxBucket below, so both the
+          // state row and the per-arrival work stay bounded on a
+          // degenerate hot bucket (not just the pair fan-out)
+          val memberSet = scala.collection.mutable.LongMap.empty[Unit]
+          members.foreach(m => memberSet.update(m, ()))
           // deterministic within-batch arrival order (streams give none)
           val arriving = rows.map(_._1).toSeq.distinct.sorted
           val out = scala.collection.mutable.ListBuffer.empty[CandPair]
           arriving.foreach { id =>
-            if (!members.contains(id)) {
-              members.iterator.take(maxBucket).foreach { m =>
+            if (!memberSet.contains(id)) {
+              members.foreach { m =>
                 out += CandPair(math.min(m, id), math.max(m, id), key._1)
               }
-              members = members :+ id
+              // past the cap the arrival still pairs against the stored
+              // members (above) but is not remembered — the documented
+              // degenerate-bucket trade
+              if (members.length < maxBucket) {
+                members = members :+ id
+                memberSet.update(id, ())
+              }
             }
           }
           state.update(members)
@@ -365,12 +377,18 @@ object EventStream {
     * standard bounded-state topology at 1000 executors. */
   final case class WindowDrift(window_start: String, n: Long, psi: Double)
 
-  /** UTC second-resolution formatter for window-start keys. Held as an
-    * object field: executors reference it as a static, so it is built
-    * once per JVM and never serialized with a closure. */
-  private val windowFmt = java.time.format.DateTimeFormatter
-    .ofPattern("yyyy-MM-dd HH:mm:ss")
-    .withZone(java.time.ZoneOffset.UTC)
+  /** Second-resolution formatters for window-start keys, cached per
+    * zone. Held in an object field: executors reference it as a static
+    * (built once per JVM, never serialized with a closure); the zone
+    * STRING rides the closure so labels follow the session time zone —
+    * the same zone `window()` cut the boundaries in — instead of a
+    * hardcoded UTC that would shift labels on non-UTC sessions. */
+  private val fmtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.time.format.DateTimeFormatter]()
+  private def windowFmtFor(zone: String): java.time.format.DateTimeFormatter =
+    fmtCache.computeIfAbsent(zone, z =>
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneId.of(z)))
 
   /** Streaming twin of [[graft.ops.Features.psiDrift]] — ONLINE drift
     * monitoring: each tumbling window's `value` distribution is scored
@@ -407,6 +425,7 @@ object EventStream {
         case u => throw new IllegalArgumentException(s"window unit: $u")
       })
     }
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
     val ev = Tables.events(spark, dir)
     val mm = ev.agg(min(col("value")).cast("double"),
       max(col("value")).cast("double")).head()
@@ -452,7 +471,7 @@ object EventStream {
               counts.map(c => (c + 0.5) / (total + 0.5 * nBins)))
               .map { case (p, q) => (p - q) * math.log(p / q) }.sum
             state.remove()
-            WindowDrift(windowFmt.format(
+            WindowDrift(windowFmtFor(tz).format(
               java.time.Instant.ofEpochMilli(wsMillis)),
               total, math.floor(psi * 1e6 + 0.5) / 1e6)
           } else {
@@ -468,7 +487,7 @@ object EventStream {
             val psi = pRef.zip(
               counts.map(c => (c + 0.5) / (total + 0.5 * nBins)))
               .map { case (p, q) => (p - q) * math.log(p / q) }.sum
-            WindowDrift(windowFmt.format(
+            WindowDrift(windowFmtFor(tz).format(
               java.time.Instant.ofEpochMilli(wsMillis)),
               total, math.floor(psi * 1e6 + 0.5) / 1e6)
           }

@@ -309,6 +309,27 @@ class DedupSpec extends SparkSpec {
     assert(mergedTable !== healedTable)
   }
 
+  test("incrementalAssign chains off the published HEALED base when given one") {
+    val healedTable = Dedup.healIncrementalBase(spark, sf)
+    val healedLabels = spark.table(healedTable).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Dedup.incrementalAssign(spark, sf,
+        baseTable = Some(healedTable)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("attached")))
+    assert(out.nonEmpty)
+    // every attached doc adopts a label from the HEALED contraction —
+    // the published heal output is what the next increment consumes
+    val healedReps = healedLabels.values.toSet
+    out.filter(_._3 == 1).foreach { case (id, rep, _) =>
+      assert(healedReps.contains(rep), s"doc $id adopted non-healed rep $rep")
+    }
+    // same batch membership as the default-base wrapper (plumbing only
+    // differs in which labels get adopted)
+    val defaultIds = Dedup.incrementalAssign(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet === defaultIds)
+  }
+
   test("source dup matrix equals a driver-side regroup of the verified pairs") {
     val out = Dedup.sourceDupMatrix(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
