@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
 import graft.model.Metrics
-import graft.ops.{Dedup, Events, Features, Multimodal, Relational, Similarity, Text}
+import graft.ops.{Dedup, Events, Features, Multimodal, Relational, Similarity, Text, Validate}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -127,6 +127,12 @@ object SparkEntry {
     "q_ml_calibration" -> ((s, d) => Metrics.linearCalibration(s, d)),
     "q_ml_fold_eval" -> ((s, d) => Metrics.foldAccuracy(s, d)),
     "q_feat_psi" -> ((s, d) => Features.psiDrift(s, d)),
+    // data-validation gates: declarative constraint suite, FK audit,
+    // nonparametric per-source drift, trailing-window volume anomaly
+    "q_valid_constraints" -> ((s, d) => Validate.constraintSuite(s, d)),
+    "q_valid_refint" -> ((s, d) => Validate.refIntegrity(s, d)),
+    "q_valid_ks_drift" -> ((s, d) => Validate.ksDrift(s, d)),
+    "q_valid_anomaly" -> ((s, d) => Validate.dailyAnomaly(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -1754,6 +1760,97 @@ object SparkEntry {
          |SELECT bin, n_ref, n_cur,
          | floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS psi_term
          |FROM x ORDER BY bin""".stripMargin
+    },
+    // generated from the same name list + predicates as the Spark side
+    "q_valid_constraints" -> Validate.constraintSuiteSql,
+    "q_valid_refint" ->
+      """WITH r AS (
+        | SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |  (SELECT count(*) FROM lineitem) AS fact_rows,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |   AS orphans
+        | UNION ALL
+        | SELECT 'lineitem.l_partkey->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        | UNION ALL
+        | SELECT 'lineitem.l_suppkey->supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        | UNION ALL
+        | SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        | UNION ALL
+        | SELECT 'customer.c_nationkey->nation',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        | UNION ALL
+        | SELECT 'supplier.s_nationkey->nation',
+        |  (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)))
+        |SELECT relation, fact_rows, orphans,
+        | floor(CAST(orphans AS DOUBLE) / CAST(fact_rows AS DOUBLE)
+        |   * 1e6 + 0.5) / 1e6 AS orphan_rate
+        |FROM r ORDER BY relation""".stripMargin,
+    "q_valid_ks_drift" ->
+      """WITH c AS (SELECT source, n_chars AS v, count(*) AS c
+        |      FROM documents GROUP BY 1, 2),
+        |g AS (SELECT s.source, vv.v
+        |      FROM (SELECT DISTINCT source FROM c) s
+        |      CROSS JOIN (SELECT DISTINCT v FROM c) vv),
+        |f AS (SELECT g.source, g.v, coalesce(c.c, 0) AS c
+        |      FROM g LEFT JOIN c ON c.source = g.source AND c.v = g.v),
+        |cum AS (SELECT source, v, c,
+        |       CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+        |        AS cum_s FROM f),
+        |cum2 AS (SELECT source, v, cum_s,
+        |       CAST(sum(cum_s) OVER (PARTITION BY v) AS BIGINT) AS cum_all
+        |      FROM cum),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_s
+        |      FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t_all FROM c)
+        |SELECT cum2.source, t.t_s AS n_source,
+        | tt.t_all - t.t_s AS n_rest,
+        | floor(max(CASE WHEN tt.t_all > t.t_s THEN
+        |   abs(CAST(cum_s AS DOUBLE) / CAST(t.t_s AS DOUBLE)
+        |     - CAST(cum_all - cum_s AS DOUBLE)
+        |       / CAST(tt.t_all - t.t_s AS DOUBLE)) END) * 1e6 + 0.5) / 1e6
+        |  AS ks_stat
+        |FROM cum2 JOIN t ON t.source = cum2.source CROSS JOIN tt
+        |GROUP BY cum2.source, t.t_s, tt.t_all
+        |ORDER BY cum2.source""".stripMargin,
+    "q_valid_anomaly" -> {
+      val w = Validate.anomalyWindow
+      s"""WITH d AS (SELECT event_type AS grp,
+         |   strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT grp, day, n,
+         |   count(n) OVER w AS w_n,
+         |   CAST(CAST(sum(n) OVER w AS BIGINT) AS DOUBLE) AS w_sum,
+         |   CAST(CAST(sum(n * n) OVER w AS BIGINT) AS DOUBLE) AS w_sumsq
+         |  FROM d WINDOW w AS (PARTITION BY grp ORDER BY day
+         |   ROWS BETWEEN $w PRECEDING AND 1 PRECEDING)),
+         |m AS (SELECT grp, day, n, w_n,
+         |   w_sum / $w.0 AS mu0,
+         |   (w_sumsq - w_sum * w_sum / $w.0) / ${w - 1}.0 AS vr
+         |  FROM s),
+         |z AS (SELECT grp, day, n,
+         |   CASE WHEN w_n = $w
+         |    THEN floor(mu0 * 1e6 + 0.5) / 1e6 END AS mu,
+         |   CASE WHEN w_n = $w AND vr > 0
+         |    THEN floor((CAST(n AS DOUBLE) - mu0) / sqrt(vr) * 1e6 + 0.5)
+         |      / 1e6 END AS z
+         |  FROM m)
+         |SELECT grp, day, n, mu, z,
+         | coalesce(abs(z) > 3.0, false) AS is_anomaly
+         |FROM z ORDER BY grp, day""".stripMargin
     },
     "q_ml_calibration" -> {
       val names = (0 until Metrics.numClasses).map(c => s"score_$c")

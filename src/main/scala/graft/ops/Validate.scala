@@ -1,0 +1,288 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Data-validation gates — the checks a production pipeline runs BEFORE
+  * training data reaches a model: declarative constraint suites
+  * (completeness / uniqueness / range / domain, the Deequ check
+  * vocabulary, Schelter et al. VLDB'18), referential-integrity audits
+  * over the star schema, two-sample Kolmogorov–Smirnov drift between
+  * corpus sources (the nonparametric complement of [[Features.psiDrift]]'s
+  * binned PSI), and a trailing-window z-score anomaly screen on event
+  * volumes. The reference validates implicitly (`make_classification`
+  * guarantees its own schema, `/root/reference/src/data_generation.py:5`);
+  * at 100 TB ingest nothing guarantees anything — these gates are the
+  * explicit contract.
+  *
+  * Scale design: every check is either ONE fused aggregate over the fact
+  * table reduced to a constant-size report (constraints), a distinct-key
+  * pre-aggregation so the anti-join shuffles keys not rows (referential
+  * integrity), or a window over a per-group value grid whose size is
+  * bounded by distinct values, never row count (KS, anomaly). No check
+  * funnels rows through a single task.
+  */
+object Validate {
+
+  /** Shared cross-engine half-up rounding (BASELINE.md round-1 idiom). */
+  private def halfUp(c: Column, k: Double): Column = floor(c * k + 0.5) / k
+
+  // ---- constraint suite ----------------------------------------------
+
+  /** Constraint names, shared with the DuckDB twin so scorer and oracle
+    * can never drift on labels. Order is the output order. */
+  val constraintNames: Seq[String] = Seq(
+    "completeness:l_orderkey",
+    "completeness:l_shipdate",
+    "uniqueness:l_orderkey,l_linenumber",
+    "uniqueness:l_orderkey",
+    "range:l_quantity>0",
+    "range:l_extendedprice>0",
+    "range:l_discount[0,0.1]",
+    "range:l_tax[0,0.08]",
+    "domain:l_returnflag{A,N,R}",
+    "domain:l_linestatus{F,O}",
+    "range:l_shipdate[1995,2002]")
+
+  /** Deequ-style declarative constraint suite over `lineitem`: each row is
+    * one check with its observed satisfaction ratio in [0,1], the declared
+    * threshold, and the pass verdict. The whole suite is ONE scan — every
+    * satisfaction count is a conditional sum in a single aggregate, and
+    * the two uniqueness checks ride the same aggregate as distinct counts
+    * (Spark plans them via one shared Expand, still a single pass over the
+    * fact table). The report is 11 rows regardless of input size.
+    *
+    * Determinism: observed = ratio of exact longs (one IEEE division,
+    * identical on both engines), then the floor-based half-up rounding at
+    * 6dp; `passed` compares the already-rounded value. */
+  def constraintSuite(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def sat(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+    val agg = li.agg(
+      count(lit(1)).as("n"),
+      count(col("l_orderkey")).as("s_c_ok"),
+      count(col("l_shipdate")).as("s_c_sd"),
+      count_distinct(concat_ws("#", col("l_orderkey"), col("l_linenumber")))
+        .as("s_u_pk"),
+      count_distinct(col("l_orderkey")).as("s_u_ok"),
+      sat(col("l_quantity") > 0).as("s_r_qty"),
+      sat(col("l_extendedprice") > 0).as("s_r_px"),
+      sat(col("l_discount").between(0.0, 0.1)).as("s_r_disc"),
+      sat(col("l_tax").between(0.0, 0.08)).as("s_r_tax"),
+      sat(col("l_returnflag").isin("A", "N", "R")).as("s_d_rf"),
+      sat(col("l_linestatus").isin("F", "O")).as("s_d_ls"),
+      sat(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("2003-01-01"))).as("s_r_sd"))
+    val satCols = Seq("s_c_ok", "s_c_sd", "s_u_pk", "s_u_ok", "s_r_qty",
+      "s_r_px", "s_r_disc", "s_r_tax", "s_d_rf", "s_d_ls", "s_r_sd")
+    val entries = constraintNames.zip(satCols).map { case (name, c) =>
+      struct(lit(name).as("check_name"),
+        halfUp(col(c).cast("double") / col("n").cast("double"), 1e6)
+          .as("observed"))
+    }
+    agg.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.check_name").as("check_name"), col("e.observed"),
+        lit(1.0).as("threshold"),
+        (col("e.observed") >= lit(1.0)).as("passed"))
+      .orderBy(col("check_name"))
+  }
+
+  /** DuckDB twin of [[constraintSuite]], generated from the same name
+    * list and predicates so the two can never drift. */
+  def constraintSuiteSql: String = {
+    val preds = Seq(
+      "count(l_orderkey)",
+      "count(l_shipdate)",
+      "count(DISTINCT concat_ws('#', l_orderkey, l_linenumber))",
+      "count(DISTINCT l_orderkey)",
+      "sum(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END)",
+      "sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END)",
+      "sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)",
+      "sum(CASE WHEN l_tax BETWEEN 0.0 AND 0.08 THEN 1 ELSE 0 END)",
+      "sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END)",
+      "sum(CASE WHEN l_linestatus IN ('F','O') THEN 1 ELSE 0 END)",
+      "sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01' AND " +
+        "l_shipdate < TIMESTAMP '2003-01-01' THEN 1 ELSE 0 END)")
+    val rows = constraintNames.zip(preds).map { case (name, p) =>
+      s"SELECT '$name' AS check_name, " +
+        s"floor(CAST($p AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5)" +
+        s" / 1e6 AS observed FROM lineitem"
+    }
+    "WITH obs AS (" + rows.mkString(" UNION ALL ") + ") " +
+      "SELECT check_name, observed, 1.0 AS threshold, " +
+      "observed >= 1.0 AS passed FROM obs ORDER BY check_name"
+  }
+
+  // ---- referential integrity -----------------------------------------
+
+  /** Generic orphan-foreign-key audit. `facts` are (relation label, fact
+    * frame, FK column); `dims` are (relation label, dim frame, PK column)
+    * — the SAME label ties a fact side to its dim side, and one dim table
+    * may back several labels. Returns one row per relation:
+    * (relation, fact_rows, orphans, orphan_rate).
+    *
+    * Scale shape: each fact is scanned ONCE (a multi-FK fact contributes
+    * all its (relation, key) pairs via one generator), then reduced to
+    * DISTINCT keys with counts — map-side partial aggregation does the
+    * heavy lifting, so the join that finds dangling keys shuffles
+    * |distinct keys| rows, not |fact| rows. Dangling keys are found with
+    * one LEFT OUTER join against the (deduplicated) dim keys and a
+    * conditional sum, NOT an anti join: an anti join would need a second
+    * pass over the key frame for the denominators (and Catalyst's
+    * `PushDownLeftSemiAntiJoin` would rewrite it onto raw fact rows,
+    * exactly the shuffle this shape avoids). A null FK never matches and
+    * is therefore counted as dangling. */
+  def refIntegrityOf(facts: Seq[(DataFrame, Seq[(String, String)])],
+                     dims: Seq[(String, DataFrame, String)]): DataFrame = {
+    val factKeys = facts.map { case (df, fks) =>
+      val entries = fks.map { case (rel, c) =>
+        struct(lit(rel).as("relation"), col(c).cast("long").as("k"))
+      }
+      df.select(explode(array(entries: _*)).as("e"))
+        .select(col("e.relation").as("relation"), col("e.k").as("k"))
+    }.reduce(_ union _)
+    val dimKeys = dims.map { case (rel, df, pk) =>
+      df.select(lit(rel).as("relation"), col(pk).cast("long").as("k"))
+    }.reduce(_ union _)
+    val perKey = factKeys.groupBy(col("relation"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    perKey
+      .join(dimKeys.distinct().withColumn("hit", lit(1)),
+        Seq("relation", "k"), "left")
+      .groupBy(col("relation"))
+      .agg(sum(col("cnt")).as("fact_rows"),
+        sum(when(col("hit").isNull, col("cnt")).otherwise(0L)).as("orphans"))
+      .select(col("relation"), col("fact_rows"), col("orphans"),
+        halfUp(col("orphans").cast("double") /
+          col("fact_rows").cast("double"), 1e6).as("orphan_rate"))
+      .orderBy(col("relation"))
+  }
+
+  /** The star-schema audit as a declared query: every FK edge in the
+    * TPC-H-ish schema, lineitem's three edges from one scan. */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    refIntegrityOf(
+      facts = Seq(
+        (Tables.lineitem(spark, dir), Seq(
+          ("lineitem.l_orderkey->orders", "l_orderkey"),
+          ("lineitem.l_partkey->part", "l_partkey"),
+          ("lineitem.l_suppkey->supplier", "l_suppkey"))),
+        (Tables.orders(spark, dir),
+          Seq(("orders.o_custkey->customer", "o_custkey"))),
+        (Tables.customer(spark, dir),
+          Seq(("customer.c_nationkey->nation", "c_nationkey"))),
+        (Tables.supplier(spark, dir),
+          Seq(("supplier.s_nationkey->nation", "s_nationkey")))),
+      dims = Seq(
+        ("lineitem.l_orderkey->orders", Tables.orders(spark, dir), "o_orderkey"),
+        ("lineitem.l_partkey->part", Tables.part(spark, dir), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", Tables.supplier(spark, dir), "s_suppkey"),
+        ("orders.o_custkey->customer", Tables.customer(spark, dir), "c_custkey"),
+        ("customer.c_nationkey->nation", Tables.nation(spark, dir), "n_nationkey"),
+        ("supplier.s_nationkey->nation", Tables.nation(spark, dir), "n_nationkey")))
+  }
+
+  // ---- two-sample KS drift -------------------------------------------
+
+  /** Two-sample Kolmogorov–Smirnov statistic — for EACH source, its
+    * value distribution against the pooled rest of the corpus:
+    * KS(s) = max over values v of |F_s(v) − F_rest(v)| where F is the
+    * empirical CDF. The nonparametric, binning-free complement of the PSI
+    * screen: PSI needs bin edges, KS ranks every source by raw
+    * distributional distance.
+    *
+    * Shape: one (source, value) group-count, a dense source×value grid so
+    * every ECDF is evaluated at every observed value, a per-source
+    * running sum for F_s, and — instead of a global-order window (single
+    * task, banned shape) — F_all at each value is recovered as a
+    * partition-by-value sum of the per-source cumulatives; F_rest is then
+    * (all − s) / (T − t_s). Window partitions are per-source (V rows) and
+    * per-value (S rows); nothing is single-task. Cost is S×V grid rows,
+    * independent of corpus row count.
+    *
+    * Determinism: cumulatives and totals are exact longs; the two ECDF
+    * divisions, subtraction, abs, and max are identical IEEE ops on both
+    * engines; final half-up round at 6dp. Degenerate single-source input
+    * (T − t_s = 0) yields null, not 0/0 (house rule). */
+  def ksBySource(df: DataFrame, sourceCol: String, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol).as("source"),
+      col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val grid = counts.select("source").distinct()
+      .crossJoin(counts.select("v").distinct())
+    val full = grid.join(counts, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val cum = full
+      .withColumn("cum_s", sum(col("c"))
+        .over(Window.partitionBy("source").orderBy("v")))
+      .withColumn("cum_all", sum(col("cum_s"))
+        .over(Window.partitionBy("v")))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("t_s"))
+    val grand = counts.agg(sum(col("c")).as("t_all"))
+    cum.join(totals, Seq("source")).crossJoin(broadcast(grand))
+      .groupBy(col("source"), col("t_s"), col("t_all"))
+      .agg(max(when(col("t_all") > col("t_s"),
+        abs(col("cum_s").cast("double") / col("t_s").cast("double") -
+          (col("cum_all") - col("cum_s")).cast("double") /
+            (col("t_all") - col("t_s")).cast("double")))).as("ks_raw"))
+      .select(col("source"), col("t_s").as("n_source"),
+        (col("t_all") - col("t_s")).as("n_rest"),
+        halfUp(col("ks_raw"), 1e6).as("ks_stat"))
+      .orderBy(col("source"))
+  }
+
+  /** The declared drift query: each document source's `n_chars` length
+    * distribution vs the pooled rest. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksBySource(Tables.documents(spark, dir), "source", "n_chars")
+
+  // ---- trailing-window anomaly screen --------------------------------
+
+  /** Anomaly window length, shared with the DuckDB twin. */
+  val anomalyWindow: Int = 7
+
+  /** z-score each (group, day, n) row against its own trailing
+    * [[anomalyWindow]]-day window (current day excluded): the day-over-day
+    * volume monitor that catches a collapsed ingest source or a runaway
+    * duplicate burst. Rows without a full trailing window, or with a
+    * constant window (variance 0), score null — never 0/0 (house rule).
+    *
+    * Determinism: the trailing mean and variance derive from exact
+    * integer window sums (Σn, Σn²) via one fixed IEEE formula — counts
+    * are longs, the sums are exact, so both engines compute bit-identical
+    * moments regardless of partition order; z is then half-up-rounded at
+    * 6dp. Windows partition by group — never a global order. */
+  def anomalyScores(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy("day")
+      .rowsBetween(-anomalyWindow, -1)
+    val dd = lit(anomalyWindow.toDouble)
+    val scored = daily
+      .withColumn("w_n", count(col("n")).over(w))
+      .withColumn("w_sum", sum(col("n")).over(w).cast("double"))
+      .withColumn("w_sumsq",
+        sum(col("n") * col("n")).over(w).cast("double"))
+      .withColumn("mu", col("w_sum") / dd)
+      .withColumn("vr",
+        (col("w_sumsq") - col("w_sum") * col("w_sum") / dd) / (dd - 1.0))
+    scored.select(col("grp"), col("day"), col("n"),
+      when(col("w_n") === anomalyWindow, halfUp(col("mu"), 1e6)).as("mu"),
+      when(col("w_n") === anomalyWindow && col("vr") > 0,
+        halfUp((col("n").cast("double") - col("mu")) / sqrt(col("vr")), 1e6))
+        .as("z"))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > 3.0, lit(false)))
+      .orderBy(col("grp"), col("day"))
+  }
+
+  /** The declared query: per-event-type daily volumes from the events
+    * stream, scored by [[anomalyScores]]. Day labels are formatted in the
+    * session time zone (UTC, `Tables.configure`), matching the oracle's
+    * naive timestamps. */
+  def dailyAnomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyScores(Tables.events(spark, dir)
+      .select(col("event_type").as("grp"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy(col("grp"), col("day")).agg(count(lit(1)).as("n")))
+}

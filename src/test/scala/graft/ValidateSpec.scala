@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Validate
+import graft.sources.Tables
+
+class ValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("constraint suite: one row per declared check, mixed verdicts") {
+    val rows = Validate.constraintSuite(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Validate.constraintNames.sorted)
+    val byName = rows.map(r => r.getString(0) ->
+      (r.getDouble(1), r.getBoolean(3))).toMap
+    // observed always a ratio
+    byName.values.foreach { case (obs, _) =>
+      assert(obs >= 0.0 && obs <= 1.0) }
+    // the synthetic lineitem's (orderkey, linenumber) pair is NOT unique
+    // — the suite must report that as a failed check, completeness and
+    // range checks as passed
+    assert(!byName("uniqueness:l_orderkey,l_linenumber")._2)
+    assert(!byName("uniqueness:l_orderkey")._2)
+    assert(byName("completeness:l_orderkey") === ((1.0, true)))
+    assert(byName("range:l_quantity>0")._2)
+    assert(byName("domain:l_returnflag{A,N,R}")._2)
+  }
+
+  test("constraint suite: single scan of the fact table") {
+    val plan = Validate.constraintSuite(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected one lineitem scan, got $scans")
+  }
+
+  test("refint: clean star schema has zero orphans on every edge") {
+    val rows = Validate.refIntegrity(spark, sf).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getLong(2) === 0L, s"${r.getString(0)} orphans")
+      assert(r.getDouble(3) === 0.0)
+      assert(r.getLong(1) > 0L)
+    }
+    // denominators match the actual table sizes
+    val byRel = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRel("lineitem.l_orderkey->orders") ===
+      Tables.lineitem(spark, sf).count())
+    assert(byRel("orders.o_custkey->customer") ===
+      Tables.orders(spark, sf).count())
+  }
+
+  test("refint: one lineitem scan, outer-join on distinct keys, no anti join") {
+    val plan = Validate.refIntegrity(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(plan).size === 1)
+    // the dangling check must stay a LEFT OUTER over the aggregated key
+    // frame — an anti join here means Catalyst pushed it onto raw rows
+    assert(!plan.contains("LeftAnti"))
+  }
+
+  test("refint: detects injected dangling and null FKs") {
+    val fact = Seq((1L, Some(10L)), (2L, Some(11L)), (3L, Some(99L)),
+      (4L, None)).toDF("id", "fk")
+    val dim = Seq(10L, 11L, 12L).toDF("pk")
+    val r = Validate.refIntegrityOf(
+      facts = Seq((fact, Seq(("f->d", "fk")))),
+      dims = Seq(("f->d", dim, "pk"))).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 4L)      // fact_rows
+    assert(r.head.getLong(2) === 2L)      // the 99L and the null
+    assert(r.head.getDouble(3) === 0.5)
+  }
+
+  test("ks: identical distributions score 0, disjoint score 1") {
+    val same = (1 to 50).flatMap(i =>
+      Seq(("a", i % 5), ("b", i % 5))).toDF("src", "v")
+    val ksSame = Validate.ksBySource(same, "src", "v").collect()
+    ksSame.foreach(r => assert(r.getDouble(3) === 0.0))
+    val disjoint = ((1 to 40).map(i => ("a", i % 4)) ++
+      (1 to 40).map(i => ("b", 100 + i % 4))).toDF("src", "v")
+    val ksDis = Validate.ksBySource(disjoint, "src", "v").collect()
+    ksDis.foreach(r => assert(r.getDouble(3) === 1.0))
+  }
+
+  test("ks: single source yields null, never 0/0") {
+    val solo = (1 to 10).map(i => ("only", i)).toDF("src", "v")
+    val r = Validate.ksBySource(solo, "src", "v").collect()
+    assert(r.length === 1)
+    assert(r.head.isNullAt(3))
+    assert(r.head.getLong(2) === 0L)
+  }
+
+  test("ks drift on documents: stats in [0,1], totals partition corpus") {
+    val rows = Validate.ksDrift(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === total)
+      val ks = r.getDouble(3)
+      assert(ks >= 0.0 && ks <= 1.0)
+    }
+  }
+
+  test("anomaly: a spiked day is flagged, warmup days are not scored") {
+    // 7 flat days then a 10x spike on day 8: z = (100-10)/0 is degenerate
+    // (constant window, vr=0 -> null); use slight jitter so sigma > 0
+    val daily = (1 to 7).map(d => ("t", f"2024-01-0$d", 10L + (d % 2))) :+
+      (("t", "2024-01-08", 100L)) :+ (("t", "2024-01-09", 10L))
+    val r = Validate.anomalyScores(daily.toDF("grp", "day", "n"))
+      .collect().map(x => x.getString(1) ->
+        (Option(x.get(4)).map(_.toString.toDouble), x.getBoolean(5))).toMap
+    (1 to 7).foreach(d => assert(r(f"2024-01-0$d") === ((None, false))))
+    val (z8, flag8) = r("2024-01-08")
+    assert(flag8 && z8.get > 3.0, s"spike z=$z8")
+  }
+
+  test("anomaly: constant trailing window scores null, not 0/0") {
+    val daily = ((1 to 7).map(d => ("t", f"2024-01-0$d", 5L)) :+
+      (("t", "2024-01-08", 50L))).toDF("grp", "day", "n")
+    val last = Validate.anomalyScores(daily).collect().last
+    assert(last.isNullAt(4))            // z null despite the huge jump
+    assert(!last.getBoolean(5))         // and not flagged
+  }
+
+  test("anomaly on events: every (type, day) scored once, full-window rows have mu") {
+    val rows = Validate.dailyAnomaly(spark, sf).collect()
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+    val w = Validate.anomalyWindow
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sortedDays = rs.sortBy(_.getString(1))
+      // first w days unscored, the rest carry a trailing mean
+      sortedDays.take(w).foreach(r => assert(r.isNullAt(3)))
+      sortedDays.drop(w).foreach(r => assert(!r.isNullAt(3)))
+    }
+  }
+}
