@@ -243,6 +243,26 @@ object Validate {
   /** Anomaly window length, shared with the DuckDB twin. */
   val anomalyWindow: Int = 7
 
+  /** Scalar twin of the [[anomalyScores]] moment arithmetic, shared with
+    * the streaming monitor ([[graft.streaming.EventStream.anomalyStateful]])
+    * so both paths emit bit-identical (mu, z): exact Long sums cast once
+    * to double, then the same fixed IEEE formula and half-up rounding as
+    * the Column expressions. Returns (None, None) without a full
+    * trailing window; z is None for a constant window (vr = 0). */
+  def zScoreOf(n: Long, hist: Seq[Long]): (Option[Double], Option[Double]) =
+    if (hist.length != anomalyWindow) (None, None)
+    else {
+      val w = anomalyWindow.toDouble
+      val s = hist.sum.toDouble
+      val sq = hist.map(x => x * x).sum.toDouble
+      val mu0 = s / w
+      val vr = (sq - s * s / w) / (w - 1.0)
+      (Some(math.floor(mu0 * 1e6 + 0.5) / 1e6),
+        if (vr > 0)
+          Some(math.floor((n.toDouble - mu0) / math.sqrt(vr) * 1e6 + 0.5) / 1e6)
+        else None)
+    }
+
   /** z-score each (group, day, n) row against its own trailing
     * [[anomalyWindow]]-day window (current day excluded): the day-over-day
     * volume monitor that catches a collapsed ingest source or a runaway

@@ -509,4 +509,75 @@ object EventStream {
           UserTotals(user, n, math.rint(s * 100) / 100)
       }
   }
+
+  final case class DayCount(day: String, n: Long)
+  final case class AnomalyState(closed: List[DayCount], open: List[DayCount])
+  final case class DayScore(grp: String, day: String, n: Long,
+                            mu: Option[Double], z: Option[Double],
+                            is_anomaly: Boolean)
+
+  /** Streaming twin of [[graft.ops.Validate.dailyAnomaly]] — the ONLINE
+    * volume monitor: per event type, each day's event count is z-scored
+    * against that type's own trailing [[graft.ops.Validate.anomalyWindow]]
+    * closed days the moment the watermark closes the day, through the
+    * SAME scalar moment arithmetic ([[graft.ops.Validate.zScoreOf]]) as
+    * the batch query — emitted (mu, z) are bit-identical to a batch
+    * replay over the closed days.
+    *
+    * State per event type is the open-day counts plus the last
+    * `anomalyWindow` closed (day, n) pairs — bounded by the watermark
+    * horizon plus a constant, independent of event volume, partitioned
+    * by group key in the state store. Days close oldest-first (so a
+    * multi-day catch-up batch feeds its own earlier days into later
+    * days' trailing windows, matching the batch row order), driven by
+    * event-time timeout on the earliest open day's end. The closed
+    * history deliberately OUTLIVES day closure — unlike the per-window
+    * drift monitor the trailing context must survive — so state for a
+    * group retires only with the group itself (group count is a small
+    * dimension: event types, not users). Day labels use the session
+    * time zone, like every window label here. */
+  def anomalyStateful(spark: SparkSession, stream: DataFrame,
+                      watermarkDelay: String = "2 hours"): Dataset[DayScore] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val w = graft.ops.Validate.anomalyWindow
+    def dayEndMs(day: String): Long =
+      java.time.LocalDate.parse(day).plusDays(1)
+        .atStartOfDay(java.time.ZoneId.of(tz)).toInstant.toEpochMilli
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_type").as("grp"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("ts"))
+      .as[(String, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (grp: String, rows: Iterator[(String, String, java.sql.Timestamp)],
+         state: GroupState[AnomalyState]) =>
+          val st0 = state.getOption.getOrElse(AnomalyState(Nil, Nil))
+          val openMap = scala.collection.mutable.Map(
+            st0.open.map(d => d.day -> d.n).toSeq: _*)
+          rows.foreach(r => openMap(r._2) = openMap.getOrElse(r._2, 0L) + 1L)
+          // close every open day the watermark has passed, oldest first,
+          // scoring each against the trailing closed history as it was
+          // at that day's close (works identically on the timeout path,
+          // where `rows` is simply empty)
+          val wm = state.getCurrentWatermarkMs()
+          val (toClose, stillOpen) = openMap.toList.sortBy(_._1)
+            .partition { case (d, _) => dayEndMs(d) <= wm }
+          var hist = st0.closed
+          val out = toClose.map { case (d, n) =>
+            val (mu, z) = graft.ops.Validate.zScoreOf(n, hist.map(_.n))
+            hist = (hist :+ DayCount(d, n)).takeRight(w)
+            DayScore(grp, d, n, mu, z, z.exists(x => math.abs(x) > 3.0))
+          }
+          state.update(AnomalyState(hist,
+            stillOpen.map { case (d, n) => DayCount(d, n) }))
+          if (stillOpen.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              stillOpen.map(p => dayEndMs(p._1)).min, wm + 1))
+          out.iterator
+      }
+  }
 }

@@ -459,4 +459,40 @@ class StreamingSpec extends SparkSpec {
     }
     assert(calm.exists(_._1 >= 100))
   }
+
+  test("streaming anomaly monitor == batch replay on every closed day") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStream.readEvents(spark, sf)
+    val q = EventStream.anomalyStateful(spark, stream)
+      .writeStream.format("memory").queryName("stream_anomaly")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_anomaly").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)), Option(r.get(4)), r.getBoolean(5)))
+      .toMap
+    // every day is emitted at most once
+    assert(got.size === spark.table("stream_anomaly").count())
+
+    // the emitted set is exactly the days the final watermark closed
+    val maxTs = graft.sources.Tables.events(spark, sf)
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val wm = maxTs - 2L * 3600 * 1000   // the default 2h delay
+    def dayEnd(day: String): Long =
+      java.time.LocalDate.parse(day).plusDays(1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val batch = graft.ops.Validate.dailyAnomaly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)), Option(r.get(4)), r.getBoolean(5)))
+      .toMap
+    val expected = batch.keySet.filter(k => dayEnd(k._2) <= wm)
+    assert(got.keySet === expected)
+    assert(expected.nonEmpty)
+
+    // and each closed day's (n, mu, z, flag) is bit-identical to the
+    // batch query's row — same exact-integer moment arithmetic
+    expected.foreach { k => assert(got(k) === batch(k), s"day $k") }
+    // the data has full-window scored days (not all-null mu)
+    assert(got.values.exists(_._2.isDefined))
+  }
 }
