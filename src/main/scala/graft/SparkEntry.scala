@@ -133,6 +133,9 @@ object SparkEntry {
     "q_valid_refint" -> ((s, d) => Validate.refIntegrity(s, d)),
     "q_valid_ks_drift" -> ((s, d) => Validate.ksDrift(s, d)),
     "q_valid_anomaly" -> ((s, d) => Validate.dailyAnomaly(s, d)),
+    "q_valid_freshness" -> ((s, d) => Validate.freshness(s, d)),
+    "q_valid_snapshot_diff" -> ((s, d) => Validate.snapshotDiff(s, d)),
+    "q_valid_benford" -> ((s, d) => Validate.benfordScreen(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -1763,6 +1766,33 @@ object SparkEntry {
     },
     // generated from the same name list + predicates as the Spark side
     "q_valid_constraints" -> Validate.constraintSuiteSql,
+    "q_valid_benford" -> Validate.benfordSql,
+    "q_valid_freshness" ->
+      """WITH per AS (SELECT event_type AS grp, count(*) AS n,
+        |   max(ts) AS mx FROM events GROUP BY 1),
+        |g AS (SELECT max(mx) AS gmx FROM per)
+        |SELECT grp, n, strftime(mx, '%Y-%m-%d %H:%M:%S') AS last_seen,
+        | epoch_ms(gmx) - epoch_ms(mx) AS staleness_ms
+        |FROM per CROSS JOIN g ORDER BY grp""".stripMargin,
+    "q_valid_snapshot_diff" -> {
+      val (addM, chgM, remM) = Validate.snapshotDiffMods
+      s"""WITH oldv AS (
+         | SELECT o_orderkey AS k,
+         |  CASE WHEN o_orderkey % $chgM = 0 THEN o_totalprice + 1.0
+         |   ELSE o_totalprice END AS v
+         | FROM orders WHERE o_orderkey % $addM <> 0
+         | UNION ALL
+         | SELECT -(o_orderkey + 1), o_totalprice FROM orders
+         | WHERE o_orderkey % $remM = 0),
+         |newv AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |j AS (SELECT CASE WHEN o.k IS NULL THEN 'added'
+         |       WHEN n.k IS NULL THEN 'removed'
+         |       WHEN o.v IS DISTINCT FROM n.v THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |  FROM oldv o FULL OUTER JOIN newv n ON o.k = n.k)
+         |SELECT status, count(*) AS n_rows FROM j
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_valid_refint" ->
       """WITH r AS (
         | SELECT 'lineitem.l_orderkey->orders' AS relation,

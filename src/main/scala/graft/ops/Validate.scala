@@ -305,4 +305,160 @@ object Validate {
       .select(col("event_type").as("grp"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .groupBy(col("grp"), col("day")).agg(count(lit(1)).as("n")))
+
+  // ---- freshness ------------------------------------------------------
+
+  /** Per-source freshness monitor: each event type's row count, last
+    * event time, and staleness (milliseconds behind the freshest source)
+    * — the check that catches a silently dead ingest feed before the
+    * next model refresh trains on a stale slice. One grouped aggregate;
+    * the global high-water mark derives from the tiny per-group frame,
+    * broadcast back. Staleness is an exact long difference of epoch
+    * milliseconds — no float anywhere. */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("grp"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("mx"))
+    val glob = per.agg(max(col("mx")).as("gmx"))
+    per.crossJoin(broadcast(glob))
+      .select(col("grp"), col("n"),
+        date_format(col("mx"), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        (unix_millis(col("gmx")) - unix_millis(col("mx")))
+          .as("staleness_ms"))
+      .orderBy(col("grp"))
+  }
+
+  // ---- snapshot diff --------------------------------------------------
+
+  /** Generic CDC-style snapshot diff: per key, classify the transition
+    * from `oldDf` to `newDf` as added / removed / changed / unchanged
+    * (changed = any compare column not null-safe-equal). Returns the
+    * row-level (keys..., status) frame; aggregate for the summary.
+    *
+    * Scale shape: ONE full-outer sort-merge join on the key — the
+    * standard lake-diff; co-locate with bucketing on the key when both
+    * snapshots are published bucketed ([[graft.store.FeatureStore]]
+    * layouts) and the exchange disappears entirely. Value comparison is
+    * a codegen'd projection, no second pass. */
+  def snapshotDiffRows(oldDf: DataFrame, newDf: DataFrame,
+                       keys: Seq[String], vals: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ vals).map(col): _*)
+      .toDF(keys.map("k_" + _) ++ vals.map("o_" + _): _*)
+    val n = newDf.select((keys ++ vals).map(col): _*)
+      .toDF(keys.map("n_" + _) ++ vals.map("n_" + _): _*)
+    val joinCond = keys.map(k => col("k_" + k) <=> col("n_" + k))
+      .reduce(_ && _)
+    val oPresent = keys.map(k => col("k_" + k).isNotNull).reduce(_ || _)
+    val nPresent = keys.map(k => col("n_" + k).isNotNull).reduce(_ || _)
+    val sameVals = vals.map(v => col("o_" + v) <=> col("n_" + v))
+      .foldLeft(lit(true))(_ && _)
+    o.join(n, joinCond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col("k_" + k), col("n_" + k)).as(k)) :+
+          when(!oPresent, "added")
+            .when(!nPresent, "removed")
+            .when(!sameVals, "changed")
+            .otherwise("unchanged").as("status"): _*)
+  }
+
+  /** The declared diff query: yesterday's orders snapshot is simulated
+    * deterministically from today's (every 97th key missing = added
+    * today, every 89th price back-dated by 1.0 = changed, every 101st
+    * key re-signed to -(k+1) = removed today), then [[snapshotDiffRows]]
+    * reduces to the 4-row status summary. The modulus constants are
+    * shared with the DuckDB twin via [[snapshotDiffMods]]. */
+  val snapshotDiffMods: (Int, Int, Int) = (97, 89, 101)
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (addM, chgM, remM) = snapshotDiffMods
+    val orders = Tables.orders(spark, dir)
+    val vOld = orders.where(pmod(col("o_orderkey"), lit(addM)) =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(pmod(col("o_orderkey"), lit(chgM)) === 0,
+          col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("v"))
+      // re-signed as -(k+1): plain -k would collide with a real key 0
+      .union(orders.where(pmod(col("o_orderkey"), lit(remM)) === 0)
+        .select((-(col("o_orderkey") + 1)).as("k"),
+          col("o_totalprice").as("v")))
+    val vNew = orders.select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("v"))
+    snapshotDiffRows(vOld, vNew, Seq("k"), Seq("v"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("status"))
+  }
+
+  // ---- Benford screen -------------------------------------------------
+
+  /** Benford first-digit expectations log10(1 + 1/d), shared with the
+    * DuckDB twin as round-trippable double literals. */
+  val benfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law first-digit screen over `l_extendedprice`: observed
+    * vs expected first-significant-digit distribution with per-digit
+    * chi-square contributions — the forensic screen that flags
+    * fabricated or synthetically generated numeric columns (Nigrini's
+    * auditing test). On this corpus it reads HOT, correctly: the test
+    * data is synthetic and near-uniform in its leading digit, which is
+    * precisely what the screen exists to catch.
+    *
+    * Digit extraction is integer-exact on both engines: cents =
+    * floor(price·100 + 0.5) as a long, first digit = first character of
+    * the long's decimal string — never a float log10. One scan, 9-row
+    * output via a dense digit grid (a digit absent from the data still
+    * reports its expectation). */
+  def benfordScreen(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.lineitem(spark, dir)
+      .where(col("l_extendedprice") > 0)
+      .select(substring(floor(col("l_extendedprice") * 100 + 0.5)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val full = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+      .join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+    val tot = full.agg(sum(col("n")).as("t"))
+    val expected = benfordP.tail.foldLeft(
+      when(col("digit") === benfordP.head._1, lit(benfordP.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+    }
+    full.crossJoin(broadcast(tot))
+      .withColumn("p", expected)
+      .select(col("digit"), col("n"),
+        halfUp(col("n").cast("double") / col("t").cast("double"), 1e6)
+          .as("observed_p"),
+        halfUp(col("p"), 1e6).as("expected_p"),
+        halfUp(
+          (col("n").cast("double") - col("t").cast("double") * col("p")) *
+            (col("n").cast("double") - col("t").cast("double") * col("p")) /
+            (col("t").cast("double") * col("p")), 1e6).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  /** DuckDB twin of [[benfordScreen]], generated from the same
+    * [[benfordP]] constants (Double.toString round-trips exactly, so
+    * both engines hold bit-identical expectations). */
+  def benfordSql: String = {
+    val caseP = benfordP.map { case (d, p) => s"WHEN $d THEN $p" }
+      .mkString("CASE digit ", " ", " END")
+    s"""WITH d0 AS (SELECT CAST(substr(CAST(CAST(
+       |   floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+       |   1, 1) AS INT) AS digit
+       |  FROM lineitem WHERE l_extendedprice > 0),
+       |c AS (SELECT digit, count(*) AS n FROM d0 GROUP BY 1),
+       |grid AS (SELECT unnest(generate_series(1, 9)) AS digit),
+       |f AS (SELECT grid.digit AS digit,
+       |   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       |  FROM grid LEFT JOIN c ON c.digit = grid.digit),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM f),
+       |e AS (SELECT digit, n, $caseP AS p FROM f)
+       |SELECT e.digit, e.n,
+       | floor(CAST(e.n AS DOUBLE) / CAST(t.t AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |  AS observed_p,
+       | floor(p * 1e6 + 0.5) / 1e6 AS expected_p,
+       | floor((CAST(e.n AS DOUBLE) - CAST(t.t AS DOUBLE) * p)
+       |   * (CAST(e.n AS DOUBLE) - CAST(t.t AS DOUBLE) * p)
+       |   / (CAST(t.t AS DOUBLE) * p) * 1e6 + 0.5) / 1e6 AS chi2_term
+       |FROM e CROSS JOIN t ORDER BY e.digit""".stripMargin
+  }
 }

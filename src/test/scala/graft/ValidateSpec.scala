@@ -101,6 +101,55 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+  test("freshness: freshest source reads zero, staleness nonnegative, counts conserve") {
+    val rows = Validate.freshness(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).min === 0L)
+    rows.foreach(r => assert(r.getLong(3) >= 0L))
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.events(spark, sf).count())
+  }
+
+  test("snapshot diff rows: classifies added/removed/changed/unchanged, null-safe") {
+    val oldDf = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None),
+      (4L, Some(40.0))).toDF("k", "v")
+    val newDf = Seq((1L, Some(10.0)), (2L, Some(21.0)), (3L, None),
+      (5L, Some(50.0))).toDF("k", "v")
+    val got = Validate.snapshotDiffRows(oldDf, newDf, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged",                   // null <=> null: not a change
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("snapshot diff query: counts match the construction rule") {
+    val (addM, chgM, remM) = Validate.snapshotDiffMods
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val want = Map(
+      "added" -> keys.count(_ % addM == 0).toLong,
+      "removed" -> keys.count(_ % remM == 0).toLong,
+      "changed" -> keys.count(k => k % chgM == 0 && k % addM != 0).toLong,
+      "unchanged" -> keys.count(k =>
+        k % addM != 0 && k % chgM != 0).toLong)
+    val got = Validate.snapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want.filter(_._2 > 0))
+  }
+
+  test("benford: dense 9-digit grid, fractions sum to 1, hot on synthetic data") {
+    val rows = Validate.benfordScreen(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 9))
+    val obsSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(obsSum - 1.0) < 1e-4, s"sum $obsSum")
+    val expSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(expSum - 1.0) < 1e-4)
+    // synthetic near-uniform leading digits: the screen must read hot
+    // (digit 1 carries ~30% expectation but ~15% mass)
+    val chi2 = rows.map(_.getDouble(4)).sum
+    assert(chi2 > 100.0, s"chi2 $chi2")
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
+
   test("anomaly: a spiked day is flagged, warmup days are not scored") {
     // 7 flat days then a 10x spike on day 8: z = (100-10)/0 is degenerate
     // (constant window, vr=0 -> null); use slight jitter so sigma > 0
