@@ -136,6 +136,7 @@ object SparkEntry {
     "q_valid_freshness" -> ((s, d) => Validate.freshness(s, d)),
     "q_valid_snapshot_diff" -> ((s, d) => Validate.snapshotDiff(s, d)),
     "q_valid_benford" -> ((s, d) => Validate.benfordScreen(s, d)),
+    "q_valid_consistency" -> ((s, d) => Validate.consistencyAudit(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -1767,6 +1768,27 @@ object SparkEntry {
     // generated from the same name list + predicates as the Spark side
     "q_valid_constraints" -> Validate.constraintSuiteSql,
     "q_valid_benford" -> Validate.benfordSql,
+    "q_valid_consistency" ->
+      """WITH s AS (SELECT l_orderkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 + CAST(l_tax AS DECIMAL(4,2)))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS recomputed
+        | FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_totalprice, recomputed,
+        |  CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)) - recomputed)
+        |    AS DOUBLE) / o_totalprice AS rel
+        | FROM orders LEFT JOIN s ON l_orderkey = o_orderkey)
+        |SELECT count(*) AS n_orders,
+        | CAST(sum(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_childless,
+        | CAST(sum(CASE WHEN rel < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_within_1pct,
+        | CAST(sum(CASE WHEN rel < 0.10 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_within_10pct,
+        | CAST(sum(CASE WHEN rel >= 0.10 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_beyond_10pct,
+        | floor(max(rel) * 1e6 + 0.5) / 1e6 AS max_rel_dev
+        |FROM j""".stripMargin,
     "q_valid_freshness" ->
       """WITH per AS (SELECT event_type AS grp, count(*) AS n,
         |   max(ts) AS mx FROM events GROUP BY 1),

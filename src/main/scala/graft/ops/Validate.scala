@@ -435,6 +435,49 @@ object Validate {
       .orderBy(col("digit"))
   }
 
+  // ---- cross-table consistency ---------------------------------------
+
+  /** Denormalization-consistency audit: recompute each order's total
+    * from its line items (Σ extendedprice·(1+tax)·(1−discount)) and
+    * report how far the stored `o_totalprice` drifts — plus the
+    * childless orders the join can't explain at all. The classic
+    * cross-table invariant check a warehouse runs after every load; on
+    * this corpus it honestly reports the invariant BROKEN (the synthetic
+    * generator never enforced it), which is exactly the report a real
+    * audit would file.
+    *
+    * Determinism: the recomputed total is summed in EXACT decimal
+    * arithmetic — all three factors have ≤2 decimals, so each line value
+    * is an exact DECIMAL(30,6) and the per-order sum is order-independent
+    * (the `q_feat_scale` lesson: never order-dependent double sums under
+    * a cross-engine compare). The relative deviation is then one
+    * correctly-rounded decimal→double conversion and one IEEE division,
+    * identical on both engines; threshold compares and the 6dp-rounded
+    * max follow deterministically.
+    *
+    * Scale shape: one map-side-combinable decimal aggregate over the
+    * fact table, one key-partitioned join to orders (bucketed snapshots
+    * make it exchange-free), one constant-size report row. */
+  def consistencyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(3,2)")
+    val s = Tables.lineitem(spark, dir).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (one + col("l_tax").cast("decimal(4,2)")) *
+        (one - col("l_discount").cast("decimal(4,2)"))).as("recomputed"))
+    val rel = abs(col("o_totalprice").cast("decimal(18,2)") -
+      col("recomputed")).cast("double") / col("o_totalprice")
+    Tables.orders(spark, dir)
+      .join(s, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_totalprice"), col("recomputed"), rel.as("rel"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("recomputed").isNull, 1L).otherwise(0L))
+          .as("n_childless"),
+        sum(when(col("rel") < 0.01, 1L).otherwise(0L)).as("n_within_1pct"),
+        sum(when(col("rel") < 0.10, 1L).otherwise(0L)).as("n_within_10pct"),
+        sum(when(col("rel") >= 0.10, 1L).otherwise(0L)).as("n_beyond_10pct"),
+        halfUp(max(col("rel")), 1e6).as("max_rel_dev"))
+  }
+
   /** DuckDB twin of [[benfordScreen]], generated from the same
     * [[benfordP]] constants (Double.toString round-trips exactly, so
     * both engines hold bit-identical expectations). */

@@ -150,6 +150,23 @@ class ValidateSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(4) >= 0.0))
   }
 
+  test("consistency audit: buckets partition the orders, invariant honestly broken") {
+    val r = Validate.consistencyAudit(spark, sf).collect().head
+    val (n, childless, w1, w10, beyond) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n === Tables.orders(spark, sf).count())
+    val expectedChildless = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"), "left_anti").count()
+    assert(childless === expectedChildless)
+    assert(childless + w10 + beyond === n)   // buckets partition
+    assert(w1 <= w10)
+    // the synthetic generator never enforced the invariant — the audit
+    // must say so, not paper over it
+    assert(beyond > 0)
+    assert(r.getDouble(5) > 0.0)
+  }
+
   test("anomaly: a spiked day is flagged, warmup days are not scored") {
     // 7 flat days then a 10x spike on day 8: z = (100-10)/0 is degenerate
     // (constant window, vr=0 -> null); use slight jitter so sigma > 0
