@@ -1775,8 +1775,9 @@ object SparkEntry {
         |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS recomputed
         | FROM lineitem GROUP BY 1),
         |j AS (SELECT o_totalprice, recomputed,
-        |  CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)) - recomputed)
-        |    AS DOUBLE) / o_totalprice AS rel
+        |  CASE WHEN o_totalprice > 0 THEN
+        |   CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)) - recomputed)
+        |     AS DOUBLE) / o_totalprice END AS rel
         | FROM orders LEFT JOIN s ON l_orderkey = o_orderkey)
         |SELECT count(*) AS n_orders,
         | CAST(sum(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END)
@@ -1785,7 +1786,8 @@ object SparkEntry {
         |  AS n_within_1pct,
         | CAST(sum(CASE WHEN rel < 0.10 THEN 1 ELSE 0 END) AS BIGINT)
         |  AS n_within_10pct,
-        | CAST(sum(CASE WHEN rel >= 0.10 THEN 1 ELSE 0 END) AS BIGINT)
+        | CAST(sum(CASE WHEN recomputed IS NOT NULL
+        |   AND (rel IS NULL OR rel >= 0.10) THEN 1 ELSE 0 END) AS BIGINT)
         |  AS n_beyond_10pct,
         | floor(max(rel) * 1e6 + 0.5) / 1e6 AS max_rel_dev
         |FROM j""".stripMargin,

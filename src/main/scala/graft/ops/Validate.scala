@@ -456,16 +456,22 @@ object Validate {
     * max follow deterministically.
     *
     * Scale shape: one map-side-combinable decimal aggregate over the
-    * fact table, one key-partitioned join to orders (bucketed snapshots
-    * make it exchange-free), one constant-size report row. */
+    * fact table, one key-partitioned shuffle of orders onto the same
+    * partitioning for the join, one constant-size report row.
+    *
+    * A non-positive `o_totalprice` can't anchor a relative deviation
+    * (0 would 0-divide, negative would sign-flip the compare) — such
+    * orders classify as beyond-10pct, so the three buckets plus
+    * childless always partition `n_orders` exactly. */
   def consistencyAudit(spark: SparkSession, dir: String): DataFrame = {
     val one = lit(1).cast("decimal(3,2)")
     val s = Tables.lineitem(spark, dir).groupBy(col("l_orderkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
         (one + col("l_tax").cast("decimal(4,2)")) *
         (one - col("l_discount").cast("decimal(4,2)"))).as("recomputed"))
-    val rel = abs(col("o_totalprice").cast("decimal(18,2)") -
-      col("recomputed")).cast("double") / col("o_totalprice")
+    val rel = when(col("o_totalprice") > 0,
+      abs(col("o_totalprice").cast("decimal(18,2)") -
+        col("recomputed")).cast("double") / col("o_totalprice"))
     Tables.orders(spark, dir)
       .join(s, col("o_orderkey") === col("l_orderkey"), "left")
       .select(col("o_totalprice"), col("recomputed"), rel.as("rel"))
@@ -474,7 +480,9 @@ object Validate {
           .as("n_childless"),
         sum(when(col("rel") < 0.01, 1L).otherwise(0L)).as("n_within_1pct"),
         sum(when(col("rel") < 0.10, 1L).otherwise(0L)).as("n_within_10pct"),
-        sum(when(col("rel") >= 0.10, 1L).otherwise(0L)).as("n_beyond_10pct"),
+        sum(when(col("recomputed").isNotNull &&
+          (col("rel").isNull || col("rel") >= 0.10), 1L).otherwise(0L))
+          .as("n_beyond_10pct"),
         halfUp(max(col("rel")), 1e6).as("max_rel_dev"))
   }
 

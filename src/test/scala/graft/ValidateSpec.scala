@@ -160,7 +160,17 @@ class ValidateSpec extends SparkSpec {
         col("o_orderkey") === col("l_orderkey"), "left_anti").count()
     assert(childless === expectedChildless)
     assert(childless + w10 + beyond === n)   // buckets partition
-    assert(w1 <= w10)
+    // independent recompute of the 1% bucket, like the childless check
+    val one = lit(1).cast("decimal(3,2)")
+    val recomputed = Tables.lineitem(spark, sf).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (one + col("l_tax").cast("decimal(4,2)")) *
+        (one - col("l_discount").cast("decimal(4,2)"))).as("rc"))
+    val expectedW1 = Tables.orders(spark, sf)
+      .join(recomputed, col("o_orderkey") === col("l_orderkey"))
+      .where(abs(col("o_totalprice").cast("decimal(18,2)") - col("rc"))
+        .cast("double") / col("o_totalprice") < 0.01).count()
+    assert(w1 === expectedW1)
     // the synthetic generator never enforced the invariant — the audit
     // must say so, not paper over it
     assert(beyond > 0)
