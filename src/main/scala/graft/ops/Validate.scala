@@ -435,6 +435,64 @@ object Validate {
       .orderBy(col("digit"))
   }
 
+  // ---- write-audit-publish -------------------------------------------
+
+  /** Generic per-row constraint audit: each check is a boolean Column
+    * predicate; the report row carries its satisfaction ratio against a
+    * 1.0 threshold, same shape as [[constraintSuite]] (which stays
+    * specialized for its distinct-count checks). ONE conditional-sum
+    * aggregate regardless of check count. */
+  def auditChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      checks.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(pred, 1L).otherwise(0L)).as(s"s_$i")
+      }
+    val entries = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check_name"),
+        halfUp(col(s"s_$i").cast("double") / col("n").cast("double"), 1e6)
+          .as("observed"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.check_name").as("check_name"), col("e.observed"),
+        lit(1.0).as("threshold"),
+        (col("e.observed") >= lit(1.0)).as("passed"))
+      .orderBy(col("check_name"))
+  }
+
+  /** Write–audit–publish: stage the frame as parquet next to the target,
+    * audit the STAGED bytes (so writer bugs are caught, not just source
+    * defects), and promote to `path` only when every check passes — the
+    * Iceberg-WAP-style gate that keeps a broken load out of the
+    * published table. Returns (published?, report). On failure the
+    * staging directory is retained for inspection and any previously
+    * published data at `path` is left untouched; promotion is a
+    * filesystem rename (atomic on HDFS-like stores).
+    *
+    * Scale shape: the stage write is the load itself; the audit is one
+    * [[auditChecks]] aggregate over the staged files; promote is O(1)
+    * metadata. */
+  def writeAuditPublish(spark: SparkSession, df: DataFrame, path: String,
+                        checks: Seq[(String, Column)]): (Boolean, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val staging = path + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    val staged = spark.read.schema(df.schema).parquet(staging)
+    val lazyReport = auditChecks(staged, checks)
+    // materialize the constant-size report BEFORE promoting: the rename
+    // below invalidates the staged scan the lazy plan reads from
+    val rows = lazyReport.collect()
+    val ok = rows.forall(_.getBoolean(3))
+    if (ok) {
+      val dst = new Path(path)
+      val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(new Path(staging), dst)
+    }
+    (ok, spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), lazyReport.schema))
+  }
+
   // ---- cross-table consistency ---------------------------------------
 
   /** Denormalization-consistency audit: recompute each order's total

@@ -177,6 +177,31 @@ class ValidateSpec extends SparkSpec {
     assert(r.getDouble(5) > 0.0)
   }
 
+  test("write-audit-publish: green load promotes, red load stays staged") {
+    val dir = java.nio.file.Files.createTempDirectory("wap").toString
+    val target = s"$dir/table"
+    val checks = Seq(
+      ("range:v>0", col("v") > 0),
+      ("completeness:v", col("v").isNotNull))
+    // green: publishes, staging promoted away
+    val good = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val (ok1, rep1) = Validate.writeAuditPublish(spark, good, target, checks)
+    assert(ok1 && rep1.collect().forall(_.getBoolean(3)))
+    assert(spark.read.parquet(target).count() === 2)
+    assert(!new java.io.File(target + ".staging").exists())
+    // red: violating rows stay OUT of the published table, staged for
+    // inspection; the previous publish is untouched
+    val bad = Seq((3L, -1.0), (4L, 30.0)).toDF("k", "v")
+    val (ok2, rep2) = Validate.writeAuditPublish(spark, bad, target, checks)
+    assert(!ok2)
+    val byName = rep2.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(byName("range:v>0") === ((0.5, false)))
+    assert(byName("completeness:v")._2)
+    assert(spark.read.parquet(target).count() === 2)   // old publish intact
+    assert(new java.io.File(target + ".staging").exists())
+  }
+
   test("anomaly: a spiked day is flagged, warmup days are not scored") {
     // 7 flat days then a 10x spike on day 8: z = (100-10)/0 is degenerate
     // (constant window, vr=0 -> null); use slight jitter so sigma > 0
