@@ -137,6 +137,7 @@ object SparkEntry {
     "q_valid_snapshot_diff" -> ((s, d) => Validate.snapshotDiff(s, d)),
     "q_valid_benford" -> ((s, d) => Validate.benfordScreen(s, d)),
     "q_valid_consistency" -> ((s, d) => Validate.consistencyAudit(s, d)),
+    "q_valid_doc_checks" -> ((s, d) => Validate.docChecks(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -1768,6 +1769,7 @@ object SparkEntry {
     // generated from the same name list + predicates as the Spark side
     "q_valid_constraints" -> Validate.constraintSuiteSql,
     "q_valid_benford" -> Validate.benfordSql,
+    "q_valid_doc_checks" -> Validate.docChecksSql,
     "q_valid_consistency" ->
       """WITH s AS (SELECT l_orderkey,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -417,12 +417,15 @@ object Validate {
     val full = spark.range(1, 10).select(col("id").cast("int").as("digit"))
       .join(digits, Seq("digit"), "left")
       .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
-    val tot = full.agg(sum(col("n")).as("t"))
     val expected = benfordP.tail.foldLeft(
       when(col("digit") === benfordP.head._1, lit(benfordP.head._2))) {
       case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
     }
-    full.crossJoin(broadcast(tot))
+    // total via a window over the NINE-row digit grid (bounded by the
+    // grid, not the data — the single-task concern doesn't apply), so
+    // the fact table is scanned exactly once (plan-spec pinned)
+    full.withColumn("t",
+        sum(col("n")).over(Window.partitionBy(lit(1))))
       .withColumn("p", expected)
       .select(col("digit"), col("n"),
         halfUp(col("n").cast("double") / col("t").cast("double"), 1e6)
@@ -458,6 +461,38 @@ object Validate {
         lit(1.0).as("threshold"),
         (col("e.observed") >= lit(1.0)).as("passed"))
       .orderBy(col("check_name"))
+  }
+
+  /** Documents expectation suite: predicate STRINGS shared verbatim by
+    * both engines — Spark parses each with `expr()`, the DuckDB twin
+    * embeds the same text in its CASE sums — so scorer and oracle
+    * literally evaluate the same predicate source. Includes the
+    * cross-field consistency expectation (`n_chars` must equal the
+    * recomputed text length) a corpus load is most likely to break. */
+  val docCheckDefs: Seq[(String, String)] = Seq(
+    ("completeness:text", "text IS NOT NULL"),
+    ("completeness:lang", "lang IS NOT NULL"),
+    ("domain:lang{de,en,es,fr,zh}", "lang IN ('de','en','es','fr','zh')"),
+    ("range:n_chars>0", "n_chars > 0"),
+    ("consistency:n_chars=length(text)", "n_chars = length(text)"))
+
+  /** The declared expectation-suite query over documents: ONE
+    * conditional-sum aggregate via [[auditChecks]]. */
+  def docChecks(spark: SparkSession, dir: String): DataFrame =
+    auditChecks(Tables.documents(spark, dir),
+      docCheckDefs.map { case (n, p) => (n, expr(p)) })
+
+  /** DuckDB twin of [[docChecks]], generated from [[docCheckDefs]]. */
+  def docChecksSql: String = {
+    val rows = docCheckDefs.map { case (name, pred) =>
+      s"SELECT '$name' AS check_name, " +
+        s"floor(CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS DOUBLE)" +
+        s" / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS observed " +
+        s"FROM documents"
+    }
+    "WITH obs AS (" + rows.mkString(" UNION ALL ") + ") " +
+      "SELECT check_name, observed, 1.0 AS threshold, " +
+      "observed >= 1.0 AS passed FROM obs ORDER BY check_name"
   }
 
   /** Write–audit–publish: stage the frame as parquet next to the target,

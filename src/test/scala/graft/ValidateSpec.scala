@@ -177,6 +177,26 @@ class ValidateSpec extends SparkSpec {
     assert(r.getDouble(5) > 0.0)
   }
 
+  test("doc expectation suite: all green on the corpus, cross-field check included") {
+    val rows = Validate.docChecks(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Validate.docCheckDefs.map(_._1).sorted)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)} failed")
+      assert(r.getDouble(1) === 1.0)
+    }
+  }
+
+  test("plan shapes: benford and consistency each scan their facts once") {
+    val bPlan = Validate.benfordScreen(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(bPlan).size === 1)
+    val cPlan = Validate.consistencyAudit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(cPlan).size === 1)
+    assert("orders\\.parquet".r.findAllIn(cPlan).size === 1)
+  }
+
   test("write-audit-publish: green load promotes, red load stays staged") {
     val dir = java.nio.file.Files.createTempDirectory("wap").toString
     val target = s"$dir/table"
