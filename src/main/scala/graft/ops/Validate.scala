@@ -78,16 +78,46 @@ object Validate {
         col("l_shipdate") < to_timestamp(lit("2003-01-01"))).as("s_r_sd"))
     val satCols = Seq("s_c_ok", "s_c_sd", "s_u_pk", "s_u_ok", "s_r_qty",
       "s_r_px", "s_r_disc", "s_r_tax", "s_d_rf", "s_d_ls", "s_r_sd")
-    val entries = constraintNames.zip(satCols).map { case (name, c) =>
+    auditReport(agg, constraintNames.zip(satCols))
+  }
+
+  /** Shared report shaping for every check suite: one wide row of
+    * satisfaction counts (`n` plus one column per check) exploded into
+    * (check_name, observed, threshold, passed) rows. `passed` compares
+    * EXACT counts (sat == n), never the rounded ratio — at 2M+ rows a
+    * 6dp-rounded ratio absorbs a real violation; the ratio is for
+    * humans, the verdict is for gates. Zero input rows: observed is
+    * null (no 0/0) and passed is false — an empty load must read red,
+    * not crash or pass. */
+  private def auditReport(wide: DataFrame,
+                          pairs: Seq[(String, String)]): DataFrame = {
+    val entries = pairs.map { case (name, c) =>
       struct(lit(name).as("check_name"),
-        halfUp(col(c).cast("double") / col("n").cast("double"), 1e6)
-          .as("observed"))
+        when(col("n") > 0,
+          halfUp(col(c).cast("double") / col("n").cast("double"), 1e6))
+          .as("observed"),
+        (col("n") > 0 && col(c) === col("n")).as("passed"))
     }
-    agg.select(explode(array(entries: _*)).as("e"))
+    wide.select(explode(array(entries: _*)).as("e"))
       .select(col("e.check_name").as("check_name"), col("e.observed"),
-        lit(1.0).as("threshold"),
-        (col("e.observed") >= lit(1.0)).as("passed"))
+        lit(1.0).as("threshold"), col("e.passed").as("passed"))
       .orderBy(col("check_name"))
+  }
+
+  /** Shared DuckDB-twin generator for check suites: same exact-count
+    * verdict and zero-row semantics as [[auditReport]]. `defs` pairs
+    * each check name with its aggregate satisfaction expression. */
+  private def auditReportSql(defs: Seq[(String, String)],
+                             table: String): String = {
+    val rows = defs.map { case (name, satExpr) =>
+      s"SELECT '$name' AS check_name, CAST($satExpr AS BIGINT) AS sat, " +
+        s"count(*) AS n FROM $table"
+    }
+    "WITH obs AS (" + rows.mkString(" UNION ALL ") + ") " +
+      "SELECT check_name, CASE WHEN n > 0 THEN " +
+      "floor(CAST(sat AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
+      "END AS observed, 1.0 AS threshold, " +
+      "n > 0 AND sat = n AS passed FROM obs ORDER BY check_name"
   }
 
   /** DuckDB twin of [[constraintSuite]], generated from the same name
@@ -106,14 +136,7 @@ object Validate {
       "sum(CASE WHEN l_linestatus IN ('F','O') THEN 1 ELSE 0 END)",
       "sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01' AND " +
         "l_shipdate < TIMESTAMP '2003-01-01' THEN 1 ELSE 0 END)")
-    val rows = constraintNames.zip(preds).map { case (name, p) =>
-      s"SELECT '$name' AS check_name, " +
-        s"floor(CAST($p AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5)" +
-        s" / 1e6 AS observed FROM lineitem"
-    }
-    "WITH obs AS (" + rows.mkString(" UNION ALL ") + ") " +
-      "SELECT check_name, observed, 1.0 AS threshold, " +
-      "observed >= 1.0 AS passed FROM obs ORDER BY check_name"
+    auditReportSql(constraintNames.zip(preds), "lineitem")
   }
 
   // ---- referential integrity -----------------------------------------
@@ -450,17 +473,8 @@ object Validate {
       checks.zipWithIndex.map { case ((_, pred), i) =>
         sum(when(pred, 1L).otherwise(0L)).as(s"s_$i")
       }
-    val entries = checks.zipWithIndex.map { case ((name, _), i) =>
-      struct(lit(name).as("check_name"),
-        halfUp(col(s"s_$i").cast("double") / col("n").cast("double"), 1e6)
-          .as("observed"))
-    }
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(entries: _*)).as("e"))
-      .select(col("e.check_name").as("check_name"), col("e.observed"),
-        lit(1.0).as("threshold"),
-        (col("e.observed") >= lit(1.0)).as("passed"))
-      .orderBy(col("check_name"))
+    auditReport(df.agg(aggs.head, aggs.tail: _*),
+      checks.zipWithIndex.map { case ((name, _), i) => (name, s"s_$i") })
   }
 
   /** Documents expectation suite: predicate STRINGS shared verbatim by
@@ -483,26 +497,27 @@ object Validate {
       docCheckDefs.map { case (n, p) => (n, expr(p)) })
 
   /** DuckDB twin of [[docChecks]], generated from [[docCheckDefs]]. */
-  def docChecksSql: String = {
-    val rows = docCheckDefs.map { case (name, pred) =>
-      s"SELECT '$name' AS check_name, " +
-        s"floor(CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS DOUBLE)" +
-        s" / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS observed " +
-        s"FROM documents"
-    }
-    "WITH obs AS (" + rows.mkString(" UNION ALL ") + ") " +
-      "SELECT check_name, observed, 1.0 AS threshold, " +
-      "observed >= 1.0 AS passed FROM obs ORDER BY check_name"
-  }
+  def docChecksSql: String =
+    auditReportSql(docCheckDefs.map { case (name, pred) =>
+      (name, s"sum(CASE WHEN $pred THEN 1 ELSE 0 END)")
+    }, "documents")
 
   /** Write–audit–publish: stage the frame as parquet next to the target,
     * audit the STAGED bytes (so writer bugs are caught, not just source
     * defects), and promote to `path` only when every check passes — the
     * Iceberg-WAP-style gate that keeps a broken load out of the
-    * published table. Returns (published?, report). On failure the
-    * staging directory is retained for inspection and any previously
-    * published data at `path` is left untouched; promotion is a
-    * filesystem rename (atomic on HDFS-like stores).
+    * published table. Returns (published?, report). An empty staged load
+    * reads RED ([[auditReport]]'s zero-row rule), not as a vacuous pass.
+    *
+    * Promotion never deletes the live table before the new one is in
+    * place: the current publish is first RETIRED by rename, the staging
+    * dir renamed in, and only then the retired copy deleted — both
+    * renames are checked, and a failed promote renames the retired copy
+    * straight back, so the published path either still holds the old
+    * data or already holds the new, never neither. Each invocation
+    * stages under a unique suffix, so concurrent gates on the same
+    * target can't audit each other's half-written bytes; a red load's
+    * staging dir is retained (under its unique name) for inspection.
     *
     * Scale shape: the stage write is the load itself; the audit is one
     * [[auditChecks]] aggregate over the staged files; promote is O(1)
@@ -510,7 +525,8 @@ object Validate {
   def writeAuditPublish(spark: SparkSession, df: DataFrame, path: String,
                         checks: Seq[(String, Column)]): (Boolean, DataFrame) = {
     import org.apache.hadoop.fs.Path
-    val staging = path + ".staging"
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$path.staging-$runId"
     df.write.mode("overwrite").parquet(staging)
     val staged = spark.read.schema(df.schema).parquet(staging)
     val lazyReport = auditChecks(staged, checks)
@@ -521,8 +537,17 @@ object Validate {
     if (ok) {
       val dst = new Path(path)
       val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(dst)) fs.delete(dst, true)
-      fs.rename(new Path(staging), dst)
+      val retired = new Path(s"$path.retired-$runId")
+      val hadPrev = fs.exists(dst)
+      if (hadPrev && !fs.rename(dst, retired))
+        throw new IllegalStateException(
+          s"audit-publish: could not retire the current publish at $path")
+      if (!fs.rename(new Path(staging), dst)) {
+        if (hadPrev) fs.rename(retired, dst)
+        throw new IllegalStateException(
+          s"audit-publish: promote failed for $path; previous publish restored")
+      }
+      if (hadPrev) fs.delete(retired, true)
     }
     (ok, spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), lazyReport.schema))

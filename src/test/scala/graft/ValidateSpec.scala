@@ -204,11 +204,13 @@ class ValidateSpec extends SparkSpec {
       ("range:v>0", col("v") > 0),
       ("completeness:v", col("v").isNotNull))
     // green: publishes, staging promoted away
+    def stagingDirs() = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("table.staging-"))
     val good = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
     val (ok1, rep1) = Validate.writeAuditPublish(spark, good, target, checks)
     assert(ok1 && rep1.collect().forall(_.getBoolean(3)))
     assert(spark.read.parquet(target).count() === 2)
-    assert(!new java.io.File(target + ".staging").exists())
+    assert(stagingDirs() === 0)          // promoted away
     // red: violating rows stay OUT of the published table, staged for
     // inspection; the previous publish is untouched
     val bad = Seq((3L, -1.0), (4L, 30.0)).toDF("k", "v")
@@ -219,7 +221,30 @@ class ValidateSpec extends SparkSpec {
     assert(byName("range:v>0") === ((0.5, false)))
     assert(byName("completeness:v")._2)
     assert(spark.read.parquet(target).count() === 2)   // old publish intact
-    assert(new java.io.File(target + ".staging").exists())
+    assert(stagingDirs() === 1)          // retained for inspection
+    // empty load: reads red (observed null, passed false), never a
+    // vacuous pass or an NPE; the publish is still untouched
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      good.schema)
+    val (ok3, rep3) = Validate.writeAuditPublish(spark, empty, target, checks)
+    assert(!ok3)
+    rep3.collect().foreach { r =>
+      assert(r.isNullAt(1))
+      assert(!r.getBoolean(3))
+    }
+    assert(spark.read.parquet(target).count() === 2)
+  }
+
+  test("audit gate is exact, not rounded: one violation in many rows reads red") {
+    // 2,000,001 rows, one violating: the 6dp-rounded ratio reads 1.0
+    // but the verdict must compare exact counts
+    val df = spark.range(0, 2000001).select(
+      when(col("id") === 0, -1.0).otherwise(1.0).as("v"))
+    val report = Validate.auditChecks(df, Seq(("range:v>0", col("v") > 0)))
+      .collect().head
+    assert(report.getDouble(1) === 1.0)   // rounded ratio saturates
+    assert(!report.getBoolean(3), "exact verdict must still be red")
   }
 
   test("anomaly: a spiked day is flagged, warmup days are not scored") {
