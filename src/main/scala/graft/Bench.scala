@@ -182,6 +182,15 @@ object Bench {
     // belt-and-braces for the driver's parser: the same line as a file,
     // immune to any build-tool log-prefix mangling
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
+    // compact headline as the FINAL stdout line: the driver captures only
+    // a bounded (~2 KB) stdout tail, so the ~35 KB detail line above was
+    // never machine-parseable (five rounds of parsed:null). This line is
+    // <200 bytes — no queries/detail maps — and carries the gate numbers;
+    // the full per-query artifact lives in bench_out.json above.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""wall_total":$wallTotal,"gc_total":$gcTotal,""" +
+        s""""stalls_retimed":$nStalls,"n_failed":${failed.size}}""")
     spark.stop()
     if (failed.nonEmpty) {
       failed.foreach { case (k, h, _, _, _, _, _) =>

@@ -543,7 +543,14 @@ object Validate {
         throw new IllegalStateException(
           s"audit-publish: could not retire the current publish at $path")
       if (!fs.rename(new Path(staging), dst)) {
-        if (hadPrev) fs.rename(retired, dst)
+        // the restore rename is itself checked: if promote AND restore
+        // both fail the published path holds neither old nor new data —
+        // raise a distinct error naming the retired copy so an operator
+        // can recover it manually (round-5 ADVICE)
+        if (hadPrev && !fs.rename(retired, dst))
+          throw new IllegalStateException(
+            s"audit-publish: promote AND restore both failed for $path — " +
+              s"published path is empty; previous data retained at $retired")
         throw new IllegalStateException(
           s"audit-publish: promote failed for $path; previous publish restored")
       }
@@ -551,6 +558,61 @@ object Validate {
     }
     (ok, spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), lazyReport.schema))
+  }
+
+  /** Derived table the declared WAP query stages: a per-customer order
+    * profile. Defined ONCE as ANSI SQL shared verbatim with the DuckDB
+    * twin; the Spark side parses the same text with `spark.sql` over a
+    * temp view, so gate and oracle can never drift on the staged data.
+    * All columns are cross-engine exact (longs and a max of doubles —
+    * no order-dependent float sums). */
+  val wapProfileSql: String =
+    "SELECT o_custkey, count(*) AS n_orders, max(o_totalprice) AS max_price " +
+      "FROM orders GROUP BY o_custkey"
+
+  /** WAP audit predicates, shared verbatim with the DuckDB twin —
+    * the [[docCheckDefs]] pattern. */
+  val wapCheckDefs: Seq[(String, String)] = Seq(
+    ("completeness:o_custkey", "o_custkey IS NOT NULL"),
+    ("range:n_orders>0", "n_orders > 0"),
+    ("range:max_price>0", "max_price > 0"))
+
+  /** The write–audit–publish gate as a declared query: stage the
+    * [[wapProfileSql]] profile via [[writeAuditPublish]] into a fresh
+    * temp target, and return the audit report with the promote verdict
+    * (`published` = every check passed) — so the driver's oracle row
+    * exercises the full stage→audit→promote path, not just the report
+    * arithmetic. The staged BYTES are what gets audited (writer bugs
+    * surface, per the WAP contract); the report the query returns is the
+    * constant-size frame the gate collected from those bytes. */
+  def wapGate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    val profile = spark.sql(wapProfileSql)
+    val target = java.nio.file.Files.createTempDirectory("graft-wap")
+      .resolve("orders_profile").toString
+    val (ok, report) = writeAuditPublish(spark, profile, target,
+      wapCheckDefs.map { case (n, p) => (n, expr(p)) })
+    report.withColumn("published", lit(ok))
+  }
+
+  /** DuckDB twin of [[wapGate]]: replays the same profile SQL and the
+    * same predicate strings through the [[auditReportSql]] arithmetic;
+    * `published` is the conjunction of the per-check verdicts, exactly
+    * the promote rule [[writeAuditPublish]] applies. */
+  def wapSql: String = {
+    val rows = wapCheckDefs.map { case (name, pred) =>
+      s"SELECT '$name' AS check_name, " +
+        s"CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS sat, " +
+        "count(*) AS n FROM t"
+    }
+    s"WITH t AS ($wapProfileSql), obs AS (${rows.mkString(" UNION ALL ")}), " +
+      "rep AS (SELECT check_name, CASE WHEN n > 0 THEN " +
+      "floor(CAST(sat AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
+      "END AS observed, 1.0 AS threshold, n > 0 AND sat = n AS passed " +
+      "FROM obs) " +
+      "SELECT check_name, observed, threshold, passed, " +
+      "(SELECT bool_and(passed) FROM rep) AS published " +
+      "FROM rep ORDER BY check_name"
   }
 
   // ---- cross-table consistency ---------------------------------------

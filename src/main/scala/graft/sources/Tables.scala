@@ -68,11 +68,14 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `events.ts` is parquet timestamp[ns] (INT64 TIMESTAMP(NANOS)), which
-    * Spark's vectorized reader rejects as TimestampType. We read it as a
-    * raw long (`spark.sql.legacy.parquet.nanosAsLong`) and convert with
-    * integer `DIV 1000` — double division would lose the last microsecond
-    * digit at 1.7e18 ns magnitudes, breaking oracle parity. */
+  /** `events.ts` arrives as INT64 with a generator-dependent logical
+    * unit — TIMESTAMP(NANOS) in some corpus drops, TIMESTAMP(MICROS) in
+    * others. Both are read through the same raw-long schema (NANOS via
+    * `spark.sql.legacy.parquet.nanosAsLong`, MICROS because an explicit
+    * LongType field reads the physical int64 directly) and normalized to
+    * a micros TimestampType by [[eventsTsDivisor]]'s integer `DIV` —
+    * double division would lose the last microsecond digit at 1.7e18 ns
+    * magnitudes, breaking oracle parity. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -105,8 +108,25 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders", ordersSchema)
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem", lineitemSchema)
 
+  /** Raw-long → micros divisor for `events.ts`, sniffed ONCE per file
+    * from the parquet footer (no data scan): with `nanosAsLong` set, a
+    * NANOS-annotated column infers as LongType (→ divide by 1000), while
+    * a MICROS column infers as a timestamp type (→ divide by 1). Cached
+    * per path — the unit is a property of the published file, and the
+    * footer read is driver-side metadata only. */
+  private val tsDivisorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def eventsTsDivisor(spark: SparkSession, dir: String): Long = {
+    val path = s"$dir/events.parquet"
+    tsDivisorCache.computeIfAbsent(path, { _ =>
+      val inferred = spark.read.parquet(path).schema("ts").dataType
+      if (inferred == LongType) 1000L else 1L
+    })
+  }
+
   /** Events with `ts` as a proper TimestampType (micros, UTC), converted
-    * exactly from the file's nanosecond longs.
+    * exactly from the file's raw int64 (nanos or micros — see
+    * [[eventsTsDivisor]]).
     *
     * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
     * (set at build time by [[GraftSession.configure]] and every graft
@@ -115,7 +135,8 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "events", eventsRawSchema)
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        org.apache.spark.sql.functions.expr(
+          s"ts DIV ${eventsTsDivisor(spark, dir)}")))
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
 }

@@ -21,16 +21,19 @@ import graft.sources.Tables
   */
 object EventStream {
 
-  /** Unbounded read of the events table: same nanos→micros conversion as
-    * the batch reader. `pathGlobFilter` restricts to the events file so the
-    * directory can hold the other corpus tables. Requires the
-    * [[graft.sources.GraftSession]] build-time configs. */
+  /** Unbounded read of the events table: same raw-long → micros
+    * conversion as the batch reader (unit sniffed from the footer by
+    * [[Tables.eventsTsDivisor]] before the stream starts). `pathGlobFilter`
+    * restricts to the events file so the directory can hold the other
+    * corpus tables. Requires the [[graft.sources.GraftSession]] build-time
+    * configs. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val divisor = Tables.eventsTsDivisor(spark, dir)
     spark.readStream
       .schema(Tables.eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", timestamp_micros(expr(s"ts DIV $divisor")))
   }
 
   /** Streaming hourly tumbling counts per event type with a 1-hour

@@ -236,6 +236,17 @@ class ValidateSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() === 2)
   }
 
+  test("q_valid_wap: declared gate publishes the profile and reports green") {
+    val rep = Validate.wapGate(spark, sf).collect()
+    assert(rep.length === Validate.wapCheckDefs.length)
+    assert(rep.map(_.getString(0)).sorted
+      === Validate.wapCheckDefs.map(_._1).sorted.toArray)
+    rep.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)} failed")
+      assert(r.getBoolean(4), "published must be true on a green load")
+    }
+  }
+
   test("audit gate is exact, not rounded: one violation in many rows reads red") {
     // 2,000,001 rows, one violating: the 6dp-rounded ratio reads 1.0
     // but the verdict must compare exact counts
