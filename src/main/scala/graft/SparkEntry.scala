@@ -73,12 +73,18 @@ object SparkEntry {
     "q_corr_stats" -> ((s, d) => Stats.corrStats(s, d)),
     "q_corr_matrix" -> ((s, d) => Stats.corrMatrix(s, d)),
     "q_histogram_price" -> ((s, d) => Stats.histogram(s, d)),
-    // rows-only: the synthetic feature table's hash-RNG draws are
-    // engine-specific; spec asserts per-column parity with a recompute
+    // rows-only by necessity (hash-RNG generation is not SQL-replayable);
+    // its verify DUMP is the input table the two dump-backed oracles
+    // below read, promoting them to full hash checks (round-5 VERDICT #5)
+    "q_synth_features" -> ((s, _) =>
+      graft.datagen.SyntheticFeatures.generate(s, 10000)),
+    // dump-backed oracle: DuckDB replays the bucket arithmetic over the
+    // q_synth_features dump, so the aggregation is hash-checked even
+    // though the generator itself is engine-specific
     "q_histogram_features" -> ((s, _) => Stats.featureHistograms(s)),
-    // rows-only: same engine-specific hash-RNG input as
-    // q_histogram_features; spec asserts per-column parity with an
-    // independent driver-side KDE recompute + trapezoid integral ≈ 1
+    // dump-backed oracle, same pattern: Silverman-bandwidth Gaussian KDE
+    // replayed over the q_synth_features dump (6dp rounding absorbs
+    // summation-order ulps, as in q_kde_discount)
     "q_kde_features" -> ((s, _) => Stats.featureKde(s)),
     "q_kde_discount" -> ((s, d) =>
       Stats.kdeDensity(s, d, kdeColumn, kdeBandwidth, kdePoints)),
@@ -138,6 +144,8 @@ object SparkEntry {
     "q_valid_benford" -> ((s, d) => Validate.benfordScreen(s, d)),
     "q_valid_consistency" -> ((s, d) => Validate.consistencyAudit(s, d)),
     "q_valid_doc_checks" -> ((s, d) => Validate.docChecks(s, d)),
+    // the full stage→audit→promote WAP gate, report + promote verdict
+    "q_valid_wap" -> ((s, d) => Validate.wapGate(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -175,6 +183,14 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
     "q_dedup_source_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
     "q_sim_semdedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // the 100 TB SemDeDup scale path: banded sign-LSH edges (full corpus)
+    // into the same contraction. Rows-only — edge recovery depends on
+    // plane geometry; planted-near-dup co-cluster recall >= 0.9 is
+    // spec-asserted (SimilaritySpec), mirroring the q_dedup_embed /
+    // q_dedup_embed_lsh brute/scale pair. Same pinned 8×8 prune-first
+    // geometry as q_dedup_embed_lsh (rationale below).
+    "q_sim_semdedup_lsh" -> ((s, d) =>
+      Similarity.semanticDedupLsh(s, d, minCos = 0.4, nPlanes = 64, bands = 8)),
     // rows-only: LSH bucket geometry is engine-specific; precision exact
     // by construction (cosine verify), recall spec vs the brute baseline.
     // Geometry pinned EXPLICITLY to the prune-first 8×8 profile: this
@@ -690,6 +706,11 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_kde_discount" -> kdeOracle,
+    // dump-backed twins: read the q_synth_features verify dump (Verify
+    // substitutes the absolute path token), replaying the bucket/KDE
+    // arithmetic over the exact rows Spark generated
+    "q_histogram_features" -> Stats.featureHistogramsSql(),
+    "q_kde_features" -> Stats.featureKdeSql(),
     "q_part_pruned_revenue" ->
       """SELECT CAST(month(o_orderdate) AS INT) AS mo, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS sum_price
@@ -1770,6 +1791,7 @@ object SparkEntry {
     "q_valid_constraints" -> Validate.constraintSuiteSql,
     "q_valid_benford" -> Validate.benfordSql,
     "q_valid_doc_checks" -> Validate.docChecksSql,
+    "q_valid_wap" -> Validate.wapSql,
     "q_valid_consistency" ->
       """WITH s AS (SELECT l_orderkey,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))

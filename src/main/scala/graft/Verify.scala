@@ -38,8 +38,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // dump-backed oracles (q_histogram_features / q_kde_features) read
+    // the q_synth_features dump by absolute path — substitute it here,
+    // where the output dir is finally known
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.explore.Stats.verifyOutToken, outAbs))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

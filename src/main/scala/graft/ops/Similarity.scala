@@ -637,13 +637,45 @@ object Similarity {
     * anti-join, as in [[Dedup.dedupedCorpus]]. */
   def semanticDedup(spark: SparkSession, dir: String,
                     maxVecId: Long = 1000,
-                    minCos: Double = 0.4): DataFrame = {
-    val pairs = Dedup.embeddingDupPairs(spark, dir, maxVecId, minCos)
+                    minCos: Double = 0.4): DataFrame =
+    semanticKeepList(
+      Tables.embeddings(spark, dir).where(col("vec_id") < maxVecId),
+      Dedup.embeddingDupPairs(spark, dir, maxVecId, minCos))
+
+  /** The 100 TB SemDeDup: identical keep-list semantics to
+    * [[semanticDedup]], but the edge set is [[Dedup.embeddingDupPairsLsh]]'s
+    * banded sign-LSH candidates (exact cosine verified per candidate, so
+    * every emitted edge is a true ≥ minCos edge — LSH only bounds recall,
+    * never precision) over the FULL corpus, feeding the same O(log n)
+    * contraction. Rows-only in the driver gate (the recovered edge set
+    * depends on plane geometry); the recall spec plants near-dup pairs and
+    * asserts ≥ 0.9 of them land co-clustered, mirroring the
+    * `q_dedup_embed` / `q_dedup_embed_lsh` brute/scale pair. */
+  def semanticDedupLsh(spark: SparkSession, dir: String,
+                       minCos: Double = 0.4, nPlanes: Int = 64,
+                       bands: Int = 0): DataFrame =
+    semanticKeepList(Tables.embeddings(spark, dir),
+      Dedup.embeddingDupPairsLsh(spark, dir, minCos, nPlanes, bands))
+
+  /** [[semanticDedupLsh]] over any (vec_id, embedding, nrm, label) frame —
+    * the planted-corpus recall spec's entry point. */
+  private[graft] def semanticDedupLshOf(emb: DataFrame,
+                                        minCos: Double, nPlanes: Int,
+                                        bands: Int): DataFrame =
+    semanticKeepList(emb,
+      Dedup.embeddingDupPairsLshOf(emb, minCos, nPlanes, bands))
+
+  /** Shared keep-list labeling: contraction over the similarity edges,
+    * then a left join back to the vector universe — singletons keep
+    * themselves. The contraction input is edges only (never embeddings);
+    * the final join is on the corpus' primary key, so at scale this is
+    * one hash-partitioned join, no wide rows. */
+  private def semanticKeepList(emb: DataFrame, edges: DataFrame): DataFrame = {
+    val pairs = edges
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val lab = Dedup.connectedComponents(pairs)
       .withColumnRenamed("doc_id", "vec_id")
-    Tables.embeddings(spark, dir).where(col("vec_id") < maxVecId)
-      .select(col("vec_id"), col("label").cast("long").as("label"))
+    emb.select(col("vec_id"), col("label").cast("long").as("label"))
       .join(lab, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"),
         coalesce(col("cluster_rep"), col("vec_id")).as("cluster_rep"))

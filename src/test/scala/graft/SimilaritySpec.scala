@@ -302,4 +302,58 @@ class SimilaritySpec extends SparkSpec {
     // non-keepers are exactly the vectors shadowed by a smaller rep
     assert(n - keepers === out.count(r => r.getLong(2) < r.getLong(0)))
   }
+
+  test("q_sim_semdedup_lsh: full-corpus keep-list, keeper invariants hold") {
+    val out = Similarity.semanticDedupLsh(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length === n)
+    val rep = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      val (id, cr, keep) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(cr <= id)
+      assert(rep(cr) === cr, "representative must keep itself")
+      assert(keep === (if (id == cr) 1 else 0))
+    }
+    assert(out.count(_.getInt(3) == 1) === rep.values.toSet.size)
+  }
+
+  test("semdedup LSH scale path: planted near-dups co-cluster with recall >= 0.9") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // same planted geometry as the embed-LSH pair spec (DedupSpec): 40
+    // noise-perturbed duplicates (cos ~ 0.99) over 200 random unit
+    // vectors — the near-dup regime SemDeDup exists for
+    val rnd = new scala.util.Random(29)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val nm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nm)
+    }
+    val planted = (0 until 40).flatMap { i =>
+      val base = unit()
+      val dup = base.zip(unit()).map { case (b, z) => b + 0.08 * z }
+      Seq((2L * i, base.toSeq), (2L * i + 1, dup.toSeq))
+    }
+    val background = (0 until 200).map(i => (1000L + i, unit().toSeq))
+    val emb = (planted ++ background).toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(
+        col("embedding"), col("embedding"))))
+      .withColumn("label", lit(0L))
+    val out = Similarity.semanticDedupLshOf(emb, minCos = 0.9,
+      nPlanes = 64, bands = 8).collect()
+    val rep = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // recall: a planted pair is recovered iff its two vectors share a rep
+    val hit = (0 until 40).count(i => rep(2L * i) === rep(2L * i + 1))
+    assert(hit >= 36, s"co-cluster recall ${hit / 40.0} below 0.9")
+    // the keep-list dedups: one keeper per cluster, every recovered
+    // pair sheds at least one member, and precision holds (no random
+    // background vector absorbed into a planted cluster's shadow)
+    val keepers = out.count(_.getInt(3) == 1)
+    assert(keepers === rep.values.toSet.size)
+    assert(out.length - keepers >= hit)
+    out.filter(r => r.getLong(0) >= 1000L).foreach { r =>
+      assert(r.getInt(3) === 1,
+        s"background vector ${r.getLong(0)} wrongly deduped")
+    }
+  }
 }
