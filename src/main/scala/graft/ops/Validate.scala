@@ -49,11 +49,10 @@ object Validate {
 
   /** Deequ-style declarative constraint suite over `lineitem`: each row is
     * one check with its observed satisfaction ratio in [0,1], the declared
-    * threshold, and the pass verdict. The whole suite is ONE scan — every
-    * satisfaction count is a conditional sum in a single aggregate, and
-    * the two uniqueness checks ride the same aggregate as distinct counts
-    * (Spark plans them via one shared Expand, still a single pass over the
-    * fact table). The report is 11 rows regardless of input size.
+    * threshold, and the pass verdict. Two passes, neither with an Expand:
+    * the non-distinct checks fuse into one keyless conditional-sum scan,
+    * and both uniqueness counts come off a single grouped dedup (see
+    * inline comment). The report is 11 rows regardless of input size.
     *
     * Determinism: observed = ratio of exact longs (one IEEE division,
     * identical on both engines), then the floor-based half-up rounding at
@@ -61,13 +60,12 @@ object Validate {
   def constraintSuite(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     def sat(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
-    val agg = li.agg(
+    // non-distinct checks: one keyless fused aggregate, pure
+    // whole-stage-codegen scan, shuffle output = 1 row
+    val plain = li.agg(
       count(lit(1)).as("n"),
       count(col("l_orderkey")).as("s_c_ok"),
       count(col("l_shipdate")).as("s_c_sd"),
-      count_distinct(concat_ws("#", col("l_orderkey"), col("l_linenumber")))
-        .as("s_u_pk"),
-      count_distinct(col("l_orderkey")).as("s_u_ok"),
       sat(col("l_quantity") > 0).as("s_r_qty"),
       sat(col("l_extendedprice") > 0).as("s_r_px"),
       sat(col("l_discount").between(0.0, 0.1)).as("s_r_disc"),
@@ -76,6 +74,20 @@ object Validate {
       sat(col("l_linestatus").isin("F", "O")).as("s_d_ls"),
       sat(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
         col("l_shipdate") < to_timestamp(lit("2003-01-01"))).as("s_r_sd"))
+    // both uniqueness checks from ONE grouped two-level aggregation,
+    // no Expand anywhere (the previous two-distinct single aggregate
+    // tripled every fact row through Expand): a single distinct inside
+    // groupBy(l_orderkey) plans as partial-dedup-by-(ok,ln) →
+    // count-by-ok, so distinct pairs = sum of per-order line counts and
+    // distinct orderkeys = group count, off the same shuffled dedup.
+    // The second scan reads ONLY the two key columns (column pruning);
+    // at 100 TB the narrow re-scan is cheaper than tripling the wide
+    // rows through the Expand exchange.
+    val uniq = li
+      .groupBy(col("l_orderkey"))
+      .agg(count_distinct(col("l_linenumber")).as("d_ln"))
+      .agg(sum(col("d_ln")).as("s_u_pk"), count(lit(1)).as("s_u_ok"))
+    val agg = plain.crossJoin(broadcast(uniq))
     val satCols = Seq("s_c_ok", "s_c_sd", "s_u_pk", "s_u_ok", "s_r_qty",
       "s_r_px", "s_r_disc", "s_r_tax", "s_d_rf", "s_d_ls", "s_r_sd")
     auditReport(agg, constraintNames.zip(satCols))
@@ -160,25 +172,36 @@ object Validate {
     * is therefore counted as dangling. */
   def refIntegrityOf(facts: Seq[(DataFrame, Seq[(String, String)])],
                      dims: Seq[(String, DataFrame, String)]): DataFrame = {
+    // relation labels ride the wide exchanges as SMALL INTS, decoded back
+    // to strings only on the final |relations|-row report — the three
+    // shuffles (fact key dedup, dim key dedup, orphan join) carry
+    // (int, long) keys instead of ~30-char strings, which at 100 TB is
+    // the difference between shuffling keys and shuffling label text
+    val labels: Seq[String] =
+      facts.flatMap(_._2.map(_._1)).distinct
+    val idOf: Map[String, Int] = labels.zipWithIndex.toMap
     val factKeys = facts.map { case (df, fks) =>
       val entries = fks.map { case (rel, c) =>
-        struct(lit(rel).as("relation"), col(c).cast("long").as("k"))
+        struct(lit(idOf(rel)).as("rel_id"), col(c).cast("long").as("k"))
       }
       df.select(explode(array(entries: _*)).as("e"))
-        .select(col("e.relation").as("relation"), col("e.k").as("k"))
+        .select(col("e.rel_id").as("rel_id"), col("e.k").as("k"))
     }.reduce(_ union _)
     val dimKeys = dims.map { case (rel, df, pk) =>
-      df.select(lit(rel).as("relation"), col(pk).cast("long").as("k"))
+      df.select(lit(idOf(rel)).as("rel_id"), col(pk).cast("long").as("k"))
     }.reduce(_ union _)
-    val perKey = factKeys.groupBy(col("relation"), col("k"))
+    val perKey = factKeys.groupBy(col("rel_id"), col("k"))
       .agg(count(lit(1)).as("cnt"))
+    val decode = labels.zipWithIndex
+      .map { case (l, i) => when(col("rel_id") === i, l) }
+      .reduceRight(_ otherwise _)
     perKey
       .join(dimKeys.distinct().withColumn("hit", lit(1)),
-        Seq("relation", "k"), "left")
-      .groupBy(col("relation"))
+        Seq("rel_id", "k"), "left")
+      .groupBy(col("rel_id"))
       .agg(sum(col("cnt")).as("fact_rows"),
         sum(when(col("hit").isNull, col("cnt")).otherwise(0L)).as("orphans"))
-      .select(col("relation"), col("fact_rows"), col("orphans"),
+      .select(decode.as("relation"), col("fact_rows"), col("orphans"),
         halfUp(col("orphans").cast("double") /
           col("fact_rows").cast("double"), 1e6).as("orphan_rate"))
       .orderBy(col("relation"))

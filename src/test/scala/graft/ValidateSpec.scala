@@ -27,11 +27,22 @@ class ValidateSpec extends SparkSpec {
     assert(byName("domain:l_returnflag{A,N,R}")._2)
   }
 
-  test("constraint suite: single scan of the fact table") {
-    val plan = Validate.constraintSuite(spark, sf)
-      .queryExecution.executedPlan.toString
+  test("constraint suite: two Expand-free passes, uniqueness scan pruned to keys") {
+    val qe = Validate.constraintSuite(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // the previous two-distinct single aggregate tripled every fact row
+    // through an Expand; the split shape must never reintroduce one
+    assert(!plan.contains("Expand"), s"Expand reappeared in:\n$plan")
     val scans = "lineitem\\.parquet".r.findAllIn(plan).size
-    assert(scans === 1, s"expected one lineitem scan, got $scans")
+    assert(scans === 2, s"expected two lineitem scans, got $scans")
+    // the uniqueness pass reads ONLY the two key columns
+    val pruned = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.toSeq ==
+          Seq("l_orderkey", "l_linenumber") => f
+    }
+    assert(pruned.nonEmpty,
+      s"no key-pruned uniqueness scan in:\n${qe.sparkPlan}")
   }
 
   test("refint: clean star schema has zero orphans on every edge") {
