@@ -1407,14 +1407,18 @@ object SparkEntry {
         |, act AS (SELECT label AS cls, count(*) AS support FROM p GROUP BY 1),
         |prd AS (SELECT pred AS cls, count(*) AS n_pred FROM p GROUP BY 1),
         |tp AS (SELECT label AS cls, count(*) AS n_tp FROM p WHERE label = pred GROUP BY 1),
+        |cls AS (SELECT label AS cls FROM p UNION SELECT pred FROM p),
         |j AS (
-        | SELECT act.cls, support,
+        | SELECT cls.cls, CAST(coalesce(support, 0) AS BIGINT) AS support,
         |  coalesce(n_pred, 0) AS n_pred, coalesce(n_tp, 0) AS n_tp,
         |  CASE WHEN coalesce(n_pred, 0) > 0
         |       THEN CAST(coalesce(n_tp, 0) AS DOUBLE) / n_pred ELSE 0.0 END AS p,
-        |  CAST(coalesce(n_tp, 0) AS DOUBLE) / support AS r
-        | FROM act LEFT JOIN prd ON act.cls = prd.cls
-        |          LEFT JOIN tp ON act.cls = tp.cls),
+        |  CASE WHEN coalesce(support, 0) > 0
+        |       THEN CAST(coalesce(n_tp, 0) AS DOUBLE) / support
+        |       ELSE 0.0 END AS r
+        | FROM cls LEFT JOIN act ON cls.cls = act.cls
+        |          LEFT JOIN prd ON cls.cls = prd.cls
+        |          LEFT JOIN tp ON cls.cls = tp.cls),
         |m AS (
         | SELECT cls, support, n_tp,
         |  CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS p6,
@@ -1906,9 +1910,17 @@ object SparkEntry {
         |ORDER BY cum2.source""".stripMargin,
     "q_valid_anomaly" -> {
       val w = Validate.anomalyWindow
-      s"""WITH d AS (SELECT event_type AS grp,
+      s"""WITH d0 AS (SELECT event_type AS grp,
          |   strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
          |  FROM events GROUP BY 1, 2),
+         |mx AS (SELECT max(CAST(day AS DATE)) AS mxd FROM d0),
+         |g AS (SELECT grp, min(CAST(day AS DATE)) AS mnd FROM d0 GROUP BY 1),
+         |grid AS (SELECT grp, strftime(unnest(generate_series(mnd, mxd,
+         |   INTERVAL 1 DAY)), '%Y-%m-%d') AS day FROM g, mx),
+         |d AS (SELECT grid.grp, grid.day,
+         |   CAST(coalesce(d0.n, 0) AS BIGINT) AS n
+         |  FROM grid LEFT JOIN d0 ON grid.grp = d0.grp
+         |   AND grid.day = d0.day),
          |s AS (SELECT grp, day, n,
          |   count(n) OVER w AS w_n,
          |   CAST(CAST(sum(n) OVER w AS BIGINT) AS DOUBLE) AS w_sum,

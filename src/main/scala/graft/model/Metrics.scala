@@ -92,8 +92,10 @@ object Metrics {
     * once into the ≤C² (label, pred, n) frame; each cm row then expands
     * into its actual-side and predicted-side contributions (a 2-row
     * Expand, no join back to the facts) and one tiny regroup produces all
-    * three counts. Classes never observed as actuals are dropped (support
-    * 0), matching the previous report surface. */
+    * three counts. The class universe is the UNION of actual and
+    * predicted labels, sklearn's classification_report contract: a class
+    * observed only as a prediction still gets a row (support 0,
+    * precision from its n_pred, recall defined 0) — round-5 ADVICE. */
   private def classCounts(pred: DataFrame, actualCol: String,
                           predCol: String): DataFrame = {
     val cm = pred.groupBy(col(actualCol).as("label"), col(predCol).as("pred"))
@@ -109,7 +111,6 @@ object Metrics {
       .agg(sum(col("r.d_support")).as("support"),
         sum(col("r.d_pred")).as("n_pred"),
         sum(col("r.d_tp")).as("n_tp"))
-      .where(col("support") > 0)
   }
 
   // metric formulas over exact integer counts: the divisions are IEEE-
@@ -118,7 +119,10 @@ object Metrics {
   // rounding idiom) makes downstream averages exact-integer arithmetic
   private val pRaw = when(col("n_pred") > 0,
     col("n_tp").cast("double") / col("n_pred")).otherwise(lit(0.0))
-  private val rRaw = col("n_tp").cast("double") / col("support")
+  // support 0 (prediction-only class): recall defined 0, sklearn's
+  // zero_division behavior — never 0/0
+  private val rRaw = when(col("support") > 0,
+    col("n_tp").cast("double") / col("support")).otherwise(lit(0.0))
   private val f1Raw = when(pRaw + rRaw > 0.0,
     lit(2.0) * pRaw * rRaw / (pRaw + rRaw)).otherwise(lit(0.0))
   private def s6(c: Column) = floor(c * 1e6 + 0.5).cast("long")

@@ -342,15 +342,40 @@ object Validate {
       .orderBy(col("grp"), col("day"))
   }
 
+  /** Calendar-dense per-group day grid: every day from a group's first
+    * observed day to the CORPUS-wide last observed day appears, with
+    * n = 0 where the group produced nothing — so a fully collapsed
+    * source scores its silent days as extreme negative z instead of
+    * silently vanishing from the monitor (round-5 ADVICE). Grid size is
+    * O(groups × days) — bounded by the calendar and the group
+    * dimension, never row count — and the grid build is two tiny
+    * aggregates plus a broadcast, so the scale shape of the section
+    * holds. The grid ends at the GLOBAL max day: a group's own max
+    * would hide exactly the trailing collapse this exists to catch
+    * (detection needs at least one source still alive, which is what
+    * defines the corpus horizon). */
+  private[graft] def densifyDays(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(max(to_date(col("day"))).as("mx"))
+    val grid = daily.groupBy(col("grp"))
+      .agg(min(to_date(col("day"))).as("mn"))
+      .crossJoin(broadcast(bounds))
+      .select(col("grp"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      .select(col("grp"), date_format(col("d"), "yyyy-MM-dd").as("day"))
+    grid.join(daily, Seq("grp", "day"), "left")
+      .select(col("grp"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** The declared query: per-event-type daily volumes from the events
-    * stream, scored by [[anomalyScores]]. Day labels are formatted in the
-    * session time zone (UTC, `Tables.configure`), matching the oracle's
-    * naive timestamps. */
+    * stream, densified per group ([[densifyDays]]) and scored by
+    * [[anomalyScores]] — zero-volume days are real scored rows, so both
+    * mid-stream gaps and a trailing full collapse flag. Day labels are
+    * formatted in the session time zone (UTC, `Tables.configure`),
+    * matching the oracle's naive timestamps. */
   def dailyAnomaly(spark: SparkSession, dir: String): DataFrame =
-    anomalyScores(Tables.events(spark, dir)
+    anomalyScores(densifyDays(Tables.events(spark, dir)
       .select(col("event_type").as("grp"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .groupBy(col("grp"), col("day")).agg(count(lit(1)).as("n")))
+      .groupBy(col("grp"), col("day")).agg(count(lit(1)).as("n"))))
 
   // ---- freshness ------------------------------------------------------
 

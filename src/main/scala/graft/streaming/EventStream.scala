@@ -329,7 +329,19 @@ object EventStream {
     * cluster degrades last — by then the cluster is already connected).
     * Spec asserts exact candidate-set parity with the batch LSH self-join
     * in one micro-batch AND across a two-micro-batch split (bucket state
-    * survives the state-store round trip). */
+    * survives the state-store round trip).
+    *
+    * OUTPUT IS A MULTISET PER PAIR: a pair colliding on several bands is
+    * emitted once per band (the `band` column tells them apart; within
+    * one band a pair is emitted at most once — spec-asserted). This
+    * differs from the batch twin, which `distinct()`s pairs across
+    * bands. Cross-band dedup in a stream needs a second stateful stage
+    * keyed by pair — unbounded state for a bounded nuisance: multiplicity
+    * is capped at the band count (4), the downstream exact-Jaccard
+    * verify is idempotent, and [[graft.ops.Dedup.incrementalAssign]]
+    * consumes pairs through a dedup-ing aggregation anyway. Consumers
+    * needing set semantics apply `dropDuplicates("doc_a","doc_b")` and
+    * accept the per-pair state that implies. */
   def lshCandidatesStateful(spark: SparkSession, docStream: DataFrame,
                             maxBucket: Int = 1024): Dataset[CandPair] = {
     import spark.implicits._
@@ -538,7 +550,15 @@ object EventStream {
     * drift monitor the trailing context must survive — so state for a
     * group retires only with the group itself (group count is a small
     * dimension: event types, not users). Day labels use the session
-    * time zone, like every window label here. */
+    * time zone, like every window label here.
+    *
+    * SCOPE: partial-collapse detection only. A day with ZERO events for
+    * a group is never emitted live — closing it would need a per-group
+    * calendar cursor ticking on other groups' watermarks. The batch
+    * monitor densifies the day grid and scores zero-days as extreme
+    * anomalies ([[graft.ops.Validate.densifyDays]]); the LIVE dead-source
+    * check is the freshness monitor ([[graft.ops.Validate.freshness]]),
+    * which flags staleness without needing the day to close. */
   def anomalyStateful(spark: SparkSession, stream: DataFrame,
                       watermarkDelay: String = "2 hours"): Dataset[DayScore] = {
     import spark.implicits._

@@ -178,6 +178,24 @@ class MetricsSpec extends SparkSpec {
     assert(accRow.getAs[Long]("support") === n)
   }
 
+  test("report includes prediction-only classes: support 0, sklearn union semantics") {
+    import spark.implicits._
+    // class 2 is never an actual — sklearn still reports it (support 0,
+    // precision from its predictions, recall defined 0)
+    val df = Seq((0L, 0L), (0L, 2L), (1L, 1L), (1L, 1L)).toDF("label", "pred")
+    val rep = Metrics.classificationReport(df, "label", "pred").collect()
+    assert(rep.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    val r2 = rep.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[Long]("support") === 0L)
+    assert(r2.getAs[Double]("precision") === 0.0)
+    assert(r2.getAs[Double]("recall") === 0.0)
+    assert(r2.getAs[Double]("f1") === 0.0)
+    // macro avg spans the union: recalls 0.5, 1.0, 0.0 -> 0.5
+    val full = Metrics.classificationReportFull(df, "label", "pred").collect()
+    val macroRow = full.find(_.getString(0) == "macro avg").get
+    assert(math.abs(macroRow.getAs[Double]("recall") - 0.5) < 1e-9)
+  }
+
   test("log-loss: positive, covers the corpus, equals a driver softmax replay") {
     val row = Metrics.linearLogLoss(spark, sf).head()
     val n = row.getLong(0)

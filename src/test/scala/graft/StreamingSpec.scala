@@ -368,9 +368,18 @@ class StreamingSpec extends SparkSpec {
     val q = EventStream.lshCandidatesStateful(spark, stream)
       .writeStream.format("memory").queryName("stream_lsh").start()
     try q.processAllAvailable() finally q.stop()
-    val streamed = spark.table("stream_lsh").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamedRows = spark.table("stream_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val streamed = streamedRows.map(t => (t._1, t._2)).toSet
     assert(streamed === batchCands)
+    // the documented multiset contract, asserted not masked: within one
+    // band a pair appears at most once; across bands multiplicity is
+    // bounded by the band count
+    assert(streamedRows.distinct.length === streamedRows.length,
+      "duplicate (pair, band) emission")
+    streamedRows.groupBy(t => (t._1, t._2)).foreach { case (p, hits) =>
+      assert(hits.length <= graft.ops.Dedup.numBands, s"pair $p emitted ${hits.length}x")
+    }
 
     // two micro-batches: the same corpus split in half must surface the
     // SAME candidate set — cross-batch pairs only exist if the bucket

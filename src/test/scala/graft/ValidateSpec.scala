@@ -302,4 +302,30 @@ class ValidateSpec extends SparkSpec {
       sortedDays.drop(w).foreach(r => assert(!r.isNullAt(3)))
     }
   }
+
+  test("anomaly: a fully collapsed source scores its silent days as anomalies") {
+    // group "dead" emits for 10 days then goes silent; group "alive"
+    // keeps the corpus horizon open through day 20. Pre-densification
+    // the dead group simply vanished from the monitor (round-5 ADVICE);
+    // now every silent day up to the horizon is a scored n=0 row.
+    val daily = ((1 to 10).map(d => ("dead", f"2024-01-$d%02d", 50L + d)) ++
+      (1 to 20).map(d => ("alive", f"2024-01-$d%02d", 40L + d % 3)))
+      .toDF("grp", "day", "n")
+    val r = Validate.anomalyScores(Validate.densifyDays(daily)).collect()
+    val dead = r.filter(_.getString(0) == "dead").sortBy(_.getString(1))
+    assert(dead.length === 20, "grid must extend to the corpus horizon")
+    val silent = dead.drop(10)
+    silent.foreach(row => assert(row.getLong(2) === 0L))
+    // the FIRST silent day scores against a healthy window: extreme
+    // negative z, flagged. Later windows absorb the collapse (variance
+    // inflates, then goes constant-zero -> null): never a positive z.
+    assert(silent.head.getBoolean(5), "first silent day not flagged")
+    assert(silent.head.getDouble(4) < -3.0)
+    silent.foreach { row =>
+      if (!row.isNullAt(4)) assert(row.getDouble(4) <= 0.0)
+    }
+    // a group born late is NOT padded before its first observed day
+    val alive = r.filter(_.getString(0) == "alive")
+    assert(alive.length === 20)
+  }
 }
