@@ -609,14 +609,16 @@ object Validate {
   }
 
   /** Derived table the declared WAP query stages: a per-customer order
-    * profile. Defined ONCE as ANSI SQL shared verbatim with the DuckDB
-    * twin; the Spark side parses the same text with `spark.sql` over a
-    * temp view, so gate and oracle can never drift on the staged data.
-    * All columns are cross-engine exact (longs and a max of doubles —
-    * no order-dependent float sums). */
-  val wapProfileSql: String =
+    * profile. Defined ONCE as an ANSI SQL template shared with the
+    * DuckDB twin (which instantiates it over its `orders` view); the
+    * Spark side parses the same text over a DIR-SCOPED temp view —
+    * generic view names are shared session state and a silent cross-dir
+    * collision (the repo's round-2 hygiene rule). Gate and oracle can
+    * never drift on the staged data. All columns are cross-engine exact
+    * (longs and a max of doubles — no order-dependent float sums). */
+  def wapProfileSqlFor(table: String): String =
     "SELECT o_custkey, count(*) AS n_orders, max(o_totalprice) AS max_price " +
-      "FROM orders GROUP BY o_custkey"
+      s"FROM $table GROUP BY o_custkey"
 
   /** WAP audit predicates, shared verbatim with the DuckDB twin —
     * the [[docCheckDefs]] pattern. */
@@ -626,7 +628,7 @@ object Validate {
     ("range:max_price>0", "max_price > 0"))
 
   /** The write–audit–publish gate as a declared query: stage the
-    * [[wapProfileSql]] profile via [[writeAuditPublish]] into a fresh
+    * [[wapProfileSqlFor]] profile via [[writeAuditPublish]] into a fresh
     * temp target, and return the audit report with the promote verdict
     * (`published` = every check passed) — so the driver's oracle row
     * exercises the full stage→audit→promote path, not just the report
@@ -634,13 +636,22 @@ object Validate {
     * surface, per the WAP contract); the report the query returns is the
     * constant-size frame the gate collected from those bytes. */
   def wapGate(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    val profile = spark.sql(wapProfileSql)
-    val target = java.nio.file.Files.createTempDirectory("graft-wap")
-      .resolve("orders_profile").toString
+    val vn = "graft_wap_orders_v_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.orders(spark, dir).createOrReplaceTempView(vn)
+    val profile = spark.sql(wapProfileSqlFor(vn))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-wap")
+    val target = tmpRoot.resolve("orders_profile").toString
     val (ok, report) = writeAuditPublish(spark, profile, target,
       wapCheckDefs.map { case (n, p) => (n, expr(p)) })
-    report.withColumn("published", lit(ok))
+    val out = report.withColumn("published", lit(ok))
+    // the report is already materialized rows (writeAuditPublish
+    // collects before promoting), so the staged/published bytes of this
+    // throwaway target can be reclaimed immediately — repeated gate runs
+    // must not accumulate temp publishes
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(tmpRoot.toString), true)
+    out
   }
 
   /** DuckDB twin of [[wapGate]]: replays the same profile SQL and the
@@ -653,7 +664,7 @@ object Validate {
         s"CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS sat, " +
         "count(*) AS n FROM t"
     }
-    s"WITH t AS ($wapProfileSql), obs AS (${rows.mkString(" UNION ALL ")}), " +
+    s"WITH t AS (${wapProfileSqlFor("orders")}), obs AS (${rows.mkString(" UNION ALL ")}), " +
       "rep AS (SELECT check_name, CASE WHEN n > 0 THEN " +
       "floor(CAST(sat AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
       "END AS observed, 1.0 AS threshold, n > 0 AND sat = n AS passed " +
