@@ -113,7 +113,12 @@ object Tables {
     * NANOS-annotated column infers as LongType (→ divide by 1000), while
     * a MICROS column infers as a timestamp type (→ divide by 1). Cached
     * per path — the unit is a property of the published file, and the
-    * footer read is driver-side metadata only. */
+    * footer read is driver-side metadata only.
+    *
+    * Supported physical encodings are INT64 (MICROS- or NANOS-annotated,
+    * or unannotated raw longs, which are treated as nanos). Legacy INT96
+    * timestamps are rejected loudly by the raw-long scan — a corpus drop
+    * in that encoding should be rewritten, not silently reinterpreted. */
   private val tsDivisorCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   def eventsTsDivisor(spark: SparkSession, dir: String): Long = {

@@ -7,12 +7,62 @@ import graft.sources.Tables
 
 class EventsSpec extends SparkSpec {
 
-  test("events reader: nanos converted to exact micros timestamps") {
+  test("events reader: corpus ts decodes to exact micros timestamps") {
     val df = Tables.events(spark, sf)
     assert(df.schema("ts").dataType.typeName === "timestamp")
     val bounds = df.agg(min("ts").cast("string"), max("ts").cast("string")).collect().head
     assert(bounds.getString(0) === "2024-01-01 00:09:58.778549")
     assert(bounds.getString(1) === "2024-01-30 23:26:16.220708")
+  }
+
+  test("events reader adapts to the file's ts encoding: micros and raw-long nanos agree") {
+    // the driver regenerated the corpus with TIMESTAMP(MICROS) in round 6
+    // after five rounds of TIMESTAMP(NANOS) — the reader must decode BOTH
+    // (encoding is a property of the drop, not a contract). Two temp
+    // corpora with identical logical content, one per encoding:
+    import spark.implicits._
+    val base = Seq(
+      (1L, 1704067200123456L, 10L, "click", 1.5, "{}"),
+      (2L, 1704070800654321L, 11L, "view", 2.5, "{}"))
+    def writeDir(rows: Seq[(Long, Long, Long, String, Double, String)],
+                 micros: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ts_enc").toString
+      val df =
+        if (micros)
+          rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+            .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        else
+          // raw int64 with no timestamp annotation reads as LongType —
+          // the same reader branch the legacy NANOS files take
+          rows.map { case (e, us, u, t, v, p) => (e, us * 1000L, u, t, v, p) }
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // INT64 micros, the modern annotation the corpus ships (Spark's
+      // INT96 legacy output is NOT a supported events encoding — the
+      // raw-long read path rejects it loudly, never silently shifts);
+      // restore the shared session's writer conf afterwards
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      dir
+    }
+    val microsDir = writeDir(base, micros = true)
+    val nanosDir = writeDir(base, micros = false)
+    assert(Tables.eventsTsDivisor(spark, microsDir) === 1L)
+    assert(Tables.eventsTsDivisor(spark, nanosDir) === 1000L)
+    val a = Tables.events(spark, microsDir)
+      .select(col("event_id"), col("ts").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val b = Tables.events(spark, nanosDir)
+      .select(col("event_id"), col("ts").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    assert(a.head._2 === "2024-01-01 00:00:00.123456")
   }
 
   test("tumbling windows: event counts conserved, starts aligned to the hour") {
