@@ -183,14 +183,15 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
     "q_dedup_source_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
     "q_sim_semdedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
-    // the 100 TB SemDeDup scale path: banded sign-LSH edges (full corpus)
+    // the 100 TB SemDeDup scale path: banded sign-LSH edges read off the
+    // PUBLISHED 16 B/row sign index (layout reuse — no corpus re-signing)
     // into the same contraction. Rows-only — edge recovery depends on
     // plane geometry; planted-near-dup co-cluster recall >= 0.9 is
     // spec-asserted (SimilaritySpec), mirroring the q_dedup_embed /
     // q_dedup_embed_lsh brute/scale pair. Same pinned 8×8 prune-first
-    // geometry as q_dedup_embed_lsh (rationale below).
+    // band slicing as q_dedup_embed_lsh (rationale below).
     "q_sim_semdedup_lsh" -> ((s, d) =>
-      Similarity.semanticDedupLsh(s, d, minCos = 0.4, nPlanes = 64, bands = 8)),
+      Similarity.semanticDedupLsh(s, d, minCos = 0.4, bands = 8)),
     // rows-only: LSH bucket geometry is engine-specific; precision exact
     // by construction (cosine verify), recall spec vs the brute baseline.
     // Geometry pinned EXPLICITLY to the prune-first 8×8 profile: this

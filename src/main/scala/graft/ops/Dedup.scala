@@ -934,29 +934,59 @@ object Dedup {
 
   /** Core of [[embeddingDupPairsLsh]] over any (vec_id, embedding:
     * array<double>, nrm) frame — also fed planted near-dup corpora by the
-    * recall spec. */
+    * recall spec. Signs live with this operator's own seeded planes; the
+    * layout-reading twin is [[embeddingDupPairsFromIndex]]. */
   private[graft] def embeddingDupPairsLshOf(emb: DataFrame, minCos: Double,
                                             nPlanes: Int, bands: Int): DataFrame = {
     val nBands = if (bands == 0) autoBands(minCos, nPlanes) else bands
     require(nPlanes % nBands == 0,
       s"nPlanes ($nPlanes) must be a multiple of bands ($nBands): trailing " +
         "hyperplanes would be silently ignored, degrading recall")
-    val bits = nPlanes / nBands
     val rnd = new scala.util.Random(7)
     val dim = 64
     val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
     graft.functions.GraftFunctions.register(emb.sparkSession)
 
     // all `nPlanes` sign bits in ONE fused native expression
-    // (graft.functions.SignBits — bit j = sign of dot with plane j), then
-    // one int key per band: `bits` consecutive sign bits, little-endian.
+    // (graft.functions.SignBits — bit j = sign of dot with plane j).
     // Identical keys to the per-plane when(dot>0) fold (spec-asserted),
     // but Janino compiles one loop instead of nPlanes codegen blocks —
     // the 64-expression form's first-plan compile was most of this
     // query's fresh-JVM cost.
     val allBits = graft.functions.GraftFunctions.signBits(col("embedding"),
       typedLit(planes.map(_.toSeq).toSeq))
-    val keyed = emb.select(col("vec_id"), allBits.as("sign_bits"))
+    bandedVerifiedPairs(emb.select(col("vec_id"), allBits.as("sign_bits")),
+      emb, minCos, nPlanes, nBands)
+  }
+
+  /** Embedding near-dup pair mining off the PUBLISHED 16 B/row sign
+    * index ([[Similarity.ensureSignIndex]]) instead of re-signing the
+    * corpus: at 100 TB the banding input is a narrow index scan — the
+    * same layout-reuse contract as incremental dedup reading its
+    * published signature base. Band keys are bit-slices of the stored
+    * 64-bit signature; precision is still exact (cosine verify), recall
+    * is the same Charikar banding bound, just over the index's plane
+    * geometry. Rows-only by nature (plane geometry engine-specific). */
+  def embeddingDupPairsFromIndex(spark: SparkSession, dir: String,
+                                 minCos: Double = 0.4,
+                                 bands: Int = 8): DataFrame = {
+    val idx = Similarity.ensureSignIndex(spark, dir)
+    bandedVerifiedPairs(spark.table(idx),
+      Similarity.embWithNorm(spark, dir), minCos, 64, bands)
+  }
+
+  /** Banding + first-match candidate join + exact-cosine verify over an
+    * ALREADY-SIGNED (vec_id, sign_bits) frame — shared by the
+    * live-signing operator and the published-index reader. `emb` supplies
+    * (vec_id, embedding, nrm) for the verify stage only. */
+  private[graft] def bandedVerifiedPairs(signed: DataFrame, emb: DataFrame,
+                                         minCos: Double, nPlanes: Int,
+                                         nBands: Int): DataFrame = {
+    require(nPlanes % nBands == 0,
+      s"nPlanes ($nPlanes) must be a multiple of bands ($nBands)")
+    val bits = nPlanes / nBands
+    // one int key per band: `bits` consecutive sign bits, little-endian
+    val keyed = signed
       .select(col("vec_id"), array((0 until nBands).map(b =>
         shiftright(col("sign_bits"), b * bits)
           .bitwiseAND(lit((1L << bits) - 1)).cast("int")): _*).as("keys"))

@@ -643,27 +643,35 @@ object Similarity {
       Dedup.embeddingDupPairs(spark, dir, maxVecId, minCos))
 
   /** The 100 TB SemDeDup: identical keep-list semantics to
-    * [[semanticDedup]], but the edge set is [[Dedup.embeddingDupPairsLsh]]'s
-    * banded sign-LSH candidates (exact cosine verified per candidate, so
-    * every emitted edge is a true ≥ minCos edge — LSH only bounds recall,
-    * never precision) over the FULL corpus, feeding the same O(log n)
-    * contraction. Rows-only in the driver gate (the recovered edge set
-    * depends on plane geometry); the recall spec plants near-dup pairs and
-    * asserts ≥ 0.9 of them land co-clustered, mirroring the
-    * `q_dedup_embed` / `q_dedup_embed_lsh` brute/scale pair. */
+    * [[semanticDedup]], but the edge set is banded sign-LSH candidates
+    * read off the PUBLISHED 16 B/row sign index
+    * ([[Dedup.embeddingDupPairsFromIndex]] — exact cosine verified per
+    * candidate, so every emitted edge is a true ≥ minCos edge; LSH only
+    * bounds recall, never precision) over the FULL corpus, feeding the
+    * same O(log n) contraction. The banding input is a narrow index scan,
+    * not a corpus re-signing pass — the layout-reuse contract every other
+    * published table follows. Rows-only in the driver gate (the recovered
+    * edge set depends on plane geometry); the recall spec plants near-dup
+    * pairs, signs them with the SAME index planes, and asserts ≥ 0.9 land
+    * co-clustered, mirroring the `q_dedup_embed` / `q_dedup_embed_lsh`
+    * brute/scale pair. */
   def semanticDedupLsh(spark: SparkSession, dir: String,
-                       minCos: Double = 0.4, nPlanes: Int = 64,
-                       bands: Int = 0): DataFrame =
+                       minCos: Double = 0.4, bands: Int = 8): DataFrame =
     semanticKeepList(Tables.embeddings(spark, dir),
-      Dedup.embeddingDupPairsLsh(spark, dir, minCos, nPlanes, bands))
+      Dedup.embeddingDupPairsFromIndex(spark, dir, minCos, bands))
 
   /** [[semanticDedupLsh]] over any (vec_id, embedding, nrm, label) frame —
-    * the planted-corpus recall spec's entry point. */
+    * the planted-corpus recall spec's entry point: signs with the index's
+    * own planes, then the shared banding/verify/contraction path. */
   private[graft] def semanticDedupLshOf(emb: DataFrame,
                                         minCos: Double, nPlanes: Int,
-                                        bands: Int): DataFrame =
+                                        bands: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     semanticKeepList(emb,
-      Dedup.embeddingDupPairsLshOf(emb, minCos, nPlanes, bands))
+      Dedup.bandedVerifiedPairs(
+        emb.select(col("vec_id"), signature(col("embedding")).as("sign_bits")),
+        emb, minCos, nPlanes, bands))
+  }
 
   /** Shared keep-list labeling: contraction over the similarity edges,
     * then a left join back to the vector universe — singletons keep
