@@ -552,13 +552,16 @@ object EventStream {
     * dimension: event types, not users). Day labels use the session
     * time zone, like every window label here.
     *
-    * SCOPE: partial-collapse detection only. A day with ZERO events for
-    * a group is never emitted live — closing it would need a per-group
-    * calendar cursor ticking on other groups' watermarks. The batch
-    * monitor densifies the day grid and scores zero-days as extreme
-    * anomalies ([[graft.ops.Validate.densifyDays]]); the LIVE dead-source
-    * check is the freshness monitor ([[graft.ops.Validate.freshness]]),
-    * which flags staleness without needing the day to close. */
+    * FULL-COLLAPSE days close live: the per-group calendar cursor (the
+    * day after the last closed day) arms an event-time timeout at its
+    * day end, and the QUERY watermark — advanced by every group's
+    * events — fires it, so a group that stops emitting still scores its
+    * silent days as n = 0 rows, matching the batch monitor's densified
+    * grid ([[graft.ops.Validate.densifyDays]]) row for row up to the
+    * watermark horizon. Detection therefore needs at least one source
+    * still alive (exactly the batch grid's corpus-horizon rule); a whole
+    * PIPELINE going dark stalls the watermark and is the freshness
+    * monitor's job ([[graft.ops.Validate.freshness]]). */
   def anomalyStateful(spark: SparkSession, stream: DataFrame,
                       watermarkDelay: String = "2 hours"): Dataset[DayScore] = {
     import spark.implicits._
@@ -582,24 +585,42 @@ object EventStream {
           val openMap = scala.collection.mutable.Map(
             st0.open.map(d => d.day -> d.n).toSeq: _*)
           rows.foreach(r => openMap(r._2) = openMap.getOrElse(r._2, 0L) + 1L)
-          // close every open day the watermark has passed, oldest first,
-          // scoring each against the trailing closed history as it was
-          // at that day's close (works identically on the timeout path,
-          // where `rows` is simply empty)
+          // close every CALENDAR day the watermark has passed, oldest
+          // first — including days with zero events for this group, so a
+          // fully collapsed source scores its silent days live (batch
+          // twin: Validate.densifyDays). The cursor is the day after the
+          // last closed day (or the group's first observed day), and the
+          // watermark that drives it is the QUERY's, advanced by every
+          // group's events — which is exactly what makes a dead group's
+          // days close at all. Scoring arithmetic is unchanged
+          // (Validate.zScoreOf over the trailing closed history), so
+          // emitted rows stay bit-identical to a batch replay. Works
+          // identically on the timeout path, where `rows` is empty.
           val wm = state.getCurrentWatermarkMs()
-          val (toClose, stillOpen) = openMap.toList.sortBy(_._1)
-            .partition { case (d, _) => dayEndMs(d) <= wm }
           var hist = st0.closed
-          val out = toClose.map { case (d, n) =>
-            val (mu, z) = graft.ops.Validate.zScoreOf(n, hist.map(_.n))
-            hist = (hist :+ DayCount(d, n)).takeRight(w)
-            DayScore(grp, d, n, mu, z, z.exists(x => math.abs(x) > 3.0))
+          val out = scala.collection.mutable.ListBuffer.empty[DayScore]
+          def nextDay(day: String): String =
+            java.time.LocalDate.parse(day).plusDays(1).toString
+          var cursor =
+            if (hist.nonEmpty) nextDay(hist.last.day)
+            else if (openMap.nonEmpty) openMap.keys.min
+            else null
+          if (cursor != null) {
+            while (dayEndMs(cursor) <= wm) {
+              val n = openMap.remove(cursor).getOrElse(0L)
+              val (mu, z) = graft.ops.Validate.zScoreOf(n, hist.map(_.n))
+              hist = (hist :+ DayCount(cursor, n)).takeRight(w)
+              out += DayScore(grp, cursor, n, mu, z,
+                z.exists(x => math.abs(x) > 3.0))
+              cursor = nextDay(cursor)
+            }
+            state.update(AnomalyState(hist,
+              openMap.toList.sortBy(_._1)
+                .map { case (d, n) => DayCount(d, n) }))
+            // the cursor day's end is the next close deadline whether or
+            // not the group produces another event — the zero-day tick
+            state.setTimeoutTimestamp(math.max(dayEndMs(cursor), wm + 1))
           }
-          state.update(AnomalyState(hist,
-            stillOpen.map { case (d, n) => DayCount(d, n) }))
-          if (stillOpen.nonEmpty)
-            state.setTimeoutTimestamp(math.max(
-              stillOpen.map(p => dayEndMs(p._1)).min, wm + 1))
           out.iterator
       }
   }

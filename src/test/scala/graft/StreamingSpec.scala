@@ -504,4 +504,64 @@ class StreamingSpec extends SparkSpec {
     // the data has full-window scored days (not all-null mu)
     assert(got.values.exists(_._2.isDefined))
   }
+
+  test("streaming anomaly closes a collapsed source's silent days == densified batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 'dead' emits days 1-10 then goes silent; 'alive' runs through day
+    // 20 and keeps the query watermark advancing — the calendar-cursor
+    // timeout must close dead's days 11+ as n=0 rows, matching the batch
+    // monitor's densified grid bit for bit
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap_stream").toString
+    val base = java.time.LocalDate.parse("2024-01-01")
+    // jittered daily counts: a constant window has variance 0 and
+    // scores null by design — the zero-day must meet a live sigma
+    val rows = for {
+      d <- 1 to 20; i <- 1 to (25 + d % 5)
+      t <- Seq("dead", "alive") if !(t == "dead" && d > 10)
+    } yield {
+      val us = base.plusDays(d - 1).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000L + i * 60L * 1000000L
+      ((d.toLong * 1000) + i, us * 1000L, i.toLong % 50, t, 1.0, "{}")
+    }
+    // raw int64 nanos — the legacy-long branch of the adaptive reader.
+    // Written as a single FILE named events.parquet (not a directory):
+    // readEvents' pathGlobFilter matches file names, like the corpus
+    val wtmp = s"$dir/_w"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(wtmp)
+    val part = new java.io.File(wtmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val q = EventStream.anomalyStateful(spark, EventStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("stream_anomaly_gap")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_anomaly_gap").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)), Option(r.get(4)), r.getBoolean(5)))
+      .toMap
+    val maxTs = graft.sources.Tables.events(spark, dir)
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val wm = maxTs - 2L * 3600 * 1000
+    def dayEnd(day: String): Long =
+      java.time.LocalDate.parse(day).plusDays(1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val batch = graft.ops.Validate.dailyAnomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)), Option(r.get(4)), r.getBoolean(5)))
+      .toMap
+    val expected = batch.keySet.filter(k => dayEnd(k._2) <= wm)
+    assert(got.keySet === expected)
+    // the dead group's silent days closed live as zeros...
+    val silent = got.keys.filter(k => k._1 == "dead" && k._2 > "2024-01-10")
+    assert(silent.nonEmpty, "no zero-days closed for the dead group")
+    silent.foreach(k => assert(got(k)._1 === 0L))
+    // ...the first one flagged as an extreme negative anomaly...
+    assert(got(("dead", "2024-01-11"))._4, "first silent day not flagged")
+    // ...and every emitted row bit-identical to the densified batch
+    expected.foreach { k => assert(got(k) === batch(k), s"day $k") }
+  }
 }
