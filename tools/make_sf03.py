@@ -3,8 +3,9 @@
 driver's sf0.1 tables — the extra decade point for the scale audit
 (round-5 VERDICT next-round #7; the driver ships no SF above 0.1).
 
-Usage: python3 tools/make_sf03.py [src_dir] [dst_dir]
-Defaults: /root/testdata/sf0.1 -> /tmp/graft_sf0.3
+Usage: python3 tools/make_sf03.py [src_dir] [dst_dir] [n_copies]
+Defaults: /root/testdata/sf0.1 -> /tmp/graft_sf0.3, 3 copies
+(n_copies=10 builds a ~sf1 corpus for the second audit decade)
 
 Driver-side tooling only (duckdb), like the oracle checker — the shipped
 library stays pure Scala/Spark.
@@ -15,11 +16,12 @@ inflates dedup cluster sizes and LSH bucket occupancy QUADRATICALLY —
 the audit would then flag superlinearity that is a property of the
 synthetic stacking, not of the operators. So copies 1 and 2 are
 deterministically mangled into non-duplicates:
-  - documents: per-copy vowel rotation over the text (changes most
-    shingles globally -> low Jaccard across copies; length, and thus
-    n_chars consistency, is preserved)
-  - embeddings: per-copy dimension permutation (reverse / rotate-7 —
-    cosine across copies decorrelates like random vectors)
+  - documents: per-copy Caesar rotation of the lowercase alphabet
+    (copy 0 identity; i>0 shifts EVERY letter, so every shingle
+    differs -> Jaccard ~0 across copies; length, and thus n_chars
+    consistency, is preserved)
+  - embeddings: per-copy dimension rotation (cosine across copies
+    decorrelates like random vectors)
   - star schema + events: pure key shifts; FK targets shift with their
     dims so referential integrity stays clean by construction
 """
@@ -30,6 +32,7 @@ import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf0.3"
+NCOPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
 
 def main():
@@ -58,7 +61,7 @@ def main():
     }.items()}
 
     def copies(sql_for_copy):
-        return " UNION ALL ".join(sql_for_copy(i) for i in range(3))
+        return " UNION ALL ".join(sql_for_copy(i) for i in range(NCOPIES))
 
     # dimensions shared across copies stay single (region/nation: the
     # FK columns into them are NOT shifted)
@@ -90,20 +93,25 @@ def main():
         f"user_id + {i * mx['user']} AS user_id, "
         f"event_type, value, props FROM {t['events']}")))
 
-    maps = [("aeiou", "aeiou"), ("aeiou", "eioua"), ("aeiou", "iouae")]
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def caesar(i):
+        return alpha[i % 26:] + alpha[:i % 26]
+
     write("documents", copies(lambda i: (
         f"SELECT doc_id + {i * mx['doc']} AS doc_id, "
-        f"translate(text, '{maps[i][0]}', '{maps[i][1]}') AS text, "
+        f"translate(text, '{alpha}', '{caesar(i)}') AS text, "
         f"lang, source, n_chars FROM {t['documents']}")))
 
-    perm = [
-        "embedding",
-        "list_reverse(embedding)",
-        "embedding[8:] || embedding[1:7]",
-    ]
+    def perm(i):
+        if i == 0:
+            return "embedding"
+        k = 1 + (6 * i) % 62   # rotate dims by a copy-dependent stride
+        return f"embedding[{k + 1}:] || embedding[1:{k}]"
+
     write("embeddings", copies(lambda i: (
         f"SELECT vec_id + {i * mx['vec']} AS vec_id, "
-        f"CAST({perm[i]} AS FLOAT[]) AS embedding, label "
+        f"CAST({perm(i)} AS FLOAT[]) AS embedding, label "
         f"FROM {t['embeddings']}")))
 
 
