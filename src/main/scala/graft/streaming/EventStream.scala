@@ -614,6 +614,13 @@ object EventStream {
                 z.exists(x => math.abs(x) > 3.0))
               cursor = nextDay(cursor)
             }
+            // late events for an already-closed day (event time behind
+            // the watermark) are DROPPED, not re-emitted: an append-mode
+            // duplicate day row would corrupt downstream consumers, and
+            // keeping the entry would leak state — the watermark
+            // contract makes the loss explicit (ISO day strings order
+            // lexicographically, so the < compare is chronological)
+            openMap.keys.filter(_ < cursor).toList.foreach(openMap.remove)
             state.update(AnomalyState(hist,
               openMap.toList.sortBy(_._1)
                 .map { case (d, n) => DayCount(d, n) }))
