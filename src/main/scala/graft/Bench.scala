@@ -130,6 +130,10 @@ object Bench {
     // yesterday's labels for the incremental-dedup query — same
     // infrastructure class as the cluster labels above
     graft.ops.Dedup.ensureIncrementalBase(spark, sfDir)
+    // the scheduled heal republish (reads the cluster labels published
+    // above — no second contraction); q_dedup_heal measures the
+    // read-back every downstream consumer pays
+    graft.ops.Dedup.healIncrementalBase(spark, sfDir)
 
     // sorted order: per-query timings comparable run-to-run and
     // round-to-round (Map iteration order is hash-dependent)

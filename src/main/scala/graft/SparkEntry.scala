@@ -175,6 +175,14 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.incrementalAssign(s, d)),
     "q_dedup_inc_writeback" -> ((s, d) => Dedup.mergedIncrementalLabels(s, d)),
+    // the scheduled HEAL republish that closes the incremental loop: the
+    // corpus-version full contraction published as the chain's next label
+    // base, read back here — oracle'd with the same recursive-CTE twin as
+    // q_dedup_clusters, because identical content IS the heal contract
+    // (healing must converge the bridge-approximate chain back to the
+    // exact full contraction; the A–bridge–B spec proves the merge)
+    "q_dedup_heal" -> ((s, d) =>
+      s.table(Dedup.healIncrementalBase(s, d)).orderBy("doc_id")),
     "q_dedup_jaccard_brute" -> ((s, d) => Dedup.jaccardPairsBrute(s, d)),
     "q_dedup_containment" -> ((s, d) => Dedup.containmentPairsBrute(s, d)),
     "q_dedup_containment_lsh" -> ((s, d) => Dedup.containmentPairsLsh(s, d)),
@@ -1461,6 +1469,9 @@ object SparkEntry {
       """
         |SELECT doc_a, doc_b, jac FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_clusters" -> (clusterLabCtes +
+      """
+        |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin),
+    "q_dedup_heal" -> (clusterLabCtes +
       """
         |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin),
     "q_dedup_source_matrix" -> (minhashPairsCtes +

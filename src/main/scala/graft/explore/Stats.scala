@@ -175,8 +175,16 @@ object Stats {
     val boundsLong = wideBounds.select(explode(array(feats.map(c =>
         struct(lit(c).as("feature"), col(s"mn_$c").as("mn"),
           col(s"mx_$c").as("mx"),
-          (col(s"sd_$c") * lit(1.06) *
-            pow(col("n_rows").cast("double"), lit(-0.2))).as("h"))): _*))
+          // h rounded to 9dp: the bandwidth is DATA-derived (unlike
+          // q_kde_discount's literal), and stddev_samp variance-algorithm
+          // differences beyond an ulp between engines could flip the 6dp
+          // half-up density rounding — pinning h to a fixed precision on
+          // both sides makes the hash check deterministic (round-6
+          // ADVICE). 9dp keeps ~8 significant digits of an O(0.1)
+          // bandwidth; the induced density error is O(1e-8), far below
+          // the 6dp output rounding.
+          round(col(s"sd_$c") * lit(1.06) *
+            pow(col("n_rows").cast("double"), lit(-0.2)), 9).as("h"))): _*))
         .as("b"))
       .select(col("b.feature").as("feature"), col("b.mn").as("mn"),
         col("b.mx").as("mx"), col("b.h").as("h"))
@@ -331,7 +339,9 @@ object Stats {
     * by the 6dp rounding exactly as in the green `q_kde_discount`:
     * grid point `mn + (mx-mn)*(i/(points-1))` with the fraction divided
     * FIRST (Spark bakes `lit(j/(points-1))`), Silverman
-    * `sd*1.06*power(n,-0.2)` left-associated, and the kernel
+    * `sd*1.06*power(n,-0.2)` left-associated and rounded to 9dp like
+    * the engine side (the one data-derived input whose cross-engine
+    * drift could exceed an ulp — round-6 ADVICE), and the kernel
     * `exp((x-pt)*(pt-x)/(2*h*h)) / (h*sqrt2pi)`. */
   def featureKdeSql(points: Int = 11): String = {
     val feats = (0 until graft.datagen.SyntheticFeatures.numFeatures)
@@ -342,7 +352,8 @@ object Stats {
       .mkString(", ")
     val branches = feats.map { c =>
       s"SELECT '$c' AS feature, $c AS x, mn_$c AS mn, mx_$c AS mx, " +
-        s"sd_$c * 1.06 * power(CAST(n_rows AS DOUBLE), -0.2) AS h FROM t, b"
+        s"round(sd_$c * 1.06 * power(CAST(n_rows AS DOUBLE), -0.2), 9) " +
+        "AS h FROM t, b"
     }.mkString(" UNION ALL ")
     s"WITH t AS ($synthDumpCte), b AS (SELECT $bounds FROM t), " +
       s"e AS ($branches), " +

@@ -639,9 +639,18 @@ object Dedup {
     // reusing incParamSlug positionally would mislabel it as a newFrac
     val slug = "j" + java.lang.Long.toHexString(
       java.lang.Double.doubleToLongBits(minJaccard))
+    // At the published-labels threshold, the full contraction is the
+    // SAME corpus-version infrastructure [[ensureClusterLabels]]
+    // publishes — one O(corpus) contraction per version feeds every
+    // consumer, so the heal republish READS it rather than running a
+    // duplicate contraction the same night (the 100 TB schedule runs
+    // one healing contraction, not one per consumer). A non-default
+    // threshold contracts live.
+    val labels =
+      if (minJaccard == 0.8) spark.table(ensureClusterLabels(spark, dir))
+      else connectedComponents(minhashDupPairsUnordered(spark, dir, minJaccard))
     graft.store.FeatureStore.ensurePlainTable(spark,
-      connectedComponents(minhashDupPairsUnordered(spark, dir, minJaccard))
-        .orderBy(col("doc_id")),
+      labels.orderBy(col("doc_id")),
       s"graft_inc_healed_${Relational.dirSlug(dir)}_$slug",
       graft.store.FeatureStore.versionFingerprint(spark,
         s"$dir/documents.parquet"))

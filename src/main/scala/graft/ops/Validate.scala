@@ -138,7 +138,12 @@ object Validate {
     val preds = Seq(
       "count(l_orderkey)",
       "count(l_shipdate)",
-      "count(DISTINCT concat_ws('#', l_orderkey, l_linenumber))",
+      // mirrors the engine's grouped-dedup form (count_distinct of
+      // l_linenumber per l_orderkey, summed) so both sides share NULL
+      // semantics: a NULL linenumber is invisible to both, where the
+      // previous concat_ws('#',...) twin counted it (round-6 ADVICE)
+      "(SELECT sum(d) FROM (SELECT count(DISTINCT l_linenumber) AS d " +
+        "FROM lineitem GROUP BY l_orderkey))",
       "count(DISTINCT l_orderkey)",
       "sum(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END)",
       "sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END)",

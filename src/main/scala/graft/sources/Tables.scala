@@ -123,7 +123,19 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   def eventsTsDivisor(spark: SparkSession, dir: String): Long = {
     val path = s"$dir/events.parquet"
-    tsDivisorCache.computeIfAbsent(path, { _ =>
+    // cache key includes length + mtime, not path alone: the corpus is
+    // regenerated in place between rounds and has flipped encodings
+    // before (nanos in r5, micros in r6) — a long-lived session must
+    // re-sniff a rewritten file, not decode with a stale divisor
+    // (round-6 ADVICE). Hadoop getFileStatus works for files and
+    // directories (a rewritten directory's mtime changes too).
+    val key = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p)
+      s"$path@${st.getLen}@${st.getModificationTime}"
+    } catch { case _: java.io.IOException => path }
+    tsDivisorCache.computeIfAbsent(key, { _ =>
       val inferred = spark.read.parquet(path).schema("ts").dataType
       if (inferred == LongType) 1000L else 1L
     })

@@ -605,6 +605,34 @@ object EventStream {
             if (hist.nonEmpty) nextDay(hist.last.day)
             else if (openMap.nonEmpty) openMap.keys.min
             else null
+          // A corrupt ancient-timestamp event in a group's FIRST batch
+          // (no watermark yet, so the late filter can't reject it) would
+          // seed the cursor decades in the past; once the watermark
+          // advances, the close loop would emit one DayScore per
+          // calendar day — tens of thousands of rows — in one batch
+          // (round-6 ADVICE). Clamp the INITIAL cursor (hist empty; a
+          // non-empty hist cursor only ever advanced through this same
+          // gate) to a bounded horizon behind the watermark and reject
+          // open days before it, the same contract as the late-event
+          // drop below. The horizon is a full year — far beyond any
+          // real catch-up replay (a month-scale replay in one batch is
+          // legitimate and must close day by day), far below the
+          // decades a zeroed/corrupt timestamp implies — so the close
+          // loop emits at most ~366 rows for a group, never tens of
+          // thousands. Older genuine backfills are the batch monitor's
+          // job ([[graft.ops.Validate.anomalyDays]] densifies to the
+          // corpus horizon, unbounded).
+          if (cursor != null && hist.isEmpty && wm > 0) {
+            val floorDay = java.time.Instant.ofEpochMilli(wm)
+              .atZone(java.time.ZoneId.of(tz)).toLocalDate
+              .minusDays(366L).toString
+            if (cursor < floorDay) {
+              openMap.keys.filter(_ < floorDay).toList
+                .foreach(openMap.remove)
+              cursor =
+                if (openMap.nonEmpty) openMap.keys.min else floorDay
+            }
+          }
           if (cursor != null) {
             while (dayEndMs(cursor) <= wm) {
               val n = openMap.remove(cursor).getOrElse(0L)

@@ -564,4 +564,47 @@ class StreamingSpec extends SparkSpec {
     // ...and every emitted row bit-identical to the densified batch
     expected.foreach { k => assert(got(k) === batch(k), s"day $k") }
   }
+
+  test("a corrupt ancient timestamp cannot flood the anomaly close loop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 'corrupt' carries ONE 1970 event in its first batch (no watermark
+    // yet, so the late filter cannot reject it) plus real days 1-5;
+    // 'alive' advances the watermark through day 20. Without the
+    // year-horizon cursor clamp the close loop would emit one row per
+    // calendar day since 1970 (~19,700 rows) in a single batch.
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_corrupt_stream").toString
+    val base = java.time.LocalDate.parse("2024-01-01")
+    val rows = (for {
+      d <- 1 to 20; i <- 1 to (25 + d % 5)
+      t <- Seq("corrupt", "alive") if !(t == "corrupt" && d > 5)
+    } yield {
+      val us = base.plusDays(d - 1).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000L + i * 60L * 1000000L
+      ((d.toLong * 1000) + i, us * 1000L, i.toLong % 50, t, 1.0, "{}")
+    }) :+ ((999999L, 4L * 86400L * 1000000000L, 1L, "corrupt", 1.0, "{}"))
+    val wtmp = s"$dir/_w"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(wtmp)
+    val part = new java.io.File(wtmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val q = EventStream.anomalyStateful(spark, EventStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("stream_anomaly_corrupt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_anomaly_corrupt").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // bounded: the 1970 seed is rejected at the year horizon — no row
+    // before it, no multi-decade churn
+    assert(got.forall(_._2 >= "2023-01-01"), got.map(_._2).min)
+    val corrupt = got.filter(_._1 == "corrupt").map(_._2)
+    assert(corrupt.length < 400, s"${corrupt.length} rows")
+    // ...and the group's REAL days still closed normally, zeros included
+    assert(corrupt.contains("2024-01-03"), corrupt.sorted.mkString(","))
+    assert(corrupt.contains("2024-01-10"), "post-collapse zero-day missing")
+  }
 }

@@ -93,14 +93,22 @@ def main():
         f"user_id + {i * mx['user']} AS user_id, "
         f"event_type, value, props FROM {t['events']}")))
 
+    # rotate lower, UPPER, and digits: a lowercase-only rotation left
+    # uppercase/numeric text unchanged across copies, partially
+    # re-introducing the cross-copy near-duplicates the mangling exists
+    # to remove (round-6 ADVICE)
     alpha = "abcdefghijklmnopqrstuvwxyz"
+    digits = "0123456789"
+    src = alpha + alpha.upper() + digits
 
     def caesar(i):
-        return alpha[i % 26:] + alpha[:i % 26]
+        lo = alpha[i % 26:] + alpha[:i % 26]
+        dg = digits[i % 10:] + digits[:i % 10]
+        return lo + lo.upper() + dg
 
     write("documents", copies(lambda i: (
         f"SELECT doc_id + {i * mx['doc']} AS doc_id, "
-        f"translate(text, '{alpha}', '{caesar(i)}') AS text, "
+        f"translate(text, '{src}', '{caesar(i)}') AS text, "
         f"lang, source, n_chars FROM {t['documents']}")))
 
     def perm(i):
