@@ -1,94 +1,159 @@
 #!/usr/bin/env python3
-"""Merge driver-protocol bench runs at increasing SFs into a per-query
-scaling table for BASELINE.md.
+"""Fold per-SF bench artifacts into the committed SCALE_AUDIT.md — the
+re-runnable, diffable form of the no-superlinear claim (round-6 verdict
+next-round #5; the ad-hoc /tmp paths of earlier rounds made the audit
+unrepeatable).
 
 Usage:
-  python3 tools/scale_audit.py out_sf0.001.json out_sf0.01.json out_sf0.1.json [out_sf0.3.json]
+  python3 tools/scale_audit.py sf0.001=a.json sf0.01=b.json \
+      sf0.1=c.json [sf0.3=d.json] [sf1=e.json] [--out SCALE_AUDIT.md]
 
-Each input is the one-line JSON written by `graft.Bench` (bench_out.json).
-Prints a markdown table of per-query seconds at each SF plus the ratio
-sf0.1/sf0.01 (rows grow 10x between those points for the star schema;
-documents 10x, embeddings 4x), flagging queries whose growth exceeds the
-row-growth factor (empirically superlinear).
+Each artifact is the one-line JSON written by `graft.Bench`
+(bench_out.json) at that corpus point. Labels sf0.001/sf0.01/sf0.1 are
+the driver corpora; sf0.3/sf1 are the LOCAL decorrelated-copy corpora
+built by `tools/make_sf03.py` (3 and 10 key-shifted copies of sf0.1 —
+every table grows exactly 3x/10x there).
 
-The optional 4th artifact is the LOCAL ~sf0.3 corpus built by
-`tools/make_sf03.py` (3 decorrelated key-shifted copies of sf0.1 —
-EVERY table grows exactly 3x there, so the 0.3/0.1 ratio is flagged
-against a uniform 3x factor). It adds a second decade-ish point to the
-no-superlinear claim, per the round-5 verdict's next-round #7.
+For every ADJACENT pair of the given points, each query's time ratio is
+compared against the row-growth factor of the table family the query
+reads (see family()); a query is flagged SUPER only if it grows faster
+than its family's rows AND its larger-point time exceeds a noise floor
+(sub-0.3 s timings are scheduler noise, not scaling signal).
+
+Driver-side tooling only — the shipped library is pure Scala/Spark.
 """
+import datetime
 import json
+import subprocess
 import sys
 
+# Row growth per adjacent corpus pair, by table family. The driver's
+# documents/embeddings tables are CONSTANT between sf0.001 and sf0.01
+# (500 rows each) and grow 10x/4x into sf0.1; the local copy corpora
+# grow every table uniformly. "const" is the fixed-n synthetic-features
+# surface (generator n does not scale with sf).
+PAIR_FACTORS = {
+    ("sf0.001", "sf0.01"): {"star": 10, "events": 10, "docs": 1,
+                            "embed": 1, "const": 1},
+    ("sf0.01", "sf0.1"): {"star": 10, "events": 10, "docs": 10,
+                          "embed": 4, "const": 1},
+    ("sf0.1", "sf0.3"): {"star": 3, "events": 3, "docs": 3,
+                         "embed": 3, "const": 1},
+    ("sf0.1", "sf1"): {"star": 10, "events": 10, "docs": 10,
+                       "embed": 10, "const": 1},
+    ("sf0.3", "sf1"): {"star": 10 / 3, "events": 10 / 3, "docs": 10 / 3,
+                       "embed": 10 / 3, "const": 1},
+}
 
-def load(path):
-    with open(path) as f:
-        return json.load(f)
+NOISE_FLOOR_SEC = 0.3
 
 
-def growth_factor(name):
-    """Row growth sf0.01 -> sf0.1 for the table family a query reads:
-    embeddings grow 4x (500 -> 2000), documents and the star schema 10x.
-    A query is only superlinear past ITS family's factor.
+def family(name):
+    """Table family a query reads, by declared-name prefix.
 
     NOTE: this prefix list must track the Scala query registry — a new
-    embeddings-reading query outside these prefixes silently inherits the
-    10x threshold (review finding; the registry does not export per-query
-    source tables, so the mapping lives here)."""
-    if name.startswith(("q_sim_", "q_dedup_embed", "q_knn", "q_ml_")):
-        return 4.0
-    return 10.0
+    embeddings-reading query outside these prefixes silently inherits
+    the (stricter) star threshold, which can only over-flag, never
+    mask. Misclassifying a docs query as star is lenient only on the
+    sf0.001->sf0.01 pair and exact everywhere else."""
+    if name.startswith(("q_sim_", "q_dedup_embed", "q_knn")):
+        return "embed"
+    if name.startswith(("q_ml_", "q_synth", "q_histogram_features",
+                        "q_kde_features", "q_corr_")):
+        return "const"
+    if name.startswith(("q_dedup_", "q_text_", "q_mm_")):
+        return "docs"
+    if name.startswith(("q_evt_", "q_stream_", "q_sess")):
+        return "events"
+    return "star"
 
 
-def main(paths):
-    runs = [load(p) for p in paths]
-    has4 = len(runs) >= 4
-    names = sorted({n for r in runs for n in r["queries"]})
-    hdr = "| query | sf0.001 s | sf0.01 s | sf0.1 s |"
-    sep = "|---|---|---|---|"
-    if has4:
-        hdr += " sf0.3 s |"
-        sep += "---|"
-    hdr += " 0.1/0.01 |"
-    sep += "---|"
-    if has4:
-        hdr += " 0.3/0.1 |"
-        sep += "---|"
-    print(hdr + " flag |")
-    print(sep + "---|")
+def main(argv):
+    out_path = "SCALE_AUDIT.md"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    pairs = []
+    for a in argv:
+        if "=" not in a:
+            sys.exit(f"expected label=artifact.json, got {a}")
+        lbl, path = a.split("=", 1)
+        pairs.append((lbl, path))
+
+    labels = [l for l, _ in pairs]
+    runs = {}
+    for lbl, path in pairs:
+        with open(path) as f:
+            runs[lbl] = json.load(f)
+
+    rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True).stdout.strip()
+    today = datetime.date.today().isoformat()
+    names = sorted({n for r in runs.values() for n in r["queries"]})
+    adj = list(zip(labels, labels[1:]))
+
+    lines = []
+    lines.append(f"# SCALE AUDIT — {today}, rev {rev}")
+    lines.append("")
+    lines.append("Per-query bench seconds (min-of-runs headline) across "
+                 "corpus points, with each adjacent ratio compared to the "
+                 "row growth of the table family the query reads. "
+                 "Regenerate: `tools/scale_audit.py` over `graft.Bench` "
+                 "artifacts (see header of that script).")
+    lines.append("")
+    lines.append("| point | queries | total s | wall s | gc s | retimed | >2x steady |")
+    lines.append("|---|---|---|---|---|---|---|")
+    for lbl in labels:
+        r = runs[lbl]
+        lines.append(
+            f"| {lbl} | {len(r['queries'])} | {r['value']:.1f} | "
+            f"{r.get('wall_total', float('nan')):.1f} | "
+            f"{r.get('gc_total', 0):.1f} | {r.get('stalls_retimed', '-')} | "
+            f"{r.get('n_above_2x_steady', '-')} |")
+    lines.append("")
+
+    hdr = "| query | fam | " + " s | ".join(labels) + " s | " + \
+        " | ".join(f"{a}→{b} (≤{PAIR_FACTORS.get((a, b), {}).get('star', '?'):.0f}x star)"
+                   for a, b in adj) + " | flag |"
+    lines.append(hdr)
+    lines.append("|" + "---|" * (2 + len(labels) + len(adj) + 1))
     flagged = []
     for n in names:
-        secs = [r["queries"].get(n) for r in runs]
-        ratio = (secs[2] / secs[1]) if secs[1] and secs[2] else float("nan")
-        flags = []
-        if ratio > growth_factor(n):
-            flags.append("SUPER")
-        r3 = float("nan")
-        if has4:
-            r3 = (secs[3] / secs[2]) if secs[2] and secs[3] else float("nan")
-            # local sf0.3 replicates every table exactly 3x
-            if r3 > 3.0:
-                flags.append("SUPER03")
-        if flags:
-            flagged.append((n, round(ratio, 2), round(r3, 2) if has4 else None))
+        fam = family(n)
+        secs = [runs[l]["queries"].get(n) for l in labels]
         cells = " | ".join("-" if s is None else f"{s:.2f}" for s in secs)
-        row = f"| {n} | {cells} | {ratio:.2f} |"
-        if has4:
-            row += f" {r3:.2f} |"
-        print(row + f" {','.join(flags)} |")
-    tot = [r["value"] for r in runs]
-    print(f"\ntotals: " + ", ".join(
-        f"{p.split('/')[-1]} {t:.1f}s" for p, t in zip(paths, tot)) +
-        f"; stalls retimed: {[r.get('stalls_retimed') for r in runs]}; "
-        f"gc totals: {[round(r.get('gc_total', 0), 2) for r in runs]}")
+        ratio_cells, flags = [], []
+        for (a, b) in adj:
+            sa, sb = runs[a]["queries"].get(n), runs[b]["queries"].get(n)
+            if not sa or not sb:
+                ratio_cells.append("-")
+                continue
+            ratio = sb / sa
+            ratio_cells.append(f"{ratio:.2f}")
+            factor = PAIR_FACTORS.get((a, b), {}).get(fam)
+            if factor and ratio > factor and sb > NOISE_FLOOR_SEC:
+                flags.append(f"SUPER:{a}→{b}")
+        if flags:
+            flagged.append((n, flags))
+        lines.append(f"| {n} | {fam} | {cells} | " +
+                     " | ".join(ratio_cells) + f" | {','.join(flags)} |")
+
+    lines.append("")
     if flagged:
-        print(f"superlinear: {flagged}")
+        lines.append(f"**FLAGGED ({len(flagged)})**: " + "; ".join(
+            f"{n} ({','.join(fl)})" for n, fl in flagged))
     else:
-        msg = "no query grows faster than row count between sf0.01 and sf0.1"
-        if has4:
-            msg += " nor between sf0.1 and the local 3x sf0.3"
-        print(msg)
+        lines.append("**No query grows faster than its table family's row "
+                     "count on any adjacent pair of points.**")
+    lines.append("")
+
+    text = "\n".join(lines) + "\n"
+    with open(out_path, "w") as f:
+        f.write(text)
+    print(text)
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:5])
+    main(sys.argv[1:])
