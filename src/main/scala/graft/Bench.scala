@@ -102,9 +102,14 @@ private[graft] object Timing {
   */
 object Bench {
 
-  /** Re-time trigger vs recorded steady: > steadyRatio × steady + slack. */
+  /** Re-time trigger vs recorded steady: > steadyRatio × steady. The
+    * absolute floor keeps sub-150 ms queries from churning re-runs on
+    * scheduler jitter; the trigger and the reported `above_2x_steady`
+    * flag share EXACTLY this condition (the round-7 first artifact had a
+    * +0.3 s slack on the trigger only, so marginal 2.0–2.5× noise on
+    * small queries was flagged but never re-timed). */
   private val steadyRatio = 2.0
-  private val steadySlackSec = 0.3
+  private val steadyMinAbsSec = 0.3
   /** Fallback trigger for queries with no recorded steady (new this
     * round, or an sf with no committed reference). */
   private val stallFloorSec = 3.0
@@ -184,20 +189,22 @@ object Bench {
       val first = Timing.timeOnce(fn(spark, sfDir))
       val st = steady.get(name)
       // re-time while the latest run exceeds the trigger: 2× the
-      // recorded steady (+ slack), or the absolute floor when no steady
-      // is recorded. A warm re-run of a genuinely-noisy measurement
-      // costs ~steady seconds; a plan regression keeps exceeding the
-      // trigger and is reported as above_2x after all runs.
-      val trigger = st.map(s => steadyRatio * s + steadySlackSec)
-        .getOrElse(stallFloorSec)
+      // recorded steady (and the absolute floor), or the stall floor
+      // when no steady is recorded. A warm re-run of a genuinely-noisy
+      // measurement costs ~steady seconds; a plan regression keeps
+      // exceeding the trigger and is reported as above_2x after all runs.
+      def over(s: Double, sec: Double): Boolean =
+        sec > steadyRatio * s && sec > steadyMinAbsSec
+      val trigger: Double => Boolean = sec =>
+        st.map(s => over(s, sec)).getOrElse(sec > stallFloorSec)
       val runs = scala.collection.mutable.ListBuffer(first)
-      while (runs.last.ok && runs.last.sec > trigger && runs.size < maxRuns)
+      while (runs.last.ok && trigger(runs.last.sec) && runs.size < maxRuns)
         runs += Timing.timeOnce(fn(spark, sfDir))
       val okRuns = runs.filter(_.ok)
       // the honest minimum: under one-sided host noise the smallest
       // observation is the closest to plan cost; every run is preserved
       val headline = if (okRuns.nonEmpty) okRuns.minBy(_.sec) else first
-      val above2x = st.exists(s => headline.sec > steadyRatio * s)
+      val above2x = st.exists(s => over(s, headline.sec))
       // sample load AFTER the last timed run (re-times included): the
       // pair (load0, load1) brackets whichever measurement became the
       // headline, so a noise burst starting mid-query — or mid-retry —

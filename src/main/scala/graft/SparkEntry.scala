@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
 import graft.model.Metrics
-import graft.ops.{Dedup, Events, Features, Multimodal, Relational, Similarity, Text, Validate}
+import graft.ops.{Dedup, Events, Features, Graph, Multimodal, Relational, Similarity, Text, Validate}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,6 +100,9 @@ object SparkEntry {
     "q_evt_funnel" -> ((s, d) => Events.funnelStages(s, d)),
     "q_evt_retention" -> ((s, d) => Events.retentionCohorts(s, d)),
     "q_evt_transitions" -> ((s, d) => Events.typeTransitions(s, d)),
+    "q_evt_scd2" -> ((s, d) => Events.scd2UserStates(s, d)),
+    "q_evt_attribution" -> ((s, d) => Events.linearAttribution(s, d)),
+    "q_graph_pagerank" -> ((s, d) => Graph.nationTradePageRank(s, d)),
     "q_profile_skew" -> ((s, d) => Stats.keySkewProfile(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
@@ -357,6 +360,35 @@ object SparkEntry {
   /** Shared by the window form (`q_topk_parts_per_brand`) and the
     * bounded-heap aggregate form (`q_topk_brand_agg`): both must produce
     * exactly this. */
+  /** Unrolled integer-unit PageRank oracle — the same exact arithmetic
+    * as [[graft.ops.Graph.nationTradePageRank]] (`div`/`//` integer
+    * division throughout, so summation order cannot drift), one chained
+    * CTE per power-iteration step. */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT nd.node, (150000000 // nd.n) + coalesce(t.s, 0) AS units
+         | FROM nd LEFT JOIN (
+         |  SELECT e.dst AS node,
+         |   CAST(sum((r.units * e.w * 85) // (100 * e.out_w)) AS BIGINT) AS s
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) t USING (node))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       | SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+       | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       | JOIN customer c ON o.o_custkey = c.c_custkey
+       | JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e0 GROUP BY 1),
+       |e AS (SELECT e0.src, e0.dst, e0.w, ow.out_w FROM e0 JOIN ow USING (src)),
+       |nd AS (SELECT n_nationkey AS node, n_name,
+       |        (SELECT count(*) FROM nation) AS n FROM nation),
+       |r0 AS (SELECT node, 1000000000 // n AS units FROM nd),
+       |$steps
+       |SELECT nd.n_name, r$iters.units, r$iters.units / 1000000000.0 AS pagerank
+       |FROM nd JOIN r$iters USING (node)
+       |ORDER BY r$iters.units DESC, nd.n_name""".stripMargin
+  }
+
   private val topkBrandSql: String =
     """SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (
       | SELECT p_brand, p_partkey, p_name, p_retailprice,
@@ -1044,6 +1076,52 @@ object SparkEntry {
         |SELECT prev_type, event_type, n,
         | round(n / (sum(n) OVER (PARTITION BY prev_type)), 6) AS p
         |FROM g ORDER BY prev_type, event_type""".stripMargin,
+    "q_evt_scd2" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        | SELECT user_id, ts, event_type, CAST(sum(chg) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        | FROM e),
+        |g AS (
+        | SELECT user_id, version, min(event_type) AS state,
+        |  min(ts) AS open_ts, count(*) AS n_events
+        | FROM r GROUP BY 1, 2)
+        |SELECT user_id, version, state,
+        | strftime(open_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        | strftime(lead(open_ts) OVER wv, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        | CASE WHEN lead(open_ts) OVER wv IS NULL THEN 1 ELSE 0 END AS is_current,
+        | n_events
+        |FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+    "q_evt_attribution" ->
+      """WITH t AS (SELECT user_id, ts AS touch_ts, event_type AS channel
+        |           FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT p.purchase_id, t.channel FROM p JOIN t
+        |      ON p.user_id = t.user_id AND t.touch_ts < p.p_ts
+        |       AND t.touch_ts >= p.p_ts - INTERVAL 7 DAY),
+        |c AS (SELECT purchase_id, channel,
+        |       1000000 // count(*) OVER (PARTITION BY purchase_id) AS credit_micro
+        |      FROM m),
+        |touched AS (SELECT channel, count(*) AS n_touches,
+        |             count(DISTINCT purchase_id) AS n_purchases,
+        |             CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+        |            FROM c GROUP BY 1),
+        |untouched AS (SELECT '(none)' AS channel, 0 AS n_touches,
+        |               count(*) AS n_purchases, count(*) * 1000000 AS credit_micro
+        |              FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM m))
+        |SELECT channel, CAST(n_touches AS BIGINT) AS n_touches,
+        | CAST(n_purchases AS BIGINT) AS n_purchases,
+        | CAST(credit_micro AS BIGINT) / 1000000.0 AS attributed
+        |FROM (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
+        |ORDER BY channel""".stripMargin,
+    "q_graph_pagerank" -> pagerankSql(5),
     "q_profile_skew" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem
         |           GROUP BY l_orderkey),

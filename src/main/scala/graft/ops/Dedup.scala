@@ -552,11 +552,22 @@ object Dedup {
   private[graft] def assignIncrement(oldSigs: DataFrame, oldLabels: DataFrame,
                                      batchIds: DataFrame, newSh: DataFrame,
                                      minJaccard: Double): DataFrame = {
-    val newBands = bandsOf(signaturesOf(newSh))
+    // The batch's signatures+shingles materialized ONCE (localCheckpoint,
+    // same pattern as the contraction's edge set): the tokenize→shingle→
+    // sign pipeline is the increment's dominant per-row cost and this
+    // frame feeds FOUR join sides below (band self-join ×2, cross band
+    // join, and both verify lookups) — left as lineage, Catalyst
+    // re-evaluates the whole transform per consumer (measured ~6× batch
+    // signing cost per increment). Pinning it is also the production
+    // shape: this exact frame is what a real ingest APPENDS to the
+    // published signature index. O(batch) rows, narrow.
+    val newSigs = signaturesKeeping(newSh, col("hs")).localCheckpoint()
+    val newShC = newSigs.select(col("doc_id"), col("hs"))
+    val newBands = bandsOf(newSigs)
     val oldSh = oldSigs.select(col("doc_id"), col("hs"))
 
     // 1. anchors: min existing label over verified cross matches
-    val anchors = crossVerifiedPairs(newSh, oldSigs, minJaccard)
+    val anchors = crossVerifiedPairsFrom(newSigs, oldSigs, minJaccard)
       .join(oldLabels.select(col("doc_id").as("doc_b"), col("cluster_rep")),
         Seq("doc_b"), "left")
       .groupBy(col("doc_a"))
@@ -566,7 +577,7 @@ object Dedup {
 
     // 2. batch-internal components (docs with no batch edge are their own)
     val comps =
-      connectedComponents(jaccardVerify(selfCandidates(newBands), newSh, newSh, minJaccard))
+      connectedComponents(jaccardVerify(selfCandidates(newBands), newShC, newShC, minJaccard))
     val withComp = batchIds
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("comp"))
@@ -586,13 +597,21 @@ object Dedup {
     * corpus to colliding keys only. Shared by [[assignIncrement]] and the
     * chained-increment replay spec. */
   private[graft] def crossVerifiedPairs(newSh: DataFrame, oldSigs: DataFrame,
-                                        minJaccard: Double): DataFrame = {
-    val crossCand = bandsOf(signaturesOf(newSh)).as("n")
+                                        minJaccard: Double): DataFrame =
+    crossVerifiedPairsFrom(signaturesKeeping(newSh, col("hs")), oldSigs,
+      minJaccard)
+
+  /** [[crossVerifiedPairs]] over a PRE-SIGNED batch frame (doc_id, hs,
+    * sig_*) — lets [[assignIncrement]] feed its one materialized batch
+    * signature frame to both the band join and the verify lookup. */
+  private def crossVerifiedPairsFrom(newSigs: DataFrame, oldSigs: DataFrame,
+                                     minJaccard: Double): DataFrame = {
+    val crossCand = bandsOf(newSigs).as("n")
       .join(bandsOf(oldSigs).as("o"), col("n.bk") === col("o.bk"))
       .select(col("n.doc_id").as("doc_a"), col("o.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerify(crossCand, newSh, oldSigs.select(col("doc_id"), col("hs")),
-      minJaccard)
+    jaccardVerify(crossCand, newSigs.select(col("doc_id"), col("hs")),
+      oldSigs.select(col("doc_id"), col("hs")), minJaccard)
   }
 
   /** Verified within-set near-dup pairs of a shingle frame — the batch

@@ -283,4 +283,88 @@ object Events {
         round(col("last_click_value"), 2).as("last_click_value"))
       .orderBy(col("event_id"))
   }
+
+  /** SCD Type-2 dimension build from the event stream: each user's
+    * `event_type` sequence collapses to consecutive-run VERSIONS with
+    * validity intervals — (user_id, version, state, valid_from, valid_to,
+    * is_current), the slowly-changing-dimension table every warehouse
+    * maintains for point-in-time joins (the reference's feature-store
+    * mandate at dimension grain; cf. `src/main.py:7-48` which persists
+    * only current-state features).
+    *
+    * Shape: classic gaps-and-islands — one lag to flag state changes, one
+    * running sum to number runs, one aggregate to collapse runs, one lead
+    * to close each interval with the NEXT run's open. Everything
+    * partitions by `user_id`: one shuffle, per-user sorted scans, state
+    * never exceeds a user's run count — the same per-key O(n log n)
+    * discipline as [[asofLastClick]], valid at any corpus size. Ties on
+    * `ts` break deterministically by `event_id`. */
+  def scd2UserStates(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("version", sum(col("chg")).over(w))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"), // constant within a run
+        min(col("ts")).as("open_ts"),
+        count(lit(1)).as("n_events"))
+      .withColumn("close_ts", lead(col("open_ts"), 1).over(wr))
+      .select(col("user_id"), col("version"), col("state"),
+        date_format(col("open_ts"), tsFmt).as("valid_from"),
+        date_format(col("close_ts"), tsFmt).as("valid_to"),
+        col("close_ts").isNull.cast("int").as("is_current"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Linear multi-touch attribution: every `purchase` splits one unit of
+    * credit equally across the user's `click`/`view` touches in the 7
+    * days before it; untouched purchases report under the `(none)`
+    * channel. Credit is EXACT integer micro-units (`1000000 div n` per
+    * touch, floor remainder documented and deterministic) so the
+    * cross-engine sum cannot drift — the order-insensitive integer idiom
+    * the repo uses everywhere FP summation order could flip a rounding
+    * boundary.
+    *
+    * Shape: touches and purchases both key by `user_id`, so the
+    * candidate join is an EQUI-join on the user (co-partitioned, AQE
+    * reuses the exchange) with the time window as a post-join filter —
+    * never an unbounded range join; per-user event counts bound the
+    * fan-out. At 100 TB this is one fact-sized shuffle by user plus two
+    * small aggregates. */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val touches = ev.where(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_type").as("channel"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val matched = purchases.join(touches, Seq("user_id"))
+      .where(col("touch_ts") < col("p_ts") &&
+        col("touch_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val credited = matched
+      .withColumn("n_touch",
+        count(lit(1)).over(Window.partitionBy(col("purchase_id"))))
+      .withColumn("credit_micro", expr("1000000L div n_touch"))
+    val touched = credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(col("credit_micro")).as("credit_micro"))
+    val untouched = purchases
+      .join(matched.select(col("purchase_id")).distinct(),
+        Seq("purchase_id"), "left_anti")
+      .agg(count(lit(1)).as("n_purchases"))
+      .select(lit("(none)").as("channel"), lit(0L).as("n_touches"),
+        col("n_purchases"), (col("n_purchases") * 1000000L).as("credit_micro"))
+    touched.unionByName(untouched)
+      .select(col("channel"), col("n_touches"), col("n_purchases"),
+        (col("credit_micro") / 1000000.0).as("attributed"))
+      .orderBy(col("channel"))
+  }
 }

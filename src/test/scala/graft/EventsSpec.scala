@@ -230,4 +230,52 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === Tables.events(spark, sf).count())
     assert(r.getAs[Long]("mn") >= 0 && r.getAs[Long]("mx") <= 100)
   }
+
+  test("scd2: versions contiguous, intervals chain, one current row per user") {
+    val df = Events.scd2UserStates(spark, sf).cache()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    // exactly one open (is_current) version per user
+    assert(df.where(col("is_current") === 1).count() === users)
+    assert(df.groupBy("user_id").agg(max("is_current").as("m"))
+      .where(col("m") =!= 1).count() === 0)
+    // versions are 1..k contiguous per user
+    val vOk = df.groupBy("user_id")
+      .agg(min("version").as("lo"), max("version").as("hi"),
+        count(lit(1)).as("n"))
+      .where(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(vOk.count() === 0)
+    // each closed interval's valid_to equals the NEXT version's
+    // valid_from (intervals chain with no gap or overlap) and every
+    // version's state differs from its successor's (runs are maximal)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val chained = df
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .withColumn("next_state", lead(col("state"), 1).over(w))
+      .where(col("valid_to").isNotNull)
+    assert(chained.where(col("valid_to") =!= col("next_from")).count() === 0)
+    assert(chained.where(col("state") === col("next_state")).count() === 0)
+    // version event counts account for every event
+    assert(df.agg(sum("n_events")).collect().head.getLong(0) ===
+      Tables.events(spark, sf).count())
+    df.unpersist()
+  }
+
+  test("attribution: purchases conserved, credit exact within floor loss") {
+    val df = Events.linearAttribution(spark, sf).cache()
+    val totalPurchases = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase").count()
+    val r = df.agg(sum("attributed").as("a")).collect().head
+    // every purchase distributes ≤ 1 unit of credit; floor remainders
+    // lose < n_touch micro-units per purchase, so the conserved total
+    // sits in (purchases - 1, purchases]
+    assert(r.getDouble(0) <= totalPurchases.toDouble + 1e-9)
+    assert(r.getDouble(0) > totalPurchases - 1.0)
+    // the (none) channel carries untouched purchases at exactly 1.0 each
+    val none = df.where(col("channel") === "(none)").collect()
+    assert(none.length === 1 && none.head.getAs[Long]("n_touches") === 0L)
+    assert(none.head.getAs[Double]("attributed") ===
+      none.head.getAs[Long]("n_purchases").toDouble)
+    df.unpersist()
+  }
 }
