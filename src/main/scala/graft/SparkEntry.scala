@@ -102,7 +102,9 @@ object SparkEntry {
     "q_evt_transitions" -> ((s, d) => Events.typeTransitions(s, d)),
     "q_evt_scd2" -> ((s, d) => Events.scd2UserStates(s, d)),
     "q_evt_attribution" -> ((s, d) => Events.linearAttribution(s, d)),
+    "q_evt_paths" -> ((s, d) => Events.topEventPaths(s, d)),
     "q_graph_pagerank" -> ((s, d) => Graph.nationTradePageRank(s, d)),
+    "q_valid_cdc_apply" -> ((s, d) => Validate.cdcMergeApply(s, d)),
     "q_profile_skew" -> ((s, d) => Stats.keySkewProfile(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
@@ -1122,6 +1124,31 @@ object SparkEntry {
         |FROM (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
         |ORDER BY channel""".stripMargin,
     "q_graph_pagerank" -> pagerankSql(5),
+    "q_evt_paths" ->
+      """WITH p AS (
+        | SELECT event_type || '>' || lead(event_type, 1) OVER w
+        |   || '>' || lead(event_type, 2) OVER w AS path
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT path, count(*) AS n FROM p WHERE path IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_valid_cdc_apply" -> {
+      val (addM, chgM, remM) = Validate.snapshotDiffMods
+      s"""WITH o AS (
+         | SELECT o_orderkey AS k, o_orderpriority AS prio,
+         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         | FROM orders),
+         |upd AS (SELECT k, prio, cents * 110 // 100 AS cents FROM o
+         |        WHERE k % $chgM = 0 AND k % $remM <> 0),
+         |ins AS (SELECT -(k + 1) AS k, prio, cents FROM o WHERE k % $addM = 0),
+         |applied AS (
+         | SELECT * FROM o WHERE k % $remM <> 0 AND k % $chgM <> 0
+         | UNION ALL SELECT * FROM upd
+         | UNION ALL SELECT * FROM ins)
+         |SELECT prio, count(*) AS n_rows,
+         | CAST(sum(cents) AS BIGINT) AS total_cents
+         |FROM applied GROUP BY 1 ORDER BY prio""".stripMargin
+    },
     "q_profile_skew" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem
         |           GROUP BY l_orderkey),

@@ -322,6 +322,25 @@ object Events {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Top event-type paths: every 3-step (type → type → type) sequence in
+    * each user's ordered stream, counted corpus-wide — the product-path
+    * mining query behind "what do users do before purchasing". One
+    * window shuffle on `user_id` (two leads share the frame), then a
+    * tiny path aggregate; top-k is a TakeOrderedAndProject, never a
+    * global sort. Ties break by path string for determinism. */
+  def topEventPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Linear multi-touch attribution: every `purchase` splits one unit of
     * credit equally across the user's `click`/`view` touches in the 7
     * days before it; untouched purchases report under the `(none)`

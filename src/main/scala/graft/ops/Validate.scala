@@ -464,6 +464,43 @@ object Validate {
       .orderBy(col("status"))
   }
 
+  /** CDC MERGE apply — the write half of the lake-diff contract
+    * [[snapshotDiffRows]] reads: apply a change feed (inserts / updates /
+    * deletes) to a published base snapshot and summarize the resulting
+    * table. The feed derives deterministically from the corpus with the
+    * same pmod families as [[snapshotDiff]] (deletes `k % remM == 0`,
+    * updates `k % chgM == 0`, inserts re-keyed negative), so the DuckDB
+    * twin replays it exactly; updated prices use exact integer-cent
+    * arithmetic (`cents · 110 div 100`) — no float drift.
+    *
+    * Scale shape: the standard distributed MERGE — one LEFT ANTI join
+    * drops deleted/updated keys from the base, the update and insert
+    * branches are narrow unions; every join is an equi-join on the key,
+    * so with both sides bucketed on the key ([[graft.store.FeatureStore]]
+    * layouts) the whole apply is exchange-free. No row is ever rewritten
+    * in place — the output IS the next snapshot version (the
+    * write-audit-publish gate [[writeAuditPublish]] covers promotion). */
+  def cdcMergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val (addM, chgM, remM) = snapshotDiffMods
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val deletes = orders.where(pmod(col("k"), lit(remM)) === 0)
+      .select(col("k"))
+    val updates = orders
+      .where(pmod(col("k"), lit(chgM)) === 0 && pmod(col("k"), lit(remM)) =!= 0)
+      .select(col("k"), col("prio"), expr("cents * 110L div 100L").as("cents"))
+    val inserts = orders.where(pmod(col("k"), lit(addM)) === 0)
+      .select((-(col("k") + 1)).as("k"), col("prio"), col("cents"))
+    val touched = deletes.union(updates.select(col("k")))
+    orders.join(touched, Seq("k"), "left_anti")
+      .unionByName(updates)
+      .unionByName(inserts)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("prio"))
+  }
+
   // ---- Benford screen -------------------------------------------------
 
   /** Benford first-digit expectations log10(1 + 1/d), shared with the

@@ -261,6 +261,18 @@ class EventsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("paths: 3-step sequences conserved, top-k ordered") {
+    // k larger than the 5³ possible paths → the full path frame
+    val all = Events.topEventPaths(spark, sf, k = 1000).cache()
+    val expected = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(sum(greatest(col("c") - 2, lit(0L)))).collect().head.getLong(0)
+    assert(all.agg(sum("n")).collect().head.getLong(0) === expected)
+    val top = all.limit(3).collect().map(_.getLong(1))
+    assert(top.sorted.reverse.toSeq === top.toSeq) // n descending
+    all.unpersist()
+  }
+
   test("attribution: purchases conserved, credit exact within floor loss") {
     val df = Events.linearAttribution(spark, sf).cache()
     val totalPurchases = Tables.events(spark, sf)

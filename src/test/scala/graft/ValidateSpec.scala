@@ -147,6 +147,29 @@ class ValidateSpec extends SparkSpec {
     assert(got === want.filter(_._2 > 0))
   }
 
+  test("cdc apply: merge arithmetic matches a driver-side replay") {
+    val (addM, chgM, remM) = Validate.snapshotDiffMods
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // replay the merge imperatively: base minus deletes/update-olds,
+    // plus update-news, plus re-keyed inserts
+    val applied =
+      rows.filter { case (k, _, _) => k % remM != 0 && k % chgM != 0 } ++
+        rows.filter { case (k, _, _) => k % chgM == 0 && k % remM != 0 }
+          .map { case (k, p, c) => (k, p, c * 110 / 100) } ++
+        rows.filter { case (k, _, _) => k % addM == 0 }
+          .map { case (k, p, c) => (-(k + 1), p, c) }
+    val want = applied.groupBy(_._2).view
+      .mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    val got = Validate.cdcMergeApply(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    // the update branch really changed values somewhere
+    assert(rows.exists { case (k, _, _) => k % chgM == 0 && k % remM != 0 })
+  }
+
   test("benford: dense 9-digit grid, fractions sum to 1, hot on synthetic data") {
     val rows = Validate.benfordScreen(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq === (1 to 9))
