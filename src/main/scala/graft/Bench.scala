@@ -173,6 +173,9 @@ object Bench {
     // above — no second contraction); q_dedup_heal measures the
     // read-back every downstream consumer pays
     graft.ops.Dedup.healIncrementalBase(spark, sfDir)
+    // closed-history partials for the incremental view refresh — same
+    // infrastructure class as the layouts above
+    graft.ops.Materialize.ensureRevenueBase(spark, sfDir)
 
     val steady = steadyRef(sfDir)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
 import graft.model.Metrics
-import graft.ops.{Dedup, Events, Features, Graph, Multimodal, Relational, Similarity, Text, Validate}
+import graft.ops.{Dedup, Events, Features, Graph, Materialize, Mining, Multimodal, Relational, Similarity, Text, Validate}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -105,6 +105,10 @@ object SparkEntry {
     "q_evt_paths" -> ((s, d) => Events.topEventPaths(s, d)),
     "q_graph_pagerank" -> ((s, d) => Graph.nationTradePageRank(s, d)),
     "q_valid_cdc_apply" -> ((s, d) => Validate.cdcMergeApply(s, d)),
+    // pattern mining + view maintenance + sparse retrieval [EXT]
+    "q_assoc_rules" -> ((s, d) => Mining.brandAssociationRules(s, d)),
+    "q_mv_refresh" -> ((s, d) => Materialize.incrementalRevenueRefresh(s, d)),
+    "q_text_sparse_sim" -> ((s, d) => Text.sparseSimilarPairs(s, d)),
     "q_profile_skew" -> ((s, d) => Stats.keySkewProfile(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
@@ -1124,6 +1128,54 @@ object SparkEntry {
         |FROM (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
         |ORDER BY channel""".stripMargin,
     "q_graph_pagerank" -> pagerankSql(5),
+    "q_assoc_rules" ->
+      s"""WITH items AS (
+         | SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+         | FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM items),
+         |freq AS (
+         | SELECT item, count(*) AS n_i FROM items GROUP BY item
+         | HAVING CAST(count(*) AS DOUBLE) >=
+         |   ${Mining.assocMinSupport} * (SELECT n_baskets FROM nb)),
+         |pi AS (SELECT i.basket, i.item FROM items i JOIN freq f USING (item)),
+         |pairs AS (
+         | SELECT a.item AS a, b.item AS b, count(*) AS n_ab
+         | FROM pi a JOIN pi b ON a.basket = b.basket AND a.item < b.item
+         | GROUP BY 1, 2)
+         |SELECT p.a, p.b, p.n_ab, fa.n_i AS n_a, fb.n_i AS n_b, nb.n_baskets,
+         | floor(p.n_ab / fa.n_i * 1e6 + 0.5) / 1e6 AS conf_ab,
+         | floor(p.n_ab / fb.n_i * 1e6 + 0.5) / 1e6 AS conf_ba,
+         | floor((p.n_ab * nb.n_baskets) / (fa.n_i * fb.n_i) * 1e6 + 0.5) / 1e6
+         |   AS lift
+         |FROM pairs p JOIN freq fa ON p.a = fa.item
+         |JOIN freq fb ON p.b = fb.item CROSS JOIN nb
+         |ORDER BY lift DESC, a, b LIMIT ${Mining.assocTopK}""".stripMargin,
+    "q_mv_refresh" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS mo, o_orderpriority,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS rev,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_text_sparse_sim" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  list_filter(string_split(text, ' '), s -> len(s) > 0) AS t
+         | FROM documents),
+         |tk AS (
+         | SELECT doc_id, unnest(list_distinct(list_transform(
+         |   generate_series(1, greatest(len(t) - ${Text.sparseSimShingleWords - 1}, 0)),
+         |   i -> list_aggregate(
+         |     list_slice(t, i, i + ${Text.sparseSimShingleWords - 1}),
+         |     'string_agg', ' ')))) AS token
+         | FROM t),
+         |rare AS (SELECT token FROM tk GROUP BY token
+         |         HAVING count(*) BETWEEN 2 AND ${Text.sparseSimDfCap}),
+         |p AS (SELECT tk.doc_id, tk.token FROM tk JOIN rare USING (token))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= ${Text.sparseSimMinShared}
+         |ORDER BY n_shared DESC, doc_a, doc_b
+         |LIMIT ${Text.sparseSimTopK}""".stripMargin,
     "q_evt_paths" ->
       """WITH p AS (
         | SELECT event_type || '>' || lead(event_type, 1) OVER w

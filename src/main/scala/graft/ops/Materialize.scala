@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Incremental materialized-view maintenance — the aggregate-refresh
+  * loop every 100 TB lake runs nightly: merge the open period's delta
+  * into published partial-aggregate state instead of rescanning closed
+  * history (the classic mergeable-summary view maintenance pattern;
+  * Spark-native because sum/count partials merge associatively).
+  *
+  * Reference scope note: the reference (`src/main.py:7-48`) has no
+  * incremental surface; this pack is part of the extended large-scale
+  * mandate, like dedup/similarity/text.
+  */
+object Materialize {
+
+  private def mo = date_format(col("o_orderdate"), "yyyy-MM").as("mo")
+
+  /** Partial-aggregate state for the monthly revenue view: per
+    * (month, orderpriority) EXACT decimal revenue plus an order count.
+    * Decimal sums are order-independent, so partials built on different
+    * machines, merged in any order, reproduce the full recompute
+    * bit-for-bit — the property that makes the view incrementally
+    * maintainable at all (a double sum would drift by merge order). */
+  private def partials(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(mo, col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n_orders"))
+
+  /** The refresh cutoff: the first day of the LAST calendar month in the
+    * orders feed — months strictly before it are closed history (the
+    * published base), the cutoff month is the open delta. A bounded
+    * driver-side scalar (one partial max over a single date column — at
+    * any scale this is metadata-sized work) so the delta predicate is a
+    * LITERAL the parquet scan can push down and prune with. */
+  private[graft] def cutoffMonthStart(spark: SparkSession,
+                                    dir: String): java.sql.Date =
+    Tables.orders(spark, dir)
+      .agg(max(trunc(col("o_orderdate"), "MM")).as("cut"))
+      .head().getDate(0)
+
+  /** Publish the closed-history partials once per corpus version —
+    * infrastructure like the bucketed/partitioned layouts, versioned on
+    * the orders fingerprint so a regenerated corpus republishes. */
+  def ensureRevenueBase(spark: SparkSession, dir: String): String =
+    ensureBase(spark, dir, cutoffMonthStart(spark, dir))
+
+  private def ensureBase(spark: SparkSession, dir: String,
+                         cut: java.sql.Date): String =
+    graft.store.FeatureStore.ensurePlainTable(spark,
+      partials(Tables.orders(spark, dir)
+        .where(col("o_orderdate") < lit(cut))),
+      s"graft_rev_base_${Relational.dirSlug(dir)}",
+      graft.store.FeatureStore.versionFingerprint(spark,
+        s"$dir/orders.parquet"))
+
+  /** Incremental refresh of the monthly revenue view: aggregate ONLY the
+    * open month's orders into partials and merge them with the published
+    * base partials — closed months are never rescanned. The delta scan's
+    * `o_orderdate >= cutoff` literal is pushed to the parquet reader
+    * (row-group skipping here; partition pruning on a date-partitioned
+    * lake table, as `q_part_pruned_revenue` demonstrates), so refresh
+    * cost is O(delta + |view|), independent of history length.
+    *
+    * Output parity: merged decimal partials are exact, so the final
+    * (cast to double, 2dp) values equal a full recompute's — the DuckDB
+    * twin IS the full recompute, making the oracle check a genuine
+    * incremental-equals-batch proof. */
+  def incrementalRevenueRefresh(spark: SparkSession, dir: String): DataFrame = {
+    // in production the cutoff is the orchestrator's job parameter; the
+    // data-derived scalar here keeps the fixture self-contained, computed
+    // once per call and shared by the ensure and the delta
+    val cut = cutoffMonthStart(spark, dir)
+    val base = spark.table(ensureBase(spark, dir, cut))
+    val delta = partials(Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(cut)))
+    base.unionByName(delta)
+      .groupBy(col("mo"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n_orders")).as("n_orders"))
+      .select(col("mo"), col("o_orderpriority"),
+        round(col("rev").cast("double"), 2).as("rev"), col("n_orders"))
+      .orderBy(col("mo"), col("o_orderpriority"))
+  }
+}

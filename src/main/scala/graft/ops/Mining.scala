@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Distributed pattern mining over the fact tables — the market-basket
+  * association screen a feature platform runs to surface co-occurrence
+  * features (Agrawal & Srikant, *Fast Algorithms for Mining Association
+  * Rules*, VLDB 1994).
+  *
+  * Reference scope note: the reference (`src/main.py:7-48`) has no
+  * mining surface; this pack is part of the extended large-scale
+  * mandate, like dedup/similarity/text.
+  */
+object Mining {
+
+  /** Relative minimum support for the frequent-item prune (Apriori
+    * level 1): an item must appear in at least this fraction of baskets
+    * before it may enter pair expansion. */
+  val assocMinSupport = 0.01
+  val assocTopK = 100
+
+  /** Pairwise association rules over order baskets: items are part
+    * brands, baskets are orders. Emits each unordered frequent pair once
+    * with its exact support counts and both conditional confidences plus
+    * lift, ranked by lift.
+    *
+    * Arithmetic: every support is an exact integer count; confidence and
+    * lift are ONE double division over exact long products (n_ab·N and
+    * n_a·n_b both stay far under 2^53, so the doubles are exact), then
+    * the shared half-up 6dp rounding — bit-identical cross-engine, no
+    * summation-order hazard anywhere.
+    *
+    * Scale shape (the Apriori skeleton): one pass over the fact table
+    * builds distinct (basket, item) rows — the map-side-combined
+    * `distinct` is the only corpus-sized shuffle. Frequent items are a
+    * |items|-sized aggregate broadcast back as a semi-join, so
+    * infrequent items never reach pair expansion (at partkey granularity
+    * this prune is what keeps the pair space tractable). Pair generation
+    * is per-basket: sort the basket's item set and explode its ordered
+    * 2-combinations — O(k²) rows per basket with k ≤ |items|, never a
+    * corpus self-join — and the pair aggregate collapses map-side into
+    * at most |items|² rows. */
+  def brandAssociationRules(spark: SparkSession, dir: String,
+                            minSupport: Double = assocMinSupport,
+                            topK: Int = assocTopK): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .distinct()
+
+    // one-row basket universe, carried as a broadcast scalar (no collect)
+    val nBaskets = items.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+
+    // Apriori level 1: per-item support + the relative-support prune.
+    // |items|-sized — broadcast back as the pair-expansion gate.
+    val freq = items.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+      .crossJoin(broadcast(nBaskets))
+      .where(col("n_i").cast("double") >= lit(minSupport) * col("n_baskets"))
+      .select(col("item"), col("n_i"))
+
+    // per-basket ordered 2-combinations of the (pruned) item set: for a
+    // sorted array its, pair its[i] with every later element — struct
+    // rows (a, b) with a < b, so each unordered pair counts exactly once
+    val pruned = items.join(broadcast(freq.select(col("item"))), Seq("item"),
+      "left_semi")
+    val basketSets = pruned.groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+    val combos: Column = flatten(transform(col("its"), (x, i) =>
+      transform(slice(col("its"), i + lit(2),
+        greatest(size(col("its")) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    val pairs = basketSets
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+
+    val fa = freq.select(col("item").as("a"), col("n_i").as("n_a"))
+    val fb = freq.select(col("item").as("b"), col("n_i").as("n_b"))
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    pairs
+      .join(broadcast(fa), "a").join(broadcast(fb), "b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_baskets"),
+        r6(col("n_ab") / col("n_a")).as("conf_ab"),
+        r6(col("n_ab") / col("n_b")).as("conf_ba"),
+        r6((col("n_ab") * col("n_baskets")) / (col("n_a") * col("n_b")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+}

@@ -844,4 +844,58 @@ object Text {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  val sparseSimDfCap = 16
+  val sparseSimMinShared = 3
+  val sparseSimTopK = 100
+  val sparseSimShingleWords = 3
+
+  /** Rare-shingle co-occurrence pairs — the inverted-index
+    * (posting-list) candidate miner: document pairs sharing at least
+    * `minShared` distinct RARE word-`shingleWords`-gram shingles
+    * (document frequency in [2, dfCap]). This is the sparse-retrieval
+    * complement of the MinHash/embedding LSH families and the standard
+    * blocking step of entity resolution: rare shingles are
+    * high-precision keys (single tokens are not — this corpus's word
+    * vocabulary is ~31 types, every one common), and capping document
+    * frequency bounds every posting list, so candidate generation is
+    * provably O(Σ df²) ≤ O(|rare shingles| · dfCap²) — never a corpus
+    * self-join.
+    *
+    * Scale shape: one tokenize pass builds distinct (doc, shingle)
+    * postings (per-doc `array_distinct` dedups before the explode, so
+    * the corpus-sized shuffle carries postings, not raw shingles); the
+    * document-frequency aggregate reuses that exchange; the df-capped
+    * semi-join drops every common shingle BEFORE the posting self-join;
+    * the pair aggregate collapses map-side into at most dfCap²/2 rows
+    * per shingle. Counts are exact integers; ranking is a bounded
+    * TakeOrdered under the total order (n_shared desc, doc_a, doc_b).
+    * At corpus scale the shingle strings would hash to 8-byte keys
+    * before the shuffle (as the MinHash path does); the string keys here
+    * keep the oracle twin byte-identical. */
+  def sparseSimilarPairs(spark: SparkSession, dir: String,
+                         dfCap: Int = sparseSimDfCap,
+                         minShared: Int = sparseSimMinShared,
+                         k: Int = sparseSimTopK): DataFrame = {
+    val n = sparseSimShingleWords
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(n)))))).as("token"))
+    val rare = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("token"))
+    val p = postings.join(rare, Seq("token"), "left_semi")
+    p.select(col("token"), col("doc_id").as("doc_a"))
+      .join(p.select(col("token"), col("doc_id").as("doc_b")), "token")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
 }
