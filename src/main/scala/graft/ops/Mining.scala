@@ -46,37 +46,49 @@ object Mining {
   def brandAssociationRules(spark: SparkSession, dir: String,
                             minSupport: Double = assocMinSupport,
                             topK: Int = assocTopK): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
+    // ONE pass over the fact table, ONE corpus-sized shuffle: group
+    // straight to per-basket item sets (collect_set dedups, partial
+    // buffers are ≤|items| so the combine is map-side). The basket-set
+    // frame is O(|baskets|) rows and feeds THREE consumers (universe
+    // count, item supports, pair expansion) — pin it so the fact join
+    // runs once, not three times (same pattern as the pagerank edge set).
+    val basketSets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .join(broadcast(Tables.part(spark, dir)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-      .distinct()
+      .groupBy(col("l_orderkey").as("basket"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("its"))
+      .localCheckpoint()
 
     // one-row basket universe, carried as a broadcast scalar (no collect)
-    val nBaskets = items.select(col("basket")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
+    val nBaskets = basketSets.agg(count(lit(1)).as("n_baskets"))
 
     // Apriori level 1: per-item support + the relative-support prune.
     // |items|-sized — broadcast back as the pair-expansion gate.
-    val freq = items.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val freq = basketSets.select(explode(col("its")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_i"))
       .crossJoin(broadcast(nBaskets))
       .where(col("n_i").cast("double") >= lit(minSupport) * col("n_baskets"))
       .select(col("item"), col("n_i"))
 
+    // frequent-item prune WITHOUT re-exploding the baskets: the frequent
+    // set folds to ONE array row (bounded by |items| — at partkey
+    // granularity this becomes a semi-join on the exploded postings) and
+    // array_intersect keeps each basket's frequent items, preserving the
+    // sorted order of `its`
+    val freqArr = freq.agg(sort_array(collect_list(col("item"))).as("fi"))
+
     // per-basket ordered 2-combinations of the (pruned) item set: for a
     // sorted array its, pair its[i] with every later element — struct
     // rows (a, b) with a < b, so each unordered pair counts exactly once
-    val pruned = items.join(broadcast(freq.select(col("item"))), Seq("item"),
-      "left_semi")
-    val basketSets = pruned.groupBy(col("basket"))
-      .agg(sort_array(collect_set(col("item"))).as("its"))
-    val combos: Column = flatten(transform(col("its"), (x, i) =>
-      transform(slice(col("its"), i + lit(2),
-        greatest(size(col("its")) - i - 1, lit(0))),
+    val combos: Column = flatten(transform(col("itsp"), (x, i) =>
+      transform(slice(col("itsp"), i + lit(2),
+        greatest(size(col("itsp")) - i - 1, lit(0))),
         y => struct(x.as("a"), y.as("b")))))
     val pairs = basketSets
+      .crossJoin(broadcast(freqArr))
+      .select(array_intersect(col("its"), col("fi")).as("itsp"))
       .select(explode(combos).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_ab"))

@@ -848,7 +848,12 @@ object Text {
   val sparseSimDfCap = 16
   val sparseSimMinShared = 3
   val sparseSimTopK = 100
-  val sparseSimShingleWords = 3
+  /** 4-word shingles: on this corpus's ~31-type vocabulary the 3-gram
+    * shingle space saturates (≈30k combinations, average df in the rare
+    * band) and pair volume explodes ~27× at sf0.1; one more word makes
+    * rarity meaningful again. At web scale the same dial trades recall
+    * against posting volume. */
+  val sparseSimShingleWords = 4
 
   /** Rare-shingle co-occurrence pairs — the inverted-index
     * (posting-list) candidate miner: document pairs sharing at least
@@ -878,6 +883,10 @@ object Text {
                          minShared: Int = sparseSimMinShared,
                          k: Int = sparseSimTopK): DataFrame = {
     val n = sparseSimShingleWords
+    // the posting list feeds the df aggregate, then both sides of the
+    // pair self-join — pin it so the corpus is tokenized ONCE, not four
+    // times (at lake scale this is the published shingle index, hashed
+    // to 8-byte keys, exactly as the MinHash signature index is)
     val postings = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .where(size(col("t")) >= n)
@@ -885,10 +894,14 @@ object Text {
         explode(array_distinct(transform(
           sequence(lit(1), size(col("t")) - (n - 1)),
           i => concat_ws(" ", slice(col("t"), i, lit(n)))))).as("token"))
+      .localCheckpoint()
     val rare = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= dfCap)
       .select(col("token"))
-    val p = postings.join(rare, Seq("token"), "left_semi")
+    // rare postings are ≤ |rare shingles|·dfCap rows — pin them so the
+    // self-join's two sides read the filtered index, not two replays of
+    // the semi-join
+    val p = postings.join(rare, Seq("token"), "left_semi").localCheckpoint()
     p.select(col("token"), col("doc_id").as("doc_a"))
       .join(p.select(col("token"), col("doc_id").as("doc_b")), "token")
       .where(col("doc_a") < col("doc_b"))
