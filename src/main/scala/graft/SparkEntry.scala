@@ -109,6 +109,7 @@ object SparkEntry {
     "q_assoc_rules" -> ((s, d) => Mining.brandAssociationRules(s, d)),
     "q_mv_refresh" -> ((s, d) => Materialize.incrementalRevenueRefresh(s, d)),
     "q_text_sparse_sim" -> ((s, d) => Text.sparseSimilarPairs(s, d)),
+    "q_er_clusters" -> ((s, d) => Mining.entityClusters(s, d)),
     "q_profile_skew" -> ((s, d) => Stats.keySkewProfile(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
@@ -448,6 +449,29 @@ object SparkEntry {
        | SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
        | FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8)""".stripMargin
   }
+
+  /** DuckDB twin of [[Text.sparseCandidatePairs]]: rare word-shingle
+    * postings → df-capped self-join → pair shared counts. Shared by the
+    * sparse-sim ranking query and the ER clustering query. */
+  private def sparsePairCtes: String =
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  list_filter(string_split(text, ' '), s -> len(s) > 0) AS t
+       | FROM documents),
+       |tk AS (
+       | SELECT doc_id, unnest(list_distinct(list_transform(
+       |   generate_series(1, greatest(len(t) - ${Text.sparseSimShingleWords - 1}, 0)),
+       |   i -> list_aggregate(
+       |     list_slice(t, i, i + ${Text.sparseSimShingleWords - 1}),
+       |     'string_agg', ' ')))) AS token
+       | FROM t),
+       |rare AS (SELECT token FROM tk GROUP BY token
+       |         HAVING count(*) BETWEEN 2 AND ${Text.sparseSimDfCap}),
+       |p AS (SELECT tk.doc_id, tk.token FROM tk JOIN rare USING (token)),
+       |spairs AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       | FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2 HAVING count(*) >= ${Text.sparseSimMinShared})""".stripMargin
 
   /** [[minhashPairsCtes]] extended to cluster labels (recursive CTE) — the
     * `lab` CTE gives every clustered doc its component's min doc_id;
@@ -1156,26 +1180,23 @@ object SparkEntry {
         |   AS rev,
         | count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_text_sparse_sim" ->
-      s"""WITH t AS (
-         | SELECT doc_id,
-         |  list_filter(string_split(text, ' '), s -> len(s) > 0) AS t
-         | FROM documents),
-         |tk AS (
-         | SELECT doc_id, unnest(list_distinct(list_transform(
-         |   generate_series(1, greatest(len(t) - ${Text.sparseSimShingleWords - 1}, 0)),
-         |   i -> list_aggregate(
-         |     list_slice(t, i, i + ${Text.sparseSimShingleWords - 1}),
-         |     'string_agg', ' ')))) AS token
-         | FROM t),
-         |rare AS (SELECT token FROM tk GROUP BY token
-         |         HAVING count(*) BETWEEN 2 AND ${Text.sparseSimDfCap}),
-         |p AS (SELECT tk.doc_id, tk.token FROM tk JOIN rare USING (token))
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-         |FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= ${Text.sparseSimMinShared}
+    "q_text_sparse_sim" -> (sparsePairCtes +
+      s"""
+         |SELECT doc_a, doc_b, n_shared FROM spairs
          |ORDER BY n_shared DESC, doc_a, doc_b
-         |LIMIT ${Text.sparseSimTopK}""".stripMargin,
+         |LIMIT ${Text.sparseSimTopK}""".stripMargin),
+    "q_er_clusters" -> (sparsePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """
+        |, sym AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM spairs
+        | UNION SELECT doc_b, doc_a FROM spairs),
+        |reach AS (
+        | SELECT src, dst FROM sym
+        | UNION
+        | SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+        |        FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin),
     "q_evt_paths" ->
       """WITH p AS (
         | SELECT event_type || '>' || lead(event_type, 1) OVER w

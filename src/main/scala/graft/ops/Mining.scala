@@ -108,4 +108,22 @@ object Mining {
       .orderBy(col("lift").desc, col("a"), col("b"))
       .limit(topK)
   }
+
+  /** Entity resolution end-to-end: block → match → cluster. The rare-
+    * shingle posting index yields high-precision candidate pairs
+    * ([[Text.sparseCandidatePairs]] — blocking + match score in one
+    * bounded pass), and the shared alternating large-star/small-star
+    * contraction ([[Dedup.connectedComponents]], the same O(log n)
+    * machinery behind `q_dedup_clusters`) collapses the match graph into
+    * entities labeled by their minimum doc_id. Singletons don't appear —
+    * an unmatched document IS its own entity, the standard convention
+    * this repo's cluster surfaces share.
+    *
+    * Scale shape: edges are bounded by the posting df cap (O(Σ df²)),
+    * the contraction shuffles only the edge set, and the label output is
+    * O(matched docs) — nothing here rescans the corpus after the one
+    * posting pass. */
+  def entityClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(Text.sparseCandidatePairs(spark, dir))
+      .orderBy(col("doc_id"))
 }

@@ -881,7 +881,18 @@ object Text {
   def sparseSimilarPairs(spark: SparkSession, dir: String,
                          dfCap: Int = sparseSimDfCap,
                          minShared: Int = sparseSimMinShared,
-                         k: Int = sparseSimTopK): DataFrame = {
+                         k: Int = sparseSimTopK): DataFrame =
+    sparseCandidatePairs(spark, dir, dfCap, minShared)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+
+  /** The FULL candidate-pair set behind [[sparseSimilarPairs]] (no
+    * ranking cut) — the edge list entity-resolution clustering consumes
+    * ([[Mining.entityClusters]]). */
+  private[graft] def sparseCandidatePairs(spark: SparkSession, dir: String,
+                                          dfCap: Int = sparseSimDfCap,
+                                          minShared: Int = sparseSimMinShared)
+  : DataFrame = {
     val n = sparseSimShingleWords
     // the posting list feeds the df aggregate, then both sides of the
     // pair self-join — pin it so the corpus is tokenized ONCE, not four
@@ -908,7 +919,5 @@ object Text {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
-      .limit(k)
   }
 }

@@ -84,4 +84,24 @@ class MiningSpec extends SparkSpec {
     assert(joined.where(col("n_shared") =!= col("n_brute")).count() === 0)
     top.unpersist()
   }
+
+  test("ER clusters: edges collapse to one label, rep is the component min") {
+    val lab = Mining.entityClusters(spark, sf).cache()
+    val edges = graft.ops.Text.sparseCandidatePairs(spark, sf).cache()
+    assert(lab.count() > 0 && edges.count() > 0)
+    // every edge's endpoints carry the SAME representative (the defining
+    // property of a correct contraction), and every matched doc is labeled
+    val la = lab.select(col("doc_id").as("doc_a"), col("cluster_rep").as("ra"))
+    val lb = lab.select(col("doc_id").as("doc_b"), col("cluster_rep").as("rb"))
+    val e = edges.join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+    assert(e.where(col("ra").isNull || col("rb").isNull ||
+      col("ra") =!= col("rb")).count() === 0)
+    // the representative is the component minimum and labels itself
+    assert(lab.where(col("cluster_rep") > col("doc_id")).count() === 0)
+    val reps = lab.select(col("cluster_rep")).distinct()
+    val selfLabeled = lab.where(col("doc_id") === col("cluster_rep"))
+      .select(col("cluster_rep"))
+    assert(reps.exceptAll(selfLabeled).count() === 0)
+    lab.unpersist(); edges.unpersist()
+  }
 }
