@@ -110,6 +110,7 @@ object SparkEntry {
     "q_mv_refresh" -> ((s, d) => Materialize.incrementalRevenueRefresh(s, d)),
     "q_text_sparse_sim" -> ((s, d) => Text.sparseSimilarPairs(s, d)),
     "q_er_clusters" -> ((s, d) => Mining.entityClusters(s, d)),
+    "q_graph_triangles" -> ((s, d) => Graph.tradeTriangles(s, d)),
     "q_profile_skew" -> ((s, d) => Stats.keySkewProfile(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
@@ -1152,6 +1153,29 @@ object SparkEntry {
         |FROM (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
         |ORDER BY channel""".stripMargin,
     "q_graph_pagerank" -> pagerankSql(5),
+    "q_graph_triangles" ->
+      """WITH und AS (
+        | SELECT least(c_nationkey, s_nationkey) AS a,
+        |  greatest(c_nationkey, s_nationkey) AS b, count(*) AS w
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        | WHERE c_nationkey <> s_nationkey
+        | GROUP BY 1, 2),
+        |tot AS (SELECT count(*) AS ne, CAST(sum(w) AS BIGINT) AS sw FROM und),
+        |strong AS (SELECT a, b FROM und, tot WHERE w * ne > sw),
+        |tri AS (
+        | SELECT e1.a, e1.b, e2.b AS c
+        | FROM strong e1 JOIN strong e2 ON e1.b = e2.a
+        |  JOIN strong e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |pn AS (
+        | SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        | GROUP BY node)
+        |SELECT n_name, CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM nation LEFT JOIN pn ON n_nationkey = node
+        |ORDER BY n_triangles DESC, n_name""".stripMargin,
     "q_assoc_rules" ->
       s"""WITH items AS (
          | SELECT DISTINCT l_orderkey AS basket, p_brand AS item

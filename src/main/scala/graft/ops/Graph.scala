@@ -84,4 +84,55 @@ object Graph {
         (col("units") / 1000000000.0).as("pagerank"))
       .orderBy(col("units").desc, col("n_name"))
   }
+
+  /** Per-nation triangle participation over the STRONG trade graph —
+    * the clustering-structure screen (triangles are the unit of
+    * transitivity; a node's triangle count is the numerator of its local
+    * clustering coefficient, Watts & Strogatz 1998).
+    *
+    * Graph: undirected trade edges (merged both directions, self-loops
+    * dropped), thresholded to above-average total weight — the
+    * integer-exact cut `w·|E| > Σw`, so the complete K₂₅ at test scale
+    * becomes a genuine subgraph and no float compare can diverge
+    * cross-engine.
+    *
+    * Scale shape: one fact pass builds the edge list (the only
+    * corpus-sized work — dimensions broadcast, one shuffle);
+    * the thresholded edge set is localCheckpoint'd and triangle
+    * enumeration is two self-joins on the CANONICAL orientation a<b<c,
+    * so each triangle is counted exactly once and the join fan-out is
+    * bounded by the oriented degree (at web scale the standard
+    * degree-ordering refinement assigns each edge its lower-degree
+    * endpoint first — same plan shape). */
+  def tradeTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val und = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val tot = und.agg(count(lit(1)).as("ne"), sum(col("w")).as("sw"))
+    val strong = und.crossJoin(broadcast(tot))
+      .where(col("w") * col("ne") > col("sw"))
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    val tri = strong
+      .join(strong.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(strong.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    Tables.nation(spark, dir)
+      .join(perNode, col("n_nationkey") === col("node"), "left")
+      .select(col("n_name"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("n_name"))
+  }
 }

@@ -30,4 +30,18 @@ class GraphSpec extends SparkSpec {
     assert(one <= 1000000000L && one > 500000000L)
     df.unpersist()
   }
+
+  test("triangles: node participation sums to 3T, deterministic") {
+    val df = Graph.tradeTriangles(spark, sf).cache()
+    assert(df.count() === Tables.nation(spark, sf).count())
+    // every node's count is the number of triangles it sits in, so the
+    // column total is exactly 3 × the triangle count — an integer
+    // conservation law that catches any double-counted orientation
+    val total = df.agg(sum("n_triangles")).collect().head.getLong(0)
+    assert(total % 3 === 0)
+    // integer arithmetic end to end: re-run is bit-identical
+    assert(df.collect().toSeq ===
+      Graph.tradeTriangles(spark, sf).collect().toSeq)
+    df.unpersist()
+  }
 }
