@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
 import graft.model.Metrics
-import graft.ops.{Dedup, Events, Features, Graph, Materialize, Mining, Multimodal, Relational, Similarity, Text, Validate}
+import graft.ops.{Dedup, Events, Features, Graph, Materialize, Mining, Multimodal, Relational, Similarity, Text, TimeSeries, Validate}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -111,6 +111,9 @@ object SparkEntry {
     "q_text_sparse_sim" -> ((s, d) => Text.sparseSimilarPairs(s, d)),
     "q_er_clusters" -> ((s, d) => Mining.entityClusters(s, d)),
     "q_graph_triangles" -> ((s, d) => Graph.tradeTriangles(s, d)),
+    "q_graph_shortest" -> ((s, d) => Graph.boundedShortestPaths(s, d)),
+    "q_text_ppjoin" -> ((s, d) => Text.prefixFilterJoin(s, d)),
+    "q_ts_forecast" -> ((s, d) => TimeSeries.revenueForecastBacktest(s, d)),
     "q_profile_skew" -> ((s, d) => Stats.keySkewProfile(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
@@ -1176,6 +1179,91 @@ object SparkEntry {
         |SELECT n_name, CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles
         |FROM nation LEFT JOIN pn ON n_nationkey = node
         |ORDER BY n_triangles DESC, n_name""".stripMargin,
+    // bounded-hop cheapest routes: the recursive CTE enumerates every
+    // ≤4-leg walk from the source — the exact walk set the Spark side's
+    // 4 Bellman-Ford relaxation rounds minimize over
+    "q_graph_shortest" ->
+      """WITH RECURSIVE e0 AS (
+        | SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        | WHERE c_nationkey <> s_nationkey
+        | GROUP BY 1, 2),
+        |mx AS (SELECT max(w) AS mw FROM e0),
+        |ce AS (SELECT src, dst, CAST(mw + 1 - w AS BIGINT) AS ecost
+        |  FROM e0, mx),
+        |walk(node, cost, hops) AS (
+        | SELECT 0, CAST(0 AS BIGINT), 0
+        | UNION ALL
+        | SELECT e.dst, walk.cost + e.ecost, walk.hops + 1
+        | FROM walk JOIN ce e ON e.src = walk.node
+        | WHERE walk.hops < 4),
+        |best AS (SELECT node, min(cost) AS cost FROM walk GROUP BY node),
+        |bh AS (
+        | SELECT w.node, b.cost, CAST(min(w.hops) AS INT) AS hops
+        | FROM walk w JOIN best b ON w.node = b.node AND w.cost = b.cost
+        | GROUP BY w.node, b.cost)
+        |SELECT n_name, cost, hops
+        |FROM nation JOIN bh ON n_nationkey = node
+        |ORDER BY cost, n_name""".stripMargin,
+    // PPJoin oracle: the BRUTE-FORCE join over the SAME hashed shingle
+    // sets as the dedup family (dedupCtes' hsh) — prefix filtering is
+    // exact (no false negatives), so the filtered Spark plan must
+    // reproduce the full quadratic answer bit-for-bit; thresholds are
+    // the same all-integer τ = 3/5 comparisons on both engines
+    "q_text_ppjoin" -> (dedupCtes +
+      """
+        |, j AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS i,
+        |  CAST(len(a.hs) AS BIGINT) AS na, CAST(len(b.hs) AS BIGINT) AS nb
+        | FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        | round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jac
+        |FROM j WHERE i * 5 >= (na + nb - i) * 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // forecast backtest: integer-cents series; drift slope's integer
+    // division wrapped in the same trunc-toward-zero sign split as the
+    // Spark side's `div`
+    "q_ts_forecast" ->
+      """WITH mo AS (
+        | SELECT c_nationkey AS nk,
+        |  year(o_orderdate) * 12 + month(o_orderdate) AS mk,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1, 2),
+        |s AS (
+        | SELECT nk, mk, cents,
+        |  row_number() OVER (PARTITION BY nk ORDER BY mk) AS idx,
+        |  count(*) OVER (PARTITION BY nk) AS m,
+        |  lag(cents, 12) OVER (PARTITION BY nk ORDER BY mk) AS snv
+        | FROM mo),
+        |sf AS (SELECT * FROM s WHERE m >= 18),
+        |an AS (
+        | SELECT nk, max(CASE WHEN idx = 1 THEN cents END) AS y1,
+        |  max(CASE WHEN idx = m - 6 THEN cents END) AS yT
+        | FROM sf WHERE idx = 1 OR idx = m - 6 GROUP BY nk),
+        |er AS (
+        | SELECT sf.nk, count(*) AS n_test,
+        |  CAST(sum(abs(cents - snv)) AS BIGINT) AS sae_snaive_cents,
+        |  CAST(sum(abs(cents - (yT + (CASE WHEN yT - y1 >= 0
+        |    THEN ((idx - (m - 6)) * (yT - y1)) // (m - 7)
+        |    ELSE -(((idx - (m - 6)) * (y1 - yT)) // (m - 7)) END))))
+        |   AS BIGINT) AS sae_drift_cents
+        | FROM sf JOIN an ON sf.nk = an.nk
+        | WHERE idx > m - 6
+        | GROUP BY sf.nk)
+        |SELECT n_name, n_test, sae_snaive_cents, sae_drift_cents,
+        | round(CAST(sae_snaive_cents AS DOUBLE) / (n_test * 100), 6)
+        |   AS mae_snaive,
+        | round(CAST(sae_drift_cents AS DOUBLE) / (n_test * 100), 6)
+        |   AS mae_drift,
+        | CASE WHEN sae_drift_cents < sae_snaive_cents THEN 'drift'
+        |   ELSE 'snaive' END AS best_method
+        |FROM nation JOIN er ON n_nationkey = nk
+        |ORDER BY n_name""".stripMargin,
     "q_assoc_rules" ->
       s"""WITH items AS (
          | SELECT DISTINCT l_orderkey AS basket, p_brand AS item

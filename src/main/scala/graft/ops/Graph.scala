@@ -85,6 +85,63 @@ object Graph {
       .orderBy(col("units").desc, col("n_name"))
   }
 
+  /** Bounded-hop cheapest trade routes from one source nation — the
+    * itinerary-style shortest-path screen (Bellman-Ford relaxation,
+    * bounded to `maxHops` edges so the semantics are "cheapest route
+    * using at most k legs", exactly the walk set a bounded recursive
+    * CTE enumerates — which is the DuckDB twin).
+    *
+    * Graph: directed trade edges (customer-nation → supplier-nation,
+    * self-loops dropped), edge cost = `maxW + 1 − w` in EXACT integers —
+    * heavier trade ⇒ cheaper leg — so no float compare can diverge
+    * cross-engine. Per node the result is the lexicographically minimal
+    * `(cost, hops)` over all ≤k-leg walks: both components are additive
+    * and monotone, so the per-hop DP (extend last round's minimum, fold
+    * with `min(struct(cost, hops))`) is exact — a walk through `u`
+    * can never beat extending `u`'s own minimum.
+    *
+    * Scale shape: ONE fact pass builds the edge list (dimensions
+    * broadcast, one shuffle), localCheckpoint'd at O(nations²) rows; the
+    * k relaxation rounds are tiny broadcast joins against the O(nodes)
+    * distance frame. At web scale the same plan runs with both sides
+    * hash-partitioned on node id and the frontier-only refinement
+    * (relax only nodes improved last round). */
+  def boundedShortestPaths(spark: SparkSession, dir: String,
+                           sourceKey: Int = 0, maxHops: Int = 4): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val edges0 = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val mx = edges0.agg(max(col("w")).as("mw"))
+    val edges = edges0.crossJoin(broadcast(mx))
+      .select(col("src"), col("dst"), (col("mw") + 1L - col("w")).as("ecost"))
+      .localCheckpoint()
+
+    import spark.implicits._
+    val d0 = Seq((sourceKey, 0L, 0)).toDF("node", "cost", "hops")
+    val dist = (1 to maxHops).foldLeft(d0) { (d, _) =>
+      val relaxed = edges
+        .join(broadcast(d.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), (col("cost") + col("ecost")).as("cost"),
+          (col("hops") + 1).as("hops"))
+      d.union(relaxed)
+        .groupBy(col("node"))
+        .agg(min(struct(col("cost"), col("hops"))).as("m"))
+        .select(col("node"), col("m.cost").as("cost"), col("m.hops").as("hops"))
+    }
+    Tables.nation(spark, dir)
+      .join(broadcast(dist), col("n_nationkey") === col("node"))
+      .select(col("n_name"), col("cost"), col("hops"))
+      .orderBy(col("cost"), col("n_name"))
+  }
+
   /** Per-nation triangle participation over the STRONG trade graph —
     * the clustering-structure screen (triangles are the unit of
     * transitivity; a node's triangle count is the numerator of its local

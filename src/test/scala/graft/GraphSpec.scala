@@ -31,6 +31,47 @@ class GraphSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("shortest paths: exact vs driver-side bounded Bellman-Ford, source at zero") {
+    val df = Graph.boundedShortestPaths(spark, sf).cache()
+    val rows = df.collect()
+    // the source itself: cost 0, hops 0
+    val src = rows.find(_.getString(0) == "NATION_0").get
+    assert(src.getLong(1) === 0L && src.getInt(2) === 0)
+    // independent reimplementation: collect the same edge list and run
+    // the ≤4-hop DP in plain Scala — the engine must match it exactly
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey"))
+    val ew = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("a"), col("s_nationkey").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val mw = ew.map(_._3).max
+    val edges = ew.map { case (a, b, w) => (a, b, mw + 1 - w) }
+    var best = Map(0 -> ((0L, 0)))
+    for (_ <- 1 to 4) {
+      val relaxed = edges.flatMap { case (a, b, c) =>
+        best.get(a).map { case (cost, hops) => b -> ((cost + c, hops + 1)) } }
+      best = (best.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, vs) => n -> vs.map(_._2).min }
+    }
+    val names = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val expect = best.toSeq
+      .map { case (n, (c, h)) => (names(n), c, h) }
+      .sortBy { case (nm, c, _) => (c, nm) }
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+      === expect)
+    // deterministic: integer costs end to end
+    assert(rows.toSeq === Graph.boundedShortestPaths(spark, sf).collect().toSeq)
+    df.unpersist()
+  }
+
   test("triangles: node participation sums to 3T, deterministic") {
     val df = Graph.tradeTriangles(spark, sf).cache()
     assert(df.count() === Tables.nation(spark, sf).count())

@@ -558,4 +558,31 @@ class TextSpec extends SparkSpec {
       r.getAs[Double]("pmi"))).toSeq
     assert(got === expect)
   }
+
+  test("ppjoin: prefix-filtered result equals brute force; prefixes actually prune") {
+    val out = Text.prefixFilterJoin(spark, sf).collect()
+    // brute force over the same pinned bigram-set frame: every pair,
+    // exact integer threshold — the no-false-negatives ground truth
+    val (sets, cand) = Text.prefixCandidates(spark, sf, 3, 5)
+    val docs = sets.select(col("doc_id"), col("hs")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+      .sortBy(_._1)
+    val brute = for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (ida, wa) = docs(i); (idb, wb) = docs(j)
+      inter = (wa & wb).size.toLong
+      uni = wa.size + wb.size - inter
+      if inter * 5 >= uni * 3
+    } yield (ida, idb, math.floor(inter.toDouble / uni * 1e6 + 0.5) / 1e6)
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      === brute.toSeq)
+    assert(out.nonEmpty)
+    // the point of the prefix+length filters: candidates ≪ n(n−1)/2
+    // (trigram shingles keep dfs low even on this tiny-vocabulary
+    // corpus, so the rare-first prefixes prune hard)
+    val n = docs.length.toLong
+    val nCand = cand.count()
+    assert(nCand < n * (n - 1) / 2 / 20,
+      s"prefix filter barely pruned: $nCand candidates for $n docs")
+  }
 }
