@@ -176,6 +176,11 @@ object Bench {
     // closed-history partials for the incremental view refresh — same
     // infrastructure class as the layouts above
     graft.ops.Materialize.ensureRevenueBase(spark, sfDir)
+    // the rare-posting inverted index — the sparse-retrieval half of the
+    // published-index contract (dense half: the signature index above);
+    // q_text_sparse_sim still tokenizes live, only its scheduled
+    // consumers (ER, hybrid fusion) read the table
+    graft.ops.Text.ensureRarePostingIndex(spark, sfDir)
 
     val steady = steadyRef(sfDir)
 

@@ -168,6 +168,7 @@ object SparkEntry {
     "q_text_fingerprint_fast" -> ((s, d) => Text.fingerprintFast(s, d)),
     // similarity pack [EXT] (SURVEY §2.B similarity-search row)
     "q_sim_topk" -> ((s, d) => Similarity.topKCosine(s, d)),
+    "q_sim_rrf_fusion" -> ((s, d) => Similarity.hybridRrfFusion(s, d)),
     "q_knn_vote" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     "q_sim_pair_cosine" -> ((s, d) => Similarity.pairCosine(s, d)),
     "q_sim_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
@@ -245,6 +246,7 @@ object SparkEntry {
     // feature-engineering pack (SURVEY §2.C feature-engineering rows):
     // the transforms between raw tables and model input
     "q_feat_scale" -> ((s, d) => Features.standardize(s, d)),
+    "q_feat_winsorize" -> ((s, d) => Features.winsorize(s, d)),
     "q_feat_bins" -> ((s, d) => Features.quantileBins(s, d)),
     "q_feat_target_enc" -> ((s, d) => Features.targetEncode(s, d)),
     "q_feat_onehot" -> ((s, d) => Features.oneHot(s, d)),
@@ -471,10 +473,10 @@ object SparkEntry {
        | FROM t),
        |rare AS (SELECT token FROM tk GROUP BY token
        |         HAVING count(*) BETWEEN 2 AND ${Text.sparseSimDfCap}),
-       |p AS (SELECT tk.doc_id, tk.token FROM tk JOIN rare USING (token)),
+       |rp AS (SELECT tk.doc_id, tk.token FROM tk JOIN rare USING (token)),
        |spairs AS (
        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-       | FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
+       | FROM rp a JOIN rp b ON a.token = b.token AND a.doc_id < b.doc_id
        | GROUP BY 1, 2 HAVING count(*) >= ${Text.sparseSimMinShared})""".stripMargin
 
   /** [[minhashPairsCtes]] extended to cluster labels (recursive CTE) — the
@@ -1529,6 +1531,34 @@ object SparkEntry {
     "q_sim_topk" -> (simTopkCtes +
       """
         |SELECT q_id, cand_id, cos_sim, rnk FROM topk ORDER BY q_id, rnk""".stripMargin),
+    // RRF hybrid fusion: the dense topk CTE and the sparse posting-pair
+    // CTE composed (CTE names are collision-free by construction), then
+    // the standard 1/(60+rank) fuse over a full-outer rank join
+    "q_sim_rrf_fusion" -> (simTopkCtes + ",\n" +
+      sparsePairCtes.replaceFirst("^WITH ", "") +
+      """
+        |, ssym AS (
+        | SELECT doc_a AS q_id, doc_b AS cand_id, n_shared FROM spairs
+        | UNION ALL
+        | SELECT doc_b, doc_a, n_shared FROM spairs),
+        |stop AS (
+        | SELECT q_id, cand_id, CAST(rnk AS BIGINT) AS sparse_rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY n_shared DESC, cand_id) AS rnk
+        |  FROM ssym WHERE q_id < 10) t2
+        | WHERE rnk <= 10),
+        |f AS (
+        | SELECT coalesce(d.q_id, s.q_id) AS q_id,
+        |  coalesce(d.cand_id, s.cand_id) AS cand_id,
+        |  d.rnk AS dense_rnk, s.sparse_rnk
+        | FROM (SELECT q_id, cand_id, rnk FROM topk) d
+        | FULL OUTER JOIN stop s
+        |  ON d.q_id = s.q_id AND d.cand_id = s.cand_id)
+        |SELECT q_id, cand_id,
+        | round(coalesce(1.0 / (dense_rnk + 60), 0) +
+        |       coalesce(1.0 / (sparse_rnk + 60), 0), 6) AS rrf,
+        | dense_rnk, sparse_rnk
+        |FROM f ORDER BY q_id, rrf DESC, cand_id""".stripMargin),
     "q_knn_vote" -> (simTopkCtes +
       """
         |, v AS (
@@ -2547,6 +2577,22 @@ object SparkEntry {
         |   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     // feature-engineering pack
+    "q_feat_winsorize" ->
+      """WITH b AS (
+        | SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        | FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, lo, hi, count(*) AS n,
+        | CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_lo,
+        | CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_hi,
+        | round(avg(l_extendedprice), 4) AS mean_raw,
+        | round(avg(least(greatest(l_extendedprice, lo), hi)), 4)
+        |   AS mean_winsor
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1, 2, 3 ORDER BY l_returnflag""".stripMargin,
     "q_feat_scale" ->
       """WITH sums AS (
         | SELECT count(*) AS n,

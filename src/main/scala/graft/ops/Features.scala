@@ -68,6 +68,40 @@ object Features {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Winsorized (percentile-clamped) outlier treatment per group — the
+    * robust-scaling companion to [[standardize]]: clamp
+    * `l_extendedprice` to its group's [p05, p95] band and report how
+    * much mass moved and how the mean shifted. Tukey's classic outlier
+    * treatment, run before any z-score on heavy-tailed features.
+    *
+    * Determinism: the clamp bounds are EXACT interpolated percentiles
+    * (the `quantile_cont` parity already proven by `q_percentiles`)
+    * rounded to 4dp half-up on BOTH engines before any comparison, so
+    * a boundary row cannot clamp differently cross-engine; means use
+    * the proven round-4 display convention.
+    *
+    * Scale shape: one array-percentile aggregate per group (fused, no
+    * sort), bounds broadcast back, one clamped aggregate — two fact
+    * scans total, zero shuffles beyond the two ~|groups|-row aggs. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, array(0.05, 0.95))").as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("lo"),
+        round(element_at(col("ps"), 2), 4).as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        round(avg(col("x")), 4).as("mean_raw"),
+        round(avg(least(greatest(col("x"), col("lo")), col("hi"))), 4)
+          .as("mean_winsor"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Equal-frequency (quartile) binning of `l_quantity` — the
     * discretization step of feature pipelines. Boundaries come from ONE
     * array-`percentile` aggregate (same fused pattern as

@@ -111,19 +111,24 @@ object Mining {
 
   /** Entity resolution end-to-end: block → match → cluster. The rare-
     * shingle posting index yields high-precision candidate pairs
-    * ([[Text.sparseCandidatePairs]] — blocking + match score in one
-    * bounded pass), and the shared alternating large-star/small-star
-    * contraction ([[Dedup.connectedComponents]], the same O(log n)
-    * machinery behind `q_dedup_clusters`) collapses the match graph into
-    * entities labeled by their minimum doc_id. Singletons don't appear —
-    * an unmatched document IS its own entity, the standard convention
-    * this repo's cluster surfaces share.
+    * (blocking + match score in one bounded pass), and the shared
+    * alternating large-star/small-star contraction
+    * ([[Dedup.connectedComponents]], the same O(log n) machinery behind
+    * `q_dedup_clusters`) collapses the match graph into entities labeled
+    * by their minimum doc_id. Singletons don't appear — an unmatched
+    * document IS its own entity, the standard convention this repo's
+    * cluster surfaces share.
+    *
+    * Like cluster formation over the signature index, ER is SCHEDULED
+    * work over a corpus version, so it reads the PUBLISHED posting index
+    * ([[Text.ensureRarePostingIndex]]); the live tokenize→postings
+    * pipeline stays measured by `q_text_sparse_sim`.
     *
     * Scale shape: edges are bounded by the posting df cap (O(Σ df²)),
     * the contraction shuffles only the edge set, and the label output is
     * O(matched docs) — nothing here rescans the corpus after the one
     * posting pass. */
   def entityClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(Text.sparseCandidatePairs(spark, dir))
+    Dedup.connectedComponents(Text.sparseCandidatePairsPublished(spark, dir))
       .orderBy(col("doc_id"))
 }

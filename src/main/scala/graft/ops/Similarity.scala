@@ -97,6 +97,52 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    * Büttcher SIGIR'09): fuse the DENSE ranking ([[topKCosine]] over the
+    * embedding column) with the SPARSE ranking (rare-shingle posting
+    * overlap, [[Text.sparseCandidatePairs]]) for the same query ids —
+    * `rrf = Σ_systems 1/(60 + rank)`, the score every hybrid-search
+    * stack computes because it needs no score calibration between
+    * systems, only ranks.
+    *
+    * Determinism: both input rankings are already rank-deterministic
+    * (rounded score DESC, id); the fused score sums at most two exact
+    * `1/(60+rank)` doubles (commutative — two-term IEEE addition), is
+    * displayed rounded, and the final order ties on `cand_id`.
+    *
+    * Scale shape: the dense side is the bounded-heap top-k (no global
+    * sort); the sparse side joins the BROADCAST query slice of the
+    * rare-posting index against the full index — the filter is pushed
+    * INTO pair generation, so cost is O(query postings × dfCap), never
+    * the full corpus pair set; the fuse itself is a full-outer join of
+    * two ≤ nQueries·k row frames. */
+  def hybridRrfFusion(spark: SparkSession, dir: String, nQueries: Int = 10,
+                      k: Int = 10, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = topKCosine(spark, dir, nQueries, k)
+      .select(col("q_id"), col("cand_id"), col("rnk").as("dense_rnk"))
+    val p = Text.publishedRarePostings(spark, dir)
+    val qp = p.where(col("doc_id") < nQueries)
+      .select(col("token"), col("doc_id").as("q_id"))
+    val sym = broadcast(qp)
+      .join(p.select(col("token"), col("doc_id").as("cand_id")), "token")
+      .where(col("q_id") =!= col("cand_id"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= Text.sparseSimMinShared)
+    val sparse = sym
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("n_shared").desc, col("cand_id"))))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("cand_id"), col("rnk").cast("long").as("sparse_rnk"))
+    dense.join(sparse, Seq("q_id", "cand_id"), "full_outer")
+      .select(col("q_id"), col("cand_id"),
+        round(coalesce(lit(1.0) / (col("dense_rnk") + kRrf), lit(0.0)) +
+          coalesce(lit(1.0) / (col("sparse_rnk") + kRrf), lit(0.0)), 6).as("rrf"),
+        col("dense_rnk"), col("sparse_rnk"))
+      .orderBy(col("q_id"), col("rrf").desc, col("cand_id"))
+  }
+
   /** Hyperplane geometry for the persisted sign index: 64 seeded Gaussian
     * hyperplanes (Charikar sign-random-projection — same public primitive
     * as [[Dedup.embeddingDupPairsLsh]], different seed so specs exercise

@@ -892,12 +892,33 @@ object Text {
   private[graft] def sparseCandidatePairs(spark: SparkSession, dir: String,
                                           dfCap: Int = sparseSimDfCap,
                                           minShared: Int = sparseSimMinShared)
-  : DataFrame = {
+  : DataFrame =
+    pairsOfPostings(rarePostings(spark, dir, dfCap), minShared)
+
+  /** [[sparseCandidatePairs]] reading the PUBLISHED posting index — the
+    * scheduled-consumer path (entity resolution). */
+  private[graft] def sparseCandidatePairsPublished(
+      spark: SparkSession, dir: String,
+      minShared: Int = sparseSimMinShared): DataFrame =
+    pairsOfPostings(publishedRarePostings(spark, dir), minShared)
+
+  private def pairsOfPostings(p: DataFrame, minShared: Int): DataFrame =
+    p.select(col("token"), col("doc_id").as("doc_a"))
+      .join(p.select(col("token"), col("doc_id").as("doc_b")), "token")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+
+  /** The df-capped rare-shingle posting index behind
+    * [[sparseCandidatePairs]] and the RRF sparse ranking — pinned so the
+    * corpus is tokenized ONCE, not per consumer (at lake scale this is
+    * the published shingle index, hashed to 8-byte keys, exactly as the
+    * MinHash signature index is). Rare postings are ≤ |rare
+    * shingles|·dfCap rows. */
+  private[graft] def rarePostings(spark: SparkSession, dir: String,
+                                  dfCap: Int = sparseSimDfCap): DataFrame = {
     val n = sparseSimShingleWords
-    // the posting list feeds the df aggregate, then both sides of the
-    // pair self-join — pin it so the corpus is tokenized ONCE, not four
-    // times (at lake scale this is the published shingle index, hashed
-    // to 8-byte keys, exactly as the MinHash signature index is)
     val postings = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .where(size(col("t")) >= n)
@@ -909,17 +930,28 @@ object Text {
     val rare = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= dfCap)
       .select(col("token"))
-    // rare postings are ≤ |rare shingles|·dfCap rows — pin them so the
-    // self-join's two sides read the filtered index, not two replays of
-    // the semi-join
-    val p = postings.join(rare, Seq("token"), "left_semi").localCheckpoint()
-    p.select(col("token"), col("doc_id").as("doc_a"))
-      .join(p.select(col("token"), col("doc_id").as("doc_b")), "token")
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
+    postings.join(rare, Seq("token"), "left_semi").localCheckpoint()
   }
+
+  /** The rare-posting index as a PUBLISHED per-corpus-version layout —
+    * the sparse-retrieval half of the contract whose dense half is
+    * [[Dedup.ensureSignatureIndex]]: production systems maintain one
+    * inverted index per corpus version and every scheduled consumer
+    * (entity resolution, hybrid fusion) reads it rather than
+    * re-tokenizing the corpus. [[sparseSimilarPairs]] itself stays the
+    * measured LIVE pipeline, exactly as `q_dedup_minhash_pairs` stays
+    * live beside the signature index. */
+  def ensureRarePostingIndex(spark: SparkSession, dir: String): String =
+    graft.store.FeatureStore.ensurePlainTable(spark,
+      rarePostings(spark, dir),
+      s"graft_rare_postings_${Relational.dirSlug(dir)}",
+      graft.store.FeatureStore.versionFingerprint(spark,
+        s"$dir/documents.parquet"))
+
+  /** Read side of [[ensureRarePostingIndex]]. */
+  private[graft] def publishedRarePostings(spark: SparkSession,
+                                           dir: String): DataFrame =
+    spark.table(ensureRarePostingIndex(spark, dir))
 
   /** EXACT set-similarity self-join by prefix filtering (the SSJoin /
     * PPJoin family, Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):

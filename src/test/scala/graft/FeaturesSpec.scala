@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.Features
+import graft.sources.Tables
 
 class FeaturesSpec extends SparkSpec {
   import spark.implicits._
@@ -227,5 +228,33 @@ class FeaturesSpec extends SparkSpec {
     // TPC-H order prices are date-independent: the split must read stable
     val psi = out.map(_.getAs[Double]("psi_term")).sum
     assert(psi >= 0.0 && psi < 0.1, psi)
+  }
+
+  test("winsorize: bounds, clamp counts and means equal a driver replay") {
+    val out = Features.winsorize(spark, sf).collect()
+    assert(out.nonEmpty)
+    val raw = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def pct(xs: Array[Double], p: Double): Double = {
+      val h = (xs.length - 1) * p
+      val i = h.toInt
+      if (i + 1 >= xs.length) xs(i) else xs(i) + (h - i) * (xs(i + 1) - xs(i))
+    }
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    out.foreach { r =>
+      val xs = raw(r.getString(0)).toArray
+      val (lo, hi) = (r4(pct(xs, 0.05)), r4(pct(xs, 0.95)))
+      assert(r.getDouble(1) === lo && r.getDouble(2) === hi)
+      assert(r.getLong(3) === xs.length.toLong)
+      assert(r.getLong(4) === xs.count(_ < lo).toLong)
+      assert(r.getLong(5) === xs.count(_ > hi).toLong)
+      assert(r.getDouble(6) === r4(xs.sum / xs.length))
+      val w = xs.map(x => math.min(math.max(x, lo), hi))
+      assert(r.getDouble(7) === r4(w.sum / w.length))
+      // clamping towards the body can only pull the mean inward
+      assert(r.getLong(4) + r.getLong(5) > 0)
+    }
   }
 }

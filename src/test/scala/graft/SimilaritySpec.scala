@@ -356,4 +356,37 @@ class SimilaritySpec extends SparkSpec {
         s"background vector ${r.getLong(0)} wrongly deduped")
     }
   }
+
+  test("rrf fusion: exact union of both rankings, score recomputed from ranks") {
+    val out = Similarity.hybridRrfFusion(spark, sf).collect()
+    assert(out.nonEmpty)
+    val dense = Similarity.topKCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val sp = graft.ops.Text.sparseCandidatePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sym = (sp.map { case (a, b, n) => (a, b, n) } ++
+      sp.map { case (a, b, n) => (b, a, n) }).filter(_._1 < 10)
+    val sparse: Map[(Long, Long), Long] =
+      sym.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+        cs.sortBy { case (_, c, n) => (-n, c) }.take(10).zipWithIndex
+          .map { case ((_, c, _), i) => (q, c) -> (i + 1).toLong }
+      }.toMap
+    // fused key set is EXACTLY the union; each row's rrf and rank
+    // columns reproduce from the two independent rankings
+    val keys = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys === (dense.keySet ++ sparse.keySet))
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (d, s) = (dense.get(key), sparse.get(key))
+      val expect = math.floor((d.map(x => 1.0 / (x + 60)).getOrElse(0.0) +
+        s.map(x => 1.0 / (x + 60)).getOrElse(0.0)) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(2) === expect)
+      assert(Option(r.get(3)).map(_.asInstanceOf[Long]) === d)
+      assert(Option(r.get(4)).map(_.asInstanceOf[Long]) === s)
+    }
+    // a doc ranked by both systems outscores the same rank in one alone:
+    // the consensus-boost property RRF exists for
+    val both = out.filter(r => r.get(3) != null && r.get(4) != null)
+    both.foreach(r => assert(r.getDouble(2) > 1.0 / 61.0 - 1e-9))
+  }
 }
