@@ -167,4 +167,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("shortest paths: relaxation rounds join broadcast distance frames") {
+    val p = plan(graft.ops.Graph.boundedShortestPaths(spark, sf))
+    // the 4 relaxation rounds + the final name join each read the
+    // O(nodes) frame via broadcast — the fact table never re-shuffles
+    // into an iteration
+    assert(countOccurrences(p, "BroadcastExchange") >= 5, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rrf fusion: query postings broadcast into the index, no corpus pair scan") {
+    val p = plan(Similarity.hybridRrfFusion(spark, sf))
+    // the query slice joins the posting index via broadcast — the full
+    // doc_a<doc_b pair self-join must NOT appear in this plan
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("winsorize: bounds broadcast back, two aggregates, no sort before them") {
+    val p = plan(graft.ops.Features.winsorize(spark, sf))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // percentile + clamped stats: exactly two aggregation trees
+    // (partial+final each) over the fact scans
+    assert(countOccurrences(p, "ObjectHashAggregate") +
+      countOccurrences(p, "HashAggregate") >= 4, p)
+  }
+
+  test("approx percentiles: ONE sketch aggregate, not four") {
+    val p = plan(Relational.approxPercentiles(spark, sf))
+    // the fused array-argument form carries a single percentile_approx
+    // buffer through partial+final — four scalar sketches would show
+    // four buffers here (the 4x plan defect caught by the sf1 audit)
+    assert(countOccurrences(p, "percentile_approx") <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
