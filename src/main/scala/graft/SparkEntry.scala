@@ -102,6 +102,7 @@ object SparkEntry {
     "q_evt_transitions" -> ((s, d) => Events.typeTransitions(s, d)),
     "q_evt_scd2" -> ((s, d) => Events.scd2UserStates(s, d)),
     "q_evt_attribution" -> ((s, d) => Events.linearAttribution(s, d)),
+    "q_evt_ab_test" -> ((s, d) => Events.abTestConversion(s, d)),
     "q_evt_paths" -> ((s, d) => Events.topEventPaths(s, d)),
     "q_graph_pagerank" -> ((s, d) => Graph.nationTradePageRank(s, d)),
     "q_valid_cdc_apply" -> ((s, d) => Validate.cdcMergeApply(s, d)),
@@ -1134,6 +1135,43 @@ object SparkEntry {
         | n_events
         |FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
+    // A/B readout: arm and conversion are exact integers; rate and z
+    // doubles are written in the SAME operation order as the Spark
+    // side, and the significance verdict compares the ROUNDED |z|
+    "q_evt_ab_test" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  CASE WHEN CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    > 60000 THEN 1 ELSE 0 END AS c
+        | FROM events GROUP BY user_id),
+        |a AS (
+        | SELECT user_id % 2 AS arm, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS k
+        | FROM u GROUP BY 1),
+        |w AS (
+        | SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |  max(CASE WHEN arm = 0 THEN k END) AS conv_a,
+        |  max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |  max(CASE WHEN arm = 1 THEN k END) AS conv_b
+        | FROM a),
+        |z0 AS (
+        | SELECT *, CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+        | FROM w),
+        |z1 AS (
+        | SELECT *, CASE WHEN se > 0 THEN
+        |   (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |    / se END AS zr
+        | FROM (SELECT *,
+        |   sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)) AS se
+        |  FROM z0) t2)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        | round(CAST(conv_a AS DOUBLE) / n_a, 6) AS cr_a,
+        | round(CAST(conv_b AS DOUBLE) / n_b, 6) AS cr_b,
+        | round(zr, 6) AS z,
+        | CASE WHEN abs(round(zr, 6)) > 1.96 THEN 1 ELSE 0 END
+        |   AS significant
+        |FROM z1""".stripMargin,
     "q_evt_attribution" ->
       """WITH t AS (SELECT user_id, ts AS touch_ts, event_type AS channel
         |           FROM events WHERE event_type IN ('click', 'view')),

@@ -386,4 +386,61 @@ object Events {
         (col("credit_micro") / 1000000.0).as("attributed"))
       .orderBy(col("channel"))
   }
+
+  /** A/B experiment readout with a two-proportion z-test — the
+    * experimentation-platform primitive every feature launch runs:
+    * deterministic arm assignment (`user_id % 2` — id-keyed like every
+    * production bucketing), conversion = "user's purchase value total
+    * exceeds 600" (a has-any-purchase metric saturates at 100% on this
+    * dense corpus — zero pooled variance, z undefined — so the metric
+    * thresholds spend instead, splitting users near 50/50 at every
+    * corpus point), pooled-variance z per the standard two-proportion
+    * formula.
+    *
+    * Determinism: spend accumulates in EXACT integer cents, so the
+    * threshold compare cannot flip on double summation order; arms and
+    * conversion counts are exact integers; the rates and z are IEEE
+    * double expressions written in the SAME operation order as the
+    * DuckDB twin, displayed rounded; the significance verdict compares
+    * the ROUNDED |z| to 1.96 so both engines decide from the identical
+    * displayed value; a zero-variance pool (all or none converted)
+    * yields NULL z and significant = 0 instead of a divide error.
+    *
+    * Scale shape: one events scan → per-user conditional sum (the only
+    * corpus-sized shuffle, on user_id) → a 2-row arm aggregate → a
+    * 1-row wide pivot. Nothing downstream of the first aggregate sees
+    * more than |users| rows. */
+  def abTestConversion(spark: SparkSession, dir: String,
+                       thresholdCents: Long = 60000L): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("spend"))
+      .select(col("user_id"),
+        when(col("spend") > thresholdCents, 1).otherwise(0).as("c"))
+    val arms = u.select(expr("user_id % 2").as("arm"), col("c"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("k"))
+    val w = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_a"),
+      max(when(col("arm") === 0, col("k"))).as("conv_a"),
+      max(when(col("arm") === 1, col("n"))).as("n_b"),
+      max(when(col("arm") === 1, col("k"))).as("conv_b"))
+    w.withColumn("pp",
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")))
+      .withColumn("se",
+        sqrt(col("pp") * (lit(1) - col("pp")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .withColumn("zr",
+        when(col("se") > 0,
+          (col("conv_a").cast("double") / col("n_a") -
+            col("conv_b").cast("double") / col("n_b")) / col("se")))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(col("conv_a").cast("double") / col("n_a"), 6).as("cr_a"),
+        round(col("conv_b").cast("double") / col("n_b"), 6).as("cr_b"),
+        round(col("zr"), 6).as("z"),
+        when(abs(round(col("zr"), 6)) > 1.96, 1).otherwise(0)
+          .as("significant"))
+  }
 }

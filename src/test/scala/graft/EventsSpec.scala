@@ -290,4 +290,33 @@ class EventsSpec extends SparkSpec {
       none.head.getAs[Long]("n_purchases").toDouble)
     df.unpersist()
   }
+
+  test("ab test: counts, rates and z equal a driver replay; arms partition users") {
+    val out = Events.abTestConversion(spark, sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(x => (x.getLong(0),
+        if (x.getString(1) == "purchase")
+          math.floor(x.getDouble(2) * 100 + 0.5).toLong else 0L))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sum > 60000L).toMap
+    val a = byUser.filter(_._1 % 2 == 0)
+    val b = byUser.filter(_._1 % 2 == 1)
+    assert(a.size + b.size === byUser.size)
+    assert(r.getLong(0) === a.size.toLong)
+    assert(r.getLong(1) === a.count(_._2).toLong)
+    assert(r.getLong(2) === b.size.toLong)
+    assert(r.getLong(3) === b.count(_._2).toLong)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val (crA, crB) = (a.count(_._2).toDouble / a.size,
+      b.count(_._2).toDouble / b.size)
+    assert(r.getDouble(4) === r6(crA) && r.getDouble(5) === r6(crB))
+    val pp = (a.count(_._2) + b.count(_._2)).toDouble / (a.size + b.size)
+    val z = (crA - crB) /
+      math.sqrt(pp * (1 - pp) * (1.0 / a.size + 1.0 / b.size))
+    assert(r.getDouble(6) === r6(z))
+    assert(r.getInt(7) === (if (math.abs(r6(z)) > 1.96) 1 else 0))
+  }
 }
