@@ -1275,11 +1275,11 @@ object SparkEntry {
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY 1, 2),
         |s AS (
-        | SELECT nk, mk, cents,
-        |  row_number() OVER (PARTITION BY nk ORDER BY mk) AS idx,
-        |  count(*) OVER (PARTITION BY nk) AS m,
-        |  lag(cents, 12) OVER (PARTITION BY nk ORDER BY mk) AS snv
-        | FROM mo),
+        | SELECT c.nk, c.mk, c.cents,
+        |  row_number() OVER (PARTITION BY c.nk ORDER BY c.mk) AS idx,
+        |  count(*) OVER (PARTITION BY c.nk) AS m,
+        |  p.cents AS snv
+        | FROM mo c LEFT JOIN mo p ON p.nk = c.nk AND p.mk = c.mk - 12),
         |sf AS (SELECT * FROM s WHERE m >= 18),
         |an AS (
         | SELECT nk, max(CASE WHEN idx = 1 THEN cents END) AS y1,
@@ -1301,6 +1301,7 @@ object SparkEntry {
         | round(CAST(sae_drift_cents AS DOUBLE) / (n_test * 100), 6)
         |   AS mae_drift,
         | CASE WHEN sae_drift_cents < sae_snaive_cents THEN 'drift'
+        |   WHEN sae_snaive_cents IS NULL THEN 'drift'
         |   ELSE 'snaive' END AS best_method
         |FROM nation JOIN er ON n_nationkey = nk
         |ORDER BY n_name""".stripMargin,

@@ -29,8 +29,9 @@ object TimeSeries {
     *
     * Scale shape: ONE pass over `orders` (customer dim broadcast) builds
     * the monthly series — the only corpus-sized work; everything after
-    * operates on O(nations × months) rows: one window for
-    * index/length/lag-12, a 2-row-per-nation conditional aggregate for
+    * operates on O(nations × months) rows: a broadcast self-join for the
+    * month-keyed seasonal reference, one window for index/length, a
+    * 2-row-per-nation conditional aggregate for
     * the drift anchors (broadcast back), and a ~6-row-per-nation error
     * aggregate. At 100 TB the series frame is still tiny — the plan's
     * cost is the fact scan, exactly as it should be. */
@@ -38,18 +39,31 @@ object TimeSeries {
                               horizon: Int = 6): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))
+    // localCheckpoint: the series frame is O(nations × months) tiny, and
+    // the seasonal self-join below would otherwise re-run the corpus-sized
+    // fact scan a second time.
     val monthly = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nk"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mk"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .localCheckpoint()
+    // Seasonal term keyed on the CALENDAR month index (mk − 12), not 12
+    // ROWS back: a nation with a gap month gets a NULL seasonal reference
+    // for the month that has no y_{t−12}, instead of silently comparing
+    // against the wrong month (round-7 ADVICE). Both engines share the
+    // NULL-skipping SAE semantics on such rows.
+    val prev = monthly.select(col("nk").as("p_nk"), col("mk").as("p_mk"),
+      col("cents").as("snv"))
     val byMk = Window.partitionBy(col("nk")).orderBy(col("mk"))
     val ser = monthly
+      .join(broadcast(prev),
+        col("nk") === col("p_nk") && col("p_mk") === col("mk") - 12, "left")
+      .drop("p_nk", "p_mk")
       .withColumn("idx", row_number().over(byMk).cast("long"))
       .withColumn("m", count(lit(1)).over(Window.partitionBy(col("nk")))
         .cast("long"))
-      .withColumn("snv", lag(col("cents"), 12).over(byMk))
       .where(col("m") >= 12 + horizon)
     // drift anchors: first train value y1 and last train value yT
     val anchors = ser
@@ -82,6 +96,9 @@ object TimeSeries {
         round(col("sae_drift_cents").cast("double") /
           (col("n_test") * 100).cast("double"), 6).as("mae_drift"),
         when(col("sae_drift_cents") < col("sae_snaive_cents"), "drift")
+          // a nation whose every test month lacks a y_{t−12} has NULL
+          // snaive SAE — drift is the only defined method
+          .when(col("sae_snaive_cents").isNull, "drift")
           .otherwise("snaive").as("best_method"))
       .orderBy(col("n_name"))
   }

@@ -31,7 +31,8 @@ class MiningSpec extends SparkSpec {
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab_brute"))
     val joined = rules.join(brute, Seq("a", "b"), "left")
-    assert(joined.where(col("n_ab") =!= col("n_ab_brute")).count() === 0)
+    assert(joined.where(col("n_ab_brute").isNull ||
+      col("n_ab") =!= col("n_ab_brute")).count() === 0)
     items.unpersist(); rules.unpersist()
   }
 
@@ -81,7 +82,8 @@ class MiningSpec extends SparkSpec {
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_brute"))
     val joined = top.join(brute, Seq("doc_a", "doc_b"), "left")
-    assert(joined.where(col("n_shared") =!= col("n_brute")).count() === 0)
+    assert(joined.where(col("n_brute").isNull ||
+      col("n_shared") =!= col("n_brute")).count() === 0)
     top.unpersist()
   }
 

@@ -28,27 +28,37 @@ class TimeSeriesSpec extends SparkSpec {
       }
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     val expect = monthly.keys.map(_._1).toSeq.distinct.flatMap { nk =>
-      val ser = monthly.collect { case ((n, mk), c) if n == nk => (mk, c) }
-        .toSeq.sortBy(_._1).map(_._2)
+      val pairs = monthly.collect { case ((n, mk), c) if n == nk => (mk, c) }
+        .toSeq.sortBy(_._1)
+      val byMk = pairs.toMap
+      val ser = pairs.map(_._2)
       val m = ser.length
       if (m < 18) None else {
         val t = m - 6
         val (y1, yT) = (ser.head, ser(t - 1))
         val errs = ((t + 1) to m).map { idx =>
-          val actual = ser(idx - 1)
-          val snv = ser(idx - 13)
+          val (mk, actual) = pairs(idx - 1)
+          // seasonal reference keyed on the CALENDAR month (mk − 12);
+          // a gap month yields no seasonal term for mk, matching the
+          // engine's NULL-skipping SAE (round-7 ADVICE fix)
+          val snv = byMk.get(mk - 12)
           val num = (idx - t).toLong * (yT - y1)
           val drift = yT + (if (num >= 0) num / (t - 1) else -(-num / (t - 1)))
-          (math.abs(actual - snv), math.abs(actual - drift))
+          (snv.map(s => math.abs(actual - s)), math.abs(actual - drift))
         }
-        val (saeS, saeD) = (errs.map(_._1).sum, errs.map(_._2).sum)
+        val sErrs = errs.flatMap(_._1)
+        val saeS = if (sErrs.isEmpty) None else Some(sErrs.sum)
+        val saeD = errs.map(_._2).sum
         def mae(s: Long) = math.floor(s / 600.0 * 1e6 + 0.5) / 1e6
-        Some((names(nk), 6L, saeS, saeD, mae(saeS), mae(saeD),
-          if (saeD < saeS) "drift" else "snaive"))
+        Some((names(nk), 6L, saeS, saeD, saeS.map(mae), mae(saeD),
+          if (saeS.forall(saeD < _)) "drift" else "snaive"))
       }
     }.sortBy(_._1)
-    val got = out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-      r.getLong(3), r.getDouble(4), r.getDouble(5), r.getString(6))).toSeq
+    val got = out.map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+      r.getDouble(5), r.getString(6))).toSeq
     assert(got === expect)
     // both methods beat nothing: n_test fixed at the horizon
     assert(out.forall(_.getLong(1) === 6L))
