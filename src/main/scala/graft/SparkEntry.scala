@@ -457,21 +457,31 @@ object SparkEntry {
        | FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8)""".stripMargin
   }
 
-  /** DuckDB twin of [[Text.sparseCandidatePairs]]: rare word-shingle
-    * postings → df-capped self-join → pair shared counts. Shared by the
-    * sparse-sim ranking query and the ER clustering query. */
-  private def sparsePairCtes: String =
+  /** DuckDB twin of [[Text.sparseCandidatePairs]]: HASHED rare-shingle
+    * postings (per-token poly-hash fold + rolling 4-gram combine, the
+    * same arithmetic as [[dedupCtes]]) → df-capped self-join → pair
+    * shared counts. Shared by the sparse-sim ranking query and the ER
+    * clustering query. */
+  private def sparsePairCtes: String = {
+    val m = Dedup.shingleMult
+    val p = Dedup.P
+    val n = Text.sparseSimShingleWords
     s"""WITH t AS (
        | SELECT doc_id,
-       |  list_filter(string_split(text, ' '), s -> len(s) > 0) AS t
+       |  list_filter(string_split(text, ' '), s -> len(s) > 0) AS toks
        | FROM documents),
+       |sth AS (
+       | SELECT doc_id, list_transform(toks, tok ->
+       |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+       |     (acc,c) -> (acc*31 + c) % $p)) AS th
+       | FROM t WHERE len(toks) >= $n),
        |tk AS (
        | SELECT doc_id, unnest(list_distinct(list_transform(
-       |   generate_series(1, greatest(len(t) - ${Text.sparseSimShingleWords - 1}, 0)),
-       |   i -> list_aggregate(
-       |     list_slice(t, i, i + ${Text.sparseSimShingleWords - 1}),
-       |     'string_agg', ' ')))) AS token
-       | FROM t),
+       |   generate_series(1, len(th) - ${n - 1}),
+       |   i -> (((th[i]*$m + th[i+1]) % $p * $m + th[i+2]) % $p * $m + th[i+3]) % $p)))
+       |  AS token
+       | FROM sth),
        |rare AS (SELECT token FROM tk GROUP BY token
        |         HAVING count(*) BETWEEN 2 AND ${Text.sparseSimDfCap}),
        |rp AS (SELECT tk.doc_id, tk.token FROM tk JOIN rare USING (token)),
@@ -479,6 +489,7 @@ object SparkEntry {
        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
        | FROM rp a JOIN rp b ON a.token = b.token AND a.doc_id < b.doc_id
        | GROUP BY 1, 2 HAVING count(*) >= ${Text.sparseSimMinShared})""".stripMargin
+  }
 
   /** [[minhashPairsCtes]] extended to cluster labels (recursive CTE) — the
     * `lab` CTE gives every clustered doc its component's min doc_id;

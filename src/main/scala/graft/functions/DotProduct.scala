@@ -232,6 +232,9 @@ object GraftFunctions {
   val polyHashName = "graft_polyhash"
   val topKName = "graft_top_k"
   val signBitsName = "graft_sign_bits"
+  val ngramName = "graft_ngram_hashes"
+  val minhashName = "graft_minhash_sigs"
+  val tokenHashesName = "graft_token_hashes"
 
   /** Arity-checked SQL builders — a wrong argument count is a clear
     * analysis-time error, not an IndexOutOfBoundsException at runtime. */
@@ -259,6 +262,15 @@ object GraftFunctions {
   private[functions] val signBitsBuilder =
     arity(signBitsName, 2)(exprs => SignBits(exprs(0), exprs(1)))
 
+  private[functions] val ngramBuilder =
+    arity(ngramName, 2)(exprs => NGramHashes(exprs(0), exprs(1)))
+
+  private[functions] val minhashBuilder =
+    arity(minhashName, 3)(exprs => MinHashSigs(exprs(0), exprs(1), exprs(2)))
+
+  private[functions] val tokenHashesBuilder =
+    arity(tokenHashesName, 1)(exprs => TokenPolyHashes(exprs.head))
+
   private def registrations = Seq(
     (FunctionIdentifier(dotName),
       new ExpressionInfo(classOf[DotProduct].getName, dotName), dotBuilder),
@@ -267,7 +279,14 @@ object GraftFunctions {
     (FunctionIdentifier(topKName),
       new ExpressionInfo(classOf[BoundedTopK].getName, topKName), topKBuilder),
     (FunctionIdentifier(signBitsName),
-      new ExpressionInfo(classOf[SignBits].getName, signBitsName), signBitsBuilder))
+      new ExpressionInfo(classOf[SignBits].getName, signBitsName), signBitsBuilder),
+    (FunctionIdentifier(ngramName),
+      new ExpressionInfo(classOf[NGramHashes].getName, ngramName), ngramBuilder),
+    (FunctionIdentifier(minhashName),
+      new ExpressionInfo(classOf[MinHashSigs].getName, minhashName), minhashBuilder),
+    (FunctionIdentifier(tokenHashesName),
+      new ExpressionInfo(classOf[TokenPolyHashes].getName, tokenHashesName),
+      tokenHashesBuilder))
 
   /** Idempotent per-session registration; query builders call this before
     * using [[dot]] / [[polyHash]] / [[topK]]. */
@@ -294,6 +313,23 @@ object GraftFunctions {
     * literal array-of-arrays column; requires [[register]]. */
   def signBits(v: Column, planes: Column): Column =
     call_function(signBitsName, v, planes)
+
+  /** Rolling n-gram hash combine over a token-hash array
+    * ([[NGramHashes]]); `n` must be a literal; requires [[register]]. */
+  def ngramHashes(th: Column, n: Int): Column =
+    call_function(ngramName, th, lit(n))
+
+  /** One-pass MinHash signature bank ([[MinHashSigs]]) over literal
+    * multiplier/offset banks; requires [[register]]. */
+  def minhashSigs(hs: Column, a: Seq[Long], b: Seq[Long]): Column =
+    call_function(minhashName, hs,
+      org.apache.spark.sql.functions.typedLit(a),
+      org.apache.spark.sql.functions.typedLit(b))
+
+  /** Fused tokenize-and-poly-hash of a space-separated string
+    * ([[TokenPolyHashes]]); requires [[register]]. */
+  def tokenHashes(text: Column): Column =
+    call_function(tokenHashesName, text)
 }
 
 /** `spark.sql.extensions` entry point: registers graft's native functions
@@ -316,5 +352,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(GraftFunctions.signBitsName),
       new ExpressionInfo(classOf[SignBits].getName, GraftFunctions.signBitsName),
       GraftFunctions.signBitsBuilder))
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.ngramName),
+      new ExpressionInfo(classOf[NGramHashes].getName, GraftFunctions.ngramName),
+      GraftFunctions.ngramBuilder))
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.minhashName),
+      new ExpressionInfo(classOf[MinHashSigs].getName, GraftFunctions.minhashName),
+      GraftFunctions.minhashBuilder))
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.tokenHashesName),
+      new ExpressionInfo(classOf[TokenPolyHashes].getName,
+        GraftFunctions.tokenHashesName),
+      GraftFunctions.tokenHashesBuilder))
   }
 }

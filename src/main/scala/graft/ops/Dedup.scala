@@ -119,11 +119,14 @@ object Dedup {
       .otherwise(array().cast("array<bigint>"))
   }
 
-  /** Distinct 3-gram shingle hashes of a token-hash array. */
+  /** Distinct 3-gram shingle hashes of a token-hash array — the native
+    * rolling combine ([[graft.functions.NGramHashes]], bit-identical to
+    * the declarative `transform(sequence…)` form it replaced, which paid
+    * a `sequence` array plus three interpreted `element_at` probes per
+    * window). Callers must have registered [[graft.functions
+    * .GraftFunctions]] on the session (every query builder does). */
   private[graft] def combine3(th: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(th) - 2), i =>
-      combine3of(element_at(th, i), element_at(th, i + 1),
-        element_at(th, i + 2))))
+    array_distinct(graft.functions.GraftFunctions.ngramHashes(th, 3))
 
   /** docs with ≥3 tokens: (doc_id, th = per-token poly-hash array).
     *
@@ -134,8 +137,8 @@ object Dedup {
   private def tokenHashedOf(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), transform(toks(col("text")),
-        t => graft.functions.GraftFunctions.polyHash(t)).as("th"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.tokenHashes(col("text")).as("th"))
       .where(size(col("th")) >= 3)
   }
 
@@ -169,10 +172,19 @@ object Dedup {
     * live side from published indexes). `keep` threads extra columns
     * (e.g. the shingle set) through alongside the signatures. */
   private def signaturesKeeping(sh: DataFrame, keep: Column*): DataFrame = {
-    val sigCols = A.indices.map { j =>
-      array_min(transform(col("hs"), h => (h * A(j) + B(j)) % P)).as(s"sig_$j")
-    }
-    sh.select((col("doc_id") +: keep) ++ sigCols: _*)
+    // ONE fused pass over the shingle set computes all 8 minima
+    // ([[graft.functions.MinHashSigs]], bit-identical to the 8×
+    // `array_min(transform(hs, …))` bank it replaced, which materialized
+    // 8 interpreted array copies per document). The signature array is
+    // materialized in its OWN projection before the per-column
+    // element_at reads it — collapsed, the expression would re-run 8×
+    // per row (the `tokenHashedOf` O(n²) trap).
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    val withSigs = sh.select((col("doc_id") +: keep) :+
+      graft.functions.GraftFunctions.minhashSigs(col("hs"), A, B)
+        .as("graft_sigs"): _*)
+    withSigs.select((col("doc_id") +: keep) ++
+      A.indices.map(j => element_at(col("graft_sigs"), j + 1).as(s"sig_$j")): _*)
   }
 
   /** Exploded LSH band keys of a signature frame: one narrow
@@ -845,10 +857,14 @@ object Dedup {
       .where(size(col("wth")) >= 3)
       .select(col("doc_id"), combine3(col("wth")).as("whs"))
 
-    val sigCols = A.indices.map { j =>
-      array_min(transform(col("whs"), h => (h * A(j) + B(j)) % P)).as(s"sig_$j")
-    }
-    val wsig = wins.select(col("doc_id") +: sigCols: _*)
+    // same one-pass native signature bank as [[signaturesKeeping]], with
+    // the same own-projection materialization before the per-column reads
+    val wsig = wins
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSigs(col("whs"), A, B)
+          .as("graft_sigs"))
+      .select(col("doc_id") +:
+        A.indices.map(j => element_at(col("graft_sigs"), j + 1).as(s"sig_$j")): _*)
     val bands = wsig.select(col("doc_id"), explode(array(
       (0 until numBands).map(b => struct(lit(b).as("band"),
         col(s"sig_${2 * b}").as("s1"), col(s"sig_${2 * b + 1}").as("s2"))): _*)).as("bk"))

@@ -212,15 +212,14 @@ object Text {
     // <2-token docs: sequence(1, size-1) would count DOWN into index 0
     // (ANSI array-index error); the size guard keeps them out entirely
     val th = Tables.documents(spark, dir)
-      .select(tokens(col("text")).as("t"))
-      .where(size(col("t")) >= 2)
-      .select(col("t"), transform(col("t"),
-        tok => graft.functions.GraftFunctions.polyHash(tok)).as("th"))
+      .select(tokens(col("text")).as("t"),
+        graft.functions.GraftFunctions.tokenHashes(col("text")).as("th"))
+      .where(size(col("th")) >= 2)
     def bh(i: Column): Column =
       Dedup.combine2(element_at(col("th"), i), element_at(col("th"), i + 1))
     val topk = th
-      .select(explode(transform(sequence(lit(1), size(col("th")) - 1),
-        i => bh(i))).as("bh"))
+      .select(explode(graft.functions.GraftFunctions.ngramHashes(
+        col("th"), 2)).as("bh"))
       .groupBy(col("bh")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bh"))
       .limit(k)
@@ -258,8 +257,6 @@ object Text {
     * presentation sort. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    def bh(th: Column, i: Column): Column =
-      Dedup.combine2(element_at(th, i), element_at(th, i + 1))
     // longest run of equal values in a sorted array: fold carrying
     // (prev, current run, best run). -1 sentinel: hashes are mod-P ≥ 0.
     def longestRun(sorted: Column): Column =
@@ -273,15 +270,15 @@ object Text {
         },
         st => st.getField("best"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), transform(tokens(col("text")),
-        tok => graft.functions.GraftFunctions.polyHash(tok)).as("th"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.tokenHashes(col("text")).as("th"))
       .where(size(col("th")) >= 3)
       .select(col("doc_id"),
         (size(col("th")) - 2).cast("long").as("n_tri"),
         size(Dedup.combine3(col("th"))).cast("long").as("n_tri_distinct"),
         (size(col("th")) - 1).cast("long").as("n_bi"),
-        longestRun(array_sort(transform(sequence(lit(1), size(col("th")) - 1),
-          i => bh(col("th"), i)))).as("top_bi"))
+        longestRun(array_sort(graft.functions.GraftFunctions.ngramHashes(
+          col("th"), 2))).as("top_bi"))
       .select(col("doc_id"), col("n_tri"), col("n_tri_distinct"),
         round((col("n_tri") - col("n_tri_distinct")) / col("n_tri"), 6)
           .as("dup_tri_frac"),
@@ -495,10 +492,9 @@ object Text {
                                       k: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val th = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .where(size(col("t")) >= 2)
-      .select(col("doc_id"), transform(col("t"),
-        tok => graft.functions.GraftFunctions.polyHash(tok)).as("th"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.tokenHashes(col("text")).as("th"))
+      .where(size(col("th")) >= 2)
     val trans = th.select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("th")) - 1), i =>
           struct(element_at(col("th"), i).as("h1"),
@@ -603,10 +599,9 @@ object Text {
     val w = boilWindowTokens
     val s = boilStride
     val th = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .where(size(col("t")) >= w)
-      .select(col("doc_id"), transform(col("t"),
-        tok => graft.functions.GraftFunctions.polyHash(tok)).as("th"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.tokenHashes(col("text")).as("th"))
+      .where(size(col("th")) >= w)
     th.select(col("doc_id"),
       explode(transform(
         sequence(lit(0),
@@ -875,9 +870,9 @@ object Text {
     * the pair aggregate collapses map-side into at most dfCap²/2 rows
     * per shingle. Counts are exact integers; ranking is a bounded
     * TakeOrdered under the total order (n_shared desc, doc_a, doc_b).
-    * At corpus scale the shingle strings would hash to 8-byte keys
-    * before the shuffle (as the MinHash path does); the string keys here
-    * keep the oracle twin byte-identical. */
+    * Shingle keys are 8-byte rolling hashes end to end (the MinHash
+    * family's combine arithmetic, replayed by the DuckDB twin), so no
+    * shuffle in the plan ever carries a shingle string. */
   def sparseSimilarPairs(spark: SparkSession, dir: String,
                          dfCap: Int = sparseSimDfCap,
                          minShared: Int = sparseSimMinShared,
@@ -902,13 +897,31 @@ object Text {
       minShared: Int = sparseSimMinShared): DataFrame =
     pairsOfPostings(publishedRarePostings(spark, dir), minShared)
 
-  private def pairsOfPostings(p: DataFrame, minShared: Int): DataFrame =
-    p.select(col("token"), col("doc_id").as("doc_a"))
-      .join(p.select(col("token"), col("doc_id").as("doc_b")), "token")
-      .where(col("doc_a") < col("doc_b"))
+  private def pairsOfPostings(p: DataFrame, minShared: Int): DataFrame = {
+    // Per-token pre-aggregation instead of a posting self-join: ONE
+    // shuffle of the posting list (the join shuffled it twice and paid a
+    // join), then pairs explode from each token's ≤ dfCap sorted doc
+    // array — the same ≤ df²/2 pairs, generated map-side into the pair
+    // aggregate's partial combine. `docs` is materialized by the
+    // aggregate before the pairing lambda reads it, so the nested
+    // element_at probes are O(df²) array reads, not re-evaluations.
+    val perToken = p.groupBy(col("token"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      // df-1 tokens pair with nothing; the guard also keeps
+      // sequence(1, 0) from counting DOWN (the ANSI descending trap)
+      .where(size(col("docs")) >= 2)
+    perToken
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("docs")) - 1),
+        i => transform(
+          slice(col("docs"), (i + 1).cast("int"), size(col("docs")) - i),
+          b => struct(element_at(col("docs"), i).as("doc_a"),
+            b.as("doc_b")))))).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
 
   /** The df-capped rare-shingle posting index behind
     * [[sparseCandidatePairs]] and the RRF sparse ranking — pinned so the
@@ -918,14 +931,25 @@ object Text {
     * shingles|·dfCap rows. */
   private[graft] def rarePostings(spark: SparkSession, dir: String,
                                   dfCap: Int = sparseSimDfCap): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val n = sparseSimShingleWords
+    // Shingles are HASHED to 8-byte keys before anything shuffles or
+    // materializes — the same rolling token-hash combine the dedup
+    // family publishes ([[Dedup.combine2]] arithmetic, native
+    // [[graft.functions.NGramHashes]] loop), so the checkpoint, the df
+    // aggregate, the semi-join, and the pair stage all carry
+    // (long, long) rows instead of ~25-byte shingle strings. The DuckDB
+    // twin replays the identical per-token poly-hash fold and 4-gram
+    // combine. Token-hash array in its own projection before the
+    // combine reads it (the `Dedup.tokenHashedOf` O(n²) trap).
     val postings = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .where(size(col("t")) >= n)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("t")) - (n - 1)),
-          i => concat_ws(" ", slice(col("t"), i, lit(n)))))).as("token"))
+        graft.functions.GraftFunctions.tokenHashes(col("text")).as("th"))
+      .where(size(col("th")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.GraftFunctions.ngramHashes(col("th"), n)))
+          .as("token"))
       .localCheckpoint()
     val rare = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= dfCap)
@@ -941,12 +965,18 @@ object Text {
     * re-tokenizing the corpus. [[sparseSimilarPairs]] itself stays the
     * measured LIVE pipeline, exactly as `q_dedup_minhash_pairs` stays
     * live beside the signature index. */
+  /** Posting-index layout version, mixed into the publish fingerprint:
+    * v2 = HASHED 8-byte shingle keys (v1 carried shingle strings). On a
+    * shared metastore a library upgrade must not read a prior layout of
+    * the same corpus version — the data fingerprint alone would. */
+  private val rarePostingLayoutVersion = 2L
+
   def ensureRarePostingIndex(spark: SparkSession, dir: String): String =
     graft.store.FeatureStore.ensurePlainTable(spark,
       rarePostings(spark, dir),
       s"graft_rare_postings_${Relational.dirSlug(dir)}",
       graft.store.FeatureStore.versionFingerprint(spark,
-        s"$dir/documents.parquet"))
+        s"$dir/documents.parquet") * 31L + rarePostingLayoutVersion)
 
   /** Read side of [[ensureRarePostingIndex]]. */
   private[graft] def publishedRarePostings(spark: SparkSession,

@@ -11,7 +11,8 @@ class ExtensionsSpec extends SparkSpec {
   private lazy val fresh = spark.newSession()
 
   test("extension registers all graft functions at session build") {
-    Seq("graft_dot", "graft_polyhash", "graft_top_k").foreach { f =>
+    Seq("graft_dot", "graft_polyhash", "graft_top_k",
+      "graft_sign_bits", "graft_ngram_hashes", "graft_minhash_sigs").foreach { f =>
       assert(fresh.catalog.functionExists(f), s"$f missing from catalog")
     }
   }

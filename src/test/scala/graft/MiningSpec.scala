@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Materialize, Mining, Text}
@@ -65,14 +66,24 @@ class MiningSpec extends SparkSpec {
     // corpus by brute intersection (no df prune on the pair side — the
     // prune must only ever REMOVE common shingles, which both sides of
     // the intersection lack by definition of rare)
+    // hashed shingle space, recomputed DECLARATIVELY (the lambda
+    // poly-hash fold + scalar combines — a different implementation than
+    // the native NGramHashes loop the engine runs, so this doubles as a
+    // bit-identity cross-check of the native expression)
     val n = Text.sparseSimShingleWords
+    def combine4of(h1: Column, h2: Column, h3: Column, h4: Column): Column =
+      (graft.ops.Dedup.combine3of(h1, h2, h3) *
+        graft.ops.Dedup.shingleMult + h4) % graft.ops.Dedup.P
     val sh = Tables.documents(spark, sf)
-      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      .where(size(col("t")) >= n)
+      .select(col("doc_id"), transform(Text.tokens(col("text")),
+        t => graft.ops.Dedup.polyHash(t)).as("th"))
+      .where(size(col("th")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(1), size(col("t")) - (n - 1)),
-          i => concat_ws(" ", slice(col("t"), i, lit(n)))))).as("s"))
+          sequence(lit(1), size(col("th")) - (n - 1)),
+          i => combine4of(element_at(col("th"), i),
+            element_at(col("th"), i + 1), element_at(col("th"), i + 2),
+            element_at(col("th"), i + 3))))).as("s"))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= Text.sparseSimDfCap)
       .select(col("s"))

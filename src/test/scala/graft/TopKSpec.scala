@@ -110,6 +110,95 @@ class TopKSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"id ${r.getLong(0)}"))
   }
 
+  test("graft_ngram_hashes is bit-identical to the sequence/element_at combine fold") {
+    GraftFunctions.register(spark)
+    import graft.ops.{Dedup, Text}
+    val th = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), transform(Text.tokens(col("text")),
+        t => Dedup.polyHash(t)).as("th"))
+    // n = 3 against the declarative rolling combine (the form the native
+    // loop replaced), on docs long enough for the ascending sequence
+    val tri = th.where(size(col("th")) >= 3).select(
+      GraftFunctions.ngramHashes(col("th"), 3).as("native"),
+      transform(sequence(lit(1), size(col("th")) - 2), i =>
+        Dedup.combine3of(element_at(col("th"), i), element_at(col("th"), i + 1),
+          element_at(col("th"), i + 2))).as("decl"))
+    assert(tri.count() > 0)
+    assert(tri.where(not(col("native") === col("decl"))).count() === 0)
+    // n = 2
+    val bi = th.where(size(col("th")) >= 2).select(
+      GraftFunctions.ngramHashes(col("th"), 2).as("native"),
+      transform(sequence(lit(1), size(col("th")) - 1), i =>
+        Dedup.combine2(element_at(col("th"), i),
+          element_at(col("th"), i + 1))).as("decl"))
+    assert(bi.where(not(col("native") === col("decl"))).count() === 0)
+    // shorter-than-n arrays yield EMPTY, never a descending sequence
+    import spark.implicits._
+    val short = Seq(Seq(7L), Seq.empty[Long]).toDF("th")
+      .select(GraftFunctions.ngramHashes(col("th"), 3).as("out")).collect()
+    short.foreach(r => assert(r.getSeq[Long](0).isEmpty))
+  }
+
+  test("graft_minhash_sigs is bit-identical to the per-j array_min transform bank") {
+    GraftFunctions.register(spark)
+    import graft.ops.Dedup
+    val hs = Dedup.shingleSets(graft.sources.Tables.documents(spark, sf))
+    val native = GraftFunctions.minhashSigs(col("hs"), Dedup.A, Dedup.B)
+    val bank = Dedup.A.indices.map { j =>
+      array_min(transform(col("hs"),
+        h => (h * Dedup.A(j) + Dedup.B(j)) % Dedup.P))
+    }
+    val both = hs.select(col("doc_id"), native.as("sigs"))
+      .join(hs.select((col("doc_id") +: bank.zipWithIndex.map {
+        case (c, j) => c.as(s"m_$j") }): _*), "doc_id")
+    assert(both.count() > 0)
+    val mismatch = Dedup.A.indices.map(j =>
+      element_at(col("sigs"), j + 1) =!= col(s"m_$j")).reduce(_ || _)
+    assert(both.where(mismatch).count() === 0)
+    // empty shingle set → null, matching array_min over an empty array
+    import spark.implicits._
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(GraftFunctions.minhashSigs(col("hs"), Dedup.A, Dedup.B)).collect()
+    assert(empty.head.isNullAt(0))
+  }
+
+  test("graft_token_hashes is bit-identical to the split/filter/poly-hash pipeline") {
+    GraftFunctions.register(spark)
+    import graft.ops.{Dedup, Text}
+    val both = graft.sources.Tables.documents(spark, sf).select(
+      GraftFunctions.tokenHashes(col("text")).as("native"),
+      transform(Text.tokens(col("text")),
+        t => Dedup.polyHash(t)).as("decl"))
+    assert(both.count() > 0)
+    assert(both.where(not(col("native") === col("decl"))).count() === 0)
+    // hostile inputs: empties, runs of spaces, leading/trailing spaces,
+    // multi-char code points
+    import spark.implicits._
+    val hostile = Seq("", " ", "  a  b ", "a", "αβ γ", "aé béé")
+      .toDF("text").select(
+        GraftFunctions.tokenHashes(col("text")).as("native"),
+        transform(Text.tokens(col("text")),
+          t => Dedup.polyHash(t)).as("decl")).collect()
+    hostile.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("graft_ngram_hashes/graft_minhash_sigs reject bad shapes at analysis time") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1, Seq(1L, 2L, 3L))).toDF("n", "th")
+    // non-literal n
+    val e1 = intercept[AnalysisException] {
+      df.select(expr("graft_ngram_hashes(th, n)")).collect()
+    }
+    assert(e1.getMessage.contains("literal"))
+    // bank length mismatch
+    val e2 = intercept[AnalysisException] {
+      df.select(GraftFunctions.minhashSigs(col("th"),
+        Seq(1L, 2L), Seq(3L))).collect()
+    }
+    assert(e2.getMessage.contains("length"))
+  }
+
   test("graft_sign_bits rejects >64 planes and non-literal matrices at analysis time") {
     GraftFunctions.register(spark)
     import spark.implicits._
