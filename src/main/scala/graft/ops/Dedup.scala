@@ -540,7 +540,18 @@ object Dedup {
   def incrementalAssign(spark: SparkSession, dir: String,
                         newFrac: Double = incNewFrac,
                         minJaccard: Double = 0.8,
-                        baseTable: Option[String] = None): DataFrame = {
+                        baseTable: Option[String] = None): DataFrame =
+    incrementalAssignUnsorted(spark, dir, newFrac, minJaccard, baseTable)
+      .orderBy(col("doc_id"))
+
+  /** [[incrementalAssign]] without the presentation sort — the merge
+    * path's input (see [[assignIncrement]] for why the sorted variant
+    * must not feed a union that re-sorts). */
+  private def incrementalAssignUnsorted(spark: SparkSession, dir: String,
+                                        newFrac: Double,
+                                        minJaccard: Double,
+                                        baseTable: Option[String] = None)
+  : DataFrame = {
     val tagged = incTagged(spark, dir, newFrac)
     val newSh = shingledOf(tagged.where(col("doc_id") >= col("cut")))
     // the existing corpus arrives as published layouts (the incremental
@@ -549,7 +560,7 @@ object Dedup {
     val sigs = spark.table(ensureIncrementalSigs(spark, dir, newFrac))
     val oldLabels = spark.table(baseTable.getOrElse(
       ensureIncrementalBase(spark, dir, newFrac, minJaccard)))
-    assignIncrement(sigs, oldLabels,
+    assignIncrementUnsorted(sigs, oldLabels,
       tagged.where(col("doc_id") >= col("cut")).select(col("doc_id")),
       newSh, minJaccard)
   }
@@ -561,9 +572,9 @@ object Dedup {
     * (spec-verified against a sequential union-find replay). `batchIds`
     * is the full batch id set (docs with no shingles still get labels);
     * `newSh` its shingle sets. */
-  private[graft] def assignIncrement(oldSigs: DataFrame, oldLabels: DataFrame,
-                                     batchIds: DataFrame, newSh: DataFrame,
-                                     minJaccard: Double): DataFrame = {
+  private def assignIncrementUnsorted(oldSigs: DataFrame, oldLabels: DataFrame,
+                                      batchIds: DataFrame, newSh: DataFrame,
+                                      minJaccard: Double): DataFrame = {
     // The batch's signatures+shingles materialized ONCE (localCheckpoint,
     // same pattern as the contraction's edge set): the tokenize→shingle→
     // sign pipeline is the increment's dominant per-row cost and this
@@ -601,8 +612,19 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("comp_anchor"), col("comp")).as("cluster_rep"),
         col("comp_anchor").isNotNull.cast("int").as("attached"))
-      .orderBy(col("doc_id"))
   }
+
+  /** The sorted public face of [[assignIncrementUnsorted]]. Consumers
+    * that impose their OWN global order on a union of this output
+    * ([[mergedIncrementalLabels]]) use the unsorted core instead:
+    * `EliminateSorts` cannot see through the union, so this variant
+    * would pay a second full range-exchange + sort of the batch rows
+    * under the merge's sort (plan-verified). */
+  private[graft] def assignIncrement(oldSigs: DataFrame, oldLabels: DataFrame,
+                                     batchIds: DataFrame, newSh: DataFrame,
+                                     minJaccard: Double): DataFrame =
+    assignIncrementUnsorted(oldSigs, oldLabels, batchIds, newSh, minJaccard)
+      .orderBy(col("doc_id"))
 
   /** Verified cross near-dup pairs: every new doc × existing-corpus LSH
     * candidate, exact-Jaccard checked — the band join prunes the old
@@ -664,8 +686,9 @@ object Dedup {
                               minJaccard: Double = 0.8): DataFrame =
     spark.table(ensureIncrementalBase(spark, dir, newFrac, minJaccard))
       .select(col("doc_id"), col("cluster_rep"))
-      .unionAll(incrementalAssign(spark, dir, newFrac, minJaccard)
-        .select(col("doc_id"), col("cluster_rep")))
+      .unionAll(
+        incrementalAssignUnsorted(spark, dir, newFrac, minJaccard)
+          .select(col("doc_id"), col("cluster_rep")))
       .orderBy(col("doc_id"))
 
   /** Publish [[mergedIncrementalLabels]] as a versioned layout table —

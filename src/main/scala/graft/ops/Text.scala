@@ -1057,14 +1057,31 @@ object Text {
     // Column `/` is double division)
     val prefix = ranked.where(col("pos") <=
       col("nw") - expr(s"(nw * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+    // PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2) on top of the
+    // prefix+length filters, in the same exact-integer style. At the
+    // FIRST common prefix token of a pair, at canonical positions
+    // (pa, pb), every other shared token sits strictly after both (a
+    // shared token before it would itself be a common prefix token —
+    // both its positions are smaller), so
+    //   inter ≤ 1 + min(na − pa, nb − pb),
+    // and J ≥ τ requires inter ≥ α = ceil(num·(na+nb)/(num+den)).
+    // Pairs whose bound cannot reach α are dropped BEFORE the verify
+    // join ships any shingle set. The pair aggregate replaces the
+    // `.distinct()` the plan already paid — same shuffle, min(struct)
+    // picks the first match.
     val cand = prefix.select(col("token"), col("doc_id").as("doc_a"),
-        col("nw").as("na"))
+        col("nw").as("na"), col("pos").as("pa"))
       .join(prefix.select(col("token"), col("doc_id").as("doc_b"),
-        col("nw").as("nb")), "token")
+        col("nw").as("nb"), col("pos").as("pb")), "token")
       .where(col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")) * tauDen >=
           greatest(col("na"), col("nb")) * tauNum)
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(struct(col("pa"), col("pb"))).as("fm"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .where(lit(1) + least(col("na") - col("fm.pa"), col("nb") - col("fm.pb")) >=
+        expr(s"((na + nb) * $tauNum + ${tauNum + tauDen - 1}) div ${tauNum + tauDen}"))
+      .select(col("doc_a"), col("doc_b"))
     (sets, cand)
   }
 }
