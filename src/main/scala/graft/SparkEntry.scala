@@ -209,14 +209,19 @@ object SparkEntry {
     "q_sim_semdedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     // the 100 TB SemDeDup scale path: banded sign-LSH edges read off the
     // PUBLISHED 16 B/row sign index (layout reuse — no corpus re-signing)
-    // into the same contraction. Rows-only — edge recovery depends on
-    // plane geometry; planted-near-dup co-cluster recall >= 0.9 is
-    // spec-asserted (SimilaritySpec), mirroring the q_dedup_embed /
-    // q_dedup_embed_lsh brute/scale pair. Same pinned 8×8 prune-first
-    // band slicing as q_dedup_embed_lsh (rationale below).
+    // into the same contraction. ORACLE-CHECKED via the q_sim_sign_index
+    // dump twin (banding + cosine verify + recursive contraction replayed
+    // over the exact published bits); planted-near-dup co-cluster recall
+    // >= 0.9 additionally spec-asserted (SimilaritySpec), mirroring the
+    // q_dedup_embed / q_dedup_embed_lsh brute/scale pair. Same pinned
+    // 8×8 prune-first band slicing as q_dedup_embed_lsh (rationale below).
     "q_sim_semdedup_lsh" -> ((s, d) =>
       Similarity.semanticDedupLsh(s, d, minCos = 0.4, bands = 8)),
-    // rows-only: LSH bucket geometry is engine-specific; precision exact
+    // the dump behind the twin above: the published sign index itself
+    // (rows-only — plane geometry is engine-specific by nature)
+    "q_sim_sign_index" -> ((s, d) => Similarity.signIndexDump(s, d)),
+    // ORACLE-CHECKED via the q_dedup_embed_signs dump twin (banding +
+    // cosine verify over the exact live-signed bits); precision exact
     // by construction (cosine verify), recall spec vs the brute baseline.
     // Geometry pinned EXPLICITLY to the prune-first 8×8 profile: this
     // corpus's pairwise-cos ceiling (~0.5) is below the operator's real
@@ -228,6 +233,9 @@ object SparkEntry {
     // planted near-dups.
     "q_dedup_embed_lsh" -> ((s, d) =>
       Dedup.embeddingDupPairsLsh(s, d, minCos = 0.4, nPlanes = 64, bands = 8)),
+    // the dump behind the twin above: the live operator's seeded sign
+    // bits (rows-only — plane geometry is engine-specific by nature)
+    "q_dedup_embed_signs" -> ((s, d) => Dedup.embeddingSignBits(s, d)),
     // rows-only: xxhash64 grouping, engine-specific hash by design
     "q_dedup_exact_hash" -> ((s, d) => Dedup.exactDedupByHash(s, d)),
     // ML metrics pack (reference R9–R11 shapes, SURVEY §2.A)
@@ -456,6 +464,35 @@ object SparkEntry {
        | SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jac
        | FROM j WHERE round(inter / (na + nb - inter), 6) >= 0.8)""".stripMargin
   }
+
+  /** Shared CTE block for the sign-LSH dump twins (round-7 verdict #5):
+    * read a (vec_id, sign_bits) verify dump, slice the 64-bit signature
+    * into 8 bands of 8 bits with the same arithmetic-shift+mask
+    * arithmetic as [[graft.ops.Dedup.bandedVerifiedPairs]], emit each
+    * ordered pair once (DISTINCT ≡ the engine's first-match band), and
+    * exact-cosine verify against the embeddings table — `pr` holds the
+    * verified ≥ minCos pairs. */
+  private def signBandPairCtes(dumpName: String, minCos: Double): String =
+    s"""s AS (SELECT vec_id, sign_bits
+       | FROM '${graft.explore.Stats.verifyOutToken}/$dumpName/*.parquet'),
+       |sbands AS (
+       | SELECT vec_id, band, (sign_bits >> (band * 8)) & 255 AS key
+       | FROM s, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+       |cand AS (
+       | SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       | FROM sbands x JOIN sbands y
+       |   ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+       |se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sn AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+       | FROM se),
+       |vp AS (
+       | SELECT vec_a, vec_b,
+       |  round(list_reduce(list_transform(generate_series(1,64), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+       |   / (a.nrm * b.nrm), 6) AS cos_sim
+       | FROM cand JOIN sn a ON cand.vec_a = a.vec_id
+       |           JOIN sn b ON cand.vec_b = b.vec_id),
+       |pr AS (SELECT vec_a, vec_b, cos_sim FROM vp WHERE cos_sim >= $minCos)""".stripMargin
 
   /** DuckDB twin of [[Text.sparseCandidatePairs]]: HASHED rare-shingle
     * postings (per-token poly-hash fold + rolling 4-gram combine, the
@@ -2435,6 +2472,30 @@ object SparkEntry {
         |   AS keep
         |FROM embeddings emb LEFT JOIN lab ON emb.vec_id = lab.vec_id
         |WHERE emb.vec_id < 1000 ORDER BY emb.vec_id""".stripMargin,
+    // dump-backed sign-LSH twins (round-7 verdict #5): banding + exact
+    // cosine verify replayed over the exact sign bits Spark dumped
+    "q_dedup_embed_lsh" -> ("WITH " + signBandPairCtes("q_dedup_embed_signs", 0.4) +
+      """
+        |SELECT vec_a, vec_b, cos_sim FROM pr
+        |ORDER BY vec_a, vec_b""".stripMargin),
+    "q_sim_semdedup_lsh" -> ("WITH RECURSIVE " +
+      signBandPairCtes("q_sim_sign_index", 0.4) +
+      """
+        |, sym AS (
+        | SELECT vec_a AS src, vec_b AS dst FROM pr
+        | UNION SELECT vec_b, vec_a FROM pr),
+        |reach AS (
+        | SELECT src, dst FROM sym
+        | UNION
+        | SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
+        |lab AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_rep
+        |        FROM reach GROUP BY src)
+        |SELECT emb.vec_id, CAST(emb.label AS BIGINT) AS label,
+        | coalesce(lab.cluster_rep, emb.vec_id) AS cluster_rep,
+        | CAST(emb.vec_id = coalesce(lab.cluster_rep, emb.vec_id) AS INT)
+        |   AS keep
+        |FROM embeddings emb LEFT JOIN lab ON emb.vec_id = lab.vec_id
+        |ORDER BY emb.vec_id""".stripMargin),
     "q_sim_pair_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

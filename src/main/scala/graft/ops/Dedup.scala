@@ -1035,11 +1035,20 @@ object Dedup {
     require(nPlanes % nBands == 0,
       s"nPlanes ($nPlanes) must be a multiple of bands ($nBands): trailing " +
         "hyperplanes would be silently ignored, degrading recall")
+    bandedVerifiedPairs(signBitsOf(emb, nPlanes), emb, minCos, nPlanes, nBands)
+  }
+
+  /** This operator's seeded hyperplanes (fixed per library version, like
+    * [[Similarity.indexPlanes]] with an independent seed). */
+  private def lshPlanes(nPlanes: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     val dim = 64
-    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
 
+  /** (vec_id, sign_bits) of an embedding frame against [[lshPlanes]]. */
+  private def signBitsOf(emb: DataFrame, nPlanes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     // all `nPlanes` sign bits in ONE fused native expression
     // (graft.functions.SignBits — bit j = sign of dot with plane j).
     // Identical keys to the per-plane when(dot>0) fold (spec-asserted),
@@ -1047,10 +1056,21 @@ object Dedup {
     // the 64-expression form's first-plan compile was most of this
     // query's fresh-JVM cost.
     val allBits = graft.functions.GraftFunctions.signBits(col("embedding"),
-      typedLit(planes.map(_.toSeq).toSeq))
-    bandedVerifiedPairs(emb.select(col("vec_id"), allBits.as("sign_bits")),
-      emb, minCos, nPlanes, nBands)
+      typedLit(lshPlanes(nPlanes).map(_.toSeq).toSeq))
+    emb.select(col("vec_id"), allBits.as("sign_bits"))
   }
+
+  /** The live-signing operator's (vec_id, sign_bits) frame as a DECLARED
+    * dump: deterministic given the fixed seeded planes, so its verify
+    * dump lets the DuckDB oracle replay [[embeddingDupPairsLsh]]'s
+    * banding + exact-cosine verify over the exact bits Spark computed —
+    * promoting the LSH query from rows-only to hash-checked (round-7
+    * verdict #5, the `q_synth_features` dump-twin pattern). The dump
+    * itself stays rows-only (plane geometry is engine-specific). */
+  def embeddingSignBits(spark: SparkSession, dir: String,
+                        nPlanes: Int = 64): DataFrame =
+    signBitsOf(Similarity.embWithNorm(spark, dir), nPlanes)
+      .orderBy(col("vec_id"))
 
   /** Embedding near-dup pair mining off the PUBLISHED 16 B/row sign
     * index ([[Similarity.ensureSignIndex]]) instead of re-signing the

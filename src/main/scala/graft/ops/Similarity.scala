@@ -186,6 +186,16 @@ object Similarity {
       s"graft_sign_idx_${Relational.dirSlug(dir)}", embFingerprint(spark, dir))
   }
 
+  /** The published sign index as a DECLARED dump query: deterministic
+    * given [[indexPlanes]], so its verify dump lets the DuckDB oracle
+    * replay [[semanticDedupLsh]]'s banding + exact-cosine verify +
+    * contraction over the exact bits Spark published — promoting the LSH
+    * scale path from rows-only to hash-checked (round-7 verdict #5, the
+    * `q_synth_features` dump-twin pattern). The dump itself stays
+    * rows-only (plane geometry is engine-specific). */
+  def signIndexDump(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureSignIndex(spark, dir)).orderBy(col("vec_id"))
+
   /** Cell assignment: argmin over centroids of euclidean distance; |v|² is
     * constant per row, so argmin(|v-c|²) = argmin(|c|² - 2·v·c) — all
     * codegen'd expressions over literal centroid arrays (one array
