@@ -319,4 +319,24 @@ class EventsSpec extends SparkSpec {
     assert(r.getDouble(6) === r6(z))
     assert(r.getInt(7) === (if (math.abs(r6(z)) > 1.96) 1 else 0))
   }
+
+  test("A/B readout survives zero-variance pools (all or none converted)") {
+    // corpus-drift guard (round-7 verdict #6): the real metric thresholds
+    // spend to stay near 50/50, but a regenerated corpus could push an
+    // arm to saturation — drive the operator there explicitly via the
+    // threshold knob and assert the NULL-z / not-significant path instead
+    // of a divide error. spend >= 0 > -1: every user converts.
+    val all = Events.abTestConversion(spark, sf, thresholdCents = -1L)
+      .collect().head
+    assert(all.getLong(0) > 0 && all.getLong(2) > 0)
+    assert(all.getLong(1) === all.getLong(0)) // conv_a = n_a
+    assert(all.getLong(3) === all.getLong(2))
+    assert(all.isNullAt(6), "z must be NULL under zero pooled variance")
+    assert(all.getInt(7) === 0)
+    // and the mirror pool: nobody clears Long.MaxValue
+    val none = Events.abTestConversion(spark, sf,
+      thresholdCents = Long.MaxValue).collect().head
+    assert(none.getLong(1) === 0L && none.getLong(3) === 0L)
+    assert(none.isNullAt(6) && none.getInt(7) === 0)
+  }
 }

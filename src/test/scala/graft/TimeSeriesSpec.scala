@@ -63,4 +63,16 @@ class TimeSeriesSpec extends SparkSpec {
     // both methods beat nothing: n_test fixed at the horizon
     assert(out.forall(_.getLong(1) === 6L))
   }
+
+  test("forecast backtest drops too-short series instead of erroring") {
+    // corpus-drift guard (round-7 verdict #6): a nation with fewer than
+    // 12 + horizon observed months has no defined backtest — it must be
+    // EXCLUDED, not produce a wrong-lag row or an error. A horizon no
+    // local corpus can satisfy (needs 132 months) empties the result.
+    val out = TimeSeries.revenueForecastBacktest(spark, sf, horizon = 120)
+    assert(out.count() === 0L)
+    // and the operator's schema survives the empty path
+    assert(out.columns.toSeq === Seq("n_name", "n_test", "sae_snaive_cents",
+      "sae_drift_cents", "mae_snaive", "mae_drift", "best_method"))
+  }
 }
