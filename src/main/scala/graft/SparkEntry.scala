@@ -472,16 +472,19 @@ object SparkEntry {
     * ordered pair once (DISTINCT ≡ the engine's first-match band), and
     * exact-cosine verify against the embeddings table — `pr` holds the
     * verified ≥ minCos pairs. */
-  private def signBandPairCtes(dumpName: String, minCos: Double): String =
+  private def signBandPairCtes(dumpName: String, minCos: Double): String = {
+    // same hamming pre-filter cutoff as Dedup.bandedVerifiedPairs
+    val hamCut = math.ceil(64 * math.acos(minCos) / math.Pi).toInt + 4
     s"""s AS (SELECT vec_id, sign_bits
        | FROM '${graft.explore.Stats.verifyOutToken}/$dumpName/*.parquet'),
        |sbands AS (
-       | SELECT vec_id, band, (sign_bits >> (band * 8)) & 255 AS key
+       | SELECT vec_id, sign_bits, band, (sign_bits >> (band * 8)) & 255 AS key
        | FROM s, (SELECT unnest(generate_series(0, 7)) AS band) bb),
        |cand AS (
        | SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        | FROM sbands x JOIN sbands y
-       |   ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+       |   ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+       |  AND bit_count(xor(x.sign_bits, y.sign_bits)) <= $hamCut),
        |se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sn AS (SELECT vec_id, v,
        |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
@@ -493,6 +496,7 @@ object SparkEntry {
        | FROM cand JOIN sn a ON cand.vec_a = a.vec_id
        |           JOIN sn b ON cand.vec_b = b.vec_id),
        |pr AS (SELECT vec_a, vec_b, cos_sim FROM vp WHERE cos_sim >= $minCos)""".stripMargin
+  }
 
   /** DuckDB twin of [[Text.sparseCandidatePairs]]: HASHED rare-shingle
     * postings (per-token poly-hash fold + rolling 4-gram combine, the

@@ -1098,16 +1098,32 @@ object Dedup {
     require(nPlanes % nBands == 0,
       s"nPlanes ($nPlanes) must be a multiple of bands ($nBands)")
     val bits = nPlanes / nBands
+    // Hamming pre-filter cutoff (same arithmetic as
+    // [[Similarity.annRangeSearch]]): a pair at exactly minCos has
+    // expected hamming nPlanes·acos(minCos)/π; the +4 margin (~1σ of the
+    // binomial spread) buys boundary-pair recall. Random pairs sit at
+    // nPlanes/2, so the full-signature popcount kills most band-key
+    // coincidences BEFORE the verify join fetches any embedding. This is
+    // the audit-motivated guard against banding's quadratic
+    // random-collision regime: at a fixed bits-per-band, E[random band
+    // collisions] ≈ bands·n²/2^bits grows quadratically (the sf3 audit
+    // point measured exactly that, 6.7 s → 83 s on a 3× step); the
+    // 8-byte popcount bounds what that regime can cost — only pairs
+    // whose WHOLE signature is plausibly ≥ minCos reach the wide verify.
+    val hamCut = math.ceil(nPlanes * math.acos(
+      math.min(1.0, math.max(-1.0, minCos))) / math.Pi).toInt + 4
     // one int key per band: `bits` consecutive sign bits, little-endian
     val keyed = signed
-      .select(col("vec_id"), array((0 until nBands).map(b =>
-        shiftright(col("sign_bits"), b * bits)
-          .bitwiseAND(lit((1L << bits) - 1)).cast("int")): _*).as("keys"))
+      .select(col("vec_id"), col("sign_bits"),
+        array((0 until nBands).map(b =>
+          shiftright(col("sign_bits"), b * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).cast("int")): _*).as("keys"))
 
-    // the banding join carries ONLY (vec_id, band keys) — the 8×520-byte
-    // embedding payloads never enter the wide exchange; candidates join
-    // them back below, same shape as [[minhashDupPairs]]
-    val banded = keyed.select(col("vec_id"), col("keys"), posexplode(col("keys")))
+    // the banding join carries ONLY (vec_id, sign_bits, band keys) — the
+    // 8×520-byte embedding payloads never enter the wide exchange;
+    // candidates join them back below, same shape as [[minhashDupPairs]]
+    val banded = keyed.select(col("vec_id"), col("sign_bits"), col("keys"),
+      posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     // first-match: a pair is emitted only by its FIRST colliding band
     val firstMatch = (0 until nBands).map { j =>
@@ -1116,7 +1132,9 @@ object Dedup {
     }.reduce(_ && _)
     val cand = banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.vec_id") < col("y.vec_id") && firstMatch)
+          col("x.vec_id") < col("y.vec_id") &&
+          bit_count(col("x.sign_bits").bitwiseXOR(col("y.sign_bits")))
+            <= hamCut && firstMatch)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),

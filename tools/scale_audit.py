@@ -47,6 +47,8 @@ PAIR_FACTORS = {
                        "embed": 10, "const": 1},
     ("sf0.3", "sf1"): {"star": 10 / 3, "events": 10 / 3, "docs": 10 / 3,
                        "embed": 10 / 3, "const": 1},
+    ("sf1", "sf3"): {"star": 3, "events": 3, "docs": 3,
+                     "embed": 3, "const": 1},
 }
 
 NOISE_FLOOR_SEC = 0.3
