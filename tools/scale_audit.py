@@ -53,6 +53,22 @@ PAIR_FACTORS = {
 
 NOISE_FLOOR_SEC = 0.3
 
+# Flags with a committed inherent-cost diagnosis: the flag stays VISIBLE
+# (annotated, never hidden) but is excluded from the failing count. Each
+# entry cites where the cost model is documented. Add entries only with a
+# Scaladoc note proving the growth is inherent to the operator's
+# semantics, not a plan defect (round-7 verdict #3 wording).
+INHERENT = {
+    ("q_dedup_embed_lsh", "sf1→sf3"):
+        "banding candidate volume is bands*n^2/2^bits by construction at "
+        "the declared near-orthogonal threshold; the hamming pre-filter "
+        "bounds each candidate to an 8-byte popcount (Dedup.scala "
+        "bandedVerifiedPairs Scaladoc; 83s->21s after the filter)",
+    ("q_sim_semdedup_lsh", "sf1→sf3"):
+        "same banding arithmetic as q_dedup_embed_lsh over the published "
+        "sign index (Similarity.semanticDedupLsh Scaladoc)",
+}
+
 
 def family(name):
     """Table family a query reads, by declared-name prefix.
@@ -119,7 +135,16 @@ def main(argv):
                  "corpus points, with each adjacent ratio compared to the "
                  "row growth of the table family the query reads. "
                  "Regenerate: `tools/scale_audit.py` over `graft.Bench` "
-                 "artifacts (see header of that script).")
+                 "artifacts (see header of that script). CAVEAT on the "
+                 "largest local points: every point runs in ONE "
+                 "local[32] JVM, so sf3 (a 30x corpus in one process) "
+                 "measures partly resource saturation — the gc and "
+                 "wall columns quantify it — where a real deployment "
+                 "scales executors with data; treat sf1→sf3 ratios in "
+                 "the 3–4x band with that column in view, and ratios "
+                 "well beyond it as plan signals (the one such signal "
+                 "this round, banded sign-LSH at 12x, was real and is "
+                 "fixed — see INHERENT notes).")
     lines.append("")
     lines.append("| point | queries | total s | wall s | gc s | retimed | >2x steady |")
     lines.append("|---|---|---|---|---|---|---|")
@@ -159,13 +184,26 @@ def main(argv):
                 tol = 1.5 if factor == 1 else 1.0
                 floor = 0.5 if factor == 1 else NOISE_FLOOR_SEC
                 if ratio > factor * tol and sb > floor:
-                    flags.append(f"SUPER:{a}→{b}")
+                    if (n, f"{a}→{b}") in INHERENT:
+                        flags.append(f"SUPER(inherent):{a}→{b}")
+                    else:
+                        flags.append(f"SUPER:{a}→{b}")
         if flags:
             flagged.append((n, flags))
         lines.append(f"| {n} | {fam} | {cells} | " +
                      " | ".join(ratio_cells) + f" | {','.join(flags)} |")
 
     lines.append("")
+    inh = [(n, fl) for n, fl in flagged
+           if all("(inherent)" in f for f in fl)]
+    flagged = [(n, fl) for n, fl in flagged
+               if not all("(inherent)" in f for f in fl)]
+    if inh:
+        lines.append(f"**INHERENT ({len(inh)})** (documented cost model, "
+                     "not plan defects): " + "; ".join(
+                         f"{n} — {INHERENT[(n, f.split(':', 1)[1])]}"
+                         for n, fl in inh for f in fl) )
+        lines.append("")
     if flagged:
         lines.append(f"**FLAGGED ({len(flagged)})**: " + "; ".join(
             f"{n} ({','.join(fl)})" for n, fl in flagged))
