@@ -213,26 +213,33 @@ object SparkEntry {
     // dump twin (banding + cosine verify + recursive contraction replayed
     // over the exact published bits); planted-near-dup co-cluster recall
     // >= 0.9 additionally spec-asserted (SimilaritySpec), mirroring the
-    // q_dedup_embed / q_dedup_embed_lsh brute/scale pair. Same pinned
-    // 8×8 prune-first band slicing as q_dedup_embed_lsh (rationale below).
+    // q_dedup_embed / q_dedup_embed_lsh brute/scale pair. bands = 0 ⇒
+    // CORPUS-ADAPTIVE width (Dedup.adaptiveIndexBands): 8×8 at the
+    // sf0.01 oracle gate (n = 500 — exactly the twin's geometry), 4×16
+    // above 2048 rows so the random band-collision term stays linear
+    // (round-8 verdict #1).
     "q_sim_semdedup_lsh" -> ((s, d) =>
-      Similarity.semanticDedupLsh(s, d, minCos = 0.4, bands = 8)),
+      Similarity.semanticDedupLsh(s, d, minCos = 0.4, bands = 0)),
     // the dump behind the twin above: the published sign index itself
     // (rows-only — plane geometry is engine-specific by nature)
     "q_sim_sign_index" -> ((s, d) => Similarity.signIndexDump(s, d)),
     // ORACLE-CHECKED via the q_dedup_embed_signs dump twin (banding +
     // cosine verify over the exact live-signed bits); precision exact
     // by construction (cosine verify), recall spec vs the brute baseline.
-    // Geometry pinned EXPLICITLY to the prune-first 8×8 profile: this
-    // corpus's pairwise-cos ceiling (~0.5) is below the operator's real
-    // near-dup regime, and the auto geometry for minCos=0.4 (16×4,
-    // recall ~0.94) rightly refuses to prune near orthogonality — ~64% of
-    // the cross product survives banding, ~2.5× the query cost for pairs
-    // no pipeline would act on. Defaults-callers get the auto geometry
-    // (Dedup.autoBands); the real-regime recall is spec-asserted on
-    // planted near-dups.
+    // Geometry is CORPUS-ADAPTIVE (Dedup.adaptiveGeometry, round-8
+    // verdict #1): at the sf0.01 oracle gate (n = 500 ≤ 2048) it
+    // resolves to exactly the prune-first 8×8 profile the twin replays;
+    // above 2048 rows bits-per-band grows with log2(n) (128 planes ×
+    // 8 bands × 16 bits, then 512 × 16 × 32) so the random
+    // band-collision term bands·n²/2^bits stays linear in n instead of
+    // quadratic. The minCos-derived auto geometry (Dedup.autoBands) is
+    // deliberately NOT used here: at minCos = 0.4 it rightly refuses to
+    // prune near orthogonality (~64% of the cross product survives),
+    // while the corpus-size rungs keep the prune-first profile and hold
+    // real-regime recall ≥ 0.9 by band count (spec-asserted on planted
+    // near-dups at every rung).
     "q_dedup_embed_lsh" -> ((s, d) =>
-      Dedup.embeddingDupPairsLsh(s, d, minCos = 0.4, nPlanes = 64, bands = 8)),
+      Dedup.embeddingDupPairsLshAdaptive(s, d, minCos = 0.4)),
     // the dump behind the twin above: the live operator's seeded sign
     // bits (rows-only — plane geometry is engine-specific by nature)
     "q_dedup_embed_signs" -> ((s, d) => Dedup.embeddingSignBits(s, d)),
@@ -466,16 +473,22 @@ object SparkEntry {
   }
 
   /** Shared CTE block for the sign-LSH dump twins (round-7 verdict #5):
-    * read a (vec_id, sign_bits) verify dump, slice the 64-bit signature
+    * read a (vec_id, signature) verify dump, slice the 64-bit signature
     * into 8 bands of 8 bits with the same arithmetic-shift+mask
     * arithmetic as [[graft.ops.Dedup.bandedVerifiedPairs]], emit each
     * ordered pair once (DISTINCT ≡ the engine's first-match band), and
     * exact-cosine verify against the embeddings table — `pr` holds the
-    * verified ≥ minCos pairs. */
-  private def signBandPairCtes(dumpName: String, minCos: Double): String = {
-    // same hamming pre-filter cutoff as Dedup.bandedVerifiedPairs
-    val hamCut = math.ceil(64 * math.acos(minCos) / math.Pi).toInt + 4
-    s"""s AS (SELECT vec_id, sign_bits
+    * verified ≥ minCos pairs. `sigExpr` adapts to the dump layout: the
+    * published index carries one `sign_bits` long, the live-signing
+    * dump a `sign_words` array (one element at the rung the sf0.01
+    * corpus sizes to — n = 500 ≤ 2048 ⇒ rung 1, 64 planes / 8 bands;
+    * see [[graft.ops.Dedup.adaptiveGeometry]]). The hamming cutoff is
+    * the ENGINE'S OWN [[graft.ops.Dedup.hamCutFor]] (binomial mean +
+    * 2σ), so the twin tracks the margin arithmetic by construction. */
+  private def signBandPairCtes(dumpName: String, minCos: Double,
+                               sigExpr: String = "sign_bits"): String = {
+    val hamCut = Dedup.hamCutFor(64, minCos)
+    s"""s AS (SELECT vec_id, $sigExpr AS sign_bits
        | FROM '${graft.explore.Stats.verifyOutToken}/$dumpName/*.parquet'),
        |sbands AS (
        | SELECT vec_id, sign_bits, band, (sign_bits >> (band * 8)) & 255 AS key
@@ -2478,7 +2491,8 @@ object SparkEntry {
         |WHERE emb.vec_id < 1000 ORDER BY emb.vec_id""".stripMargin,
     // dump-backed sign-LSH twins (round-7 verdict #5): banding + exact
     // cosine verify replayed over the exact sign bits Spark dumped
-    "q_dedup_embed_lsh" -> ("WITH " + signBandPairCtes("q_dedup_embed_signs", 0.4) +
+    "q_dedup_embed_lsh" -> ("WITH " +
+      signBandPairCtes("q_dedup_embed_signs", 0.4, sigExpr = "sign_words[1]") +
       """
         |SELECT vec_a, vec_b, cos_sim FROM pr
         |ORDER BY vec_a, vec_b""".stripMargin),

@@ -938,41 +938,93 @@ object Dedup {
     simhashSig(spark, dir).orderBy(col("doc_id"))
 
   /** Near-dup by SimHash: pairs with hamming distance ≤ maxHamming.
-    * Blocked on the signature's 2 half-words (a pair within hamming ≤ h
-    * over b bands shares ≥ 1 exact band when h < numBlocks), so the join
-    * never goes O(n²). */
+    * Blocked on signature key slices ([[hammingBandedPairs]] — exact
+    * recall by pigeonhole, key width adapting to corpus size), so the
+    * join never goes O(n²). The corpus count is one narrow parquet
+    * scan — the price of sizing the key geometry to the data. */
   def simhashDupPairs(spark: SparkSession, dir: String,
                       maxHamming: Int = 3): DataFrame =
     hammingBandedPairs(simhashSig(spark, dir), "doc_id", "simhash",
-      simhashBits, maxHamming)
+      simhashBits, maxHamming,
+      nRows = Tables.documents(spark, dir).count())
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Blocked-LSH hamming self-join over any (id, 60-bit signature) frame
-    * — the banding engine behind [[simhashDupPairs]], shared with the
-    * perceptual image-hash pairs ([[Multimodal.imageDHashPairs]]): 4
-    * blocks of 16 bits, pairs colliding on ≥1 block, exact popcount
-    * verify, emitted by their FIRST colliding block (structural dedupe
-    * instead of a DISTINCT over the up-to-4× duplicated candidate
-    * stream). Emits (id_a, id_b, hamming), unsorted. */
+  /** Corpus-size threshold above which the hamming band join switches
+    * from single-block to multi-block (Manku) keys — the rung where the
+    * single-block scheme's E[random collisions] ≈ blocks·n²/2^17 starts
+    * to dominate the 5× explode cost of the wider keys. */
+  private[graft] val mankuThreshold = 16384L
+
+  /** Blocked-LSH hamming self-join over any (id, ≤63-bit signature)
+    * frame — the banding engine behind [[simhashDupPairs]], shared with
+    * the perceptual image-hash pairs ([[Multimodal.imageDHashPairs]]).
+    * Candidates collide on a key, are popcount-verified exactly, and are
+    * emitted by their FIRST colliding key (structural dedupe instead of
+    * a DISTINCT over the duplicated candidate stream). Emits
+    * (id_a, id_b, hamming), unsorted.
+    *
+    * Key geometry ADAPTS to corpus size `nRows` (round-8 verdict #1/#3
+    * family: fixed narrow keys make the random-collision term quadratic
+    * in n). Recall is exact by pigeonhole under BOTH schemes, so the
+    * switch is pure cost tuning and the output is identical:
+    *  - `nRows` ≤ [[mankuThreshold]] (or unknown, 0): maxHamming+1
+    *    blocks keyed singly (4 × 16 bits at the 60-bit default): 4
+    *    exploded rows/doc; E[random collisions] ≈ 4·n²/2¹⁷ is cheap
+    *    at this n — a pair within hamming ≤ maxHamming leaves ≥ 1
+    *    block untouched;
+    *  - above: the multi-block scheme of Manku/Jain/Das Sarma (WWW'07
+    *    §3): m = maxHamming+3 blocks, one key per C(m,3) combination
+    *    of 3 blocks (20 tables at maxHamming=3). ≤ maxHamming flips
+    *    touch ≤ maxHamming blocks, leaving ≥ 3 intact, so some
+    *    3-combo key matches — recall still exact — while each key
+    *    carries 3·⌈sigBits/m⌉ ≈ 30 bits: the random-collision term
+    *    shrinks ~2¹³×, staying sub-one-per-row out past 10⁹ rows, at
+    *    5× the exploded rows (32 B each; the shuffle stays linear).
+    *    The bigger practical win is bucket skew: clustered real-world
+    *    signatures often share one 16-bit block but rarely three
+    *    10-bit blocks at once. */
   private[graft] def hammingBandedPairs(sig: DataFrame, idCol: String,
                                         sigCol: String, sigBits: Int,
-                                        maxHamming: Int): DataFrame = {
-    val blocks = 4
-    val bits = sigBits / blocks + 1  // 16 bits per block covers 60 bits
-    def blockKey(s: Column, i: Int): Column =
-      shiftright(s, i * bits).bitwiseAND((1L << bits) - 1)
+                                        maxHamming: Int,
+                                        nRows: Long = 0L): DataFrame = {
+    // each table is (key expression, xor-mask of the bits it keys on);
+    // key equality ⟺ (x.sg ^ y.sg) & mask == 0, so first-match dedupe
+    // needs only the 8-byte signatures already carried for the popcount
+    val tables: IndexedSeq[(Column => Column, Long)] =
+      if (nRows > mankuThreshold) {
+        val m = maxHamming + 3
+        val w = (sigBits + m - 1) / m
+        def blockVal(s: Column, i: Int): Column =
+          shiftright(s, i * w).bitwiseAND(lit((1L << w) - 1))
+        (0 until m).combinations(3).toIndexedSeq.map { c =>
+          val mask = c.map(i => ((1L << w) - 1) << (i * w)).reduce(_ | _)
+          ((s: Column) => blockVal(s, c(0))
+            .bitwiseOR(shiftleft(blockVal(s, c(1)), w))
+            .bitwiseOR(shiftleft(blockVal(s, c(2)), 2 * w)), mask)
+        }
+      } else {
+        val blocks = maxHamming + 1
+        val bits = sigBits / blocks + 1  // 16 bits per block covers 60
+        (0 until blocks).toIndexedSeq.map { i =>
+          ((s: Column) => shiftright(s, i * bits)
+            .bitwiseAND(lit((1L << bits) - 1)),
+            ((1L << bits) - 1) << (i * bits))
+        }
+      }
     val banded = sig.select(col(idCol).as("id"), col(sigCol).as("sg"),
-      explode(array((0 until blocks).map(i => struct(lit(i).as("blk"),
-        blockKey(col(sigCol), i).as("key"))): _*)).as("bk"))
-    val firstMatch = (0 until blocks).map { j =>
-      (col("x.bk.blk") <= j) ||
-        (blockKey(col("x.sg"), j) =!= blockKey(col("y.sg"), j))
+      posexplode(array(tables.map(t => t._1(col(sigCol))): _*)))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "key")
+    val firstMatch = tables.indices.map { j =>
+      (col("x.blk") <= j) ||
+        (col("x.sg").bitwiseXOR(col("y.sg"))
+          .bitwiseAND(lit(tables(j)._2)) =!= 0L)
     }.reduce(_ && _)
     // SHUFFLE_HASH (not broadcast): both sides then share one identical
     // shuffle of the signature pipeline, which ReuseExchange computes once
     banded.as("x").hint("shuffle_hash").join(banded.as("y"),
-        col("x.bk") === col("y.bk") && col("x.id") < col("y.id") && firstMatch)
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id") && firstMatch)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sg").bitwiseXOR(col("y.sg"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -1025,6 +1077,56 @@ object Dedup {
     nPlanes / bits
   }
 
+  /** CORPUS-ADAPTIVE sign-LSH geometry (round-8 verdict #1 — the one
+    * structural scale defect left): at any FIXED bits-per-band `w`, the
+    * band self-join's expected random-collision volume is bands·n²/2^w —
+    * quadratic in corpus size by construction, measured SUPER on the sf3
+    * audit decade. The scale-safe shape grows w with log₂(n) so the
+    * collision budget per row (bands·n/2^w) stays bounded, and holds
+    * recall by band count over a correspondingly WIDER signature:
+    *
+    *   rung 1:  n ≤ 2⁶·2⁸/8  =  2048 →  64 planes,  8 bands ×  8 bits
+    *   rung 2:  n ≤ 2⁶·2¹⁶/8 =  512 Ki → 128 planes,  8 bands × 16 bits
+    *   rung 3:  beyond              → 512 planes, 16 bands × 32 bits
+    *
+    * Each rung keeps bands·n/2^w ≤ 64 expected random band-collisions
+    * per row (each costing one word-wise xor+popcount pre-filter, see
+    * [[bandedVerifiedPairs]]), i.e. the candidate stream is O(n), not
+    * O(n²). Banding recall at the near-dup regime the operator exists
+    * for (cos ≥ 0.99, p_bit ≈ 0.955): rung 1 ≈ 0.9999, rung 2
+    * 1−(1−0.955¹⁶)⁸ ≈ 0.994, rung 3 1−(1−0.955³²)¹⁶ ≈ 0.984 — all
+    * above the planted-dup spec floor of 0.9. Signing cost grows with
+    * the signature (8× at rung 3) but stays one fused codegen loop per
+    * 64-plane bank, linear in n — the honest price of keeping the pair
+    * stage linear past 10⁹ rows. Plane banks are PREFIX-NESTED (one
+    * seeded stream), so rung k's first 64 planes are exactly rung 1's. */
+  private[graft] def adaptiveGeometry(n: Long): (Int, Int) =
+    if (n <= 2048L) (64, 8)
+    else if (n <= 524288L) (128, 8)
+    else (512, 16)
+
+  /** The 64-bit published sign index's version of [[adaptiveGeometry]]:
+    * the v1 layout budget is one signature word, so band width caps at
+    * 16 (4 bands). Beyond ~512 Ki rows the right rung is the live
+    * 512-plane path (or an index layout v2) — documented cap, enforced
+    * nowhere: 4×16 remains exact-precision at any n, just with a
+    * collision term the wider rungs would avoid. */
+  private[graft] def adaptiveIndexBands(n: Long): Int =
+    if (n <= 2048L) 8 else 4
+
+  /** [[embeddingDupPairsLsh]] with CORPUS-ADAPTIVE geometry
+    * ([[adaptiveGeometry]]) — the declared scale path: one narrow
+    * count sizes the rung, then signing + banding + verify run at the
+    * bits-per-band that keeps the candidate stream linear in n. */
+  def embeddingDupPairsLshAdaptive(spark: SparkSession, dir: String,
+                                   minCos: Double = 0.4): DataFrame = {
+    val emb = Similarity.embWithNorm(spark, dir)
+    val (nPlanes, nBands) = adaptiveGeometry(
+      Tables.embeddings(spark, dir).count())
+    bandedVerifiedPairs(signWordsOf(emb, nPlanes), emb, minCos,
+      nPlanes, nBands)
+  }
+
   /** Core of [[embeddingDupPairsLsh]] over any (vec_id, embedding:
     * array<double>, nrm) frame — also fed planted near-dup corpora by the
     * recall spec. Signs live with this operator's own seeded planes; the
@@ -1035,42 +1137,48 @@ object Dedup {
     require(nPlanes % nBands == 0,
       s"nPlanes ($nPlanes) must be a multiple of bands ($nBands): trailing " +
         "hyperplanes would be silently ignored, degrading recall")
-    bandedVerifiedPairs(signBitsOf(emb, nPlanes), emb, minCos, nPlanes, nBands)
+    bandedVerifiedPairs(signWordsOf(emb, nPlanes), emb, minCos, nPlanes, nBands)
   }
 
   /** This operator's seeded hyperplanes (fixed per library version, like
-    * [[Similarity.indexPlanes]] with an independent seed). */
+    * [[Similarity.indexPlanes]] with an independent seed). ONE seeded
+    * stream: lshPlanes(512) is prefix-nested over lshPlanes(64), so a
+    * rung upgrade extends signatures instead of replacing them. */
   private def lshPlanes(nPlanes: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     val dim = 64
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** (vec_id, sign_bits) of an embedding frame against [[lshPlanes]]. */
-  private def signBitsOf(emb: DataFrame, nPlanes: Int): DataFrame = {
+  /** (vec_id, sign_words: array<long>) of an embedding frame against
+    * [[lshPlanes]] — word k carries planes [64k, 64k+64). Each word is
+    * ONE fused native expression (graft.functions.SignBits — bit j =
+    * sign of dot with plane j): Janino compiles one loop per 64-plane
+    * bank instead of nPlanes codegen blocks — the 64-expression form's
+    * first-plan compile was most of this query's fresh-JVM cost. */
+  private def signWordsOf(emb: DataFrame, nPlanes: Int): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    // all `nPlanes` sign bits in ONE fused native expression
-    // (graft.functions.SignBits — bit j = sign of dot with plane j).
-    // Identical keys to the per-plane when(dot>0) fold (spec-asserted),
-    // but Janino compiles one loop instead of nPlanes codegen blocks —
-    // the 64-expression form's first-plan compile was most of this
-    // query's fresh-JVM cost.
-    val allBits = graft.functions.GraftFunctions.signBits(col("embedding"),
-      typedLit(lshPlanes(nPlanes).map(_.toSeq).toSeq))
-    emb.select(col("vec_id"), allBits.as("sign_bits"))
+    val words = lshPlanes(nPlanes).grouped(64).map { bank =>
+      graft.functions.GraftFunctions.signBits(col("embedding"),
+        typedLit(bank.map(_.toSeq).toSeq))
+    }.toSeq
+    emb.select(col("vec_id"), array(words: _*).as("sign_words"))
   }
 
-  /** The live-signing operator's (vec_id, sign_bits) frame as a DECLARED
-    * dump: deterministic given the fixed seeded planes, so its verify
-    * dump lets the DuckDB oracle replay [[embeddingDupPairsLsh]]'s
-    * banding + exact-cosine verify over the exact bits Spark computed —
-    * promoting the LSH query from rows-only to hash-checked (round-7
-    * verdict #5, the `q_synth_features` dump-twin pattern). The dump
-    * itself stays rows-only (plane geometry is engine-specific). */
-  def embeddingSignBits(spark: SparkSession, dir: String,
-                        nPlanes: Int = 64): DataFrame =
-    signBitsOf(Similarity.embWithNorm(spark, dir), nPlanes)
+  /** The live-signing operator's (vec_id, sign_words) frame as a
+    * DECLARED dump: deterministic given the fixed seeded planes, so its
+    * verify dump lets the DuckDB oracle replay
+    * [[embeddingDupPairsLsh]]'s banding + exact-cosine verify over the
+    * exact bits Spark computed — promoting the LSH query from rows-only
+    * to hash-checked (round-7 verdict #5, the `q_synth_features`
+    * dump-twin pattern). Geometry tracks [[adaptiveGeometry]] so the
+    * dump always carries the words the adaptive operator banded. The
+    * dump itself stays rows-only (plane geometry is engine-specific). */
+  def embeddingSignBits(spark: SparkSession, dir: String): DataFrame = {
+    val (nPlanes, _) = adaptiveGeometry(Tables.embeddings(spark, dir).count())
+    signWordsOf(Similarity.embWithNorm(spark, dir), nPlanes)
       .orderBy(col("vec_id"))
+  }
 
   /** Embedding near-dup pair mining off the PUBLISHED 16 B/row sign
     * index ([[Similarity.ensureSignIndex]]) instead of re-signing the
@@ -1079,50 +1187,71 @@ object Dedup {
     * published signature base. Band keys are bit-slices of the stored
     * 64-bit signature; precision is still exact (cosine verify), recall
     * is the same Charikar banding bound, just over the index's plane
-    * geometry. Rows-only by nature (plane geometry engine-specific). */
+    * geometry. `bands = 0` sizes the band width to the corpus
+    * ([[adaptiveIndexBands]] — one narrow count of the 16 B/row index).
+    * Rows-only by nature (plane geometry engine-specific). */
   def embeddingDupPairsFromIndex(spark: SparkSession, dir: String,
                                  minCos: Double = 0.4,
-                                 bands: Int = 8): DataFrame = {
+                                 bands: Int = 0): DataFrame = {
     val idx = Similarity.ensureSignIndex(spark, dir)
-    bandedVerifiedPairs(spark.table(idx),
-      Similarity.embWithNorm(spark, dir), minCos, 64, bands)
+    val signed = spark.table(idx)
+    val nBands = if (bands == 0) adaptiveIndexBands(signed.count()) else bands
+    bandedVerifiedPairs(
+      signed.select(col("vec_id"), array(col("sign_bits")).as("sign_words")),
+      Similarity.embWithNorm(spark, dir), minCos, 64, nBands)
+  }
+
+  /** Hamming pre-filter cutoff (same arithmetic as
+    * [[Similarity.annRangeSearch]]): a pair at exactly `minCos` has
+    * hamming ~ Binomial(nPlanes, q) with q = acos(minCos)/π — mean
+    * nPlanes·q, spread σ = √(nPlanes·q·(1−q)). The margin is 2σ
+    * (round-8 ADVICE: derived from the binomial spread, not a fixed
+    * +4), so a pair sitting exactly AT the minCos boundary survives
+    * the pre-filter with probability ≈ Φ(2) ≈ 0.977 one-sided;
+    * interior pairs (cos > minCos) survive with higher probability
+    * still. At 64 planes / minCos 0.4 this is cut 24 + 8 = 32. */
+  private[graft] def hamCutFor(nPlanes: Int, minCos: Double): Int = {
+    val q = math.acos(math.min(1.0, math.max(-1.0, minCos))) / math.Pi
+    math.ceil(nPlanes * q).toInt +
+      math.ceil(2.0 * math.sqrt(nPlanes * q * (1.0 - q))).toInt
   }
 
   /** Banding + first-match candidate join + exact-cosine verify over an
-    * ALREADY-SIGNED (vec_id, sign_bits) frame — shared by the
-    * live-signing operator and the published-index reader. `emb` supplies
-    * (vec_id, embedding, nrm) for the verify stage only. */
+    * ALREADY-SIGNED (vec_id, sign_words: array<long>) frame — shared by
+    * the live-signing operator (any [[adaptiveGeometry]] rung) and the
+    * published-index reader (one word). `emb` supplies (vec_id,
+    * embedding, nrm) for the verify stage only. */
   private[graft] def bandedVerifiedPairs(signed: DataFrame, emb: DataFrame,
                                          minCos: Double, nPlanes: Int,
                                          nBands: Int): DataFrame = {
     require(nPlanes % nBands == 0,
       s"nPlanes ($nPlanes) must be a multiple of bands ($nBands)")
     val bits = nPlanes / nBands
-    // Hamming pre-filter cutoff (same arithmetic as
-    // [[Similarity.annRangeSearch]]): a pair at exactly minCos has
-    // expected hamming nPlanes·acos(minCos)/π; the +4 margin (~1σ of the
-    // binomial spread) buys boundary-pair recall. Random pairs sit at
-    // nPlanes/2, so the full-signature popcount kills most band-key
-    // coincidences BEFORE the verify join fetches any embedding. This is
-    // the audit-motivated guard against banding's quadratic
-    // random-collision regime: at a fixed bits-per-band, E[random band
-    // collisions] ≈ bands·n²/2^bits grows quadratically (the sf3 audit
-    // point measured exactly that, 6.7 s → 83 s on a 3× step); the
-    // 8-byte popcount bounds what that regime can cost — only pairs
-    // whose WHOLE signature is plausibly ≥ minCos reach the wide verify.
-    val hamCut = math.ceil(nPlanes * math.acos(
-      math.min(1.0, math.max(-1.0, minCos))) / math.Pi).toInt + 4
+    require(bits <= 32 && 64 % bits == 0,
+      s"band width $bits must divide 64: a band may not straddle words")
+    val nWords = (nPlanes + 63) / 64
+    // full-signature popcount pre-filter: random pairs sit at
+    // nPlanes/2, so this kills most band-key coincidences BEFORE the
+    // verify join fetches any embedding — the word-wise xor+popcount
+    // bounds what a band collision can cost. The collision COUNT is
+    // bounded separately by the adaptive band width
+    // ([[adaptiveGeometry]]: bands·n/2^bits ≤ 64 per row).
+    val hamCut = hamCutFor(nPlanes, minCos)
     // one int key per band: `bits` consecutive sign bits, little-endian
+    // across the word array (band b lives in word b·bits/64, aligned by
+    // the divisibility require above)
+    def bandKey(words: Column, b: Int): Column =
+      shiftright(element_at(words, b * bits / 64 + 1), (b * bits) % 64)
+        .bitwiseAND(lit((1L << bits) - 1))
     val keyed = signed
-      .select(col("vec_id"), col("sign_bits"),
+      .select(col("vec_id"), col("sign_words"),
         array((0 until nBands).map(b =>
-          shiftright(col("sign_bits"), b * bits)
-            .bitwiseAND(lit((1L << bits) - 1)).cast("int")): _*).as("keys"))
+          bandKey(col("sign_words"), b)): _*).as("keys"))
 
-    // the banding join carries ONLY (vec_id, sign_bits, band keys) — the
-    // 8×520-byte embedding payloads never enter the wide exchange;
+    // the banding join carries ONLY (vec_id, sign_words, band keys) —
+    // the 8×520-byte embedding payloads never enter the wide exchange;
     // candidates join them back below, same shape as [[minhashDupPairs]]
-    val banded = keyed.select(col("vec_id"), col("sign_bits"), col("keys"),
+    val banded = keyed.select(col("vec_id"), col("sign_words"), col("keys"),
       posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     // first-match: a pair is emitted only by its FIRST colliding band
@@ -1130,11 +1259,14 @@ object Dedup {
       (col("x.band") <= j) ||
         (element_at(col("x.keys"), j + 1) =!= element_at(col("y.keys"), j + 1))
     }.reduce(_ && _)
+    val hamming = (0 until nWords).map { w =>
+      bit_count(element_at(col("x.sign_words"), w + 1)
+        .bitwiseXOR(element_at(col("y.sign_words"), w + 1)))
+    }.reduce(_ + _)
     val cand = banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id") &&
-          bit_count(col("x.sign_bits").bitwiseXOR(col("y.sign_bits")))
-            <= hamCut && firstMatch)
+          hamming <= hamCut && firstMatch)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),

@@ -296,7 +296,11 @@ object Multimodal {
   def imageDHashPairs(spark: SparkSession, dir: String,
                       maxHamming: Int = 3): DataFrame =
     Dedup.hammingBandedPairs(imageDHashUnordered(spark, dir), "media_id",
-      "dhash", dhashRows * (dhashCols - 1), maxHamming)
+      "dhash", dhashRows * (dhashCols - 1), maxHamming,
+      // image-row count for the adaptive key geometry: a one-column
+      // scan of the base table, NOT a count of the decode pipeline
+      nRows = mediaTable(spark, dir)
+        .where(col("media_type") =!= "audio").count())
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
         col("hamming"))
       .orderBy(col("media_a"), col("media_b"))

@@ -712,7 +712,7 @@ object Similarity {
     * co-clustered, mirroring the `q_dedup_embed` / `q_dedup_embed_lsh`
     * brute/scale pair. */
   def semanticDedupLsh(spark: SparkSession, dir: String,
-                       minCos: Double = 0.4, bands: Int = 8): DataFrame =
+                       minCos: Double = 0.4, bands: Int = 0): DataFrame =
     semanticKeepList(Tables.embeddings(spark, dir),
       Dedup.embeddingDupPairsFromIndex(spark, dir, minCos, bands))
 
@@ -725,7 +725,8 @@ object Similarity {
     GraftFunctions.register(emb.sparkSession)
     semanticKeepList(emb,
       Dedup.bandedVerifiedPairs(
-        emb.select(col("vec_id"), signature(col("embedding")).as("sign_bits")),
+        emb.select(col("vec_id"),
+          array(signature(col("embedding"))).as("sign_words")),
         emb, minCos, nPlanes, bands))
   }
 

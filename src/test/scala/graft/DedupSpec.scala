@@ -477,4 +477,124 @@ class DedupSpec extends SparkSpec {
     val recall = lsh.intersect(truth).size.toDouble / truth.size
     assert(recall >= 0.9, s"real-regime recall $recall below 0.9")
   }
+
+  /** Planted near-dup corpus + exact local truth, shared by the rung
+    * specs: 40 pairs at cos ≈ 0.99 + 200 random background vectors. */
+  private def plantedCorpus(): (org.apache.spark.sql.DataFrame,
+                               Set[(Long, Long)]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sqrt => ssqrt}
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val planted = (0 until 40).flatMap { i =>
+      val base = unit()
+      val dup = base.zip(unit()).map { case (b, z) => b + 0.08 * z }
+      Seq((2L * i, base.toSeq), (2L * i + 1, dup.toSeq))
+    }
+    val background = (0 until 200).map(i => (1000L + i, unit().toSeq))
+    val all = planted ++ background
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.9
+    } yield (ia, ib)).toSet
+    val emb = all.toDF("vec_id", "embedding")
+      .withColumn("nrm", ssqrt(graft.functions.GraftFunctions.dot(
+        col("embedding"), col("embedding"))))
+    (emb, truth)
+  }
+
+  test("adaptive sign-LSH geometry: rung boundaries and hamming margin") {
+    // rung table (corpus-adaptive bits-per-band — round-8 verdict #1)
+    assert(Dedup.adaptiveGeometry(500L) === ((64, 8)))
+    assert(Dedup.adaptiveGeometry(2048L) === ((64, 8)))
+    assert(Dedup.adaptiveGeometry(2049L) === ((128, 8)))
+    assert(Dedup.adaptiveGeometry(524288L) === ((128, 8)))
+    assert(Dedup.adaptiveGeometry(524289L) === ((512, 16)))
+    // every rung keeps bands·n/2^bits ≤ 64 expected random collisions
+    // per row at its population cap (the documented linearity budget)
+    Seq(2048L -> Dedup.adaptiveGeometry(2048L),
+        524288L -> Dedup.adaptiveGeometry(524288L)).foreach {
+      case (n, (planes, bands)) =>
+        val bits = planes / bands
+        assert(bands * n.toDouble / math.pow(2, bits) <= 64.0)
+    }
+    assert(Dedup.adaptiveIndexBands(2048L) === 8)
+    assert(Dedup.adaptiveIndexBands(2049L) === 4)
+    // binomial mean + 2σ margin (round-8 ADVICE #5): documented example
+    assert(Dedup.hamCutFor(64, 0.4) === 32)
+    // margin scales with √nPlanes, mean with nPlanes
+    assert(Dedup.hamCutFor(128, 0.4) === 59)
+  }
+
+  test("rung-2 geometry (128 planes, 16-bit bands): exact precision, recall >= 0.9") {
+    val (emb, truth) = plantedCorpus()
+    // 128 planes ⇒ the signature spans TWO words: exercises the
+    // multi-word band keys and word-wise hamming sum of the adaptive path
+    val lsh = Dedup.embeddingDupPairsLshOf(emb, minCos = 0.9,
+      nPlanes = 128, bands = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(truth), s"false positives: ${lsh.diff(truth).take(5)}")
+    val recall = lsh.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"rung-2 recall $recall below 0.9")
+  }
+
+  test("rung-3 geometry (512 planes, 32-bit bands): exact precision, recall >= 0.9") {
+    val (emb, truth) = plantedCorpus()
+    // 8 words, 32-bit band keys — the ≥512 Ki-row rung
+    val lsh = Dedup.embeddingDupPairsLshOf(emb, minCos = 0.9,
+      nPlanes = 512, bands = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(truth), s"false positives: ${lsh.diff(truth).take(5)}")
+    val recall = lsh.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"rung-3 recall $recall below 0.9")
+  }
+
+  test("adaptive LSH resolves to the pinned 8×8 profile at this corpus size") {
+    // n = 500 ≤ 2048 ⇒ rung 1: the declared adaptive query must produce
+    // EXACTLY the fixed-geometry operator's pairs (the oracle twin
+    // replays rung-1 banding, so this equality is what keeps it valid)
+    val adaptive = Dedup.embeddingDupPairsLshAdaptive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pinned = Dedup.embeddingDupPairsLsh(spark, sf, minCos = 0.4,
+      nPlanes = 64, bands = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(adaptive === pinned)
+  }
+
+  test("Manku multi-block hamming keys produce exactly the single-block pairs") {
+    import spark.implicits._
+    // planted 60-bit signatures: 30 near-pairs (≤3 flips) + noise; both
+    // key schemes are EXACT by pigeonhole, so outputs must be identical —
+    // the corpus-size switch is pure cost tuning
+    val rnd = new scala.util.Random(99)
+    def sig60(): Long = rnd.nextLong() & ((1L << 60) - 1)
+    val rows = (0 until 30).flatMap { i =>
+      val base = sig60()
+      val flips = (0 until 1 + rnd.nextInt(3)).map(_ => 1L << rnd.nextInt(60))
+        .foldLeft(0L)(_ | _)
+      Seq((2L * i, base), (2L * i + 1, base ^ flips))
+    } ++ (0 until 300).map(i => (1000L + i, sig60()))
+    val sig = rows.toDF("doc_id", "sg")
+    def pairsWith(nRows: Long): Set[(Long, Long, Int)] =
+      Dedup.hammingBandedPairs(sig, "doc_id", "sg", 60, 3, nRows = nRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = pairsWith(nRows = 100L)              // ≤ mankuThreshold
+    val manku = pairsWith(nRows = Dedup.mankuThreshold + 1)
+    assert(single === manku)
+    // and both equal the local brute truth
+    val brute = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb))).toSet
+    assert(single === brute)
+  }
 }
