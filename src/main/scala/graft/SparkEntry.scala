@@ -188,6 +188,10 @@ object SparkEntry {
     "q_dedup_corpus" -> ((s, d) => Dedup.dedupedCorpus(s, d)),
     "q_dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q_dedup_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(s, d)),
+    // observability half of the degenerate-bucket cap (round-8 verdict
+    // #3): per-band bucket occupancy + what the maxBandBucket guard
+    // would drop from pair mining (0 everywhere on healthy corpora)
+    "q_dedup_band_guard" -> ((s, d) => Dedup.bandBucketAudit(s, d)),
     "q_dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.incrementalAssign(s, d)),
     "q_dedup_inc_writeback" -> ((s, d) => Dedup.mergedIncrementalLabels(s, d)),
@@ -454,8 +458,12 @@ object SparkEntry {
       s"SELECT doc_id, $b AS band, sig_${2 * b} AS s1, sig_${2 * b + 1} AS s2 FROM sig")
       .mkString("\n  UNION ALL ")
     s"""
-       |, bands AS (
+       |, bands0 AS (
        |  $bandSelects),
+       |bands AS (
+       | SELECT doc_id, band, s1, s2 FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, s1, s2) AS bmembers
+       |  FROM bands0) WHERE bmembers <= ${Dedup.maxBandBucket}),
        |cand AS (
        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        | FROM bands x JOIN bands y
@@ -490,9 +498,13 @@ object SparkEntry {
     val hamCut = Dedup.hamCutFor(64, minCos)
     s"""s AS (SELECT vec_id, $sigExpr AS sign_bits
        | FROM '${graft.explore.Stats.verifyOutToken}/$dumpName/*.parquet'),
-       |sbands AS (
+       |sbands0 AS (
        | SELECT vec_id, sign_bits, band, (sign_bits >> (band * 8)) & 255 AS key
        | FROM s, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+       |sbands AS (
+       | SELECT vec_id, sign_bits, band, key FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bmembers
+       |  FROM sbands0) WHERE bmembers <= ${Dedup.maxBandBucket}),
        |cand AS (
        | SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        | FROM sbands x JOIN sbands y
@@ -1892,6 +1904,18 @@ object SparkEntry {
     "q_dedup_minhash_pairs" -> (minhashPairsCtes +
       """
         |SELECT doc_a, doc_b, jac FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_band_guard" -> (minhashPairsCtes +
+      s"""
+         |, occ AS (
+         | SELECT band, s1, s2, count(*) AS members
+         | FROM bands0 GROUP BY band, s1, s2)
+         |SELECT band, count(*) AS n_buckets,
+         | max(members) AS max_bucket,
+         | CAST(sum(CASE WHEN members > ${Dedup.maxBandBucket}
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets,
+         | CAST(sum(CASE WHEN members > ${Dedup.maxBandBucket}
+         |   THEN members ELSE 0 END) AS BIGINT) AS n_dropped_rows
+         |FROM occ GROUP BY band ORDER BY band""".stripMargin),
     "q_dedup_clusters" -> (clusterLabCtes +
       """
         |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin),
@@ -2429,24 +2453,27 @@ object SparkEntry {
         |FROM g ORDER BY dim""".stripMargin,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_simhash_pairs" -> {
+      // single-block key scheme: n = 500 ≤ Dedup.mankuThreshold at the
+      // oracle gate — and the Manku multi-block scheme is spec-asserted
+      // output-identical, so this twin is valid under either
       val blocks = 4
       val bits = Dedup.simhashBits / blocks + 1
       val mask = (1L << bits) - 1
       val bandSelects = (0 until blocks).map(i =>
         s"SELECT doc_id, simhash, $i AS blk, (simhash >> ${i * bits}) & $mask AS key FROM s")
         .mkString("\n  UNION ALL ")
-      val firstMatch = (0 until blocks).map(j =>
-        s"(x.blk <= $j OR ((x.simhash >> ${j * bits}) & $mask) <> ((y.simhash >> ${j * bits}) & $mask))")
-        .mkString("\n  AND ")
       s"""WITH s AS ($simhashOracle),
-         |bands AS (
+         |bands0 AS (
          |  $bandSelects),
+         |bands AS (
+         | SELECT doc_id, simhash, blk, key FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY blk, key) AS bmembers
+         |  FROM bands0) WHERE bmembers <= ${Dedup.maxBandBucket}),
          |cand AS (
-         | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  bit_count(xor(x.simhash, y.simhash)) AS hamming
          | FROM bands x JOIN bands y
-         |   ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id
-         |  AND $firstMatch)
+         |   ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, hamming FROM cand
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
     },

@@ -208,12 +208,47 @@ object Dedup {
       .where(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jac"))
 
-  /** Distinct candidate pairs from a band self-join (doc_a < doc_b). */
-  private def selfCandidates(bands: DataFrame): DataFrame =
-    bands.as("x").join(bands.as("y"),
+  /** Distinct candidate pairs from a band self-join (doc_a < doc_b).
+    * Buckets over [[maxBandBucket]] members are dropped first
+    * ([[capBandBuckets]] — the batch analogue of the streaming miner's
+    * `maxBucket` guard); the set-dedupe is unaffected by which buckets
+    * were dropped. */
+  private def selfCandidates(bands: DataFrame): DataFrame = {
+    val capped = capBandBuckets(bands, Seq("bk"))
+    capped.as("x").join(capped.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Band-bucket occupancy audit over the MinHash banding of the corpus
+    * — the observability half of the [[capBandBuckets]] guard: per band,
+    * how many buckets exist, the largest bucket's membership, and how
+    * many buckets/rows the [[maxBandBucket]] cap would drop from pair
+    * mining. A healthy corpus reports 0 dropped everywhere; a
+    * template-spam shard shows its degenerate keys here BEFORE anyone
+    * wonders why its near-dup pairs are incomplete. One narrow
+    * aggregation over the exploded band keys — no self-join, no corpus
+    * payload in the shuffle. */
+  def bandBucketAudit(spark: SparkSession, dir: String,
+                      cap: Int = maxBandBucket): DataFrame =
+    bandBucketAuditOf(Tables.documents(spark, dir), cap)
+
+  /** [[bandBucketAudit]] over any (doc_id, text) frame — the
+    * planted-degenerate-corpus spec's entry point. */
+  private[graft] def bandBucketAuditOf(docs: DataFrame,
+                                       cap: Int): DataFrame =
+    bandsOf(signaturesOf(shingledOf(docs)))
+      .groupBy(col("bk.band").as("band"), col("bk.s1"), col("bk.s2"))
+      .agg(count(lit(1)).as("members"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("members")).as("max_bucket"),
+        sum(when(col("members") > cap, 1L).otherwise(0L))
+          .as("n_dropped_buckets"),
+        sum(when(col("members") > cap, col("members")).otherwise(0L))
+          .as("n_dropped_rows"))
+      .orderBy(col("band"))
 
   /** Near-dup pairs via MinHash-LSH banding, verified with exact Jaccard.
     *
@@ -956,12 +991,37 @@ object Dedup {
     * to dominate the 5× explode cost of the wider keys. */
   private[graft] val mankuThreshold = 16384L
 
+  /** Degenerate-bucket membership cap for the batch LSH band self-joins
+    * (round-8 verdict #3, the streaming miner's `maxBucket` made batch):
+    * adaptive key width bounds the EXPECTED random-collision volume, but
+    * a corpus with a dominant near-constant signature region — template
+    * spam at 100 TB — still makes one band key O(k²) in its membership
+    * k, and AQE skew-join splits the shuffle, not the pair explosion.
+    * Buckets above the cap are excluded from pair mining; their mass is
+    * observable via [[bandBucketAudit]]. 1024 matches the streaming
+    * default: a capped bucket still admits ~0.5 M intra-bucket
+    * candidates, so only genuinely degenerate keys are touched — no
+    * bucket in the driver corpora comes within 50× of it. */
+  val maxBandBucket: Int = 1024
+
+  /** Drop rows of band buckets with more than `cap` members. The count
+    * is a window over the band key — partitioned exactly like the
+    * self-join that follows, so the filter rides the join's own
+    * exchange (one narrow sort added, no second scan of the signature
+    * pipeline, no driver-side collect of hot keys). */
+  private[graft] def capBandBuckets(banded: DataFrame, keyCols: Seq[String],
+                                    cap: Int = maxBandBucket): DataFrame =
+    banded.withColumn("_bmembers", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)))
+      .where(col("_bmembers") <= cap).drop("_bmembers")
+
   /** Blocked-LSH hamming self-join over any (id, ≤63-bit signature)
     * frame — the banding engine behind [[simhashDupPairs]], shared with
     * the perceptual image-hash pairs ([[Multimodal.imageDHashPairs]]).
-    * Candidates collide on a key, are popcount-verified exactly, and are
-    * emitted by their FIRST colliding key (structural dedupe instead of
-    * a DISTINCT over the duplicated candidate stream). Emits
+    * Candidates collide on a key (buckets over [[maxBandBucket]]
+    * members dropped first — see [[capBandBuckets]]), are
+    * popcount-verified exactly inside the join, and set-deduped. Emits
     * (id_a, id_b, hamming), unsorted.
     *
     * Key geometry ADAPTS to corpus size `nRows` (round-8 verdict #1/#3
@@ -988,46 +1048,47 @@ object Dedup {
                                         sigCol: String, sigBits: Int,
                                         maxHamming: Int,
                                         nRows: Long = 0L): DataFrame = {
-    // each table is (key expression, xor-mask of the bits it keys on);
-    // key equality ⟺ (x.sg ^ y.sg) & mask == 0, so first-match dedupe
-    // needs only the 8-byte signatures already carried for the popcount
-    val tables: IndexedSeq[(Column => Column, Long)] =
+    val tables: IndexedSeq[Column => Column] =
       if (nRows > mankuThreshold) {
         val m = maxHamming + 3
         val w = (sigBits + m - 1) / m
         def blockVal(s: Column, i: Int): Column =
           shiftright(s, i * w).bitwiseAND(lit((1L << w) - 1))
         (0 until m).combinations(3).toIndexedSeq.map { c =>
-          val mask = c.map(i => ((1L << w) - 1) << (i * w)).reduce(_ | _)
-          ((s: Column) => blockVal(s, c(0))
+          (s: Column) => blockVal(s, c(0))
             .bitwiseOR(shiftleft(blockVal(s, c(1)), w))
-            .bitwiseOR(shiftleft(blockVal(s, c(2)), 2 * w)), mask)
+            .bitwiseOR(shiftleft(blockVal(s, c(2)), 2 * w))
         }
       } else {
         val blocks = maxHamming + 1
         val bits = sigBits / blocks + 1  // 16 bits per block covers 60
         (0 until blocks).toIndexedSeq.map { i =>
-          ((s: Column) => shiftright(s, i * bits)
-            .bitwiseAND(lit((1L << bits) - 1)),
-            ((1L << bits) - 1) << (i * bits))
+          (s: Column) => shiftright(s, i * bits)
+            .bitwiseAND(lit((1L << bits) - 1))
         }
       }
-    val banded = sig.select(col(idCol).as("id"), col(sigCol).as("sg"),
-      posexplode(array(tables.map(t => t._1(col(sigCol))): _*)))
-      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "key")
-    val firstMatch = tables.indices.map { j =>
-      (col("x.blk") <= j) ||
-        (col("x.sg").bitwiseXOR(col("y.sg"))
-          .bitwiseAND(lit(tables(j)._2)) =!= 0L)
-    }.reduce(_ && _)
+    val banded = capBandBuckets(
+      sig.select(col(idCol).as("id"), col(sigCol).as("sg"),
+        posexplode(array(tables.map(t => t(col(sigCol))): _*)))
+        .withColumnRenamed("pos", "blk").withColumnRenamed("col", "key"),
+      Seq("blk", "key"))
     // SHUFFLE_HASH (not broadcast): both sides then share one identical
-    // shuffle of the signature pipeline, which ReuseExchange computes once
+    // shuffle of the signature pipeline, which ReuseExchange computes
+    // once. Candidates are set-deduped (DISTINCT) rather than emitted by
+    // their first colliding key: set-dedupe is insensitive to WHICH
+    // buckets the cap dropped (a first-match predicate would silently
+    // suppress a pair at its later cold keys whenever its first
+    // colliding key was a dropped hot bucket), and the duplicated
+    // stream it dedupes is already bounded — ≤ |tables| copies of the
+    // pairs that survived both the key collision and the ≤ maxHamming
+    // popcount inside the join.
     banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id") && firstMatch)
+          col("x.id") < col("y.id") &&
+          bit_count(col("x.sg").bitwiseXOR(col("y.sg"))) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sg").bitwiseXOR(col("y.sg"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup pairs via sign-random-projection LSH (Charikar
@@ -1243,31 +1304,31 @@ object Dedup {
     def bandKey(words: Column, b: Int): Column =
       shiftright(element_at(words, b * bits / 64 + 1), (b * bits) % 64)
         .bitwiseAND(lit((1L << bits) - 1))
-    val keyed = signed
-      .select(col("vec_id"), col("sign_words"),
-        array((0 until nBands).map(b =>
-          bandKey(col("sign_words"), b)): _*).as("keys"))
-
-    // the banding join carries ONLY (vec_id, sign_words, band keys) —
+    // the banding join carries ONLY (vec_id, sign_words, band, key) —
     // the 8×520-byte embedding payloads never enter the wide exchange;
-    // candidates join them back below, same shape as [[minhashDupPairs]]
-    val banded = keyed.select(col("vec_id"), col("sign_words"), col("keys"),
-      posexplode(col("keys")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    // first-match: a pair is emitted only by its FIRST colliding band
-    val firstMatch = (0 until nBands).map { j =>
-      (col("x.band") <= j) ||
-        (element_at(col("x.keys"), j + 1) =!= element_at(col("y.keys"), j + 1))
-    }.reduce(_ && _)
+    // candidates join them back below, same shape as [[minhashDupPairs]].
+    // Degenerate buckets (> maxBandBucket members — template-spam
+    // regions whose pair explosion the adaptive width can't bound) are
+    // dropped before the join; candidates are then set-deduped, which is
+    // insensitive to WHICH buckets the cap dropped (a first-match
+    // predicate would suppress a pair at its later cold bands whenever
+    // its first colliding band was a dropped hot bucket) and keeps the
+    // per-band keys array out of the shuffle entirely.
+    val banded = capBandBuckets(
+      signed.select(col("vec_id"), col("sign_words"),
+        posexplode(array((0 until nBands).map(b =>
+          bandKey(col("sign_words"), b)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key"),
+      Seq("band", "key"))
     val hamming = (0 until nWords).map { w =>
       bit_count(element_at(col("x.sign_words"), w + 1)
         .bitwiseXOR(element_at(col("y.sign_words"), w + 1)))
     }.reduce(_ + _)
     val cand = banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.vec_id") < col("y.vec_id") &&
-          hamming <= hamCut && firstMatch)
+          col("x.vec_id") < col("y.vec_id") && hamming <= hamCut)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
         col("nrm").as("na")), "vec_a")

@@ -570,6 +570,50 @@ class DedupSpec extends SparkSpec {
     assert(adaptive === pinned)
   }
 
+  test("degenerate band buckets are capped: bounded candidates, cold pairs kept") {
+    import spark.implicits._
+    // a template-spam region: 1100 IDENTICAL signatures — one band
+    // bucket of 1100 > maxBandBucket members in every key table, which
+    // uncapped would explode into C(1100,2) ≈ 600k candidate pairs —
+    // plus 20 planted cold near-pairs that must be unaffected
+    val rnd = new scala.util.Random(41)
+    def sig60(): Long = rnd.nextLong() & ((1L << 60) - 1)
+    val tmpl = sig60()
+    val template = (0 until 1100).map(i => (10000L + i, tmpl))
+    val planted = (0 until 20).flatMap { i =>
+      val b = sig60()
+      Seq((2L * i, b), (2L * i + 1, b ^ (1L << rnd.nextInt(60))))
+    }
+    val sig = (template ++ planted).toDF("doc_id", "sg")
+    val out = Dedup.hammingBandedPairs(sig, "doc_id", "sg", 60, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === (0 until 20).map(i => (2L * i, 2L * i + 1)).toSet,
+      s"expected exactly the 20 cold pairs, got ${out.size}")
+  }
+
+  test("band-bucket audit reports the dropped mass of a planted template region") {
+    import spark.implicits._
+    val docs = ((0 until 30).map(i =>
+        (i.toLong, "spam spam template page with the same content every time"))
+      ++ (0 until 10).map(i =>
+        (100L + i, s"unique document number $i carrying words ${i * 7} and ${i * 13}")))
+      .toDF("doc_id", "text")
+    val audit = Dedup.bandBucketAuditOf(docs, cap = 8).collect()
+    assert(audit.length === Dedup.numBands)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("max_bucket") >= 30L)
+      assert(r.getAs[Long]("n_dropped_buckets") >= 1L)
+      assert(r.getAs[Long]("n_dropped_rows") >= 30L)
+    }
+  }
+
+  test("driver corpus is healthy: the bucket guard drops nothing at the default cap") {
+    Dedup.bandBucketAudit(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_dropped_buckets") === 0L)
+      assert(r.getAs[Long]("n_dropped_rows") === 0L)
+    }
+  }
+
   test("Manku multi-block hamming keys produce exactly the single-block pairs") {
     import spark.implicits._
     // planted 60-bit signatures: 30 near-pairs (≤3 flips) + noise; both
