@@ -18,8 +18,16 @@ object MediaCodec {
   /** Encode an 8-bit grayscale image as a real BMP: BITMAPFILEHEADER (14)
     * + BITMAPINFOHEADER (40) + 256-entry gray palette (1024) + pixel rows
     * padded to 4-byte stride, bottom-up as the format requires. */
-  def encodeBmpGray(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
-    require(pixels.length == w * h, s"need $w*$h pixels, got ${pixels.length}")
+  def encodeBmpGray(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] =
+    encodeBmpGray(w, h, pixels, pixels.length)
+
+  /** [[encodeBmpGray]] over the first `n` entries of a (possibly longer,
+    * per-partition REUSED) pixel buffer — the [[Multimodal.mediaBinary]]
+    * hot path's entry point (round-8 verdict #4: per-row buffer churn). */
+  def encodeBmpGray(w: Int, h: Int, pixels: Array[Byte],
+                    n: Int): Array[Byte] = {
+    require(n == w * h && pixels.length >= n,
+      s"need $w*$h pixels, got $n in a ${pixels.length}-buffer")
     val stride = (w + 3) / 4 * 4
     val dataSize = stride * h
     val offset = 14 + 40 + 256 * 4
@@ -78,8 +86,14 @@ object MediaCodec {
 
   /** Encode unsigned 8-bit mono PCM samples as a real RIFF/WAVE file
     * (44-byte canonical header + data chunk). */
-  def encodeWavPcm8(samples: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
-    val n = samples.length
+  def encodeWavPcm8(samples: Array[Byte], sampleRate: Int = 8000): Array[Byte] =
+    encodeWavPcm8(samples, samples.length, sampleRate)
+
+  /** [[encodeWavPcm8]] over the first `n` entries of a (possibly longer,
+    * per-partition REUSED) sample buffer. */
+  def encodeWavPcm8(samples: Array[Byte], n: Int,
+                    sampleRate: Int): Array[Byte] = {
+    require(samples.length >= n, s"need $n samples, buffer has ${samples.length}")
     val b = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
     b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
       .put("WAVE".getBytes("US-ASCII"))
@@ -87,16 +101,71 @@ object MediaCodec {
       .putShort(1).putShort(1)                    // PCM, mono
       .putInt(sampleRate).putInt(sampleRate)      // byte rate = rate × 1 × 1
       .putShort(1).putShort(8)                    // block align, bits/sample
-    b.put("data".getBytes("US-ASCII")).putInt(n).put(samples)
+    b.put("data".getBytes("US-ASCII")).putInt(n).put(samples, 0, n)
     b.array()
   }
 
   /** Decode a WAV through the JDK sound stack to unsigned sample values.
     * For 8-bit PCM the frame is one unsigned byte per sample. */
-  def decodeWavPcm8(bytes: Array[Byte]): Array[Int] = {
+  def decodeWavPcm8(bytes: Array[Byte]): Array[Int] =
+    decodeWavPcm8Bytes(bytes).map(_ & 0xff)
+
+  /** [[decodeWavPcm8]] without the 4× int expansion: the JDK stream's
+    * raw sample bytes (read `b & 0xff` for the unsigned value) — what
+    * the per-row feature kernels loop over (round-8 verdict #4). */
+  def decodeWavPcm8Bytes(bytes: Array[Byte]): Array[Byte] = {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new ByteArrayInputStream(bytes))
-    try in.readAllBytes().map(_ & 0xff)
+    try in.readAllBytes()
     finally in.close()
+  }
+
+  /** Per-partition reusable image-decode state (round-8 verdict #4: the
+    * reader service lookup, destination image and sample buffer were
+    * re-allocated PER ROW; at the media table's tiny rasters that churn,
+    * not pixel work, dominated the decode queries' allocation profile).
+    * One instance per task; NOT thread-safe. Contract: all payloads in
+    * the partition share one container format (the [[Multimodal
+    * .mediaBinary]] image partitions are all BMP) — the reader is
+    * sniffed once from the first payload and reused; destination images
+    * are cached per (width, height) so steady-state decode allocates
+    * nothing but the stream wrapper. */
+  final class ImageDecodeScratch {
+    private var reader: javax.imageio.ImageReader = _
+    private var param: javax.imageio.ImageReadParam = _
+    private var px: Array[Int] = Array.emptyIntArray
+    private val dests =
+      new java.util.HashMap[Long, java.awt.image.BufferedImage]()
+
+    /** Decode to (width, height, grayPixels): grayPixels is the REUSED
+      * buffer — entries [0, width·height) are valid until the next
+      * call; callers must not retain it. Same raw-raster read as
+      * [[decodeImageGray]] (no sRGB conversion). */
+    def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        if (reader == null) {
+          val readers = javax.imageio.ImageIO.getImageReaders(stream)
+          require(readers.hasNext, "payload is not a decodable image")
+          reader = readers.next()
+          param = reader.getDefaultReadParam
+        }
+        reader.setInput(stream)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        val key = (w.toLong << 32) | h
+        var dest = dests.get(key)
+        if (dest == null) {
+          dest = reader.getImageTypes(0).next().createBufferedImage(w, h)
+          dests.put(key, dest)
+        }
+        param.setDestination(dest)
+        val img = reader.read(0, param)
+        if (px.length < w * h) px = new Array[Int](math.max(w * h, 4096))
+        img.getRaster.getSamples(0, 0, w, h, 0, px)
+        (w, h, px)
+      } finally stream.close()
+    }
   }
 }

@@ -96,21 +96,47 @@ object Multimodal {
       .select(col("media_id"), col("media_type"), col("blob"),
         col("width"), col("height"))
       .as[(Long, String, Array[Byte], Int, Int)]
-      .mapPartitions(_.map { case (id, mtype, text, w, h) =>
-        val cps = new String(text, java.nio.charset.StandardCharsets.UTF_8)
-          .codePoints().toArray
-        def unit(i: Int): Byte =
-          (if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff).toByte
-        val payload = mtype match {
-          case "audio" =>
-            // empty text still yields a valid 1-sample (zero) WAV; the
-            // oracle mirrors this with greatest(n, 1)
-            MediaCodec.encodeWavPcm8(Array.tabulate(math.max(1, cps.length))(unit))
-          case _ =>
-            MediaCodec.encodeBmpGray(w, h, Array.tabulate(w * h)(unit))
+      .mapPartitions { it =>
+        // per-PARTITION scratch (round-8 verdict #4): the code-point and
+        // sample/pixel staging arrays grow to the partition's max row
+        // and are reused — the only per-row allocations left are the
+        // decoded String and the output payload itself
+        var cps: Array[Int] = Array.emptyIntArray
+        var nCps = 0
+        var buf: Array[Byte] = Array.emptyByteArray
+        it.map { case (id, mtype, text, w, h) =>
+          val s = new String(text, java.nio.charset.StandardCharsets.UTF_8)
+          nCps = 0
+          var ci = 0
+          while (ci < s.length) {
+            val cp = s.codePointAt(ci)
+            if (nCps == cps.length)
+              cps = java.util.Arrays.copyOf(cps, math.max(256, cps.length * 2))
+            cps(nCps) = cp
+            nCps += 1
+            ci += Character.charCount(cp)
+          }
+          def unit(i: Int): Byte =
+            (if (nCps == 0) 0 else cps(i % nCps) & 0xff).toByte
+          def fill(n: Int): Int = {
+            if (buf.length < n) buf = new Array[Byte](math.max(1024, n))
+            var i = 0
+            while (i < n) { buf(i) = unit(i); i += 1 }
+            n
+          }
+          val payload = mtype match {
+            case "audio" =>
+              // empty text still yields a valid 1-sample (zero) WAV; the
+              // oracle mirrors this with greatest(n, 1)
+              val n = fill(math.max(1, nCps))
+              MediaCodec.encodeWavPcm8(buf, n, 8000)
+            case _ =>
+              val n = fill(w * h)
+              MediaCodec.encodeBmpGray(w, h, buf, n)
+          }
+          MediaPayload(id, mtype, payload, w, h)
         }
-        MediaPayload(id, mtype, payload, w, h)
-      })
+      }
   }
 
   /** The REAL decode kernel: sniffs the container magic and parses the
@@ -119,22 +145,36 @@ object Multimodal {
     * *batch* so a vectorized library call drops in unchanged. Emits
     * decoded unit count (pixels / samples), their mean, and a fixed-size
     * feature vector sampled from the decoded data. */
-  private[graft] def decodeBatch(batch: Seq[MediaPayload],
-                                 featDim: Int): Seq[DecodedMedia] =
+  private[graft] def decodeBatch(batch: Seq[MediaPayload], featDim: Int,
+      scratch: MediaCodec.ImageDecodeScratch): Seq[DecodedMedia] =
     batch.map { m =>
       val isBmp = m.payload.length >= 2 &&
         m.payload(0) == 'B'.toByte && m.payload(1) == 'M'.toByte
-      val units: Array[Int] =
-        if (isBmp) MediaCodec.decodeImageGray(m.payload)._3
-        else MediaCodec.decodeWavPcm8(m.payload)
-      val n = units.length
+      // units live in the scratch's reused buffer (images) or the JDK
+      // stream's own raw bytes (audio, `& 0xff` per read) — no per-row
+      // int expansion either way (round-8 verdict #4)
+      var px: Array[Int] = null
+      var raw: Array[Byte] = null
+      var n = 0
+      if (isBmp) {
+        val (w, h, p) = scratch.decodeGray(m.payload)
+        px = p
+        n = w * h
+      } else {
+        raw = MediaCodec.decodeWavPcm8Bytes(m.payload)
+        n = raw.length
+      }
+      def unit(i: Int): Int = if (isBmp) px(i) else raw(i) & 0xff
       if (n == 0) DecodedMedia(m.media_id, m.media_type, 0, 0.0,
         Array.fill(featDim)(0.0f))
       else {
-        val mean = BigDecimal(units.foldLeft(0L)(_ + _).toDouble / n)
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += unit(i); i += 1 }
+        val mean = BigDecimal(sum.toDouble / n)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         val feats = Array.tabulate(featDim) { i =>
-          units(i * math.max(1, n / featDim) % n) / 255.0f
+          unit(i * math.max(1, n / featDim) % n) / 255.0f
         }
         DecodedMedia(m.media_id, m.media_type, n, mean, feats)
       }
@@ -147,7 +187,10 @@ object Multimodal {
                 batchSize: Int = 64): Dataset[DecodedMedia] = {
     import spark.implicits._
     mediaBinary(spark, dir)
-      .mapPartitions(_.grouped(batchSize).flatMap(b => decodeBatch(b, featDim)))
+      .mapPartitions { it =>
+        val scratch = new MediaCodec.ImageDecodeScratch
+        it.grouped(batchSize).flatMap(b => decodeBatch(b, featDim, scratch))
+      }
   }
 
   /** Decoded summary — oracle-checkable because the encode arithmetic is
@@ -176,16 +219,33 @@ object Multimodal {
     mediaBinary(spark, dir)
       .filter(_.media_type == "audio")
       .mapPartitions(_.flatMap { m =>
-        val x = MediaCodec.decodeWavPcm8(m.payload).map(_ - 128)
+        // index loops over the JDK stream's raw bytes — the centered
+        // value is ((b & 0xff) - 128), computed inline; the prior
+        // grouped/sliding collection pipeline allocated two full int
+        // copies plus a chunk array per window (round-8 verdict #4).
+        // Fold order (ascending index) is unchanged, so the sums — and
+        // the oracle checksums — are bit-identical.
+        val raw = MediaCodec.decodeWavPcm8Bytes(m.payload)
+        val total = raw.length
         def r6(d: Double): Double =
           BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        x.grouped(window).zipWithIndex.map { case (w, i) =>
-          val n = w.length
-          val rms = math.sqrt(w.map(v => v.toDouble * v).sum / n)
-          val crossings = w.sliding(2)
-            .count(p => p.length == 2 && ((p(0) >= 0) != (p(1) >= 0)))
+        def at(i: Int): Int = (raw(i) & 0xff) - 128
+        (0 until (total + window - 1) / window).iterator.map { wi =>
+          val start = wi * window
+          val end = math.min(start + window, total)
+          val n = end - start
+          var ss = 0.0
+          var i = start
+          while (i < end) { val v = at(i); ss += v.toDouble * v; i += 1 }
+          val rms = math.sqrt(ss / n)
+          var crossings = 0
+          i = start
+          while (i < end - 1) {
+            if ((at(i) >= 0) != (at(i + 1) >= 0)) crossings += 1
+            i += 1
+          }
           val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
-          (m.media_id, i, n, r6(rms), r6(zcr))
+          (m.media_id, wi, n, r6(rms), r6(zcr))
         }
       })
       .toDF("media_id", "win_id", "n_samples", "rms", "zcr")
@@ -205,24 +265,35 @@ object Multimodal {
     import spark.implicits._
     mediaBinary(spark, dir)
       .filter(_.media_type != "audio")
-      .mapPartitions(_.map { m =>
-        val (w, _, px) = MediaCodec.decodeImageGray(m.payload)
-        val n = px.length
-        def r6(d: Double): Double =
-          BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val mean = px.foldLeft(0L)(_ + _).toDouble / n
-        val contrast = math.sqrt(
-          px.foldLeft(0.0)((a, v) => a + (v - mean) * (v - mean)) / n)
-        var gsum = 0L
-        var i = 0
-        while (i < n - 1) {
-          if (i % w < w - 1) gsum += math.abs(px(i + 1) - px(i))
-          i += 1
+      .mapPartitions { it =>
+        val scratch = new MediaCodec.ImageDecodeScratch
+        it.map { m =>
+          // px is the scratch's REUSED buffer — n = w·h entries valid,
+          // folds below walk ascending indices exactly like the
+          // foldLeft forms they replace (bit-identical sums)
+          val (w, h, px) = scratch.decodeGray(m.payload)
+          val n = w * h
+          def r6(d: Double): Double =
+            BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += px(i); i += 1 }
+          val mean = sum.toDouble / n
+          var vacc = 0.0
+          i = 0
+          while (i < n) { vacc += (px(i) - mean) * (px(i) - mean); i += 1 }
+          val contrast = math.sqrt(vacc / n)
+          var gsum = 0L
+          i = 0
+          while (i < n - 1) {
+            if (i % w < w - 1) gsum += math.abs(px(i + 1) - px(i))
+            i += 1
+          }
+          val gcnt = n / w * (w - 1)
+          val grad = if (gcnt == 0) 0.0 else gsum.toDouble / gcnt
+          (m.media_id, r6(mean), r6(contrast), r6(grad))
         }
-        val gcnt = n / w * (w - 1)
-        val grad = if (gcnt == 0) 0.0 else gsum.toDouble / gcnt
-        (m.media_id, r6(mean), r6(contrast), r6(grad))
-      })
+      }
       .toDF("media_id", "mean_px", "contrast", "edge_density")
       .orderBy(col("media_id"))
   }
@@ -268,8 +339,10 @@ object Multimodal {
     import spark.implicits._
     mediaBinary(spark, dir)
       .filter(_.media_type != "audio")
-      .mapPartitions(_.map { m =>
-        val (w, h, px) = MediaCodec.decodeImageGray(m.payload)
+      .mapPartitions { it =>
+        val scratch = new MediaCodec.ImageDecodeScratch
+        it.map { m =>
+        val (w, h, px) = scratch.decodeGray(m.payload)
         def at(r: Int, c: Int): Int = px(((r * h) / dhashRows) * w + ((c * w) / dhashCols))
         var hash = 0L
         var bit = 0
@@ -284,7 +357,8 @@ object Multimodal {
           r += 1
         }
         (m.media_id, hash)
-      })
+        }
+      }
       .toDF("media_id", "dhash")
   }
 
