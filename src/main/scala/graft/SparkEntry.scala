@@ -525,15 +525,22 @@ object SparkEntry {
        |pr AS (SELECT vec_a, vec_b, cos_sim FROM vp WHERE cos_sim >= $minCos)""".stripMargin
   }
 
-  /** DuckDB twin of [[Text.sparseCandidatePairs]]: HASHED rare-shingle
-    * postings (per-token poly-hash fold + rolling 4-gram combine, the
-    * same arithmetic as [[dedupCtes]]) → df-capped self-join → pair
-    * shared counts. Shared by the sparse-sim ranking query and the ER
-    * clustering query. */
+  /** DuckDB twin of [[Text.sparseCandidatePairs]]: WIDE-keyed
+    * rare-shingle postings (per-token poly-hash fold + TWO independent
+    * rolling n-gram combines → h1·P + h2, the
+    * [[graft.functions.NGramHashesWide]] arithmetic) → df-capped
+    * self-join → pair shared counts. Shared by the sparse-sim ranking
+    * query and the ER clustering query. Both combine chains are BUILT
+    * from [[Text.sparseSimShingleWords]] (round-8 ADVICE #2: a
+    * hand-written 4-term chain would silently diverge if the constant
+    * changed). */
   private def sparsePairCtes: String = {
-    val m = Dedup.shingleMult
     val p = Dedup.P
     val n = Text.sparseSimShingleWords
+    // rolling fold over window terms th[i] .. th[i+n-1], 1-indexed SQL
+    def chain(m: Long): String = (1 until n).foldLeft("th[i]") {
+      (acc, j) => s"($acc * $m + th[i+$j]) % $p"
+    }
     s"""WITH t AS (
        | SELECT doc_id,
        |  list_filter(string_split(text, ' '), s -> len(s) > 0) AS toks
@@ -547,7 +554,7 @@ object SparkEntry {
        |tk AS (
        | SELECT doc_id, unnest(list_distinct(list_transform(
        |   generate_series(1, len(th) - ${n - 1}),
-       |   i -> (((th[i]*$m + th[i+1]) % $p * $m + th[i+2]) % $p * $m + th[i+3]) % $p)))
+       |   i -> (${chain(Dedup.shingleMult)}) * $p + (${chain(Dedup.shingleMult2)}))))
        |  AS token
        | FROM sth),
        |rare AS (SELECT token FROM tk GROUP BY token

@@ -233,6 +233,7 @@ object GraftFunctions {
   val topKName = "graft_top_k"
   val signBitsName = "graft_sign_bits"
   val ngramName = "graft_ngram_hashes"
+  val ngramWideName = "graft_ngram_hashes_wide"
   val minhashName = "graft_minhash_sigs"
   val tokenHashesName = "graft_token_hashes"
 
@@ -265,6 +266,9 @@ object GraftFunctions {
   private[functions] val ngramBuilder =
     arity(ngramName, 2)(exprs => NGramHashes(exprs(0), exprs(1)))
 
+  private[functions] val ngramWideBuilder =
+    arity(ngramWideName, 2)(exprs => NGramHashesWide(exprs(0), exprs(1)))
+
   private[functions] val minhashBuilder =
     arity(minhashName, 3)(exprs => MinHashSigs(exprs(0), exprs(1), exprs(2)))
 
@@ -282,6 +286,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SignBits].getName, signBitsName), signBitsBuilder),
     (FunctionIdentifier(ngramName),
       new ExpressionInfo(classOf[NGramHashes].getName, ngramName), ngramBuilder),
+    (FunctionIdentifier(ngramWideName),
+      new ExpressionInfo(classOf[NGramHashesWide].getName, ngramWideName),
+      ngramWideBuilder),
     (FunctionIdentifier(minhashName),
       new ExpressionInfo(classOf[MinHashSigs].getName, minhashName), minhashBuilder),
     (FunctionIdentifier(tokenHashesName),
@@ -319,6 +326,11 @@ object GraftFunctions {
   def ngramHashes(th: Column, n: Int): Column =
     call_function(ngramName, th, lit(n))
 
+  /** Wide (~60-bit) two-fold n-gram key ([[NGramHashesWide]]) — the
+    * posting-index variant; requires [[register]]. */
+  def ngramHashesWide(th: Column, n: Int): Column =
+    call_function(ngramWideName, th, lit(n))
+
   /** One-pass MinHash signature bank ([[MinHashSigs]]) over literal
     * multiplier/offset banks; requires [[register]]. */
   def minhashSigs(hs: Column, a: Seq[Long], b: Seq[Long]): Column =
@@ -355,6 +367,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(GraftFunctions.ngramName),
       new ExpressionInfo(classOf[NGramHashes].getName, GraftFunctions.ngramName),
       GraftFunctions.ngramBuilder))
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.ngramWideName),
+      new ExpressionInfo(classOf[NGramHashesWide].getName,
+        GraftFunctions.ngramWideName),
+      GraftFunctions.ngramWideBuilder))
     ext.injectFunction((FunctionIdentifier(GraftFunctions.minhashName),
       new ExpressionInfo(classOf[MinHashSigs].getName, GraftFunctions.minhashName),
       GraftFunctions.minhashBuilder))

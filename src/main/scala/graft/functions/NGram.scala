@@ -97,6 +97,104 @@ case class NGramHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[NGramHashes]] with a WIDE (~60-bit) key: two independent rolling
+  * folds per window — the [[NGramHashes]] fold (multiplier 1009) and a
+  * second with multiplier 10007, both mod P = 1e9+7 — combined as
+  * `h1 · P + h2` (< P² ≈ 1.0e18 < Long.Max, always non-negative).
+  *
+  * Exists for the rare-shingle POSTING keys (round-8 ADVICE #1): in the
+  * single-fold ~2³⁰ key space, birthday collisions are *expected* past
+  * ~10⁷ distinct shingles, and a collision merges two shingles' posting
+  * lists — inflating df and n_shared invisibly to every check, because
+  * the brute baseline and the DuckDB twin replay the identical hash.
+  * The wide key needs BOTH folds to collide (~2⁻⁶⁰ per pair): expected
+  * collisions stay ≪ 1 out past 10⁹ distinct shingles. Not used for
+  * MinHash shingles — the signature arithmetic (aᵢ·H + bᵢ mod P) needs
+  * H < P, and a signature collision only perturbs an estimate that the
+  * exact-Jaccard verify re-checks anyway.
+  *
+  * Overflow safety: acc < P ≈ 1.0e9, acc·10007 ≈ 1.0e13, + th < P
+  * ≈ 1.0e13 — far inside Long; the final h1·P ≈ 1.0e18 + h2 < 2⁶³. */
+case class NGramHashesWide(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_ngram_hashes_wide"
+
+  private val P = 1000000007L
+  private val M1 = 1009L
+  private val M2 = 10007L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a literal n")
+        else right.eval() match {
+          case n: Int if n >= 1 => TypeCheckResult.TypeCheckSuccess
+          case n => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires n >= 1, got $n")
+        }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, int) operands, " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val th = a.asInstanceOf[ArrayData]
+    val n = b.asInstanceOf[Int]
+    val len = th.numElements()
+    val out = new Array[Long](math.max(0, len - n + 1))
+    var i = 0
+    while (i < out.length) {
+      var h1 = th.getLong(i)
+      var h2 = th.getLong(i)
+      var j = 1
+      while (j < n) {
+        val t = th.getLong(i + j)
+        h1 = (h1 * M1 + t) % P
+        h2 = (h2 * M2 + t) % P
+        j += 1
+      }
+      out(i) = h1 * P + h2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (th, n) => {
+      val len = ctx.freshName("len")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val t = ctx.freshName("t")
+      s"""
+         |int $len = java.lang.Math.max(0, $th.numElements() - $n + 1);
+         |long[] $out = new long[$len];
+         |for (int $i = 0; $i < $len; $i++) {
+         |  long $h1 = $th.getLong($i);
+         |  long $h2 = $th.getLong($i);
+         |  for (int $j = 1; $j < $n; $j++) {
+         |    long $t = $th.getLong($i + $j);
+         |    $h1 = ($h1 * ${M1}L + $t) % ${P}L;
+         |    $h2 = ($h2 * ${M2}L + $t) % ${P}L;
+         |  }
+         |  $out[$i] = $h1 * ${P}L + $h2;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NGramHashesWide =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native fused tokenize-and-hash: the per-token polynomial hashes of a
   * space-separated string — `transform(filter(split(text, ' '),
   * t => length(t) > 0), t => graft_polyhash(t))` as ONE pass over the

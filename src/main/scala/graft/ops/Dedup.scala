@@ -96,6 +96,11 @@ object Dedup {
     * ((h1·1009 + h2) mod P · 1009 + h3) mod P. */
   val shingleMult = 1009L
 
+  /** Second-fold multiplier of the WIDE posting keys
+    * ([[graft.functions.NGramHashesWide]] M2 — bit-identity
+    * spec-pinned); the wide key is fold1(h)·P + fold2(h). */
+  val shingleMult2 = 10007L
+
   /** Affine 2-gram token-hash combine — THE bigram key arithmetic. One
     * source of truth: [[Text.bigramCounts]], [[Text.repetitionSignals]],
     * and the generated DuckDB oracles all replay exactly this; a drift in

@@ -942,13 +942,19 @@ object Text {
     // twin replays the identical per-token poly-hash fold and 4-gram
     // combine. Token-hash array in its own projection before the
     // combine reads it (the `Dedup.tokenHashedOf` O(n²) trap).
+    // WIDE (~60-bit) two-fold keys (round-8 ADVICE #1): the single-fold
+    // mod-1e9+7 space expects birthday collisions past ~1e7 distinct
+    // shingles, and a collision merges posting lists invisibly to every
+    // check (brute baseline and twin replay the same hash). The wide key
+    // needs both folds to collide — expected collisions ≪ 1 past 1e9
+    // shingles. See [[graft.functions.NGramHashesWide]].
     val postings = Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.tokenHashes(col("text")).as("th"))
       .where(size(col("th")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(
-          graft.functions.GraftFunctions.ngramHashes(col("th"), n)))
+          graft.functions.GraftFunctions.ngramHashesWide(col("th"), n)))
           .as("token"))
       .localCheckpoint()
     val rare = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -966,10 +972,11 @@ object Text {
     * measured LIVE pipeline, exactly as `q_dedup_minhash_pairs` stays
     * live beside the signature index. */
   /** Posting-index layout version, mixed into the publish fingerprint:
-    * v2 = HASHED 8-byte shingle keys (v1 carried shingle strings). On a
-    * shared metastore a library upgrade must not read a prior layout of
-    * the same corpus version — the data fingerprint alone would. */
-  private val rarePostingLayoutVersion = 2L
+    * v3 = WIDE two-fold ~60-bit shingle keys (v2 = single-fold mod-P
+    * keys; v1 carried shingle strings). On a shared metastore a library
+    * upgrade must not read a prior layout of the same corpus version —
+    * the data fingerprint alone would. */
+  private val rarePostingLayoutVersion = 3L
 
   def ensureRarePostingIndex(spark: SparkSession, dir: String): String =
     graft.store.FeatureStore.ensurePlainTable(spark,

@@ -13,7 +13,7 @@ class ExtensionsSpec extends SparkSpec {
   test("extension registers all graft functions at session build") {
     Seq("graft_dot", "graft_polyhash", "graft_top_k",
       "graft_sign_bits", "graft_token_hashes", "graft_ngram_hashes",
-      "graft_minhash_sigs").foreach { f =>
+      "graft_ngram_hashes_wide", "graft_minhash_sigs").foreach { f =>
       assert(fresh.catalog.functionExists(f), s"$f missing from catalog")
     }
   }

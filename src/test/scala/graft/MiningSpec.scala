@@ -71,9 +71,17 @@ class MiningSpec extends SparkSpec {
     // the native NGramHashes loop the engine runs, so this doubles as a
     // bit-identity cross-check of the native expression)
     val n = Text.sparseSimShingleWords
-    def combine4of(h1: Column, h2: Column, h3: Column, h4: Column): Column =
-      (graft.ops.Dedup.combine3of(h1, h2, h3) *
-        graft.ops.Dedup.shingleMult + h4) % graft.ops.Dedup.P
+    // WIDE key, built from n (not a hand-written 4-term chain): both
+    // rolling folds over the window, combined h1·P + h2 — the
+    // NGramHashesWide arithmetic, recomputed with scalar Columns
+    def foldN(m: Long, terms: Seq[Column]): Column =
+      terms.tail.foldLeft(terms.head)((acc, h) =>
+        (acc * m + h) % graft.ops.Dedup.P)
+    def wideKey(i: Column): Column = {
+      val terms = (0 until n).map(j => element_at(col("th"), i + j))
+      foldN(graft.ops.Dedup.shingleMult, terms) * graft.ops.Dedup.P +
+        foldN(graft.ops.Dedup.shingleMult2, terms)
+    }
     val sh = Tables.documents(spark, sf)
       .select(col("doc_id"), transform(Text.tokens(col("text")),
         t => graft.ops.Dedup.polyHash(t)).as("th"))
@@ -81,9 +89,7 @@ class MiningSpec extends SparkSpec {
       .select(col("doc_id"),
         explode(array_distinct(transform(
           sequence(lit(1), size(col("th")) - (n - 1)),
-          i => combine4of(element_at(col("th"), i),
-            element_at(col("th"), i + 1), element_at(col("th"), i + 2),
-            element_at(col("th"), i + 3))))).as("s"))
+          i => wideKey(i)))).as("s"))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= Text.sparseSimDfCap)
       .select(col("s"))

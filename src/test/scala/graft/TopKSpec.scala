@@ -139,6 +139,39 @@ class TopKSpec extends SparkSpec {
     short.foreach(r => assert(r.getSeq[Long](0).isEmpty))
   }
 
+  test("graft_ngram_hashes_wide is bit-identical to the two-fold declarative combine") {
+    GraftFunctions.register(spark)
+    import graft.ops.{Dedup, Text}
+    import org.apache.spark.sql.Column
+    val n = Text.sparseSimShingleWords
+    def foldN(m: Long, terms: Seq[Column]): Column =
+      terms.tail.foldLeft(terms.head)((acc, h) => (acc * m + h) % Dedup.P)
+    val th = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), transform(Text.tokens(col("text")),
+        t => Dedup.polyHash(t)).as("th"))
+      .where(size(col("th")) >= n)
+    val cmp = th.select(
+      GraftFunctions.ngramHashesWide(col("th"), n).as("native"),
+      transform(sequence(lit(1), size(col("th")) - (n - 1)), i => {
+        val terms = (0 until n).map(j => element_at(col("th"), i + j))
+        foldN(Dedup.shingleMult, terms) * Dedup.P +
+          foldN(Dedup.shingleMult2, terms)
+      }).as("decl"))
+    assert(cmp.count() > 0)
+    assert(cmp.where(not(col("native") === col("decl"))).count() === 0)
+    // wide keys are non-negative and exceed the single-fold mod-P space
+    val stats = th.select(explode(
+        GraftFunctions.ngramHashesWide(col("th"), n)).as("k"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx")).head()
+    assert(stats.getLong(0) >= 0L)
+    assert(stats.getLong(1) > Dedup.P)
+    // shorter-than-n arrays yield EMPTY
+    import spark.implicits._
+    val short = Seq(Seq(7L), Seq.empty[Long]).toDF("th")
+      .select(GraftFunctions.ngramHashesWide(col("th"), n).as("out")).collect()
+    short.foreach(r => assert(r.getSeq[Long](0).isEmpty))
+  }
+
   test("graft_minhash_sigs is bit-identical to the per-j array_min transform bank") {
     GraftFunctions.register(spark)
     import graft.ops.Dedup

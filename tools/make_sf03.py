@@ -43,8 +43,18 @@ def main():
         "lineitem", "events", "documents", "embeddings"]}
 
     def write(name, sql):
+        # Small row groups (duckdb's default is 122880 rows): Spark's
+        # file-split planner assigns a parquet ROW GROUP to the split
+        # containing its midpoint, so a one-row-group file runs every
+        # per-row mapPartitions pipeline on ONE task no matter how many
+        # byte-range splits exist. The round-8 audit's 11 "saturation"
+        # flags were mostly THIS corpus artifact (single-task decode at
+        # sf1, two skewed tasks at sf3), not engine behavior — 8192-row
+        # groups let local[32] parallelize the audit points the way the
+        # driver's own corpora do.
         con.execute(
-            f"COPY ({sql}) TO '{DST}/{name}.parquet' (FORMAT PARQUET)")
+            f"COPY ({sql}) TO '{DST}/{name}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 8192)")
         n = con.sql(f"SELECT count(*) FROM '{DST}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows")
 
