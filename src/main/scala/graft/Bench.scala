@@ -190,9 +190,15 @@ object Bench {
 
     val steady = steadyRef(sfDir)
 
+    // headlineRun: which run became the headline (0 = pass 1, 1 =
+    // pass 2, 2+ = re-times); (hLoad0, hLoad1) bracket THAT run, so the
+    // artifact's load bracket always brackets the headline measurement
+    // (round-8 ADVICE #3 — the pass-1-only bracket stopped bracketing
+    // the headline whenever pass 2 or a re-time won)
     final case class QResult(name: String, headline: Timing.Sample,
                              runs: Seq[Timing.Sample], steadySec: Option[Double],
                              above2x: Boolean, load0: Double, load1: Double,
+                             headlineRun: Int, hLoad0: Double, hLoad1: Double,
                              cc: String)
 
     // sorted order: per-query timings comparable run-to-run and
@@ -218,7 +224,9 @@ object Bench {
       (name, first, load0, load1, cc)
     }
     val pass2 = ordered.map { case (name, fn) =>
-      name -> Timing.timeOnce(fn(spark, sfDir))
+      val l0 = Timing.loadAvg()
+      val s = Timing.timeOnce(fn(spark, sfDir))
+      name -> ((s, l0, Timing.loadAvg()))
     }.toMap
 
     val results = ordered.zip(pass1).map { case ((name, fn),
@@ -233,20 +241,26 @@ object Bench {
         sec > steadyRatio * s && sec > steadyMinAbsSec
       val trigger: Double => Boolean = sec =>
         st.map(s => over(s, sec)).getOrElse(sec > stallFloorSec)
-      val runs = scala.collection.mutable.ListBuffer(first, pass2(name))
-      def best: Timing.Sample = {
-        val ok = runs.filter(_.ok)
-        if (ok.nonEmpty) ok.minBy(_.sec) else first
+      // every run carries its own load bracket, so whichever run wins,
+      // the artifact can bracket the HEADLINE measurement
+      val runs = scala.collection.mutable.ListBuffer(
+        (first, load0, pass1Load1), pass2(name))
+      def best: (Timing.Sample, Double, Double) = {
+        val ok = runs.filter(_._1.ok)
+        if (ok.nonEmpty) ok.minBy(_._1.sec) else runs.head
       }
-      while (runs.last.ok && trigger(best.sec) && runs.size < maxRuns)
-        runs += Timing.timeOnce(fn(spark, sfDir))
+      while (runs.last._1.ok && trigger(best._1.sec) && runs.size < maxRuns) {
+        val l0 = Timing.loadAvg()
+        val s = Timing.timeOnce(fn(spark, sfDir))
+        runs += ((s, l0, Timing.loadAvg()))
+      }
       // the honest minimum: under one-sided host noise the smallest
       // observation is the closest to plan cost; every run is preserved
-      val headline = best
+      val (headline, hLoad0, hLoad1) = best
+      val headlineRun = runs.indexWhere(_._1 eq headline)
       val above2x = st.exists(s => over(s, headline.sec))
-      // load bracket of the pass-1 measurement; a noise burst starting
-      // mid-query is visible in the artifact (round-4 review)
-      QResult(name, headline, runs.toSeq, st, above2x, load0, pass1Load1, cc)
+      QResult(name, headline, runs.map(_._1).toSeq, st, above2x,
+        load0, pass1Load1, headlineRun, hLoad0, hLoad1, cc)
     }
 
     val failed = results.filter(!_.headline.ok)
@@ -261,6 +275,8 @@ object Bench {
         r.steadySec.map(s => s""""steady_sec":$s,""").getOrElse("") +
         s""""above_2x_steady":${r.above2x},"gc_sec":${f.gcSec},""" +
         s""""load":${r.load0},"load_after":${r.load1},""" +
+        s""""headline_run":${r.headlineRun},""" +
+        s""""load_hr":${r.hLoad0},"load_hr_after":${r.hLoad1},""" +
         s""""rows":${r.headline.rows},""" +
         s""""chk":${r.headline.checksum},"ok":${r.headline.ok},""" +
         s""""stall_suspected":${r.runs.size > 2},"err":"${r.headline.err}"""" +
