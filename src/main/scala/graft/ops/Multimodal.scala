@@ -146,7 +146,8 @@ object Multimodal {
     * decoded unit count (pixels / samples), their mean, and a fixed-size
     * feature vector sampled from the decoded data. */
   private[graft] def decodeBatch(batch: Seq[MediaPayload], featDim: Int,
-      scratch: MediaCodec.ImageDecodeScratch): Seq[DecodedMedia] =
+      scratch: MediaCodec.ImageDecodeScratch,
+      wavScratch: MediaCodec.WavDecodeScratch): Seq[DecodedMedia] =
     batch.map { m =>
       val isBmp = m.payload.length >= 2 &&
         m.payload(0) == 'B'.toByte && m.payload(1) == 'M'.toByte
@@ -161,7 +162,7 @@ object Multimodal {
         px = p
         n = w * h
       } else {
-        raw = MediaCodec.decodeWavPcm8Bytes(m.payload)
+        raw = wavScratch.decodeBytes(m.payload)
         n = raw.length
       }
       def unit(i: Int): Int = if (isBmp) px(i) else raw(i) & 0xff
@@ -189,7 +190,9 @@ object Multimodal {
     mediaBinary(spark, dir)
       .mapPartitions { it =>
         val scratch = new MediaCodec.ImageDecodeScratch
-        it.grouped(batchSize).flatMap(b => decodeBatch(b, featDim, scratch))
+        val wavScratch = new MediaCodec.WavDecodeScratch
+        it.grouped(batchSize)
+          .flatMap(b => decodeBatch(b, featDim, scratch, wavScratch))
       }
   }
 
@@ -218,14 +221,16 @@ object Multimodal {
     import spark.implicits._
     mediaBinary(spark, dir)
       .filter(_.media_type == "audio")
-      .mapPartitions(_.flatMap { m =>
+      .mapPartitions { part =>
+        val wavScratch = new MediaCodec.WavDecodeScratch
+        part.flatMap { m =>
         // index loops over the JDK stream's raw bytes — the centered
         // value is ((b & 0xff) - 128), computed inline; the prior
         // grouped/sliding collection pipeline allocated two full int
         // copies plus a chunk array per window (round-8 verdict #4).
         // Fold order (ascending index) is unchanged, so the sums — and
         // the oracle checksums — are bit-identical.
-        val raw = MediaCodec.decodeWavPcm8Bytes(m.payload)
+        val raw = wavScratch.decodeBytes(m.payload)
         val total = raw.length
         def r6(d: Double): Double =
           BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -247,7 +252,8 @@ object Multimodal {
           val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
           (m.media_id, wi, n, r6(rms), r6(zcr))
         }
-      })
+        }
+      }
       .toDF("media_id", "win_id", "n_samples", "rms", "zcr")
       .select(col("media_id"), col("win_id").cast("long").as("win_id"),
         col("n_samples").cast("long").as("n_samples"), col("rms"), col("zcr"))

@@ -34,7 +34,8 @@ class MultimodalSpec extends SparkSpec {
     val wav = MediaPayload(2L, "audio", graft.ops.MediaCodec.encodeWavPcm8(
       cps.map(c => (c & 0xff).toByte)), 0, 0)
     val Seq(di, da) = Multimodal.decodeBatch(Seq(img, wav), 4,
-      new graft.ops.MediaCodec.ImageDecodeScratch)
+      new graft.ops.MediaCodec.ImageDecodeScratch,
+      new graft.ops.MediaCodec.WavDecodeScratch)
     assert(di.n_units === w * h)
     val wantImg = BigDecimal((0 until w * h).map(i => (cps(i % cps.length) & 0xff).toLong)
       .sum.toDouble / (w * h)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
