@@ -148,14 +148,16 @@ def main(argv):
                  "Regenerate: `tools/scale_audit.py` over `graft.Bench` "
                  "artifacts (see header of that script). CAVEAT on the "
                  "largest local points: every point runs in ONE "
-                 "local[32] JVM, so sf3 (a 30x corpus in one process) "
-                 "measures partly resource saturation — the gc and "
-                 "wall columns quantify it — where a real deployment "
-                 "scales executors with data; treat sf1→sf3 ratios in "
-                 "the 3–4x band with that column in view, and ratios "
-                 "well beyond it as plan signals (the one such signal "
-                 "this round, banded sign-LSH at 12x, was real and is "
-                 "fixed — see INHERENT notes).")
+                 "local[32] JVM (a 30x corpus in one process at sf3) "
+                 "and this host shows seconds-scale phantom-load "
+                 "bursts, so treat a single-run SUPER flag as a "
+                 "hypothesis, not a verdict — fresh-JVM `BenchOne` "
+                 "isolation (3 repeats, min) is the arbitration, "
+                 "recorded in the isolation section below. Round 9's "
+                 "arbitration found and fixed three real scale defects "
+                 "(quadratic band keys, one-row-group audit corpora, "
+                 "per-row JDK service lookups); every surviving flag "
+                 "must carry either a fix or an isolation refutation.")
     lines.append("")
     lines.append("| point | queries | total s | wall s | gc s | retimed | >2x steady |")
     lines.append("|---|---|---|---|---|---|---|")
