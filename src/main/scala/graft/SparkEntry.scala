@@ -118,8 +118,13 @@ object SparkEntry {
     "q_profile_skew" -> ((s, d) => Stats.keySkewProfile(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
-    // rows-only: k-means cell assignment is engine-specific; spec asserts recall
+    // ORACLE-CHECKED via the q_sim_ivf_centroids dump twin: given the
+    // published centroids, cell assignment (argmin |c|²−2·v·c), probe
+    // ranking, and the exact-cosine top-k are all replayable arithmetic
     "q_sim_ivf_topk" -> ((s, d) => Similarity.ivfTopKCosine(s, d)),
+    // the dump behind the twin above: the coarse-quantizer centroids
+    // (rows-only — the k-means fit itself is engine-specific by nature)
+    "q_sim_ivf_centroids" -> ((s, d) => Similarity.ivfCentroidsDump(s, d)),
     // text-analysis pack [EXT] (SURVEY §2.B text-analysis row)
     "q_text_tokens" -> ((s, d) => Text.tokenCounts(s, d)),
     "q_text_doc_stats" -> ((s, d) => Text.docStats(s, d)),
@@ -182,8 +187,10 @@ object SparkEntry {
     // ORACLE-CHECKED via the same dump twin: radius cutoff + exact
     // cosine verify replay; precision exact by construction
     "q_sim_range" -> ((s, d) => Similarity.annRangeSearch(s, d)),
-    // rows-only: compares the two retrievals above, so it inherits the
-    // sign-index geometry; spec pins the recall floor and determinism
+    // ORACLE-CHECKED: both sides of the comparison are replayable (the
+    // exact top-k from raw embeddings, the ANN side from the published
+    // sign-bit dump), so recall@k itself is hash-checked; the spec
+    // additionally pins the recall floor and determinism
     "q_sim_ann_recall" -> ((s, d) => Similarity.annRecallAtK(s, d)),
     // dedup pack [EXT] (SURVEY §2.B dedup row)
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -523,6 +530,40 @@ object SparkEntry {
        | FROM cand JOIN sn a ON cand.vec_a = a.vec_id
        |           JOIN sn b ON cand.vec_b = b.vec_id),
        |pr AS (SELECT vec_a, vec_b, cos_sim FROM vp WHERE cos_sim >= $minCos)""".stripMargin
+  }
+
+  /** Shared ANN-shortlist CTE block (no leading WITH): hamming top-c
+    * per query over the q_sim_sign_index dump + exact-cosine re-rank
+    * from raw embeddings, ending in `atopk` (q_id, cand_id, cos_sim,
+    * rnk ≤ 10). Literals mirror [[graft.ops.Similarity.annTopKCosine]]'s
+    * default args (nQueries = 10, k = 10, shortlist c = 128). */
+  private def annTopkCtes: String = {
+    val c = 128
+    s"""s AS (SELECT vec_id, sign_bits
+       | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_sign_index/*.parquet'),
+       |q AS (SELECT vec_id AS q_id, sign_bits AS q_bits
+       |      FROM s WHERE vec_id < 10),
+       |short AS (
+       | SELECT q_id, cand_id FROM (
+       |  SELECT q.q_id, s.vec_id AS cand_id,
+       |   row_number() OVER (PARTITION BY q.q_id
+       |     ORDER BY bit_count(xor(s.sign_bits, q.q_bits)), s.vec_id) AS hr
+       |  FROM s JOIN q ON s.vec_id <> q.q_id) WHERE hr <= $c),
+       |se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sn AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+       | FROM se),
+       |scored AS (
+       | SELECT short.q_id, short.cand_id,
+       |  round(list_reduce(list_transform(generate_series(1,64), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+       |   / (a.nrm * b.nrm), 6) AS cos_sim
+       | FROM short JOIN sn a ON short.q_id = a.vec_id
+       |            JOIN sn b ON short.cand_id = b.vec_id),
+       |atopk AS (
+       | SELECT q_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, cand_id) AS rnk
+       |  FROM scored) t WHERE rnk <= 10)""".stripMargin
   }
 
   /** DuckDB twin of [[Text.sparseCandidatePairs]]: WIDE-keyed
@@ -2556,33 +2597,22 @@ object SparkEntry {
     // dumped (q_sim_sign_index), then exact-cosine re-ranked/verified
     // from the raw embeddings — the dump is input, not the answer.
     // Literals mirror the declared queries' default args.
-    "q_sim_ann_topk" -> {
-      val c = 128   // annTopKCosine default shortlist (c = max(128, 2k))
-      s"""WITH s AS (SELECT vec_id, sign_bits
-         | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_sign_index/*.parquet'),
-         |q AS (SELECT vec_id AS q_id, sign_bits AS q_bits
-         |      FROM s WHERE vec_id < 10),
-         |short AS (
-         | SELECT q_id, cand_id FROM (
-         |  SELECT q.q_id, s.vec_id AS cand_id,
-         |   row_number() OVER (PARTITION BY q.q_id
-         |     ORDER BY bit_count(xor(s.sign_bits, q.q_bits)), s.vec_id) AS hr
-         |  FROM s JOIN q ON s.vec_id <> q.q_id) WHERE hr <= $c),
-         |se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |sn AS (SELECT vec_id, v,
-         |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
-         | FROM se),
-         |scored AS (
-         | SELECT short.q_id, short.cand_id,
-         |  round(list_reduce(list_transform(generate_series(1,64), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
-         |   / (a.nrm * b.nrm), 6) AS cos_sim
-         | FROM short JOIN sn a ON short.q_id = a.vec_id
-         |            JOIN sn b ON short.cand_id = b.vec_id)
-         |SELECT q_id, cand_id, cos_sim,
-         | CAST(row_number() OVER (PARTITION BY q_id
-         |   ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rnk
-         |FROM scored QUALIFY rnk <= 10 ORDER BY q_id, rnk""".stripMargin
-    },
+    "q_sim_ann_topk" -> ("WITH " + annTopkCtes + """
+         |SELECT q_id, cand_id, cos_sim, rnk FROM atopk
+         |ORDER BY q_id, rnk""".stripMargin),
+    // recall@k of the ANN retrieval vs the exact brute top-k — BOTH
+    // sides replayed (exact topk from raw embeddings, ANN from the
+    // published sign-bit dump), so the comparison query is hash-checked
+    // end to end
+    "q_sim_ann_recall" -> (simTopkCtes + ",\n" + annTopkCtes + """
+         |, nt AS (SELECT q_id, count(*) AS n_true FROM topk GROUP BY q_id),
+         |nh AS (SELECT t.q_id, count(*) AS n_hit
+         |       FROM topk t JOIN atopk a
+         |         ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+         |       GROUP BY t.q_id)
+         |SELECT nt.q_id, nt.n_true, coalesce(nh.n_hit, 0) AS n_hit,
+         | floor(CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / nt.n_true * 1e6 + 0.5) / 1e6 AS recall
+         |FROM nt LEFT JOIN nh ON nt.q_id = nh.q_id ORDER BY nt.q_id""".stripMargin),
     "q_sim_range" -> {
       // annRangeSearch defaults: nQueries = 10, minCos = 0.3, margin 4
       val hamCut = math.ceil(64.0 * math.acos(0.3) / math.Pi).toInt + 4
@@ -2607,6 +2637,48 @@ object SparkEntry {
          |SELECT q_id, cand_id, cos_sim FROM scored
          |WHERE cos_sim >= 0.3 ORDER BY q_id, cos_sim DESC, cand_id""".stripMargin
     },
+    // IVF top-k replay over the q_sim_ivf_centroids dump: ONLY the
+    // k-means fit is engine-specific; given the dumped centroids the
+    // twin recomputes cell assignment (argmin |c|²−2·v·c, lowest-cell
+    // tie-break = Spark's array_position-of-min), probe ranking
+    // (cosine-to-centroid DESC, cell — nProbe = 8 of nlist = 16), and
+    // the exact-cosine top-10 from RAW embeddings — the dump is input,
+    // not the answer. Literals mirror ivfTopKCosine's defaults.
+    "q_sim_ivf_topk" ->
+      s"""WITH cent AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
+         | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_ivf_centroids/*.parquet'),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+         | FROM e),
+         |ad AS (SELECT n.vec_id, cent.cell,
+         |  list_reduce(list_transform(generate_series(1,64), i -> cent.c[i]*cent.c[i]), (x,y) -> x+y)
+         |  - 2.0 * list_reduce(list_transform(generate_series(1,64), i -> n.v[i]*cent.c[i]), (x,y) -> x+y) AS dist
+         | FROM n CROSS JOIN cent),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+         |  FROM ad) WHERE r = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         |pd AS (SELECT q.q_id, cent.cell,
+         |  list_reduce(list_transform(generate_series(1,64), i -> q.qv[i]*cent.c[i]), (x,y) -> x+y)
+         |   / nullif(q.qn * sqrt(list_reduce(list_transform(generate_series(1,64), i -> cent.c[i]*cent.c[i]), (x,y) -> x+y)), 0.0) AS cdist
+         | FROM q CROSS JOIN cent),
+         |probed AS (SELECT q_id, cell FROM (
+         |  SELECT q_id, cell,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cdist DESC, cell) AS cr
+         |  FROM pd) WHERE cr <= 8),
+         |scored AS (SELECT q.q_id, n.vec_id AS cand_id,
+         |  round(list_reduce(list_transform(generate_series(1,64), i -> q.qv[i]*n.v[i]), (x,y) -> x+y)
+         |   / nullif(q.qn * n.nrm, 0.0), 6) AS cos_sim
+         | FROM probed JOIN q ON probed.q_id = q.q_id
+         |      JOIN asg ON asg.cell = probed.cell
+         |      JOIN n ON n.vec_id = asg.vec_id
+         | WHERE n.vec_id <> q.q_id)
+         |SELECT q_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_id
+         |   ORDER BY cos_sim DESC, cand_id) AS rnk
+         | FROM scored) t WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "q_sim_pair_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

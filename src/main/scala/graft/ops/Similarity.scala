@@ -196,6 +196,24 @@ object Similarity {
   def signIndexDump(spark: SparkSession, dir: String): DataFrame =
     spark.table(ensureSignIndex(spark, dir)).orderBy(col("vec_id"))
 
+  /** The IVF coarse-quantizer centroids as a DECLARED dump query —
+    * the same dump-twin pattern as [[signIndexDump]]: the k-means fit
+    * itself is engine-specific (seeded k-means++ + Lloyd on a driver
+    * sample), but given these 16 centroid vectors every downstream step
+    * of [[ivfTopKCosine]] is exact replayable arithmetic — cell
+    * assignment (argmin |c|²−2·v·c, lowest-cell tie-break), probe
+    * ranking, and the exact-cosine top-k — so the DuckDB oracle can
+    * hash-check `q_sim_ivf_topk` end to end with the dump as *input*,
+    * not as a replay of the answer. */
+  def ivfCentroidsDump(spark: SparkSession, dir: String): DataFrame = {
+    val cents = quantizerCentroids(spark, dir, ivfNlist,
+      fp = embFingerprint(spark, dir))
+    spark.createDataFrame(
+      cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+      .orderBy(col("cell"))
+  }
+
   /** Cell assignment: argmin over centroids of euclidean distance; |v|² is
     * constant per row, so argmin(|v-c|²) = argmin(|c|² - 2·v·c) — all
     * codegen'd expressions over literal centroid arrays (one array
