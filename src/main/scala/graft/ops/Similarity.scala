@@ -169,9 +169,36 @@ object Similarity {
   /** IVF cell count is a property of the PUBLISHED layout, not a per-call
     * knob — a differing per-call value would be silently ignored whenever
     * the cells table already exists (publish is create-once per session).
-    * 16 cells fit this corpus; at lake scale the same layout runs with
-    * thousands of cells. */
+    * 16 is the BASE rung of [[adaptiveNlist]]: the oracle-gate geometry,
+    * pinned by the q_sim_ivf_centroids dump twin. */
   val ivfNlist = 16
+
+  /** Corpus-adaptive IVF cell count — [[Dedup.adaptiveGeometry]]'s
+    * pattern applied to the cells layout. A fixed 16 cells means each
+    * query batch probes nProbe/nlist = HALF the lake at the default
+    * nProbe = 8 — the wrong asymptotic shape at 10⁹ vectors. Above the
+    * gate rung the layout publishes 256 cells (probe fraction ≈ 3%);
+    * 256 is a documented cap, not the asymptote: the driver-sample
+    * Lloyd fit is O(sample·nlist·dim), so growing nlist toward the
+    * √n ideal past ~512 needs a two-level coarse-then-residual fit —
+    * the IVF analogue of the sign-index v2 note on
+    * [[Dedup.adaptiveIndexBands]]. Both rungs fit from the same
+    * bounded 4096-row sample (≥ 16 points per cell at the cap). */
+  private[graft] def adaptiveNlist(n: Long): Int =
+    if (n <= 2048L) ivfNlist else 256
+
+  /** Corpus row-count cache keyed like [[centroidCache]] (dir +
+    * fingerprint): [[adaptiveNlist]] needs n, and re-counting the lake
+    * per query call would be a full narrow scan each time. Superseded
+    * fingerprints are evicted so a long-lived JVM that rewrites the
+    * corpus doesn't accumulate entries. */
+  private val embCountCache = TrieMap.empty[(String, Long), Long]
+  private def embCount(spark: SparkSession, dir: String, fp: Long): Long = {
+    embCountCache.keys.filter(k => k._1 == dir && k._2 != fp)
+      .foreach(embCountCache.remove)
+    embCountCache.getOrElseUpdate((dir, fp),
+      Tables.embeddings(spark, dir).count())
+  }
 
   /** Publish the narrow ANN sign index: (vec_id, sign_bits). 16 bytes per
     * row vs ~520 for the embedding row — the shortlist scan reads ~30×
@@ -206,8 +233,9 @@ object Similarity {
     * hash-check `q_sim_ivf_topk` end to end with the dump as *input*,
     * not as a replay of the answer. */
   def ivfCentroidsDump(spark: SparkSession, dir: String): DataFrame = {
-    val cents = quantizerCentroids(spark, dir, ivfNlist,
-      fp = embFingerprint(spark, dir))
+    val fp = embFingerprint(spark, dir)
+    val cents = quantizerCentroids(spark, dir,
+      adaptiveNlist(embCount(spark, dir, fp)), fp = fp)
     spark.createDataFrame(
       cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("cell", "centroid")
@@ -249,9 +277,10 @@ object Similarity {
   private def ensureIvfCellsFp(spark: SparkSession, dir: String,
                                fp: Long): String = {
     GraftFunctions.register(spark)
+    val nlist = adaptiveNlist(embCount(spark, dir, fp))
     FeatureStore.ensurePartitionedTable(spark,
       assignCells(embWithNorm(spark, dir),
-        quantizerCentroids(spark, dir, ivfNlist, fp = fp)),
+        quantizerCentroids(spark, dir, nlist, fp = fp)),
       s"graft_ivf_cells_${Relational.dirSlug(dir)}", "cell", fp)
   }
 
@@ -455,12 +484,23 @@ object Similarity {
     val dim = pts.head.length
     val rnd = new scala.util.Random(seed)
     val centers = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)).clone())
+    // d2(i) = min over current centers of sqdist(pts(i), ·), maintained
+    // incrementally: a new center can only LOWER it, and only via itself,
+    // so one O(n·dim) pass per added center replaces the full rescan —
+    // the rescan made the init O(n·k²·dim), hours at the 256-cell rung.
+    // min(old, new) equals the rescan's min bit-for-bit, so the fitted
+    // centroids are unchanged at every rung.
+    val d2 = pts.map(p => sqdist(p, centers(0)))
     while (centers.size < k) {
-      val d2 = pts.map(p => centers.iterator.map(c => sqdist(p, c)).min)
       var r = rnd.nextDouble() * d2.sum
       var i = 0
       while (i < pts.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
-      centers += pts(i).clone()
+      val c = pts(i).clone()
+      centers += c
+      var j = 0
+      while (j < pts.length) {
+        val d = sqdist(pts(j), c); if (d < d2(j)) d2(j) = d; j += 1
+      }
     }
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](dim))
@@ -482,7 +522,7 @@ object Similarity {
   }
 
   /** IVF-style approximate top-k over the PUBLISHED cells layout: a seeded
-    * k-means coarse quantizer partitions the corpus into [[ivfNlist]]
+    * k-means coarse quantizer partitions the corpus into [[adaptiveNlist]]
     * cells ([[ensureIvfCells]] — assignment runs once at publish, like any
     * index build); each query ranks the broadcast centroid table, probes
     * its `nProbe` nearest cells, and the probe join on the partition
@@ -494,7 +534,8 @@ object Similarity {
                     k: Int = 10, nProbe: Int = 8): DataFrame = {
     val fp = embFingerprint(spark, dir)
     val cellsTable = ensureIvfCellsFp(spark, dir, fp)
-    val centroids = quantizerCentroids(spark, dir, ivfNlist, fp = fp)
+    val centroids = quantizerCentroids(spark, dir,
+      adaptiveNlist(embCount(spark, dir, fp)), fp = fp)
 
     // centroid table is tiny: broadcast to rank cells per query
     val centDf = spark.createDataFrame(

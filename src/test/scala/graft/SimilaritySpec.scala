@@ -173,6 +173,46 @@ class SimilaritySpec extends SparkSpec {
     assert(scanStr.contains("dynamicpruning"), scanStr)
   }
 
+  test("IVF geometry adapts to corpus size: 256 cells above the gate rung") {
+    assert(Similarity.adaptiveNlist(500) === 16)
+    assert(Similarity.adaptiveNlist(2048) === 16)
+    assert(Similarity.adaptiveNlist(2049) === 256)
+    assert(Similarity.adaptiveNlist(60000) === 256)
+    // plant a 3000-vector clustered corpus (> 2048 ⇒ the 256-cell rung):
+    // 20 seeded cluster centres + small noise, so true neighbours share a
+    // cell and the 8-probe scan should retrieve them
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rung").toString
+    val rnd = new scala.util.Random(7)
+    val centres = Array.fill(20)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0 until 3000).map { i =>
+      val c = centres(i % 20)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq, i % 20)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // publish at the adaptive rung and verify the layout actually widened
+    val cents = Similarity.ivfCentroidsDump(spark, dir).collect()
+    assert(cents.length === 256, s"expected 256 centroids, got ${cents.length}")
+    val cellsTable = Similarity.ensureIvfCells(spark, dir)
+    val nCells = spark.table(cellsTable).select("cell").distinct().count()
+    assert(nCells > 16, s"rung did not switch: only $nCells distinct cells")
+    // the probe path still works at the wide rung (256-entry assignment
+    // array codegen, DPP probe join) and is rerun-deterministic
+    val a = Similarity.ivfTopKCosine(spark, dir, nQueries = 3, k = 5).collect()
+    val b = Similarity.ivfTopKCosine(spark, dir, nQueries = 3, k = 5).collect()
+    assert(a.length === 15)
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    // planted clusters ⇒ the 8/256-probe retrieval should still find the
+    // same-cluster neighbours the exact scan finds
+    val exact = Similarity.topKCosine(spark, dir, nQueries = 3, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = a.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below 0.5 at the 256-cell rung")
+  }
+
   test("IVF top-k: recall vs brute force is usable") {
     val exact = Similarity.topKCosine(spark, sf, nQueries = 5, k = 10).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
