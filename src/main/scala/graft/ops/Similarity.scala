@@ -187,6 +187,20 @@ object Similarity {
   private[graft] def adaptiveNlist(n: Long): Int =
     if (n <= 2048L) ivfNlist else 256
 
+  /** Probe count for a given cell count: nlist/4 (floor 8) — a constant
+    * ~25% probe fraction. Measured on the local decorrelated corpora
+    * (near-worst-case geometry for IVF: neighbours spread across cells):
+    * at the 256-cell rung, recall@10 is 0.25–0.28 at 8 probes (3%),
+    * 0.47–0.55 at 32, and 0.71–0.72 at 64 (25%) — so the fraction, not
+    * the count, is what holds recall through a rung switch. At 25% the
+    * probe still reads HALF of what the fixed-16 geometry's 8/16 probes
+    * scanned, with better recall; clustered real-world embeddings need
+    * fewer probes for the same recall (the planted-cluster spec measures
+    * that regime). The gate rung resolves to 8 — the value the
+    * q_sim_ivf_topk oracle twin replays. */
+  private[graft] def adaptiveNProbe(nlist: Int): Int =
+    math.max(8, nlist / 4)
+
   /** Corpus row-count cache keyed like [[centroidCache]] (dir +
     * fingerprint): [[adaptiveNlist]] needs n, and re-counting the lake
     * per query call would be a full narrow scan each time. Superseded
@@ -531,11 +545,14 @@ object Similarity {
     * the data with no per-query corpus-wide assignment pass.
     * Seeded → deterministic; recall (not equality) asserted in the spec. */
   def ivfTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
-                    k: Int = 10, nProbe: Int = 8): DataFrame = {
+                    k: Int = 10, nProbe: Int = 0): DataFrame = {
     val fp = embFingerprint(spark, dir)
     val cellsTable = ensureIvfCellsFp(spark, dir, fp)
-    val centroids = quantizerCentroids(spark, dir,
-      adaptiveNlist(embCount(spark, dir, fp)), fp = fp)
+    val nlist = adaptiveNlist(embCount(spark, dir, fp))
+    // nProbe = 0 (default) sizes the probe to the layout rung — the
+    // `bands = 0` convention of semanticDedupLsh
+    val probes = if (nProbe == 0) adaptiveNProbe(nlist) else nProbe
+    val centroids = quantizerCentroids(spark, dir, nlist, fp = fp)
 
     // centroid table is tiny: broadcast to rank cells per query
     val centDf = spark.createDataFrame(
@@ -552,7 +569,7 @@ object Similarity {
       .withColumn("crnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
           .orderBy(col("cdist").desc, col("cell"))))
-      .where(col("crnk") <= nProbe)
+      .where(col("crnk") <= probes)
       .select(col("q_id"), col("qv"), col("qn"), col("cell"))
 
     val cands = spark.table(cellsTable)

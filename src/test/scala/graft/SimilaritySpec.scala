@@ -178,6 +178,10 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.adaptiveNlist(2048) === 16)
     assert(Similarity.adaptiveNlist(2049) === 256)
     assert(Similarity.adaptiveNlist(60000) === 256)
+    // probe count tracks the rung at a ~25% fraction; the gate rung
+    // resolves to the oracle-twin-pinned 8
+    assert(Similarity.adaptiveNProbe(16) === 8)
+    assert(Similarity.adaptiveNProbe(256) === 64)
     // plant a 3000-vector clustered corpus (> 2048 ⇒ the 256-cell rung):
     // 20 seeded cluster centres + small noise, so true neighbours share a
     // cell and the 8-probe scan should retrieve them
