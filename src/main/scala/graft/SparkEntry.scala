@@ -495,18 +495,23 @@ object SparkEntry {
     * arithmetic as [[graft.ops.Dedup.bandedVerifiedPairs]], emit each
     * ordered pair once (DISTINCT ≡ the engine's first-match band), and
     * exact-cosine verify against the embeddings table — `pr` holds the
-    * verified ≥ minCos pairs. `sigExpr` adapts to the dump layout: the
-    * published index carries one `sign_bits` long, the live-signing
-    * dump a `sign_words` array (one element at the rung the sf0.01
-    * corpus sizes to — n = 500 ≤ 2048 ⇒ rung 1, 64 planes / 8 bands;
-    * see [[graft.ops.Dedup.adaptiveGeometry]]). The hamming cutoff is
-    * the ENGINE'S OWN [[graft.ops.Dedup.hamCutFor]] (binomial mean +
-    * 2σ), so the twin tracks the margin arithmetic by construction. */
+    * verified ≥ minCos pairs. `sigExpr`/`whereSql` adapt to the dump
+    * layout: the published index carries one `sign_bits` long per row;
+    * the live-signing dump is EXPLODED to (vec_id, word_idx, word)
+    * scalar rows (round-9 verdict #1 — harness-safe schema), carrying
+    * exactly one word at the rung the sf0.01 corpus sizes to (n = 500
+    * ≤ 2048 ⇒ rung 1, 64 planes / 8 bands; see
+    * [[graft.ops.Dedup.adaptiveGeometry]] — [[Verify]] warns loudly if
+    * the gate corpus ever outgrows the rung these literals assume).
+    * The hamming cutoff is the ENGINE'S OWN
+    * [[graft.ops.Dedup.hamCutFor]] (binomial mean + 2σ), so the twin
+    * tracks the margin arithmetic by construction. */
   private def signBandPairCtes(dumpName: String, minCos: Double,
-                               sigExpr: String = "sign_bits"): String = {
+                               sigExpr: String = "sign_bits",
+                               whereSql: String = ""): String = {
     val hamCut = Dedup.hamCutFor(64, minCos)
     s"""s AS (SELECT vec_id, $sigExpr AS sign_bits
-       | FROM '${graft.explore.Stats.verifyOutToken}/$dumpName/*.parquet'),
+       | FROM '${graft.explore.Stats.verifyOutToken}/$dumpName/*.parquet' $whereSql),
        |sbands0 AS (
        | SELECT vec_id, sign_bits, band, (sign_bits >> (band * 8)) & 255 AS key
        | FROM s, (SELECT unnest(generate_series(0, 7)) AS band) bb),
@@ -2569,7 +2574,8 @@ object SparkEntry {
     // dump-backed sign-LSH twins (round-7 verdict #5): banding + exact
     // cosine verify replayed over the exact sign bits Spark dumped
     "q_dedup_embed_lsh" -> ("WITH " +
-      signBandPairCtes("q_dedup_embed_signs", 0.4, sigExpr = "sign_words[1]") +
+      signBandPairCtes("q_dedup_embed_signs", 0.4, sigExpr = "word",
+        whereSql = "WHERE word_idx = 0") +
       """
         |SELECT vec_a, vec_b, cos_sim FROM pr
         |ORDER BY vec_a, vec_b""".stripMargin),
@@ -2645,8 +2651,9 @@ object SparkEntry {
     // the exact-cosine top-10 from RAW embeddings — the dump is input,
     // not the answer. Literals mirror ivfTopKCosine's defaults.
     "q_sim_ivf_topk" ->
-      s"""WITH cent AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS c
-         | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_ivf_centroids/*.parquet'),
+      s"""WITH cent AS (SELECT cell, list(value ORDER BY dim) AS c
+         | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_ivf_centroids/*.parquet'
+         | GROUP BY cell),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v,
          |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm

@@ -17,6 +17,18 @@ object Verify {
     // optional comma-separated prefix filter for local iteration; the
     // driver sets no filter and dumps everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // gate-rung guard (round-9 ADVICE): several dump-twin oracle CTEs pin
+    // the GATE-rung geometry (one sign word / word_idx = 0, nProbe = 8 of
+    // nlist = 16, shortlist c = 128, single-block simhash keys) — valid
+    // only while the oracle corpus stays ≤ 2048 embedding rows (below
+    // Dedup.adaptiveGeometry / Similarity.adaptiveNlist rung 2 and
+    // Dedup.mankuThreshold). Warn loudly so a larger gate SF reads as a
+    // harness-geometry mismatch, not a spurious engine bug.
+    val nEmb = graft.sources.Tables.embeddings(spark, sfDir).count()
+    if (nEmb > 2048)
+      System.err.println(s"[verify] WARNING: gate corpus has $nEmb embedding " +
+        "rows > 2048 — the sign-LSH / IVF / ANN twin SQL pins gate-rung " +
+        "literals and WILL hash-mismatch at wider adaptive rungs")
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
     selected.foreach { case (name, fn) =>

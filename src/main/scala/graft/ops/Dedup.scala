@@ -1239,11 +1239,23 @@ object Dedup {
     * to hash-checked (round-7 verdict #5, the `q_synth_features`
     * dump-twin pattern). Geometry tracks [[adaptiveGeometry]] so the
     * dump always carries the words the adaptive operator banded. The
-    * dump itself stays rows-only (plane geometry is engine-specific). */
+    * dump itself stays rows-only (plane geometry is engine-specific).
+    *
+    * SCALAR-ONLY layout (round-9 verdict #1): one row per signature
+    * WORD — (vec_id, word_idx, word) — because the verify harness
+    * records rows-only results through pandas `sort_values`, which
+    * cannot factorize array cells; a top-level array column crashes
+    * the recording even though the parquet dump itself is fine. The
+    * banding twin rebuilds the per-row signature from the exploded
+    * rows (at the gate rung there is exactly one word, word_idx 0).
+    * [[graft.ContractSpec]] pins the no-top-level-array invariant for
+    * every declared query. */
   def embeddingSignBits(spark: SparkSession, dir: String): DataFrame = {
     val (nPlanes, _) = adaptiveGeometry(Tables.embeddings(spark, dir).count())
     signWordsOf(Similarity.embWithNorm(spark, dir), nPlanes)
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"),
+        posexplode(col("sign_words")).as(Seq("word_idx", "word")))
+      .orderBy(col("vec_id"), col("word_idx"))
   }
 
   /** Embedding near-dup pair mining off the PUBLISHED 16 B/row sign

@@ -245,15 +245,24 @@ object Similarity {
     * assignment (argmin |c|²−2·v·c, lowest-cell tie-break), probe
     * ranking, and the exact-cosine top-k — so the DuckDB oracle can
     * hash-check `q_sim_ivf_topk` end to end with the dump as *input*,
-    * not as a replay of the answer. */
+    * not as a replay of the answer. The dump carries [[adaptiveNlist]]
+    * centroids (16 at the gate rung, 256+ above it).
+    *
+    * SCALAR-ONLY layout (round-9 verdict #1): one row per centroid
+    * COMPONENT — (cell, dim, value) — because the verify harness
+    * records rows-only results through pandas `sort_values`, which
+    * cannot factorize array cells. The IVF twin rebuilds the vectors
+    * with DuckDB `list(value ORDER BY dim)`; [[graft.ContractSpec]]
+    * pins the no-top-level-array invariant for every declared query. */
   def ivfCentroidsDump(spark: SparkSession, dir: String): DataFrame = {
     val fp = embFingerprint(spark, dir)
     val cents = quantizerCentroids(spark, dir,
       adaptiveNlist(embCount(spark, dir, fp)), fp = fp)
     spark.createDataFrame(
-      cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c) })
-      .toDF("cell", "centroid")
-      .orderBy(col("cell"))
+      cents.toIndexedSeq.zipWithIndex.flatMap { case (c, i) =>
+        c.toIndexedSeq.zipWithIndex.map { case (v, d) => (i, d, v) } })
+      .toDF("cell", "dim", "value")
+      .orderBy(col("cell"), col("dim"))
   }
 
   /** Cell assignment: argmin over centroids of euclidean distance; |v|² is

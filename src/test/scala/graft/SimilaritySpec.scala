@@ -197,8 +197,11 @@ class SimilaritySpec extends SparkSpec {
       .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding", "label")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // publish at the adaptive rung and verify the layout actually widened
+    // the dump is exploded to (cell, dim, value) scalar rows — count cells
     val cents = Similarity.ivfCentroidsDump(spark, dir).collect()
-    assert(cents.length === 256, s"expected 256 centroids, got ${cents.length}")
+    val nCents = cents.map(_.getAs[Int]("cell")).distinct.length
+    assert(nCents === 256, s"expected 256 centroids, got $nCents")
+    assert(cents.length === 256 * 64, s"expected 256*64 component rows")
     val cellsTable = Similarity.ensureIvfCells(spark, dir)
     val nCells = spark.table(cellsTable).select("cell").distinct().count()
     assert(nCells > 16, s"rung did not switch: only $nCells distinct cells")
