@@ -225,6 +225,105 @@ case class SignBits(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native IVF cell assignment: argmin over a literal centroid matrix of
+  * the euclidean surrogate |c|² − 2·v·c (|v|² is constant per row), with
+  * strict-less comparison so ties resolve to the LOWEST cell — exactly
+  * the `array_position(distArr, array_min(distArr)) − 1` arithmetic of
+  * the per-cell expression-array form it replaces, and the (dist, cell)
+  * row_number tie-break the q_sim_ivf_topk DuckDB twin replays.
+  *
+  * Bit-identical to that form: |c|² is summed left-to-right over the
+  * dims (the Scala `c.map(x*x).sum` order) and the dot product is the
+  * [[DotProduct]] fold, so the assignment — and therefore the published
+  * cells layout and every gate hash — is unchanged. The difference is
+  * shape: one fused loop over a constant matrix instead of `nlist`
+  * separate dot-product expressions, so codegen size is constant in the
+  * cell count — the per-cell form compiles nlist Janino blocks and stops
+  * being viable at the two-level rungs (512–4096 cells), where this is
+  * one O(cells·dim) loop per row. */
+case class CellArgMin(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_cell_argmin"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a foldable (literal) centroid matrix")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<array<double>>) " +
+          s"operands, got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    var best = 0
+    var bd = Double.MaxValue
+    var j = 0
+    val n = cs.numElements()
+    while (j < n) {
+      val c = cs.getArray(j)
+      val d = math.min(v.numElements(), c.numElements())
+      var cn2 = 0.0
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val ci = c.getDouble(i)
+        cn2 += ci * ci
+        s += v.getDouble(i) * ci
+        i += 1
+      }
+      val dist = cn2 - 2.0 * s
+      if (dist < bd) { bd = dist; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs) => {
+      val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val cn2 = ctx.freshName("cn2")
+      val s = ctx.freshName("s")
+      val ci = ctx.freshName("ci")
+      val dist = ctx.freshName("dist")
+      s"""
+         |int $best = 0;
+         |double $bd = java.lang.Double.MAX_VALUE;
+         |int ${j}N = $cs.numElements();
+         |for (int $j = 0; $j < ${j}N; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $c = $cs.getArray($j);
+         |  int $d = java.lang.Math.min($v.numElements(), $c.numElements());
+         |  double $cn2 = 0.0;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    double $ci = $c.getDouble($i);
+         |    $cn2 += $ci * $ci;
+         |    $s += $v.getDouble($i) * $ci;
+         |  }
+         |  double $dist = $cn2 - 2.0 * $s;
+         |  if ($dist < $bd) { $bd = $dist; $best = $j; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellArgMin =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for graft's native expressions. */
 object GraftFunctions {
 
@@ -236,6 +335,7 @@ object GraftFunctions {
   val ngramWideName = "graft_ngram_hashes_wide"
   val minhashName = "graft_minhash_sigs"
   val tokenHashesName = "graft_token_hashes"
+  val cellArgMinName = "graft_cell_argmin"
 
   /** Arity-checked SQL builders — a wrong argument count is a clear
     * analysis-time error, not an IndexOutOfBoundsException at runtime. */
@@ -275,6 +375,9 @@ object GraftFunctions {
   private[functions] val tokenHashesBuilder =
     arity(tokenHashesName, 1)(exprs => TokenPolyHashes(exprs.head))
 
+  private[functions] val cellArgMinBuilder =
+    arity(cellArgMinName, 2)(exprs => CellArgMin(exprs(0), exprs(1)))
+
   private def registrations = Seq(
     (FunctionIdentifier(dotName),
       new ExpressionInfo(classOf[DotProduct].getName, dotName), dotBuilder),
@@ -293,7 +396,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSigs].getName, minhashName), minhashBuilder),
     (FunctionIdentifier(tokenHashesName),
       new ExpressionInfo(classOf[TokenPolyHashes].getName, tokenHashesName),
-      tokenHashesBuilder))
+      tokenHashesBuilder),
+    (FunctionIdentifier(cellArgMinName),
+      new ExpressionInfo(classOf[CellArgMin].getName, cellArgMinName),
+      cellArgMinBuilder))
 
   /** Idempotent per-session registration; query builders call this before
     * using [[dot]] / [[polyHash]] / [[topK]]. */
@@ -342,6 +448,11 @@ object GraftFunctions {
     * ([[TokenPolyHashes]]); requires [[register]]. */
   def tokenHashes(text: Column): Column =
     call_function(tokenHashesName, text)
+
+  /** IVF cell assignment ([[CellArgMin]]): argmin cell index of `v`
+    * against a literal centroid matrix; requires [[register]]. */
+  def cellArgMin(v: Column, centroids: Column): Column =
+    call_function(cellArgMinName, v, centroids)
 }
 
 /** `spark.sql.extensions` entry point: registers graft's native functions
@@ -378,5 +489,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[TokenPolyHashes].getName,
         GraftFunctions.tokenHashesName),
       GraftFunctions.tokenHashesBuilder))
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.cellArgMinName),
+      new ExpressionInfo(classOf[CellArgMin].getName,
+        GraftFunctions.cellArgMinName),
+      GraftFunctions.cellArgMinBuilder))
   }
 }

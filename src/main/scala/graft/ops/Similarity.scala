@@ -176,30 +176,51 @@ object Similarity {
   /** Corpus-adaptive IVF cell count — [[Dedup.adaptiveGeometry]]'s
     * pattern applied to the cells layout. A fixed 16 cells means each
     * query batch probes nProbe/nlist = HALF the lake at the default
-    * nProbe = 8 — the wrong asymptotic shape at 10⁹ vectors. Above the
-    * gate rung the layout publishes 256 cells (probe fraction ≈ 3%);
-    * 256 is a documented cap, not the asymptote: the driver-sample
-    * Lloyd fit is O(sample·nlist·dim), so growing nlist toward the
-    * √n ideal past ~512 needs a two-level coarse-then-residual fit —
-    * the IVF analogue of the sign-index v2 note on
-    * [[Dedup.adaptiveIndexBands]]. Both rungs fit from the same
-    * bounded 4096-row sample (≥ 16 points per cell at the cap). */
+    * nProbe = 8 — the wrong asymptotic shape at 10⁹ vectors. Rungs:
+    *
+    *   n ≤ 2048      → 16 cells (the oracle-gate geometry, pinned by
+    *                    the q_sim_ivf_centroids dump twin)
+    *   n ≤ 65536     → 256 cells (single-level Lloyd fit)
+    *   beyond        → next power of two ≥ √n, capped at 4096 —
+    *                    fitted TWO-LEVEL ([[fitCentroids]]: coarse
+    *                    k-means over the sample, then per-coarse-bucket
+    *                    Lloyd with size-proportional quotas), because a
+    *                    flat fit is O(sample·nlist·dim) and the sample
+    *                    needs ≥ 16 points per cell — both break past
+    *                    a few hundred cells (round-9 verdict #2).
+    *
+    * √n cells keeps both sides of the IVF cost model balanced: the
+    * probe scan reads nProbe·n/nlist rows and the centroid ranking is
+    * O(nlist) per query. The 4096 cap (reached at n = 16.7 Mi) is the
+    * fit-sample budget ([[quantizerCentroids]]: 16·nlist rows, ≤ 64 Ki
+    * rows / ~33 MB driver at the cap) — past it the probe fraction
+    * keeps falling as n grows, and the documented continuation is a
+    * third quantizer level, not a wider driver sample. */
   private[graft] def adaptiveNlist(n: Long): Int =
-    if (n <= 2048L) ivfNlist else 256
+    if (n <= 2048L) ivfNlist
+    else if (n <= 65536L) 256
+    else {
+      val target = math.ceil(math.sqrt(n.toDouble)).toInt
+      val p2 = Integer.highestOneBit(math.max(1, target - 1)) << 1
+      math.min(4096, p2)
+    }
 
-  /** Probe count for a given cell count: nlist/4 (floor 8) — a constant
-    * ~25% probe fraction. Measured on the local decorrelated corpora
-    * (near-worst-case geometry for IVF: neighbours spread across cells):
-    * at the 256-cell rung, recall@10 is 0.25–0.28 at 8 probes (3%),
-    * 0.47–0.55 at 32, and 0.71–0.72 at 64 (25%) — so the fraction, not
-    * the count, is what holds recall through a rung switch. At 25% the
-    * probe still reads HALF of what the fixed-16 geometry's 8/16 probes
-    * scanned, with better recall; clustered real-world embeddings need
-    * fewer probes for the same recall (the planted-cluster spec measures
-    * that regime). The gate rung resolves to 8 — the value the
-    * q_sim_ivf_topk oracle twin replays. */
+  /** Probe count for a given cell count: nlist/32 (floor 8) — a ~3%
+    * probe fraction at every rung above the gate (16 → 8 probes, the
+    * gate value the q_sim_ivf_topk oracle twin replays; 256 → 8;
+    * 512 → 16; 4096 → 128). Round 9 shipped nlist/4 (25%) because the
+    * local DECORRELATED corpora — near-worst-case geometry for IVF,
+    * neighbours spread uniformly across cells — measured recall@10 of
+    * only 0.25–0.28 at a 3% probe (vs 0.71 at 25%); that fraction is
+    * not a 100 TB plan (a quarter of the lake per query batch), and on
+    * decorrelated data NO sublinear probe can hold recall — that regime
+    * belongs to the exact scan or the hamming-shortlist ANN. IVF's
+    * contract is the CLUSTERED regime embeddings actually live in,
+    * where neighbours share cells and the nearest-centroid ranking
+    * finds them: the planted-cluster specs pin recall@10 ≥ 0.7 at ≤ 5%
+    * probes on both the 256-cell and the two-level 512-cell rungs. */
   private[graft] def adaptiveNProbe(nlist: Int): Int =
-    math.max(8, nlist / 4)
+    math.max(8, nlist / 32)
 
   /** Corpus row-count cache keyed like [[centroidCache]] (dir +
     * fingerprint): [[adaptiveNlist]] needs n, and re-counting the lake
@@ -266,21 +287,19 @@ object Similarity {
   }
 
   /** Cell assignment: argmin over centroids of euclidean distance; |v|² is
-    * constant per row, so argmin(|v-c|²) = argmin(|c|² - 2·v·c) — all
-    * codegen'd expressions over literal centroid arrays (one array
-    * *constant* per centroid, not a 64-element CreateArray: Janino
-    * compiles a constant reference, not 64 expression nodes), no shuffle,
-    * no model object. */
+    * constant per row, so argmin(|v-c|²) = argmin(|c|² - 2·v·c) — ONE
+    * fused codegen expression ([[graft.functions.CellArgMin]]) over the
+    * literal centroid matrix, no shuffle, no model object. Bit-identical
+    * (arithmetic, summation order, lowest-cell tie-break) to the
+    * per-cell expression-array form it replaces, but codegen size is
+    * constant in nlist — the expression-array form compiled nlist Janino
+    * dot-product blocks and stopped being viable at the two-level rungs
+    * (512–4096 cells, [[adaptiveNlist]]). */
   private def assignCells(emb: DataFrame,
                           centroids: Array[Array[Double]]): DataFrame = {
-    val cellDist: Seq[Column] = centroids.toIndexedSeq.map { c =>
-      val cLit = typedLit(c)
-      lit(c.map(x => x * x).sum) -
-        lit(2.0) * GraftFunctions.dot(col("embedding"), cLit)
-    }
-    val distArr = array(cellDist: _*)
-    emb.withColumn("cell",
-      (array_position(distArr, array_min(distArr)) - 1).cast("int"))
+    GraftFunctions.register(emb.sparkSession)
+    emb.withColumn("cell", GraftFunctions.cellArgMin(col("embedding"),
+      typedLit(centroids.map(_.toSeq).toSeq)))
   }
 
   /** Publish the IVF layout: (vec_id, embedding, nrm) hive-partitioned by
@@ -461,36 +480,120 @@ object Similarity {
 
   /** Fit (or fetch) the IVF coarse quantizer: seeded k-means++ + 8 Lloyd
     * iterations over a deterministic, *bounded* hash-sample of the corpus
-    * (1-in-`sampleMod` by id hash, capped at `sampleCap` rows — ≤ 2 MB of
-    * driver memory regardless of corpus size). A coarse quantizer only
-    * needs cluster geometry, which a sample fixes at a fraction of the
-    * full-scan cost; running Lloyd's on the collected sample takes
-    * milliseconds, vs. 8 distributed passes (3+ s of scheduler overhead
-    * at any SF, 8 full lake scans at 100 TB) for a cluster-side fit. */
+    * (1-in-`sampleMod` by id hash, capped at `sampleCap` rows). The
+    * default cap is ADAPTIVE — max(4096, 16·nlist), i.e. ≥ 16 sample
+    * points per cell, ≤ 64 Ki rows / ~33 MB of driver memory at the
+    * 4096-cell rung ([[adaptiveNlist]]) regardless of corpus size. A
+    * coarse quantizer only needs cluster geometry, which a sample fixes
+    * at a fraction of the full-scan cost; fitting the collected sample
+    * ([[fitCentroids]] — flat Lloyd to 256 cells, two-level above) takes
+    * milliseconds to tens of milliseconds, vs. 8 distributed passes
+    * (3+ s of scheduler overhead at any SF, 8 full lake scans at 100 TB)
+    * for a cluster-side fit. */
   private[ops] def quantizerCentroids(spark: SparkSession, dir: String,
                                       nlist: Int, sampleMod: Int = 5,
-                                      sampleCap: Int = 4096,
+                                      sampleCap: Int = 0,
                                       fp: Long = Long.MinValue): Array[Array[Double]] = {
     // callers holding a fingerprint pass it in (one FS listing per query,
-    // and cache + published layout stay pinned to the SAME version)
+    // and cache + published layout stay pinned to the SAME version).
+    // sampleCap = 0 → the adaptive 16-per-cell default; the RESOLVED cap
+    // is the cache-key component, so an explicit equal cap aliases.
+    val cap = if (sampleCap == 0) math.max(4096, 16 * nlist) else sampleCap
     val mtime = if (fp == Long.MinValue) embFingerprint(spark, dir) else fp
     // evict superseded-mtime entries for the same config: without this,
     // a long-lived JVM that rewrites the corpus accumulates one centroid
     // matrix per rewrite forever (round-3 review finding)
     centroidCache.keys
       .filter(k => k._1 == dir && k._3 == nlist && k._4 == sampleMod &&
-        k._5 == sampleCap && k._2 != mtime)
+        k._5 == cap && k._2 != mtime)
       .foreach(centroidCache.remove)
     centroidCache.getOrElseUpdate(
-      (dir, mtime, nlist, sampleMod, sampleCap), {
+      (dir, mtime, nlist, sampleMod, cap), {
       val sampled = embDouble(spark, dir)
         .select(col("vec_id"), col("embedding"))
         .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
-        .orderBy(col("vec_id")).limit(sampleCap)   // ordered → deterministic
+        .orderBy(col("vec_id")).limit(cap)   // ordered → deterministic
         .collect().map(_.getSeq[Double](1).toArray)
       require(sampled.nonEmpty, s"empty embedding sample for $dir")
-      lloyd(sampled, nlist, iters = 8, seed = 42)
+      fitCentroids(sampled, nlist)
     })
+  }
+
+  /** Cell-count threshold above which [[fitCentroids]] switches from one
+    * flat Lloyd fit to the two-level coarse-then-residual fit. 256 keeps
+    * every pre-round-10 rung (gate 16, single-level 256) bit-identical. */
+  private[ops] val twoLevelThreshold = 256
+
+  /** Fit `k` quantizer centroids from an in-memory sample.
+    *
+    * k ≤ [[twoLevelThreshold]] — one flat [[lloyd]] fit, bit-identical
+    * to every earlier round (the gate hashes and the 256-cell local
+    * rung are pinned to it).
+    *
+    * k > threshold — TWO-LEVEL fit (round-9 verdict #2, the named
+    * continuation of the 256-cell cap): a flat fit is O(sample·k·dim)
+    * per Lloyd pass and k-means++ init needs k sequential scans, so a
+    * 4096-cell fit would cost ~16× the 256-cell one on a 16× larger
+    * sample (256× total). Instead:
+    *
+    *   1. fit k₁ = ⌈√k⌉ COARSE centers on the whole sample;
+    *   2. bucket the sample by nearest coarse center;
+    *   3. give each non-empty bucket a size-proportional quota
+    *      (largest-remainder rounding, every non-empty bucket ≥ 1,
+    *      quota ≤ bucket size — so Σ quotas ≤ k, usually = k) and fit
+    *      that many sub-centroids per bucket with a per-bucket seed.
+    *
+    * Total cost O(sample·(k₁ + maxQuota)·dim) ≈ O(sample·√k·dim). The
+    * sub-fit runs on the bucket's ABSOLUTE points rather than
+    * explicitly on residuals p − c₁ shifted back — k-means++ selection
+    * and Lloyd means are translation-invariant, so the two forms pick
+    * the same clusters (the residual form only re-centers the
+    * arithmetic); skipping the shift avoids two O(sample·dim) passes.
+    * The returned list concatenates bucket sub-centroids in bucket
+    * order — cell ids are dense and deterministic, and downstream
+    * (assignment, probe ranking) is argmin over the flat list, exactly
+    * as at the single-level rungs. */
+  private[ops] def fitCentroids(pts: Array[Array[Double]],
+                                k: Int): Array[Array[Double]] = {
+    if (k <= twoLevelThreshold) lloyd(pts, k, iters = 8, seed = 42)
+    else {
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      val coarse = lloyd(pts, k1, iters = 8, seed = 42)
+      val buckets = Array.fill(coarse.length)(
+        scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < coarse.length) {
+          val d = sqdist(p, coarse(j)); if (d < bd) { bd = d; best = j }; j += 1
+        }
+        buckets(best) += p
+      }
+      // size-proportional quotas: floor(k·n_c/n) clamped to [1, n_c] for
+      // non-empty buckets, then the remainder to the largest fractional
+      // parts (ties → lower bucket id) — deterministic, Σ ≤ k
+      val n = pts.length.toDouble
+      val raw = buckets.map(b => k * b.length / n)
+      val quota = raw.zipWithIndex.map { case (r, c) =>
+        if (buckets(c).isEmpty) 0
+        else math.min(buckets(c).length, math.max(1, r.toInt))
+      }
+      var left = k - quota.sum
+      val byFrac = raw.zipWithIndex
+        .map { case (r, c) => (r - r.toInt, c) }
+        .sortBy { case (f, c) => (-f, c) }
+      var i = 0
+      while (left > 0 && i < byFrac.length) {
+        val c = byFrac(i)._2
+        if (quota(c) > 0 && quota(c) < buckets(c).length) {
+          quota(c) += 1; left -= 1
+        }
+        i += 1
+      }
+      buckets.toIndexedSeq.zipWithIndex.flatMap { case (b, c) =>
+        if (quota(c) == 0) Nil
+        else lloyd(b.toArray, quota(c), iters = 8, seed = 42 + c).toSeq
+      }.toArray
+    }
   }
 
   private def sqdist(a: Array[Double], b: Array[Double]): Double = {

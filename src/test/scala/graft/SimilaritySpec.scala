@@ -173,15 +173,46 @@ class SimilaritySpec extends SparkSpec {
     assert(scanStr.contains("dynamicpruning"), scanStr)
   }
 
+  test("native CellArgMin is bit-identical to the declarative argmin form") {
+    // the expression-array form assignCells used through round 9:
+    // argmin over cells of lit(|c|^2) - 2*dot(v, c), ties -> lowest cell
+    // via array_position(distArr, array_min(distArr)) - 1
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val cents = Array.fill(64)(Array.fill(64)(rnd.nextGaussian()))
+    val emb = Similarity.embWithNorm(spark, sf)
+    val declarative: Seq[org.apache.spark.sql.Column] =
+      cents.toIndexedSeq.map { c =>
+        lit(c.map(x => x * x).sum) -
+          lit(2.0) * graft.functions.GraftFunctions.dot(
+            col("embedding"), typedLit(c))
+      }
+    val distArr = array(declarative: _*)
+    val both = emb.select(
+      (array_position(distArr, array_min(distArr)) - 1).cast("int").as("old"),
+      graft.functions.GraftFunctions.cellArgMin(col("embedding"),
+        typedLit(cents.map(_.toSeq).toSeq)).as("native"))
+    assert(both.where(col("old") =!= col("native")).count() === 0)
+  }
+
   test("IVF geometry adapts to corpus size: 256 cells above the gate rung") {
     assert(Similarity.adaptiveNlist(500) === 16)
     assert(Similarity.adaptiveNlist(2048) === 16)
     assert(Similarity.adaptiveNlist(2049) === 256)
     assert(Similarity.adaptiveNlist(60000) === 256)
-    // probe count tracks the rung at a ~25% fraction; the gate rung
-    // resolves to the oracle-twin-pinned 8
+    assert(Similarity.adaptiveNlist(65536) === 256)
+    // above 64 Ki rows: next power of two >= sqrt(n), two-level fit,
+    // capped at 4096 cells (the fit-sample budget)
+    assert(Similarity.adaptiveNlist(65537) === 512)
+    assert(Similarity.adaptiveNlist(262144) === 512)
+    assert(Similarity.adaptiveNlist(1000000) === 1024)
+    assert(Similarity.adaptiveNlist(100000000) === 4096)
+    // probe count tracks the rung at a ~3% fraction (floor 8); the gate
+    // rung resolves to the oracle-twin-pinned 8
     assert(Similarity.adaptiveNProbe(16) === 8)
-    assert(Similarity.adaptiveNProbe(256) === 64)
+    assert(Similarity.adaptiveNProbe(256) === 8)
+    assert(Similarity.adaptiveNProbe(512) === 16)
+    assert(Similarity.adaptiveNProbe(4096) === 128)
     // plant a 3000-vector clustered corpus (> 2048 ⇒ the 256-cell rung):
     // 20 seeded cluster centres + small noise, so true neighbours share a
     // cell and the 8-probe scan should retrieve them
@@ -211,13 +242,50 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.ivfTopKCosine(spark, dir, nQueries = 3, k = 5).collect()
     assert(a.length === 15)
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
-    // planted clusters ⇒ the 8/256-probe retrieval should still find the
-    // same-cluster neighbours the exact scan finds
+    // planted clusters ⇒ the 8-of-256-probe (~3%) retrieval should still
+    // find the same-cluster neighbours the exact scan finds
     val exact = Similarity.topKCosine(spark, dir, nQueries = 3, k = 5).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
     val ivf = a.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall below 0.5 at the 256-cell rung")
+    assert(recall >= 0.7, s"IVF recall $recall below 0.7 at the 256-cell rung")
+  }
+
+  test("two-level IVF rung: >256 cells, <=5% probes, recall@10 >= 0.7") {
+    // 70_000 rows > 65_536 ⇒ adaptiveNlist = 512 ⇒ the two-level
+    // coarse-then-residual fit (round-9 verdict #2) and a 16-probe scan
+    // (3.1% of cells). Planted clustered corpus: 80 seeded centres with
+    // small noise, the regime IVF's recall contract covers.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_2level").toString
+    val rnd = new scala.util.Random(13)
+    val centres = Array.fill(80)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    import spark.implicits._
+    val rows = (0 until 70000).map { i =>
+      val c = centres(i % 80)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq, i % 80)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding", "label")
+      .coalesce(4).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // the published geometry actually widened past the old 256-cell cap
+    val cents = Similarity.ivfCentroidsDump(spark, dir).collect()
+    val nCents = cents.map(_.getAs[Int]("cell")).distinct.length
+    assert(nCents > 256 && nCents <= 512,
+      s"two-level fit returned $nCents cells, expected (256, 512]")
+    // probe fraction at this rung is <= 5%
+    val probes = Similarity.adaptiveNProbe(512)
+    assert(probes.toDouble / 512 <= 0.05, s"probe fraction ${probes / 512.0}")
+    // recall@10 vs the exact scan on the planted corpus
+    val exact = Similarity.topKCosine(spark, dir, nQueries = 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopKCosine(spark, dir, nQueries = 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"two-level IVF recall@10 $recall below 0.7")
+    // re-dumping is stable (seeded fit + cache keyed on the corpus
+    // fingerprint — a rewrite-free re-read serves identical centroids)
+    val again = Similarity.ivfCentroidsDump(spark, dir).collect()
+    assert(again.map(_.toString).sameElements(cents.map(_.toString)))
   }
 
   test("IVF top-k: recall vs brute force is usable") {
