@@ -227,10 +227,11 @@ object SparkEntry {
     // over the exact published bits); planted-near-dup co-cluster recall
     // >= 0.9 additionally spec-asserted (SimilaritySpec), mirroring the
     // q_dedup_embed / q_dedup_embed_lsh brute/scale pair. bands = 0 ⇒
-    // CORPUS-ADAPTIVE width (Dedup.adaptiveIndexBands): 8×8 at the
+    // CORPUS-ADAPTIVE geometry (Dedup.adaptiveIndexGeometry): 8×8 at the
     // sf0.01 oracle gate (n = 500 — exactly the twin's geometry), 4×16
-    // above 2048 rows so the random band-collision term stays linear
-    // (round-8 verdict #1).
+    // above 2048 rows, and the layout-v2 wide index (512 planes, 16×32
+    // bands) past 512 Ki rows so the random band-collision term stays
+    // linear at any rung (round-9 verdict #4).
     "q_sim_semdedup_lsh" -> ((s, d) =>
       Similarity.semanticDedupLsh(s, d, minCos = 0.4, bands = 0)),
     // the dump behind the twin above: the published sign index itself

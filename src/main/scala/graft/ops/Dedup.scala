@@ -1171,14 +1171,22 @@ object Dedup {
     else if (n <= 524288L) (128, 8)
     else (512, 16)
 
-  /** The 64-bit published sign index's version of [[adaptiveGeometry]]:
-    * the v1 layout budget is one signature word, so band width caps at
-    * 16 (4 bands). Beyond ~512 Ki rows the right rung is the live
-    * 512-plane path (or an index layout v2) — documented cap, enforced
-    * nowhere: 4×16 remains exact-precision at any n, just with a
-    * collision term the wider rungs would avoid. */
-  private[graft] def adaptiveIndexBands(n: Long): Int =
-    if (n <= 2048L) 8 else 4
+  /** The PUBLISHED sign index's version of [[adaptiveGeometry]] —
+    * (planes stored, bands mined). Through 512 Ki rows the v1 one-word
+    * layout suffices (band width grows 8 → 16 bits inside the word);
+    * beyond it the index publishes the layout-v2 WIDE signature
+    * (512 planes = 8 scalar long columns, [[Similarity.ensureSignIndexAt]])
+    * and the banding path mines 16 bands × 32 bits — the same rung the
+    * live-signing [[adaptiveGeometry]] uses, keeping the random
+    * band-collision budget bands·n/2^bits ≤ 64 per row out past 10⁹
+    * rows (round-9 verdict #4; the round-8 "documented cap, enforced
+    * nowhere" note is retired). Recall at each rung is held by band
+    * count, not width — the same Charikar arithmetic as the live rungs
+    * (planted-near-dup spec ≥ 0.9 at every rung, including wide). */
+  private[graft] def adaptiveIndexGeometry(n: Long): (Int, Int) =
+    if (n <= 2048L) (64, 8)
+    else if (n <= 524288L) (64, 4)
+    else (512, 16)
 
   /** [[embeddingDupPairsLsh]] with CORPUS-ADAPTIVE geometry
     * ([[adaptiveGeometry]]) — the declared scale path: one narrow
@@ -1258,25 +1266,50 @@ object Dedup {
       .orderBy(col("vec_id"), col("word_idx"))
   }
 
-  /** Embedding near-dup pair mining off the PUBLISHED 16 B/row sign
-    * index ([[Similarity.ensureSignIndex]]) instead of re-signing the
-    * corpus: at 100 TB the banding input is a narrow index scan — the
-    * same layout-reuse contract as incremental dedup reading its
-    * published signature base. Band keys are bit-slices of the stored
-    * 64-bit signature; precision is still exact (cosine verify), recall
-    * is the same Charikar banding bound, just over the index's plane
-    * geometry. `bands = 0` sizes the band width to the corpus
-    * ([[adaptiveIndexBands]] — one narrow count of the 16 B/row index).
-    * Rows-only by nature (plane geometry engine-specific). */
+  /** Embedding near-dup pair mining off the PUBLISHED sign index
+    * ([[Similarity.ensureSignIndex]]) instead of re-signing the corpus:
+    * at 100 TB the banding input is a narrow index scan — the same
+    * layout-reuse contract as incremental dedup reading its published
+    * signature base. Band keys are bit-slices of the stored signature;
+    * precision is still exact (cosine verify), recall is the same
+    * Charikar banding bound, just over the index's plane geometry.
+    * `bands = 0` sizes geometry to the corpus
+    * ([[adaptiveIndexGeometry]] — one narrow count of the index): the
+    * stored word columns are assembled back into the sign_words array,
+    * so above 512 Ki rows this mines the layout-v2 wide signature at
+    * 16×32 bands with no re-signing. Rows-only by nature (plane
+    * geometry engine-specific). */
   def embeddingDupPairsFromIndex(spark: SparkSession, dir: String,
                                  minCos: Double = 0.4,
-                                 bands: Int = 0): DataFrame = {
-    val idx = Similarity.ensureSignIndex(spark, dir)
-    val signed = spark.table(idx)
-    val nBands = if (bands == 0) adaptiveIndexBands(signed.count()) else bands
+                                 bands: Int = 0): DataFrame =
+    pairsFromSignTable(spark, Similarity.ensureSignIndex(spark, dir),
+      dir, minCos, bands)
+
+  /** Shared core of the index-banding path: assemble the table's stored
+    * sign word columns (v1: one `sign_bits`; v2: `sign_bits` +
+    * `sign_bits_k`) into the sign_words array and band-mine them. The
+    * plane count is derived from the PUBLISHED schema — the one source
+    * of truth for what the table actually stores. */
+  private[graft] def pairsFromSignTable(spark: SparkSession, table: String,
+                                        dir: String, minCos: Double,
+                                        bands: Int): DataFrame = {
+    val signed = spark.table(table)
+    val wordCols = signed.columns
+      .filter(c => c == "sign_bits" || c.startsWith("sign_bits_"))
+      .sortBy(c => if (c == "sign_bits") 0 else c.stripPrefix("sign_bits_").toInt)
+    val nPlanes = 64 * wordCols.length
+    val nBands =
+      if (bands != 0) bands
+      else {
+        val rungBands = adaptiveIndexGeometry(signed.count())._2
+        // schema is the source of truth: if the table was published at a
+        // forced width, keep the band width the rung pairing intended
+        // (32-bit bands for the wide layout) rather than trusting n
+        if (nPlanes == 64) rungBands else nPlanes / 32
+      }
     bandedVerifiedPairs(
-      signed.select(col("vec_id"), array(col("sign_bits")).as("sign_words")),
-      Similarity.embWithNorm(spark, dir), minCos, 64, nBands)
+      signed.select(col("vec_id"), array(wordCols.map(col): _*).as("sign_words")),
+      Similarity.embWithNorm(spark, dir), minCos, nPlanes, nBands)
   }
 
   /** Hamming pre-filter cutoff (same arithmetic as

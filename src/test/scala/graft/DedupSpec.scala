@@ -527,8 +527,16 @@ class DedupSpec extends SparkSpec {
         val bits = planes / bands
         assert(bands * n.toDouble / math.pow(2, bits) <= 64.0)
     }
-    assert(Dedup.adaptiveIndexBands(2048L) === 8)
-    assert(Dedup.adaptiveIndexBands(2049L) === 4)
+    // published-index geometry: v1 one-word layout through 512 Ki rows,
+    // layout-v2 wide signature (512 planes, 16x32 bands) beyond — the
+    // rung table covers multi-Mi-row corpora
+    assert(Dedup.adaptiveIndexGeometry(2048L) === ((64, 8)))
+    assert(Dedup.adaptiveIndexGeometry(2049L) === ((64, 4)))
+    assert(Dedup.adaptiveIndexGeometry(524288L) === ((64, 4)))
+    assert(Dedup.adaptiveIndexGeometry(524289L) === ((512, 16)))
+    assert(Dedup.adaptiveIndexGeometry(4194304L) === ((512, 16)))
+    // the wide rung keeps the same linearity budget as the live path
+    assert(16 * 4194304.0 / math.pow(2, 32) <= 64.0)
     // binomial mean + 2σ margin (round-8 ADVICE #5): documented example
     assert(Dedup.hamCutFor(64, 0.4) === 32)
     // margin scales with √nPlanes, mean with nPlanes
@@ -556,6 +564,40 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(truth), s"false positives: ${lsh.diff(truth).take(5)}")
     val recall = lsh.intersect(truth).size.toDouble / truth.size
     assert(recall >= 0.9, s"rung-3 recall $recall below 0.9")
+  }
+
+  test("index layout v2: wide published signature mines with recall >= 0.9") {
+    // Publish the planted corpus's sign index at the FORCED 512-plane
+    // v2 width (the > 512 Ki-row rung on a spec-sized corpus), then mine
+    // pairs off the published table exactly as the adaptive path would
+    // above the threshold: sign_bits + sign_bits_1..7 assembled back to
+    // the 8-word signature, banded 16x32. Precision stays exact (cosine
+    // verify); recall >= 0.9 on the planted near-dups — the same
+    // contract as the live rung-3 spec, now off the published layout.
+    import spark.implicits._
+    val (embDf, truth) = plantedCorpus()
+    val dir = java.nio.file.Files.createTempDirectory("graft_signv2").toString
+    embDf.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        lit(0).as("label"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$dir/embeddings.parquet")
+    val table = graft.ops.Similarity.ensureSignIndexAt(spark, dir, nPlanes = 512, fp)
+    // the published schema carries the eight scalar word columns, and
+    // word 0 equals the v1 64-plane signature (prefix-nested banks)
+    val cols = spark.table(table).columns
+    assert(cols.count(c => c == "sign_bits" || c.startsWith("sign_bits_")) === 8,
+      cols.mkString(","))
+    val v1 = graft.ops.Similarity.ensureSignIndexAt(spark, dir, nPlanes = 64, fp)
+    assert(spark.table(table).select("vec_id", "sign_bits").except(
+      spark.table(v1).select("vec_id", "sign_bits")).count() === 0)
+    val pairs = Dedup.pairsFromSignTable(spark, table, dir,
+      minCos = 0.9, bands = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(truth), s"false positives: ${pairs.diff(truth).take(5)}")
+    val recall = pairs.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"v2 index recall $recall below 0.9")
   }
 
   test("adaptive LSH resolves to the pinned 8×8 profile at this corpus size") {
