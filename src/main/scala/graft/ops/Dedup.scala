@@ -214,27 +214,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
 
   /** Distinct candidate pairs from a band self-join (doc_a < doc_b).
-    * Buckets over [[maxBandBucket]] members are dropped first
-    * ([[capBandBuckets]] — the batch analogue of the streaming miner's
-    * `maxBucket` guard); the set-dedupe is unaffected by which buckets
-    * were dropped. */
+    * Buckets over [[maxBandBucket]] members skip the self-join and
+    * contribute representative-star candidates instead
+    * ([[capBandBucketsWithStars]] — the batch analogue of the streaming
+    * miner's `maxBucket` guard, with the template-spam region kept
+    * minable); every candidate, star or join, passes the caller's exact
+    * Jaccard verify, and the set-dedupe is unaffected by which buckets
+    * were capped. */
   private def selfCandidates(bands: DataFrame): DataFrame = {
-    val capped = capBandBuckets(bands, Seq("bk"))
+    val (capped, stars) = capBandBucketsWithStars(bands, "doc_id", Seq("bk"))
     capped.as("x").join(capped.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .union(stars.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .distinct()
   }
 
   /** Band-bucket occupancy audit over the MinHash banding of the corpus
-    * — the observability half of the [[capBandBuckets]] guard: per band,
-    * how many buckets exist, the largest bucket's membership, and how
-    * many buckets/rows the [[maxBandBucket]] cap would drop from pair
-    * mining. A healthy corpus reports 0 dropped everywhere; a
-    * template-spam shard shows its degenerate keys here BEFORE anyone
-    * wonders why its near-dup pairs are incomplete. One narrow
-    * aggregation over the exploded band keys — no self-join, no corpus
-    * payload in the shuffle. */
+    * — the observability half of the [[capBandBucketsWithStars]] guard:
+    * per band, how many buckets exist, the largest bucket's membership,
+    * and how many buckets/rows the [[maxBandBucket]] cap diverts from
+    * the self-join to representative-star mining (column names keep the
+    * historical `n_dropped_*` spelling — since round 10 that mass is
+    * star-mined, not dropped, but it still marks where pair-level
+    * recall is rep-centred instead of exhaustive). A healthy corpus
+    * reports 0 everywhere; a template-spam shard shows its degenerate
+    * keys here BEFORE anyone wonders why its near-dup pairs are
+    * rep-shaped. One narrow aggregation over the exploded band keys —
+    * no self-join, no corpus payload in the shuffle. */
   def bandBucketAudit(spark: SparkSession, dir: String,
                       cap: Int = maxBandBucket): DataFrame =
     bandBucketAuditOf(Tables.documents(spark, dir), cap)
@@ -978,10 +985,15 @@ object Dedup {
     simhashSig(spark, dir).orderBy(col("doc_id"))
 
   /** Near-dup by SimHash: pairs with hamming distance ≤ maxHamming.
-    * Blocked on signature key slices ([[hammingBandedPairs]] — exact
-    * recall by pigeonhole, key width adapting to corpus size), so the
-    * join never goes O(n²). The corpus count is one narrow parquet
-    * scan — the price of sizing the key geometry to the data. */
+    * Blocked on signature key slices ([[hammingBandedPairs]] — recall
+    * exact by pigeonhole while every band bucket stays under
+    * [[maxBandBucket]]; above it the bucket is mined as a verified
+    * representative star, which keeps an identical-signature spam
+    * region cluster-complete but yields only rep-centred pairs for its
+    * non-identical members — [[bandBucketAudit]] reports the affected
+    * mass), so the join never goes O(n²). The corpus count is one
+    * narrow parquet scan — the price of sizing the key geometry to the
+    * data. */
   def simhashDupPairs(spark: SparkSession, dir: String,
                       maxHamming: Int = 3): DataFrame =
     hammingBandedPairs(simhashSig(spark, dir), "doc_id", "simhash",
@@ -1002,32 +1014,62 @@ object Dedup {
     * a corpus with a dominant near-constant signature region — template
     * spam at 100 TB — still makes one band key O(k²) in its membership
     * k, and AQE skew-join splits the shuffle, not the pair explosion.
-    * Buckets above the cap are excluded from pair mining; their mass is
-    * observable via [[bandBucketAudit]]. 1024 matches the streaming
-    * default: a capped bucket still admits ~0.5 M intra-bucket
-    * candidates, so only genuinely degenerate keys are touched — no
-    * bucket in the driver corpora comes within 50× of it. */
+    * Buckets above the cap are excluded from the SELF-join and instead
+    * mined as a representative STAR ([[capBandBucketsWithStars]],
+    * round-9 ADVICE #2): each capped bucket emits its k−1 (min-id rep,
+    * member) candidates — O(k), not O(k²) — into the caller's exact
+    * verify stage. A >cap bucket is near-certainly a template-spam
+    * region of true duplicates, so the star's verified edges hand the
+    * whole region to the union-find contraction through the rep
+    * (identical signatures: every member verifies against the rep, the
+    * cluster is complete); precision stays exact everywhere because
+    * every star candidate passes the same verification as a join
+    * candidate. Pair-level (non-cluster) recall inside a capped bucket
+    * is still partial for NON-identical members — observable via
+    * [[bandBucketAudit]]. 1024 matches the streaming default: a capped
+    * bucket still admits ~0.5 M intra-bucket candidates uncapped, so
+    * only genuinely degenerate keys are touched — no bucket in the
+    * driver corpora comes within 50× of it. */
   val maxBandBucket: Int = 1024
 
-  /** Drop rows of band buckets with more than `cap` members. The count
-    * is a window over the band key — partitioned exactly like the
-    * self-join that follows, so the filter rides the join's own
-    * exchange (one narrow sort added, no second scan of the signature
-    * pipeline, no driver-side collect of hot keys). */
-  private[graft] def capBandBuckets(banded: DataFrame, keyCols: Seq[String],
-                                    cap: Int = maxBandBucket): DataFrame =
-    banded.withColumn("_bmembers", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCols.map(col): _*)))
-      .where(col("_bmembers") <= cap).drop("_bmembers")
+  /** Split banded rows at the cap: rows of buckets with ≤ `cap` members
+    * (for the self-join), plus the capped buckets' representative-star
+    * candidates — (min id of the bucket, member) per other member,
+    * set-deduped across buckets. Both the count and the bucket rep are
+    * windows over the band key — partitioned exactly like the self-join
+    * that follows, so the split rides the join's own exchange (one
+    * narrow sort added, no second scan of the signature pipeline, no
+    * driver-side collect of hot keys). Star volume is linear in the
+    * capped rows: the degenerate region costs k−1 candidates instead of
+    * the C(k,2) explosion OR the round-9 behavior of dropping it from
+    * mining entirely (which silently kept template spam undeduplicated
+    * downstream). */
+  private[graft] def capBandBucketsWithStars(banded: DataFrame, idCol: String,
+                                             keyCols: Seq[String],
+                                             cap: Int = maxBandBucket):
+      (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val withCnt = banded
+      .withColumn("_bmembers", count(lit(1)).over(w))
+      .withColumn("_brep", min(col(idCol)).over(w))
+    val kept = withCnt.where(col("_bmembers") <= cap)
+      .drop("_bmembers", "_brep")
+    val stars = withCnt
+      .where(col("_bmembers") > cap && col(idCol) =!= col("_brep"))
+      .select(col("_brep").as("id_a"), col(idCol).as("id_b"))
+      .distinct()
+    (kept, stars)
+  }
 
   /** Blocked-LSH hamming self-join over any (id, ≤63-bit signature)
     * frame — the banding engine behind [[simhashDupPairs]], shared with
     * the perceptual image-hash pairs ([[Multimodal.imageDHashPairs]]).
     * Candidates collide on a key (buckets over [[maxBandBucket]]
-    * members dropped first — see [[capBandBuckets]]), are
-    * popcount-verified exactly inside the join, and set-deduped. Emits
-    * (id_a, id_b, hamming), unsorted.
+    * members divert to representative-star mining — see
+    * [[capBandBucketsWithStars]]), are popcount-verified exactly inside
+    * the join (stars against the signature frame), and set-deduped.
+    * Emits (id_a, id_b, hamming), unsorted.
     *
     * Key geometry ADAPTS to corpus size `nRows` (round-8 verdict #1/#3
     * family: fixed narrow keys make the random-collision term quadratic
@@ -1072,18 +1114,29 @@ object Dedup {
             .bitwiseAND(lit((1L << bits) - 1))
         }
       }
-    val banded = capBandBuckets(
+    val (banded, stars) = capBandBucketsWithStars(
       sig.select(col(idCol).as("id"), col(sigCol).as("sg"),
         posexplode(array(tables.map(t => t(col(sigCol))): _*)))
         .withColumnRenamed("pos", "blk").withColumnRenamed("col", "key"),
-      Seq("blk", "key"))
+      "id", Seq("blk", "key"))
+    // capped buckets (template-spam regions) are mined as a
+    // representative star instead of the C(k,2) self-join: each star
+    // candidate is popcount-verified exactly like a join candidate, so
+    // precision is unchanged and an identical-signature region reaches
+    // the contraction complete through its rep
+    val starPairs = stars
+      .join(sig.select(col(idCol).as("id_a"), col(sigCol).as("sg_a")), "id_a")
+      .join(sig.select(col(idCol).as("id_b"), col(sigCol).as("sg_b")), "id_b")
+      .where(bit_count(col("sg_a").bitwiseXOR(col("sg_b"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sg_a").bitwiseXOR(col("sg_b"))).as("hamming"))
     // SHUFFLE_HASH (not broadcast): both sides then share one identical
     // shuffle of the signature pipeline, which ReuseExchange computes
     // once. Candidates are set-deduped (DISTINCT) rather than emitted by
     // their first colliding key: set-dedupe is insensitive to WHICH
-    // buckets the cap dropped (a first-match predicate would silently
-    // suppress a pair at its later cold keys whenever its first
-    // colliding key was a dropped hot bucket), and the duplicated
+    // buckets the cap star-diverted (a first-match predicate would
+    // silently suppress a pair at its later cold keys whenever its first
+    // colliding key was a capped hot bucket), and the duplicated
     // stream it dedupes is already bounded — ≤ |tables| copies of the
     // pairs that survived both the key collision and the ≤ maxHamming
     // popcount inside the join.
@@ -1093,6 +1146,7 @@ object Dedup {
           bit_count(col("x.sg").bitwiseXOR(col("y.sg"))) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sg").bitwiseXOR(col("y.sg"))).as("hamming"))
+      .union(starPairs)
       .distinct()
   }
 
@@ -1359,17 +1413,20 @@ object Dedup {
     // candidates join them back below, same shape as [[minhashDupPairs]].
     // Degenerate buckets (> maxBandBucket members — template-spam
     // regions whose pair explosion the adaptive width can't bound) are
-    // dropped before the join; candidates are then set-deduped, which is
-    // insensitive to WHICH buckets the cap dropped (a first-match
-    // predicate would suppress a pair at its later cold bands whenever
-    // its first colliding band was a dropped hot bucket) and keeps the
-    // per-band keys array out of the shuffle entirely.
-    val banded = capBandBuckets(
+    // mined as representative stars instead of self-joined
+    // ([[capBandBucketsWithStars]]); star candidates flow through the
+    // SAME exact-cosine verify below, so precision is untouched.
+    // Candidates are set-deduped, which is insensitive to WHICH buckets
+    // the cap star-diverted (a first-match predicate would suppress a
+    // pair at its later cold bands whenever its first colliding band
+    // was a capped hot bucket) and keeps the per-band keys array out of
+    // the shuffle entirely.
+    val (banded, stars) = capBandBucketsWithStars(
       signed.select(col("vec_id"), col("sign_words"),
         posexplode(array((0 until nBands).map(b =>
           bandKey(col("sign_words"), b)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "key"),
-      Seq("band", "key"))
+      "vec_id", Seq("band", "key"))
     val hamming = (0 until nWords).map { w =>
       bit_count(element_at(col("x.sign_words"), w + 1)
         .bitwiseXOR(element_at(col("y.sign_words"), w + 1)))
@@ -1378,6 +1435,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id") && hamming <= hamCut)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .union(stars.select(col("id_a").as("vec_a"), col("id_b").as("vec_b")))
       .distinct()
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),

@@ -612,12 +612,17 @@ class DedupSpec extends SparkSpec {
     assert(adaptive === pinned)
   }
 
-  test("degenerate band buckets are capped: bounded candidates, cold pairs kept") {
+  test("degenerate band buckets star-mine: bounded candidates, spam region " +
+    "cluster-complete, cold pairs kept") {
     import spark.implicits._
     // a template-spam region: 1100 IDENTICAL signatures — one band
     // bucket of 1100 > maxBandBucket members in every key table, which
     // uncapped would explode into C(1100,2) ≈ 600k candidate pairs —
-    // plus 20 planted cold near-pairs that must be unaffected
+    // plus 20 planted cold near-pairs that must be unaffected. Round 9
+    // DROPPED the capped buckets (spam region left undeduplicated);
+    // round 10 star-mines them: the rep (min id 10000) pairs with every
+    // member, verified, so the region reaches the contraction complete
+    // at k−1 = 1099 pairs instead of 600k candidates or zero.
     val rnd = new scala.util.Random(41)
     def sig60(): Long = rnd.nextLong() & ((1L << 60) - 1)
     val tmpl = sig60()
@@ -629,8 +634,14 @@ class DedupSpec extends SparkSpec {
     val sig = (template ++ planted).toDF("doc_id", "sg")
     val out = Dedup.hammingBandedPairs(sig, "doc_id", "sg", 60, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(out === (0 until 20).map(i => (2L * i, 2L * i + 1)).toSet,
-      s"expected exactly the 20 cold pairs, got ${out.size}")
+    val coldPairs = (0 until 20).map(i => (2L * i, 2L * i + 1)).toSet
+    val starPairs = (1 until 1100).map(i => (10000L, 10000L + i)).toSet
+    assert(out === coldPairs ++ starPairs,
+      s"expected 20 cold + 1099 star pairs, got ${out.size}")
+    // cluster-level completeness: a union-find over the emitted edges
+    // puts the whole spam region in ONE component rooted at the rep
+    val comp = unionFind(out.toSeq)
+    (10001L until 11100L).foreach(d => assert(comp(d) === 10000L))
   }
 
   test("band-bucket audit reports the dropped mass of a planted template region") {

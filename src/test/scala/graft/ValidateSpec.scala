@@ -102,6 +102,42 @@ class ValidateSpec extends SparkSpec {
     assert(r.head.getLong(2) === 0L)
   }
 
+  test("ks: high-cardinality continuous column pre-bins to a bounded grid") {
+    // 20k distinct doubles over two shifted sources — unguarded, the
+    // source x value ECDF grid would be 2 x 20k; the guard pre-bins to
+    // ksMaxGridValues equi-width buckets (round-9 verdict #5)
+    val rnd = new scala.util.Random(5)
+    val cont = ((1 to 10000).map(i => ("a", rnd.nextDouble())) ++
+      (1 to 10000).map(i => ("b", 0.5 + rnd.nextDouble()))).toDF("src", "v")
+    assert(cont.select("v").distinct().count() > Validate.ksMaxGridValues)
+    val rows = Validate.ksBySource(cont, "src", "v").collect()
+    assert(rows.length === 2)
+    // the binned sup evaluates the same ECDF difference at bin edges — a
+    // subset of the raw evaluation points — so it approximates the exact
+    // empirical KS from below, closely (1024 bins) but never over it
+    val exact = Validate.ksBySource(cont, "src", "v",
+      maxGridValues = Int.MaxValue).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      val (ks, raw) = (r.getDouble(3), exact(r.getString(0)))
+      assert(ks <= raw + 1e-6, s"binned KS $ks over-reports raw $raw")
+      assert(ks >= raw - 0.05, s"binned KS $ks too far below raw $raw")
+      assert(ks > 0.4, s"binned KS $ks lost the planted drift")
+    }
+    // identical high-cardinality distributions still score ~0 binned
+    val seq = (1 to 10000).map(_ => rnd.nextDouble() * 3.0)
+    val same = (seq.map(("a", _)) ++ seq.map(("b", _))).toDF("src", "v")
+    Validate.ksBySource(same, "src", "v").collect()
+      .foreach(r => assert(r.getDouble(3) === 0.0))
+    // the guard is a no-op below the bound: raising it on the declared
+    // doc-length input changes nothing (the q_valid_ks_drift checksum
+    // path is the unbinned one)
+    val a = Validate.ksDrift(spark, sf).collect().map(_.toString).toSeq
+    val b = Validate.ksBySource(Tables.documents(spark, sf), "source",
+      "n_chars", maxGridValues = Int.MaxValue).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
   test("ks drift on documents: stats in [0,1], totals partition corpus") {
     val rows = Validate.ksDrift(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
