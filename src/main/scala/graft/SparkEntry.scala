@@ -2621,8 +2621,10 @@ object SparkEntry {
          | floor(CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / nt.n_true * 1e6 + 0.5) / 1e6 AS recall
          |FROM nt LEFT JOIN nh ON nt.q_id = nh.q_id ORDER BY nt.q_id""".stripMargin),
     "q_sim_range" -> {
-      // annRangeSearch defaults: nQueries = 10, minCos = 0.3, margin 4
-      val hamCut = math.ceil(64.0 * math.acos(0.3) / math.Pi).toInt + 4
+      // annRangeSearch defaults: nQueries = 10, minCos = 0.3; the cutoff
+      // is the ENGINE'S OWN shared hamCutFor (binomial mean + 2σ —
+      // round-9 ADVICE #5 unified the range margin with the banding one)
+      val hamCut = Dedup.hamCutFor(64, 0.3)
       s"""WITH s AS (SELECT vec_id, sign_bits
          | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_sign_index/*.parquet'),
          |q AS (SELECT vec_id AS q_id, sign_bits AS q_bits

@@ -1366,8 +1366,11 @@ object Dedup {
       Similarity.embWithNorm(spark, dir), minCos, nPlanes, nBands)
   }
 
-  /** Hamming pre-filter cutoff (same arithmetic as
-    * [[Similarity.annRangeSearch]]): a pair at exactly `minCos` has
+  /** Hamming pre-filter cutoff — THE shared margin arithmetic: the
+    * banding pre-filter, [[Similarity.annRangeSearch]], and the
+    * q_sim_range oracle twin all call this one function (round-9
+    * ADVICE #5: the range path carried its own fixed +4 margin, which
+    * silently diverged from this form). A pair at exactly `minCos` has
     * hamming ~ Binomial(nPlanes, q) with q = acos(minCos)/π — mean
     * nPlanes·q, spread σ = √(nPlanes·q·(1−q)). The margin is 2σ
     * (round-8 ADVICE: derived from the binomial spread, not a fixed

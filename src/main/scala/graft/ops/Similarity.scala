@@ -438,21 +438,24 @@ object Similarity {
     * "the k best however far".
     *
     * Same two bounded stages as top-k: (1) scan the narrow 16 B/row sign
-    * index and keep candidates whose hamming distance ≤
-    * ceil(64·arccos(minCos)/π) + `hamMargin` — for a pair at exactly
-    * minCos the expected hamming is 64·θ/π, so the margin buys per-pair
-    * recall (≈1.5σ of the binomial spread at the default); (2) exact
-    * cosine verify on the candidates only — precision is exact by
-    * construction, recall is spec-asserted. Near the corpus's random-pair
-    * regime (θ → π/2) the hamming window necessarily overlaps noise and
-    * the verify stage carries the cost; in the operator's real near-dup
-    * regime (cos ≥ 0.8 → cutoff ≈ 19 vs noise mean 32) the index
-    * excludes ~99.8% of the corpus before any dot product. Rows-only in
-    * the driver gate (plane geometry is engine-specific). */
+    * index and keep candidates within the [[Dedup.hamCutFor]] hamming
+    * window — binomial mean 64·θ/π plus a 2σ margin, the SAME cutoff
+    * arithmetic the banding pre-filter uses (round-9 ADVICE #5: this
+    * previously carried its own fixed +4 margin, which drifted from the
+    * shared form — a pair sitting exactly AT minCos now survives the
+    * pre-filter with probability ≈ Φ(2) ≈ 0.977 at every plane count);
+    * (2) exact cosine verify on the candidates only — precision is
+    * exact by construction, recall is spec-asserted. Near the corpus's
+    * random-pair regime (θ → π/2) the hamming window necessarily
+    * overlaps noise and the verify stage carries the cost; in the
+    * operator's real near-dup regime (cos ≥ 0.8 → cutoff ≈ 21 vs noise
+    * mean 32) the index excludes most of the corpus before any dot
+    * product. Rows-only in the driver gate (plane geometry is
+    * engine-specific). */
   def annRangeSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
-                     minCos: Double = 0.3, hamMargin: Int = 4): DataFrame = {
+                     minCos: Double = 0.3): DataFrame = {
     val indexTable = ensureSignIndex(spark, dir)
-    val hamCut = math.ceil(64.0 * math.acos(minCos) / math.Pi).toInt + hamMargin
+    val hamCut = Dedup.hamCutFor(64, minCos)
     val emb = embWithNorm(spark, dir)
     val queries = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
