@@ -216,22 +216,21 @@ object Dedup {
   /** Distinct candidate pairs from a band self-join (doc_a < doc_b).
     * Buckets over [[maxBandBucket]] members skip the self-join and
     * contribute representative-star candidates instead
-    * ([[capBandBucketsWithStars]] — the batch analogue of the streaming
+    * ([[starCapSides]] — the batch analogue of the streaming
     * miner's `maxBucket` guard, with the template-spam region kept
     * minable); every candidate, star or join, passes the caller's exact
     * Jaccard verify, and the set-dedupe is unaffected by which buckets
     * were capped. */
   private def selfCandidates(bands: DataFrame): DataFrame = {
-    val (capped, stars) = capBandBucketsWithStars(bands, "doc_id", Seq("bk"))
-    capped.as("x").join(capped.as("y"),
+    val (build, probe) = starCapSides(bands, "doc_id", Seq("bk"))
+    build.as("x").join(probe.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .union(stars.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .distinct()
   }
 
   /** Band-bucket occupancy audit over the MinHash banding of the corpus
-    * — the observability half of the [[capBandBucketsWithStars]] guard:
+    * — the observability half of the [[starCapSides]] guard:
     * per band, how many buckets exist, the largest bucket's membership,
     * and how many buckets/rows the [[maxBandBucket]] cap diverts from
     * the self-join to representative-star mining (column names keep the
@@ -1015,7 +1014,7 @@ object Dedup {
     * spam at 100 TB — still makes one band key O(k²) in its membership
     * k, and AQE skew-join splits the shuffle, not the pair explosion.
     * Buckets above the cap are excluded from the SELF-join and instead
-    * mined as a representative STAR ([[capBandBucketsWithStars]],
+    * mined as a representative STAR ([[starCapSides]],
     * round-9 ADVICE #2): each capped bucket emits its k−1 (min-id rep,
     * member) candidates — O(k), not O(k²) — into the caller's exact
     * verify stage. A >cap bucket is near-certainly a template-spam
@@ -1032,34 +1031,44 @@ object Dedup {
     * driver corpora comes within 50× of it. */
   val maxBandBucket: Int = 1024
 
-  /** Split banded rows at the cap: rows of buckets with ≤ `cap` members
-    * (for the self-join), plus the capped buckets' representative-star
-    * candidates — (min id of the bucket, member) per other member,
-    * set-deduped across buckets. Both the count and the bucket rep are
-    * windows over the band key — partitioned exactly like the self-join
-    * that follows, so the split rides the join's own exchange (one
-    * narrow sort added, no second scan of the signature pipeline, no
-    * driver-side collect of hot keys). Star volume is linear in the
-    * capped rows: the degenerate region costs k−1 candidates instead of
-    * the C(k,2) explosion OR the round-9 behavior of dropping it from
-    * mining entirely (which silently kept template spam undeduplicated
-    * downstream). */
-  private[graft] def capBandBucketsWithStars(banded: DataFrame, idCol: String,
-                                             keyCols: Seq[String],
-                                             cap: Int = maxBandBucket):
+  /** The two sides of a band self-join under the cap — (build, probe).
+    * Build: rows of buckets with ≤ `cap` members pass through; a bucket
+    * over the cap keeps ONLY its min-id representative. Probe: the raw
+    * banding. Joining build against probe (`a.id < b.id`) yields
+    * exactly the uncapped buckets' full pair set PLUS a (rep, member)
+    * star per capped bucket — the degenerate region costs k−1 verified
+    * candidates instead of the C(k,2) explosion OR the round-9 behavior
+    * of dropping it from mining entirely (which silently kept template
+    * spam undeduplicated downstream). Bucket membership is a property
+    * of the band key, so enforcing the cap on ONE side is enough: a
+    * capped bucket's probe rows each meet just the single rep row in
+    * the build.
+    *
+    * Shape: the count/rep windows are partitioned exactly like the
+    * self-join, so the build side rides the join's own exchange, and
+    * the probe side's exchange is plan-identical to the one under the
+    * window — ReuseExchange computes the signature pipeline ONCE
+    * (spec-pinned). The `isNotNull(id)` filter is pinned at the shared
+    * source deliberately: the join infers it and pushes it to the
+    * PROBE side's scan, but cannot push it through the build side's
+    * window — left asymmetric, the two exchange subtrees stop being
+    * canonical-equal and the signature pipeline silently computes
+    * twice (a measured 2× on q_dedup_simhash_pairs). Net: one window
+    * pass over narrow keys — cheaper than round 9's
+    * both-sides-filtered form (two window evaluations). */
+  private[graft] def starCapSides(banded0: DataFrame, idCol: String,
+                                  keyCols: Seq[String],
+                                  cap: Int = maxBandBucket):
       (DataFrame, DataFrame) = {
+    val banded = banded0.where(col(idCol).isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-    val withCnt = banded
+    val build = banded
       .withColumn("_bmembers", count(lit(1)).over(w))
       .withColumn("_brep", min(col(idCol)).over(w))
-    val kept = withCnt.where(col("_bmembers") <= cap)
+      .where(col("_bmembers") <= cap || col(idCol) === col("_brep"))
       .drop("_bmembers", "_brep")
-    val stars = withCnt
-      .where(col("_bmembers") > cap && col(idCol) =!= col("_brep"))
-      .select(col("_brep").as("id_a"), col(idCol).as("id_b"))
-      .distinct()
-    (kept, stars)
+    (build, banded)
   }
 
   /** Blocked-LSH hamming self-join over any (id, ≤63-bit signature)
@@ -1067,7 +1076,7 @@ object Dedup {
     * the perceptual image-hash pairs ([[Multimodal.imageDHashPairs]]).
     * Candidates collide on a key (buckets over [[maxBandBucket]]
     * members divert to representative-star mining — see
-    * [[capBandBucketsWithStars]]), are popcount-verified exactly inside
+    * [[starCapSides]]), are popcount-verified exactly inside
     * the join (stars against the signature frame), and set-deduped.
     * Emits (id_a, id_b, hamming), unsorted.
     *
@@ -1114,39 +1123,31 @@ object Dedup {
             .bitwiseAND(lit((1L << bits) - 1))
         }
       }
-    val (banded, stars) = capBandBucketsWithStars(
-      sig.select(col(idCol).as("id"), col(sigCol).as("sg"),
+    val banded0 = sig.select(col(idCol).as("id"), col(sigCol).as("sg"),
         posexplode(array(tables.map(t => t(col(sigCol))): _*)))
-        .withColumnRenamed("pos", "blk").withColumnRenamed("col", "key"),
-      "id", Seq("blk", "key"))
-    // capped buckets (template-spam regions) are mined as a
-    // representative star instead of the C(k,2) self-join: each star
-    // candidate is popcount-verified exactly like a join candidate, so
-    // precision is unchanged and an identical-signature region reaches
-    // the contraction complete through its rep
-    val starPairs = stars
-      .join(sig.select(col(idCol).as("id_a"), col(sigCol).as("sg_a")), "id_a")
-      .join(sig.select(col(idCol).as("id_b"), col(sigCol).as("sg_b")), "id_b")
-      .where(bit_count(col("sg_a").bitwiseXOR(col("sg_b"))) <= maxHamming)
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sg_a").bitwiseXOR(col("sg_b"))).as("hamming"))
+        .withColumnRenamed("pos", "blk").withColumnRenamed("col", "key")
     // SHUFFLE_HASH (not broadcast): both sides then share one identical
     // shuffle of the signature pipeline, which ReuseExchange computes
-    // once. Candidates are set-deduped (DISTINCT) rather than emitted by
-    // their first colliding key: set-dedupe is insensitive to WHICH
-    // buckets the cap star-diverted (a first-match predicate would
-    // silently suppress a pair at its later cold keys whenever its first
-    // colliding key was a capped hot bucket), and the duplicated
-    // stream it dedupes is already bounded — ≤ |tables| copies of the
-    // pairs that survived both the key collision and the ≤ maxHamming
-    // popcount inside the join.
-    banded.as("x").hint("shuffle_hash").join(banded.as("y"),
+    // once — the build side is the star-capped frame (capped buckets
+    // reduced to their rep, so a template-spam bucket meets each probe
+    // row exactly once), the probe side the raw banding. Every
+    // candidate, star or not, passes the same ≤ maxHamming popcount
+    // inside the join. Candidates are set-deduped (DISTINCT) rather
+    // than emitted by their first colliding key: set-dedupe is
+    // insensitive to WHICH buckets the cap star-reduced (a first-match
+    // predicate would silently suppress a pair at its later cold keys
+    // whenever its first colliding key was a capped hot bucket), and
+    // the duplicated stream it dedupes is already bounded — ≤ |tables|
+    // copies of the pairs that survived both the key collision and the
+    // popcount.
+    val (build, probe) = starCapSides(banded0, "id", Seq("blk", "key"))
+    build.as("x")
+      .hint("shuffle_hash").join(probe.as("y"),
         col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id") &&
           bit_count(col("x.sg").bitwiseXOR(col("y.sg"))) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sg").bitwiseXOR(col("y.sg"))).as("hamming"))
-      .union(starPairs)
       .distinct()
   }
 
@@ -1416,29 +1417,28 @@ object Dedup {
     // candidates join them back below, same shape as [[minhashDupPairs]].
     // Degenerate buckets (> maxBandBucket members — template-spam
     // regions whose pair explosion the adaptive width can't bound) are
-    // mined as representative stars instead of self-joined
-    // ([[capBandBucketsWithStars]]); star candidates flow through the
-    // SAME exact-cosine verify below, so precision is untouched.
-    // Candidates are set-deduped, which is insensitive to WHICH buckets
-    // the cap star-diverted (a first-match predicate would suppress a
-    // pair at its later cold bands whenever its first colliding band
-    // was a capped hot bucket) and keeps the per-band keys array out of
-    // the shuffle entirely.
-    val (banded, stars) = capBandBucketsWithStars(
-      signed.select(col("vec_id"), col("sign_words"),
+    // star-reduced on the BUILD side ([[starCapSides]]); star
+    // candidates flow through the SAME hamming pre-filter and
+    // exact-cosine verify, so precision is untouched. Candidates are
+    // set-deduped, which is insensitive to WHICH buckets the cap
+    // star-reduced (a first-match predicate would suppress a pair at
+    // its later cold bands whenever its first colliding band was a
+    // capped hot bucket) and keeps the per-band keys array out of the
+    // shuffle entirely.
+    val banded0 = signed.select(col("vec_id"), col("sign_words"),
         posexplode(array((0 until nBands).map(b =>
           bandKey(col("sign_words"), b)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key"),
-      "vec_id", Seq("band", "key"))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val hamming = (0 until nWords).map { w =>
       bit_count(element_at(col("x.sign_words"), w + 1)
         .bitwiseXOR(element_at(col("y.sign_words"), w + 1)))
     }.reduce(_ + _)
-    val cand = banded.as("x").hint("shuffle_hash").join(banded.as("y"),
+    val (build, probe) = starCapSides(banded0, "vec_id", Seq("band", "key"))
+    val cand = build.as("x")
+      .hint("shuffle_hash").join(probe.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id") && hamming <= hamCut)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .union(stars.select(col("id_a").as("vec_a"), col("id_b").as("vec_b")))
       .distinct()
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),

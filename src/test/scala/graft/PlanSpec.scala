@@ -74,6 +74,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("star-capped band joins reuse the signature pipeline's exchange") {
+    // starCapSides filters the BUILD side of the band self-join while
+    // the probe side stays the raw banding — the two sides' exchanges
+    // are plan-identical (same child pipeline incl. the deliberately
+    // pinned isNotNull(id), same hash partitioning), so AQE's stage
+    // reuse must compute the signature pipeline ONCE. A second full
+    // signature pass here was a measured 2-3x regression on
+    // q_dedup_simhash_pairs at every local corpus point. Reuse is a
+    // RUNTIME property under AQE: execute, then read the final plan.
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      spark.sharedState.cacheManager.clearCache()
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val simhash = finalPlan(Dedup.simhashDupPairs(spark, sf))
+    assert(simhash.contains("ReusedExchange") ||
+      simhash.contains("ShuffleQueryStage"), simhash)
+    Seq(Dedup.simhashDupPairs(spark, sf),
+        Dedup.minhashDupPairs(spark, sf),
+        Dedup.embeddingDupPairsLshAdaptive(spark, sf)).foreach { df =>
+      val p = finalPlan(df)
+      assert(p.contains("ReusedExchange"), p.take(4000))
+    }
+  }
+
   test("minhash LSH pairs: banding join is a real join, not a cartesian product") {
     val p = plan(Dedup.minhashDupPairs(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
