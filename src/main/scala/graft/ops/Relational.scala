@@ -633,7 +633,11 @@ object Relational {
         .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"),
           year(col("o_orderdate")).cast("int").as("o_year")),
       bucketTableName("orders_bydate", dir), "o_year",
-      graft.store.FeatureStore.versionFingerprint(spark, s"$dir/orders.parquet"))
+      graft.store.FeatureStore.versionFingerprint(spark, s"$dir/orders.parquet"),
+      // ~7 distinct years: a salt of 8 keeps the publish parallel and
+      // the per-year files bounded (at 100 TB you size this to
+      // per-partition bytes, not to a task count)
+      filesPerPartition = 8)
 
   def partitionPrunedRevenue(spark: SparkSession, dir: String,
                              yr: Int = 1997): DataFrame = {

@@ -163,11 +163,31 @@ object FeatureStore {
     * that turns partition-column predicates into directory pruning: a
     * filter on `partCol` skips the other partitions' files entirely. At
     * 100 TB, date-partitioning is the first-line data-skipping lever,
-    * ahead of any row-group statistics. */
+    * ahead of any row-group statistics.
+    *
+    * The write repartitions by (`partCol`, bounded salt) first: without
+    * it every write TASK emits one file per partition value it happens
+    * to hold — tasks × partitions files (a 1000-executor write into
+    * the 4096-cell IVF layout would scatter millions of tiny files,
+    * and even locally the planner pays per-file overhead on every
+    * pruned probe). Hash-clustered, each partition value lands in at
+    * most `filesPerPartition` tasks → at most that many files per
+    * directory (spec-asserted for the IVF cells at the default 1), at
+    * the cost of one publish-time shuffle — the same pay-once trade as
+    * [[ensureBucketedTable]]. The salt (deterministic row hash mod n)
+    * exists for LOW-cardinality partition columns: a year-partitioned
+    * fact at 100 TB must not funnel each year through one writer task
+    * or emit one multi-TB file — callers size `filesPerPartition` to
+    * the expected per-partition bytes. */
   def ensurePartitionedTable(spark: SparkSession, df: => DataFrame,
-                             base: String, partCol: String, fp: Long): String =
+                             base: String, partCol: String, fp: Long,
+                             filesPerPartition: Int = 1): String =
     ensureVersionedTable(spark, base, fp) { table =>
-      df.write.mode("overwrite").format("parquet")
+      val d = df
+      val salt = pmod(xxhash64(d.columns.map(col): _*),
+        lit(filesPerPartition.toLong))
+      d.repartition(col(partCol), salt)
+        .write.mode("overwrite").format("parquet")
         .partitionBy(partCol)
         .saveAsTable(table)
     }

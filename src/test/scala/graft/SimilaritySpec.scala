@@ -236,6 +236,20 @@ class SimilaritySpec extends SparkSpec {
     val cellsTable = Similarity.ensureIvfCells(spark, dir)
     val nCells = spark.table(cellsTable).select("cell").distinct().count()
     assert(nCells > 16, s"rung did not switch: only $nCells distinct cells")
+    // publish repartitions by the partition column, so every cell
+    // directory holds exactly ONE parquet file — tasks x partitions
+    // file scatter is the first thing a wide layout breaks at scale
+    val whBase = new java.io.File(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(cellsTable)))
+    val cellDirs = whBase.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, s"no cell= dirs under $whBase")
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getName}: ${files.length} files — partition write scattered")
+    }
     // the probe path still works at the wide rung (256-entry assignment
     // array codegen, DPP probe join) and is rerun-deterministic
     val a = Similarity.ivfTopKCosine(spark, dir, nQueries = 3, k = 5).collect()
