@@ -125,6 +125,13 @@ object SparkEntry {
     // the dump behind the twin above: the coarse-quantizer centroids
     // (rows-only — the k-means fit itself is engine-specific by nature)
     "q_sim_ivf_centroids" -> ((s, d) => Similarity.ivfCentroidsDump(s, d)),
+    // product quantization (Jégou et al. 2011): codebook dump (rows-only —
+    // per-subspace k-means fit), then THREE hash-checked replays off it:
+    // the code assignment itself, ADC top-k, and the composed IVF-PQ plan
+    "q_sim_pq_codebooks" -> ((s, d) => Similarity.pqCodebooksDump(s, d)),
+    "q_sim_pq_codes" -> ((s, d) => Similarity.pqCodesDump(s, d)),
+    "q_sim_pq_topk" -> ((s, d) => Similarity.pqTopKCosine(s, d)),
+    "q_sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopKCosine(s, d)),
     // text-analysis pack [EXT] (SURVEY §2.B text-analysis row)
     "q_text_tokens" -> ((s, d) => Text.tokenCounts(s, d)),
     "q_text_doc_stats" -> ((s, d) => Text.docStats(s, d)),
@@ -571,6 +578,60 @@ object SparkEntry {
        |    ORDER BY cos_sim DESC, cand_id) AS rnk
        |  FROM scored) t WHERE rnk <= 10)""".stripMargin
   }
+
+  /** Shared DuckDB CTEs for the PQ family: codebooks rebuilt from the
+    * `q_sim_pq_codebooks` dump, L2-normalized embeddings, and the
+    * per-(vector, subspace) code assignment — the exact arithmetic of
+    * [[graft.ops.Similarity.ensurePqCodes]] (normalize → per-subspace
+    * argmin of |c|²−2·w_m·c, lowest-code tie-break), plus the query-side
+    * ADC distance tables (`pdt`). M = 8 subspaces × 8 dims is pinned
+    * (the library constant [[graft.ops.Similarity.pqM]]); ksub comes off
+    * the dump, so the twin tracks [[graft.ops.Similarity.adaptivePqKsub]]
+    * without a literal. */
+  private def pqCtes: String =
+    s"""cb AS (SELECT subspace, code, list(value ORDER BY dim) AS c
+       | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_pq_codebooks/*.parquet'
+       | GROUP BY subspace, code),
+       |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pn AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+       | FROM pe),
+       |pw AS (SELECT vec_id, v, nrm,
+       |  list_transform(generate_series(1,64), i -> v[i]/nrm) AS w
+       | FROM pn WHERE nrm > 0),
+       |psub AS (SELECT pw.vec_id, cb.subspace, cb.code,
+       |  list_reduce(list_transform(generate_series(1,8), i -> cb.c[i]*cb.c[i]), (x,y) -> x+y)
+       |  - 2.0 * list_reduce(list_transform(generate_series(1,8), i -> pw.w[cb.subspace*8+i]*cb.c[i]), (x,y) -> x+y) AS dist
+       | FROM pw CROSS JOIN cb),
+       |pasg AS (SELECT vec_id, subspace, code FROM (
+       |  SELECT vec_id, subspace, code,
+       |   row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS r
+       |  FROM psub) WHERE r = 1),
+       |pq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, w AS qw
+       |       FROM pw WHERE vec_id < 10),
+       |pdt AS (SELECT pq.q_id, cb.subspace, cb.code,
+       |  list_reduce(list_transform(generate_series(1,8), i ->
+       |    (pq.qw[cb.subspace*8+i] - cb.c[i]) * (pq.qw[cb.subspace*8+i] - cb.c[i])), (x,y) -> x+y) AS term
+       | FROM pq CROSS JOIN cb)""".stripMargin
+
+  /** ADC-shortlist (≤ 64 by adc asc, cand_id tie-break) + exact-cosine
+    * re-rank tail shared by the `q_sim_pq_topk` / `q_sim_ivfpq_topk`
+    * twins — mirrors [[graft.ops.Similarity.exactRerank]]. `adcCte` is
+    * the name of the (q_id, cand_id, adc) CTE to shortlist from. */
+  private def pqRerankTail(adcCte: String): String =
+    s"""psl AS (SELECT q_id, cand_id FROM (
+       |  SELECT q_id, cand_id,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS r
+       |  FROM $adcCte) WHERE r <= 64),
+       |pscored AS (SELECT psl.q_id, psl.cand_id,
+       |  round(list_reduce(list_transform(generate_series(1,64), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+       |   / nullif(a.nrm * b.nrm, 0.0), 6) AS cos_sim
+       | FROM psl JOIN pn a ON psl.q_id = a.vec_id
+       |          JOIN pn b ON psl.cand_id = b.vec_id)
+       |SELECT q_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_id
+       |   ORDER BY cos_sim DESC, cand_id) AS rnk
+       | FROM pscored) t WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
 
   /** DuckDB twin of [[Text.sparseCandidatePairs]]: WIDE-keyed
     * rare-shingle postings (per-token poly-hash fold + TWO independent
@@ -2689,6 +2750,64 @@ object SparkEntry {
          | SELECT *, row_number() OVER (PARTITION BY q_id
          |   ORDER BY cos_sim DESC, cand_id) AS rnk
          | FROM scored) t WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    // PQ code assignment replay over the q_sim_pq_codebooks dump: given
+    // the per-subspace centroids, normalization and the argmin are exact
+    // replayable arithmetic — the published 8-byte/row code layout itself
+    // is hash-checked, not just the retrieval built on it.
+    "q_sim_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+         |       CAST(code AS BIGINT) AS code
+         |FROM pasg ORDER BY vec_id, subspace""".stripMargin,
+    // PQ ADC top-k replay (Jégou et al. 2011): per-query subspace
+    // distance tables off the dumped codebooks, ADC = ordered 8-term
+    // fold of table lookups, shortlist 64 by (adc, cand_id), exact
+    // cosine re-rank from raw embeddings. Literals mirror
+    // pqTopKCosine's defaults.
+    "q_sim_pq_topk" ->
+      s"""WITH $pqCtes,
+         |padc AS (SELECT pdt.q_id, pasg.vec_id AS cand_id,
+         |  list_reduce(list(pdt.term ORDER BY pdt.subspace), (x,y) -> x+y) AS adc
+         | FROM pasg JOIN pdt ON pasg.subspace = pdt.subspace AND pasg.code = pdt.code
+         | WHERE pasg.vec_id <> pdt.q_id
+         | GROUP BY pdt.q_id, pasg.vec_id),
+         |${pqRerankTail("padc")}""".stripMargin,
+    // IVF-PQ replay: coarse-cell assignment + probe ranking from the
+    // q_sim_ivf_centroids dump (exactly the q_sim_ivf_topk twin's
+    // arithmetic), PQ codes + ADC from the q_sim_pq_codebooks dump, ADC
+    // restricted to candidates in the query's 8 probed cells, then the
+    // shared shortlist + exact re-rank tail.
+    "q_sim_ivfpq_topk" ->
+      s"""WITH $pqCtes,
+         |icent AS (SELECT cell, list(value ORDER BY dim) AS c
+         | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_ivf_centroids/*.parquet'
+         | GROUP BY cell),
+         |iad AS (SELECT pw.vec_id, icent.cell,
+         |  list_reduce(list_transform(generate_series(1,64), i -> icent.c[i]*icent.c[i]), (x,y) -> x+y)
+         |  - 2.0 * list_reduce(list_transform(generate_series(1,64), i -> pw.v[i]*icent.c[i]), (x,y) -> x+y) AS dist
+         | FROM pw CROSS JOIN icent),
+         |iasg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+         |  FROM iad) WHERE r = 1),
+         |ipd AS (SELECT pq.q_id, icent.cell,
+         |  list_reduce(list_transform(generate_series(1,64), i -> pq.qv[i]*icent.c[i]), (x,y) -> x+y)
+         |   / nullif(pq.qn * sqrt(list_reduce(list_transform(generate_series(1,64), i -> icent.c[i]*icent.c[i]), (x,y) -> x+y)), 0.0) AS cdist
+         | FROM pq CROSS JOIN icent),
+         |iprobed AS (SELECT q_id, cell FROM (
+         |  SELECT q_id, cell,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cdist DESC, cell) AS cr
+         |  FROM ipd) WHERE cr <= 8),
+         |iadc AS (SELECT pdt.q_id, pasg.vec_id AS cand_id,
+         |  list_reduce(list(pdt.term ORDER BY pdt.subspace), (x,y) -> x+y) AS adc
+         | FROM pasg
+         | JOIN iasg ON iasg.vec_id = pasg.vec_id
+         | JOIN iprobed ON iprobed.cell = iasg.cell
+         | JOIN pdt ON pdt.q_id = iprobed.q_id
+         |   AND pdt.subspace = pasg.subspace AND pdt.code = pasg.code
+         | WHERE pasg.vec_id <> iprobed.q_id
+         | GROUP BY pdt.q_id, pasg.vec_id),
+         |${pqRerankTail("iadc")}""".stripMargin,
     "q_sim_pair_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

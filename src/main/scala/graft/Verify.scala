@@ -19,7 +19,8 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     // gate-rung guard (round-9 ADVICE): several dump-twin oracle CTEs pin
     // the GATE-rung geometry (one sign word / word_idx = 0, nProbe = 8 of
-    // nlist = 16, shortlist c = 128, single-block simhash keys) — valid
+    // nlist = 16, shortlist c = 128, PQ probe/shortlist 8/64,
+    // single-block simhash keys) — valid
     // only while the oracle corpus stays ≤ 2048 embedding rows (below
     // Dedup.adaptiveGeometry / Similarity.adaptiveNlist rung 2 and
     // Dedup.mankuThreshold). Warn loudly so a larger gate SF reads as a

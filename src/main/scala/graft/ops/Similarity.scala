@@ -366,11 +366,15 @@ object Similarity {
       s"graft_ivf_cells_${Relational.dirSlug(dir)}", "cell", fp)
   }
 
-  /** Publish both vector-search layouts (sign index + IVF cells) for one
-    * sf dir — Bench warmup calls this; queries self-publish idempotently. */
+  /** Publish the vector-search layouts (sign index, IVF cells, PQ codes,
+    * IVF-PQ codes) for one sf dir — Bench warmup calls this; queries
+    * self-publish idempotently. */
   def ensureVectorLayout(spark: SparkSession, dir: String): Unit = {
     ensureSignIndex(spark, dir)
     ensureIvfCells(spark, dir)
+    val fp = embFingerprint(spark, dir)
+    ensurePqCodes(spark, dir, fp)
+    ensureIvfPqCodes(spark, dir, fp)
   }
 
   /** Approximate top-k via the persisted sign index: hamming shortlist +
@@ -767,6 +771,277 @@ object Similarity {
         array_min(col("qv")).as("qmin"), array_max(col("qv")).as("qmax"),
         round(col("mse"), 12).as("mse"))
       .orderBy(col("vec_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the byte-code compression half of the
+  // billion-vector ANN stack (Jégou, Douze & Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011).
+  // ------------------------------------------------------------------
+
+  /** Number of PQ subspaces: the 64-dim vector splits into 8 contiguous
+    * 8-dim subvectors, each quantized independently. Fixed at every rung
+    * (the standard layout knob is ksub, not M) and pinned by the
+    * `q_sim_pq_*` twin literals (generate_series(1,8), subspace·8 index
+    * arithmetic). */
+  val pqM = 8
+
+  /** Dims per PQ subspace (64 / [[pqM]]). */
+  val pqSubDim = 8
+
+  /** Per-subspace codebook size. 16 at the oracle-gate rung (≤ 2048
+    * rows — 16⁸ ≈ 4.3·10⁹ composite cells is already far beyond the
+    * corpus); 256 above it — the standard one-byte-per-subspace code,
+    * 8 bytes/vector vs 512 for the raw float64 row (64×). The fit
+    * sample ([[pqCodebooks]]) caps at max(4096, 16·ksub) rows, so the
+    * 256-code fit sees ≥ 16 points per centroid like the IVF fit. */
+  private[graft] def adaptivePqKsub(n: Long): Int =
+    if (n <= 2048L) 16 else 256
+
+  /** PQ codebook cache, keyed like [[centroidCache]] (dir + corpus
+    * fingerprint + ksub); superseded fingerprints are evicted. Shape:
+    * [M][ksub][subDim]. */
+  private val pqCache =
+    TrieMap.empty[(String, Long, Int), Array[Array[Array[Double]]]]
+
+  /** Fit (or fetch) the PQ codebooks: for each of the [[pqM]] subspaces,
+    * seeded k-means ([[lloyd]], seed 42 + 1000·m so subspace fits are
+    * independent) over the subvectors of the same deterministic bounded
+    * hash-sample the IVF quantizer uses — NORMALIZED first (v/‖v‖), so
+    * ADC's euclidean arithmetic is monotone with cosine
+    * (‖q−x‖² = 2 − 2·cos on the unit sphere). Fit cost is
+    * O(sample · ksub · subDim) per subspace = one full-dim fit total. */
+  private[ops] def pqCodebooks(spark: SparkSession, dir: String,
+                               fp: Long): Array[Array[Array[Double]]] = {
+    val ksub = adaptivePqKsub(embCount(spark, dir, fp))
+    pqCache.keys.filter(k => k._1 == dir && k._2 != fp)
+      .foreach(pqCache.remove)
+    pqCache.getOrElseUpdate((dir, fp, ksub), {
+      val cap = math.max(4096, 16 * ksub)
+      val sampled = embDouble(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .where(pmod(xxhash64(col("vec_id")), lit(5)) === 0)
+        .orderBy(col("vec_id")).limit(cap)   // ordered → deterministic
+        .collect().map(_.getSeq[Double](1).toArray)
+      require(sampled.nonEmpty, s"empty embedding sample for $dir")
+      val normed = sampled.flatMap { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) Some(v.map(_ / n)) else None
+      }
+      Array.tabulate(pqM)(m =>
+        lloyd(normed.map(_.slice(m * pqSubDim, (m + 1) * pqSubDim)),
+          ksub, iters = 8, seed = 42 + 1000 * m))
+    })
+  }
+
+  /** The PQ codebooks as a DECLARED dump query — the [[ivfCentroidsDump]]
+    * pattern: the per-subspace k-means fit is engine-specific (rows-only),
+    * but given these centroids every downstream step — code assignment,
+    * the query's ADC distance tables, the shortlist, the exact re-rank —
+    * is replayable arithmetic, so `q_sim_pq_codes`, `q_sim_pq_topk` and
+    * `q_sim_ivfpq_topk` are all hash-checked END TO END with this dump as
+    * input. Scalar-only layout: one row per centroid component
+    * (subspace, code, dim, value). */
+  def pqCodebooksDump(spark: SparkSession, dir: String): DataFrame = {
+    val fp = embFingerprint(spark, dir)
+    val cbs = pqCodebooks(spark, dir, fp)
+    spark.createDataFrame(
+      for { (bank, m) <- cbs.toIndexedSeq.zipWithIndex
+            (c, j) <- bank.toIndexedSeq.zipWithIndex
+            (v, d) <- c.toIndexedSeq.zipWithIndex }
+        yield (m, j, d, v))
+      .toDF("subspace", "code", "dim", "value")
+      .orderBy(col("subspace"), col("code"), col("dim"))
+  }
+
+  /** Per-subspace code columns (code_0 … code_7): argmin over the
+    * subspace codebook of ‖c‖² − 2·v_m·c with lowest-code tie-break —
+    * the SAME fused [[graft.functions.CellArgMin]] codegen the IVF
+    * assignment uses, over the normalized subvector slice. */
+  private def pqCodeCols(cbs: Array[Array[Array[Double]]]): Seq[Column] =
+    (0 until pqM).map { m =>
+      GraftFunctions.cellArgMin(
+        slice(col("nv"), m * pqSubDim + 1, pqSubDim),
+        typedLit(cbs(m).map(_.toSeq).toSeq)).as(s"code_$m")
+    }
+
+  /** Normalized-vector column bolted onto [[embWithNorm]] rows: the PQ
+    * frame is the unit sphere (see [[pqCodebooks]]); zero-norm rows are
+    * excluded (they have no direction and no cosine rank anywhere). */
+  private def embNormalized(spark: SparkSession, dir: String): DataFrame =
+    embWithNorm(spark, dir).where(col("nrm") > 0)
+      .withColumn("nv", transform(col("embedding"), x => x / col("nrm")))
+
+  /** Publish the PQ code table: (vec_id, code_0 … code_7) — 8 small ints
+    * per row vs the ~520-byte raw embedding row. At 100 TB this is the
+    * table the ADC shortlist scans: the raw lake is touched only by the
+    * bounded exact re-rank. Create-once per corpus fingerprint, like
+    * every published layout. */
+  private[ops] def ensurePqCodes(spark: SparkSession, dir: String,
+                                 fp: Long): String = {
+    GraftFunctions.register(spark)
+    val cbs = pqCodebooks(spark, dir, fp)
+    FeatureStore.ensurePlainTable(spark,
+      embNormalized(spark, dir).select(col("vec_id") +: pqCodeCols(cbs): _*),
+      s"graft_pq_codes_${Relational.dirSlug(dir)}", fp)
+  }
+
+  /** The published PQ codes as a DECLARED query, exploded to scalar rows
+    * (vec_id, subspace, code) — ORACLE-CHECKED: the DuckDB twin replays
+    * normalization + per-subspace argmin from the [[pqCodebooksDump]]
+    * parquet, so the code assignment itself is hash-verified, not just
+    * the retrieval built on it. */
+  def pqCodesDump(spark: SparkSession, dir: String): DataFrame = {
+    val fp = embFingerprint(spark, dir)
+    val t = ensurePqCodes(spark, dir, fp)
+    spark.table(t)
+      .select(col("vec_id"),
+        posexplode(array((0 until pqM).map(m => col(s"code_$m")): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("subspace"),
+        col("col").cast("long").as("code"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  /** Queries frame with the per-query ADC distance table:
+    * (q_id, dtab[M][ksub]) where dtab[m][j] = ‖q_m − c_{m,j}‖² as an
+    * ordered left fold — computed in ONE projection from the codebook
+    * literal (nQueries · M · ksub terms, no shuffle, no collect). */
+  private def pqQueryDtab(spark: SparkSession, dir: String, nQueries: Int,
+                          cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val cbLit = typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    embNormalized(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("nv").as("qnv"))
+      .withColumn("dtab", transform(cbLit, (bank, m) =>
+        transform(bank, c =>
+          aggregate(zip_with(slice(col("qnv"), m * lit(pqSubDim) + 1,
+            lit(pqSubDim)), c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, e) => acc + e))))
+      .select(col("q_id"), col("dtab"))
+  }
+
+  /** ADC distance for a code row against the joined dtab: the fixed-order
+    * left-to-right sum of the [[pqM]] table lookups — the DuckDB twin
+    * folds `list(term ORDER BY subspace)` identically. */
+  private def adcExpr: Column =
+    (0 until pqM).map(m =>
+      element_at(element_at(col("dtab"), m + 1), col(s"code_$m") + 1))
+      .reduceLeft(_ + _)
+
+  /** Scored shortlist (q_id, cand_id) → exact-cosine top-k from the raw
+    * lake: the shortlist is tiny (nQueries·shortlist rows) and broadcast,
+    * so the re-rank is one broadcast-hash join against the embedding scan
+    * plus the bounded-heap top-k. */
+  private def exactRerank(spark: SparkSession, dir: String,
+                          shortIds: DataFrame, nQueries: Int,
+                          k: Int): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val qraw = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val slq = shortIds.join(qraw, "q_id")
+    val scored = emb
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+      .join(broadcast(slq), "cand_id")
+      .select(col("q_id"), col("cand_id"),
+        round(GraftFunctions.dot(col("qv"), col("cv")) /
+          nullif(col("qn") * col("cn"), lit(0.0)), 6).as("cos_sim"))
+    topKSelect(scored, k)
+  }
+
+  /** PQ asymmetric-distance top-k (ADC, Jégou et al. 2011): each query
+    * builds its [[pqM]]×ksub distance table once, the CODE table scan
+    * scores every candidate with 8 table lookups + 7 adds (no dot
+    * products, no raw vectors), the bounded-heap keeps the `shortlist`
+    * closest per query, and the exact cosine re-ranks that bounded set
+    * from the raw lake. At 100 TB the scored scan reads 8 byte-ish code
+    * columns instead of 512-byte vectors — the 64× I/O drop is the whole
+    * point of PQ — and the only full-width read is the broadcast re-rank
+    * join. Deterministic (seeded fit, fixed fold orders, id tie-breaks);
+    * hash-checked end to end via the [[pqCodebooksDump]] twin. */
+  def pqTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
+                   k: Int = 10, shortlist: Int = 64): DataFrame = {
+    val fp = embFingerprint(spark, dir)
+    val codesTable = ensurePqCodes(spark, dir, fp)
+    val queries = pqQueryDtab(spark, dir, nQueries, pqCodebooks(spark, dir, fp))
+    val short = spark.table(codesTable)
+      .crossJoin(broadcast(queries))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), adcExpr.as("adc"))
+    val shortIds = short.groupBy(col("q_id"))
+      .agg(GraftFunctions.topK(struct(col("adc"), col("cand_id")), shortlist)
+        .as("top"))
+      .select(col("q_id"), explode(col("top")).as("e"))
+      .select(col("q_id"), col("e.cand_id").as("cand_id"))
+    exactRerank(spark, dir, shortIds, nQueries, k)
+  }
+
+  /** Publish the IVF-PQ layout: (vec_id, code_0 … code_7) hive-partitioned
+    * by the IVF coarse cell — the IVFADC file structure (Jégou et al.
+    * 2011 §5): coarse cells bound WHICH rows a query reads (partition
+    * pruning), PQ codes bound HOW WIDE each read row is (8 bytes). Codes
+    * here quantize the normalized vector itself (not the cell residual);
+    * the residual refinement is the documented continuation — it sharpens
+    * ADC at equal bytes but needs per-(query, cell) distance tables. */
+  private[ops] def ensureIvfPqCodes(spark: SparkSession, dir: String,
+                                    fp: Long): String = {
+    GraftFunctions.register(spark)
+    val nlist = adaptiveNlist(embCount(spark, dir, fp))
+    val cents = quantizerCentroids(spark, dir, nlist, fp = fp)
+    val cbs = pqCodebooks(spark, dir, fp)
+    FeatureStore.ensurePartitionedTable(spark,
+      assignCells(embNormalized(spark, dir), cents)
+        .select(col("vec_id") +: pqCodeCols(cbs) :+ col("cell"): _*),
+      s"graft_ivfpq_codes_${Relational.dirSlug(dir)}", "cell", fp)
+  }
+
+  /** IVF-PQ top-k — the composed billion-scale retrieval plan: rank the
+    * broadcast IVF centroids per query ([[ivfTopKCosine]]'s probe
+    * arithmetic, replayable from the centroid dump), scan ONLY the probed
+    * cell partitions of the PQ code table (dynamic partition pruning ×
+    * 8-byte rows: at the 4096-cell / 128-probe rung that is ~3% of the
+    * corpus at 1/64 width ≈ 0.05% of the raw-lake bytes per query batch),
+    * ADC-shortlist with the bounded heap, exact-cosine re-rank the
+    * bounded set. Hash-checked end to end from the two dumps
+    * ([[ivfCentroidsDump]] + [[pqCodebooksDump]]). */
+  def ivfPqTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
+                      k: Int = 10, nProbe: Int = 0,
+                      shortlist: Int = 64): DataFrame = {
+    val fp = embFingerprint(spark, dir)
+    val codesTable = ensureIvfPqCodes(spark, dir, fp)
+    val nlist = adaptiveNlist(embCount(spark, dir, fp))
+    val probes = if (nProbe == 0) adaptiveNProbe(nlist) else nProbe
+    val centroids = quantizerCentroids(spark, dir, nlist, fp = fp)
+    val centDf = spark.createDataFrame(
+      centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+    val queries = embWithNorm(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val probed = queries.crossJoin(broadcast(centDf))
+      .withColumn("cdist",
+        GraftFunctions.dot(col("qv"), col("centroid").cast("array<double>")) /
+        nullif(col("qn") * sqrt(GraftFunctions.dot(
+          col("centroid").cast("array<double>"),
+          col("centroid").cast("array<double>"))), lit(0.0)))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cdist").desc, col("cell"))))
+      .where(col("crnk") <= probes)
+      .select(col("q_id"), col("cell"))
+    val probedQ = probed
+      .join(pqQueryDtab(spark, dir, nQueries, pqCodebooks(spark, dir, fp)),
+        "q_id")
+    val short = spark.table(codesTable)
+      .join(broadcast(probedQ), Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), adcExpr.as("adc"))
+    val shortIds = short.groupBy(col("q_id"))
+      .agg(GraftFunctions.topK(struct(col("adc"), col("cand_id")), shortlist)
+        .as("top"))
+      .select(col("q_id"), explode(col("top")).as("e"))
+      .select(col("q_id"), col("e.cand_id").as("cand_id"))
+    exactRerank(spark, dir, shortIds, nQueries, k)
   }
 
   /** kNN label vote: predict each query vector's label by majority vote

@@ -45,7 +45,11 @@ class ContractSpec extends SparkSpec {
       "q_dedup_embed_lsh twin replays (banding + cosine verify)"),
     "q_sim_ivf_centroids" -> ("k-means fit is engine-specific (seeded " +
       "kmeans++ on a bounded sample); its centroids are the INPUT the " +
-      "hash-checked q_sim_ivf_topk twin replays end to end"))
+      "hash-checked q_sim_ivf_topk twin replays end to end"),
+    "q_sim_pq_codebooks" -> ("per-subspace k-means fit is engine-specific " +
+      "(seeded kmeans++ on a bounded sample); its centroids are the INPUT " +
+      "the hash-checked q_sim_pq_codes/q_sim_pq_topk/q_sim_ivfpq_topk " +
+      "twins replay end to end"))
 
   test("rows-only set: exactly the enlisted irreducible queries") {
     val declared = SparkEntry.queries.keySet

@@ -518,4 +518,79 @@ class SimilaritySpec extends SparkSpec {
     val both = out.filter(r => r.get(3) != null && r.get(4) != null)
     both.foreach(r => assert(r.getDouble(2) > 1.0 / 61.0 - 1e-9))
   }
+
+  test("PQ: adaptive ksub rungs; code table one row per (vector, subspace), codes in range") {
+    assert(Similarity.adaptivePqKsub(500) === 16)
+    assert(Similarity.adaptivePqKsub(2048) === 16)
+    // 256 = the standard one-byte code above the gate rung
+    assert(Similarity.adaptivePqKsub(2049) === 256)
+    assert(Similarity.adaptivePqKsub(100000000) === 256)
+    val codes = Similarity.pqCodesDump(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(codes.length === Similarity.pqM * n,
+      s"expected ${Similarity.pqM} code rows per vector")
+    assert(codes.forall { r =>
+      val c = r.getAs[Long]("code"); c >= 0 && c < 16 })
+    assert(codes.forall { r =>
+      val s = r.getAs[Long]("subspace"); s >= 0 && s < Similarity.pqM })
+  }
+
+  test("PQ ADC top-k: usable recall on the decorrelated gate corpus, deterministic") {
+    // the sf corpus is random Gaussians — near-worst-case for any
+    // quantizer (no cluster structure for the codebooks to exploit), so
+    // this pins the FLOOR; the planted-cluster spec below pins the
+    // contract regime. Measured 0.62 at ksub=16, shortlist 64.
+    val exact = Similarity.topKCosine(spark, sf, nQueries = 10, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val a = Similarity.pqTopKCosine(spark, sf, nQueries = 10, k = 10).collect()
+    val b = Similarity.pqTopKCosine(spark, sf, nQueries = 10, k = 10).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    val pq = a.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    info(f"PQ ADC recall@10 vs exact (decorrelated): $recall%.2f")
+    assert(recall >= 0.5, s"PQ recall $recall below 0.5")
+  }
+
+  test("IVF-PQ: probing every cell reproduces plain PQ exactly") {
+    // with nProbe = nlist the partition pruning admits every candidate,
+    // so the ADC shortlist — and therefore the re-ranked top-k — must be
+    // IDENTICAL to the unpartitioned PQ scan: the cells only ever bound
+    // WHICH rows are read, never how they are scored
+    val all = Similarity.ivfPqTopKCosine(spark, sf, nQueries = 5, k = 10,
+      nProbe = Similarity.ivfNlist).collect()
+    val pq = Similarity.pqTopKCosine(spark, sf, nQueries = 5, k = 10).collect()
+    assert(all.map(_.toString).sameElements(pq.map(_.toString)))
+  }
+
+  test("PQ 256-code rung: planted clusters, ADC and IVF-PQ recall@10 high") {
+    // 3000 rows > 2048 ⇒ ksub = 256 (one-byte codes) and nlist = 256;
+    // clustered geometry = the contract regime (same corpus shape as the
+    // IVF rung spec, different seed so the fits are independent)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_rung").toString
+    val rnd = new scala.util.Random(23)
+    val centres = Array.fill(20)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    import spark.implicits._
+    val rows = (0 until 3000).map { i =>
+      val c = centres(i % 20)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq, i % 20)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // the dump reflects the rung: 8 subspaces x 256 codes x 8 dims
+    val cb = Similarity.pqCodebooksDump(spark, dir).collect()
+    assert(cb.length === 8 * 256 * 8, s"codebook dump ${cb.length} rows")
+    val exact = Similarity.topKCosine(spark, dir, nQueries = 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val pq = Similarity.pqTopKCosine(spark, dir, nQueries = 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val pqRecall = exact.intersect(pq).size.toDouble / exact.size
+    val ivfpq = Similarity.ivfPqTopKCosine(spark, dir, nQueries = 5, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivfpqRecall = exact.intersect(ivfpq).size.toDouble / exact.size
+    info(f"planted-cluster recall@10: PQ $pqRecall%.2f, IVF-PQ $ivfpqRecall%.2f")
+    assert(pqRecall >= 0.8, s"PQ planted recall $pqRecall below 0.8")
+    assert(ivfpqRecall >= 0.7, s"IVF-PQ planted recall $ivfpqRecall below 0.7")
+  }
 }
