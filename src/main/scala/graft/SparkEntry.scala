@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
 import graft.model.Metrics
-import graft.ops.{Dedup, Events, Features, Graph, Materialize, Mining, Multimodal, Relational, Similarity, Text, TimeSeries, Validate}
+import graft.ops.{Dedup, Events, Features, Graph, Layout, Materialize, Mining, Multimodal, Relational, Similarity, Text, TimeSeries, Validate}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -117,6 +117,10 @@ object SparkEntry {
     "q_ts_forecast" -> ((s, d) => TimeSeries.revenueForecastBacktest(s, d)),
     "q_profile_skew" -> ((s, d) => Stats.keySkewProfile(s, d)),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
+    // z-order layout audit [EXT]: exact-integer Morton clustering of
+    // orders over (custkey, day) — the multi-dimensional stats-pruning
+    // layout; the twin replays scale → interleave → bucket bit-for-bit
+    "q_layout_zorder" -> ((s, d) => Layout.zorderBucketStats(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // ORACLE-CHECKED via the q_sim_ivf_centroids dump twin: given the
     // published centroids, cell assignment (argmin |c|²−2·v·c), probe
@@ -1728,6 +1732,26 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE(r_name, c_mktsegment)
         |ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    // z-order replay: rank-scale both dims by exact integer arithmetic,
+    // Morton-interleave (the 32-term shift/mask expression is GENERATED
+    // from Layout.zBits — the twin cannot drift from the engine), bucket
+    // by the top 8 z-bits, report per-bucket envelopes.
+    "q_layout_zorder" ->
+      s"""WITH od AS (SELECT o_orderkey, o_custkey,
+         |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+         | FROM orders),
+         |st AS (SELECT min(o_custkey) AS mn_c, max(o_custkey) AS mx_c,
+         |        min(day) AS mn_d, max(day) AS mx_d FROM od),
+         |zv AS (SELECT o_orderkey, o_custkey, day,
+         |  COALESCE(((o_custkey - mn_c) * 65535) // NULLIF(mx_c - mn_c, 0), 0) AS u,
+         |  COALESCE(((day - mn_d) * 65535) // NULLIF(mx_d - mn_d, 0), 0) AS v
+         | FROM od CROSS JOIN st),
+         |z AS (SELECT o_orderkey, o_custkey, day,
+         |  (${graft.ops.Layout.interleaveSql("u", "v")}) AS zval FROM zv)
+         |SELECT zval >> 24 AS bucket, count(*) AS n,
+         | min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+         | min(day) AS min_day, max(day) AS max_day
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_text_tokens" ->
       """SELECT token, count(*) AS n FROM (
         | SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token

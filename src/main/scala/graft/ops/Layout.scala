@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multi-dimensional data-layout clustering (SURVEY.md §2.B scan/layout
+  * rows): Morton/z-order interleaving of two sort dimensions, the
+  * lakehouse `OPTIMIZE ZORDER BY` primitive (public precedents: Delta
+  * Lake OPTIMIZE, Databricks' z-ordering writeups; the curve itself is
+  * Morton 1966). A 1-D sort makes parquet min/max stats razor-tight on
+  * the sort key and USELESS on every other column — each file spans the
+  * full range of dim 2, so a dim-2 predicate skips nothing. Interleaving
+  * the bit-planes of both (rank-normalized) dimensions gives files that
+  * cover a narrow range of BOTH columns, so stats-based pruning (parquet
+  * row-group min/max, file-level stats indexes) works for either
+  * predicate — the difference between scanning 100 TB and scanning the
+  * ~1/√files slice that can match.
+  *
+  * Everything here is exact integer arithmetic (rank scaling by integer
+  * division, bit shifts and masks), so the DuckDB oracle replays the
+  * z-values bit-for-bit — the layout decision itself is hash-checked,
+  * not just asserted.
+  */
+object Layout {
+
+  /** Bits per dimension in the interleave: 16 ⇒ a 32-bit z-value. 2¹⁶
+    * rank buckets per dimension is far finer than any practical file
+    * count; finer widths would only interleave noise bits. */
+  val zBits = 16
+
+  /** Morton interleave of two [[zBits]]-bit non-negative long columns:
+    * bit i of `a` lands at z-bit 2i, bit i of `b` at 2i+1. Pure
+    * shift/mask arithmetic — whole-stage-codegen'd, and replayed
+    * verbatim by [[interleaveSql]]. */
+  def interleave(a: Column, b: Column): Column =
+    (0 until zBits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduceLeft(_ bitwiseOR _)
+
+  /** The same interleave as a DuckDB SQL expression over two integer
+    * column expressions — generated from the SAME zBits constant so the
+    * twin can never drift from the engine. */
+  def interleaveSql(a: String, b: String): String =
+    (0 until zBits).map { i =>
+      s"(((($a) >> $i) & 1) << ${2 * i}) | (((($b) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
+  /** Scale a long column into [0, 2^zBits − 1] by exact integer
+    * arithmetic against broadcast min/max stats: u = (x−mn)·(2¹⁶−1) div
+    * (mx−mn), degenerate (mx = mn) columns map to 0. `div` is integer
+    * division — identical to DuckDB `//` for the non-negative operands
+    * here. */
+  private def rankScale(x: Column, mn: Column, mx: Column): Column =
+    coalesce(call_function("div", (x - mn) * lit(65535L),
+      nullif(mx - mn, lit(0L))).cast("long"), lit(0L))
+
+  /** Orders with the two clustering dimensions as longs: customer key
+    * and the epoch-day of the order date — the classic "query by
+    * customer OR by date window" pair that 1-D sorting can only serve
+    * one side of. */
+  private def ordersDims(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")).cast("long").as("day"))
+
+  /** Per-row z-values for `orders` over (o_custkey, day): one stats
+    * aggregate (4 longs, broadcast), then a pure projection. This is the
+    * clustering key [[zorderClustered]] range-partitions and sorts by —
+    * at 100 TB the stats pass is one narrow scan and the write is the
+    * same shuffle any re-clustering compaction pays. */
+  def ordersZ(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersDims(spark, dir)
+    val stats = o.agg(
+      min(col("o_custkey")).as("mn_c"), max(col("o_custkey")).as("mx_c"),
+      min(col("day")).as("mn_d"), max(col("day")).as("mx_d"))
+    o.crossJoin(broadcast(stats))
+      .withColumn("u", rankScale(col("o_custkey"), col("mn_c"), col("mx_c")))
+      .withColumn("v", rankScale(col("day"), col("mn_d"), col("mx_d")))
+      .withColumn("z", interleave(col("u"), col("v")))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"), col("z"))
+  }
+
+  /** DECLARED z-order audit query: bucket the z-curve into 256 segments
+    * (top 8 of the 32 z-bits) and report each segment's row count and
+    * per-dimension envelope — the per-file min/max stats a z-ordered
+    * write at 256 files would publish. Tight envelopes on BOTH columns
+    * (vs a 1-D sort's full-range dim-2 envelopes) are exactly the
+    * property that makes stats pruning work; the DuckDB twin replays the
+    * full scale→interleave→bucket arithmetic, so the hash check covers
+    * the layout computation end to end. */
+  def zorderBucketStats(spark: SparkSession, dir: String): DataFrame =
+    ordersZ(spark, dir)
+      .groupBy(shiftright(col("z"), 24).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy(col("bucket"))
+
+  /** Cluster a frame for writing: range-partition into `nFiles` splits
+    * by the given key and sort within each — one file per partition with
+    * contiguous key ranges, the shape every stats-indexed write wants
+    * (same discipline as the hive-partitioned publishes: no tasks ×
+    * partitions file scatter). The caller writes the result; the helper
+    * column is dropped after partitioning. */
+  def clusteredBy(df: DataFrame, key: Column, nFiles: Int): DataFrame =
+    df.withColumn("__ck", key)
+      .repartitionByRange(nFiles, col("__ck"))
+      .sortWithinPartitions(col("__ck"))
+      .drop("__ck")
+}

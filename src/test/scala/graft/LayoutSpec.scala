@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+import graft.sources.Tables
+
+class LayoutSpec extends SparkSpec {
+
+  test("interleave: matches the bit-loop reference on boundary and random values") {
+    // Scala reference: bit i of a -> z-bit 2i, bit i of b -> 2i+1
+    def ref(a: Long, b: Long): Long =
+      (0 until Layout.zBits).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(5)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (21845L, 43690L)) ++
+      Seq.fill(20)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    import spark.implicits._
+    val out = cases.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.interleave(col("a"), col("b")).as("z"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("z") === ref(r.getAs[Long]("a"), r.getAs[Long]("b")),
+        s"interleave mismatch at (${r.get(0)}, ${r.get(1)})")
+    }
+    // the known checkerboard: a = 0x5555 (bits at even i), b = 0xAAAA
+    // (bits at odd i) → z-bits {4k} from a and {4k+3} from b, i.e. the
+    // nibble 1001 repeated: 0x99999999 — sanity that bit planes don't swap
+    assert(ref(21845L, 43690L) === 0x99999999L)
+  }
+
+  test("zorder bucket stats: partition of the corpus, envelopes within global range") {
+    val stats = Layout.zorderBucketStats(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(stats.map(_.getAs[Long]("n")).sum === n)
+    assert(stats.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b < 256 })
+    val gMinC = stats.map(_.getAs[Long]("min_cust")).min
+    val gMaxC = stats.map(_.getAs[Long]("max_cust")).max
+    stats.foreach { r =>
+      assert(r.getAs[Long]("min_cust") >= gMinC &&
+        r.getAs[Long]("max_cust") <= gMaxC)
+      assert(r.getAs[Long]("min_day") <= r.getAs[Long]("max_day"))
+    }
+  }
+
+  test("z-clustered files: BOTH dimensions bounded; 1-D sort leaves dim 2 full-range") {
+    // the property the layout exists for: after clusteredBy(z), each
+    // file's min/max envelope is narrow on custkey AND day, so stats
+    // pruning works for either predicate; after a custkey sort each
+    // file spans ~the whole day range and a day predicate prunes nothing
+    val nFiles = 16
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val o = Layout.ordersZ(spark, sf)
+    Layout.clusteredBy(o.drop("z"), col("o_custkey"), nFiles)
+      .write.mode("overwrite").parquet(s"$tmp/bycust")
+    Layout.clusteredBy(o, col("z"), nFiles).drop("z")
+      .write.mode("overwrite").parquet(s"$tmp/byz")
+    def coverage(path: String): (Long, Long, Int) = {
+      val per = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("day") - min("day")).as("dr"),
+          (max("o_custkey") - min("o_custkey")).as("cr"))
+        .collect()
+      (per.map(_.getAs[Long]("dr")).sum, per.map(_.getAs[Long]("cr")).sum,
+        per.length)
+    }
+    val (cDay, cCust, cN) = coverage(s"$tmp/bycust")
+    val (zDay, zCust, zN) = coverage(s"$tmp/byz")
+    assert(cN === nFiles && zN === nFiles)
+    val all = o.agg((max("day") - min("day")).as("d"),
+      (max("o_custkey") - min("o_custkey")).as("c")).collect()(0)
+    val (fullDay, fullCust) = (all.getLong(0), all.getLong(1))
+    info(s"day coverage: custkey-sorted $cDay vs z-ordered $zDay " +
+      s"(full range $fullDay x $nFiles files)")
+    info(s"custkey coverage: custkey-sorted $cCust vs z-ordered $zCust " +
+      s"(full range $fullCust x $nFiles files)")
+    // 1-D sort: every file spans ~the full day range
+    assert(cDay > (nFiles - 2) * (fullDay * 8 / 10),
+      s"expected near-full day coverage under custkey sort, got $cDay")
+    // z-order: day coverage collapses (each file covers a curve slice)
+    assert(zDay * 2 < cDay,
+      s"z-order day coverage $zDay not < half of custkey-sorted $cDay")
+    // ... while custkey stays bounded well under full-range-per-file
+    assert(zCust < nFiles * fullCust * 8 / 10,
+      s"z-order custkey coverage $zCust not bounded vs ${nFiles * fullCust}")
+  }
+}
