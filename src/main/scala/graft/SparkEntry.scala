@@ -112,6 +112,10 @@ object SparkEntry {
     "q_text_sparse_sim" -> ((s, d) => Text.sparseSimilarPairs(s, d)),
     "q_er_clusters" -> ((s, d) => Mining.entityClusters(s, d)),
     "q_graph_triangles" -> ((s, d) => Graph.tradeTriangles(s, d)),
+    // deterministic synchronous LPA communities over the strong trade
+    // graph (fixed rounds, weighted vote, (weight desc, label) tie) —
+    // the twin unrolls the same rounds as generated CTE pairs
+    "q_graph_communities" -> ((s, d) => Graph.tradeCommunities(s, d)),
     "q_graph_shortest" -> ((s, d) => Graph.boundedShortestPaths(s, d)),
     "q_text_ppjoin" -> ((s, d) => Text.prefixFilterJoin(s, d)),
     "q_ts_forecast" -> ((s, d) => TimeSeries.revenueForecastBacktest(s, d)),
@@ -155,6 +159,9 @@ object SparkEntry {
     "q_text_chunk_windows" -> ((s, d) => Text.chunkWindows(s, d)),
     "q_text_boilerplate" -> ((s, d) => Text.boilerplateSpans(s, d)),
     "q_text_boiler_ratio" -> ((s, d) => Text.boilerplateRatio(s, d)),
+    // exact-substring dedup audit (Lee et al. ACL'22): maximal per-doc
+    // spans whose every 16-token window recurs verbatim in another doc
+    "q_text_substr_spans" -> ((s, d) => Text.substringDupSpans(s, d)),
     "q_text_vocab" -> ((s, d) => Text.vocabStats(s, d)),
     "q_text_zipf" -> ((s, d) => Text.zipfSlope(s, d)),
     "q_text_oov" -> ((s, d) => Text.oovRate(s, d)),
@@ -1417,6 +1424,45 @@ object SparkEntry {
         |SELECT n_name, CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles
         |FROM nation LEFT JOIN pn ON n_nationkey = node
         |ORDER BY n_triangles DESC, n_name""".stripMargin,
+    // synchronous LPA replay: the same strong-edge cut as the triangles
+    // twin (weights kept), then Graph.lpaIters unrolled vote/update CTE
+    // pairs GENERATED from the same constant — weighted vote sums are
+    // exact integers, tie-break (vote desc, label asc) via row_number.
+    "q_graph_communities" -> {
+      val rounds = (1 to Graph.lpaIters).map { i =>
+        val prev = s"l${i - 1}"
+        s"""v$i AS (SELECT sym.src, $prev.lbl, CAST(sum(sym.w) AS BIGINT) AS vw
+           | FROM sym JOIN $prev ON sym.dst = $prev.node GROUP BY 1, 2),
+           |b$i AS (SELECT src AS node, lbl FROM (
+           |  SELECT src, lbl,
+           |   row_number() OVER (PARTITION BY src ORDER BY vw DESC, lbl) AS r
+           |  FROM v$i) WHERE r = 1),
+           |l$i AS (SELECT $prev.node, COALESCE(b$i.lbl, $prev.lbl) AS lbl
+           | FROM $prev LEFT JOIN b$i ON $prev.node = b$i.node)""".stripMargin
+      }.mkString(",\n")
+      val last = s"l${Graph.lpaIters}"
+      s"""WITH und AS (
+         | SELECT least(c_nationkey, s_nationkey) AS a,
+         |  greatest(c_nationkey, s_nationkey) AS b, count(*) AS w
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         | WHERE c_nationkey <> s_nationkey
+         | GROUP BY 1, 2),
+         |tot AS (SELECT count(*) AS ne, CAST(sum(w) AS BIGINT) AS sw FROM und),
+         |strong AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, w
+         |           FROM und, tot WHERE w * ne > sw),
+         |sym AS (SELECT a AS src, b AS dst, w FROM strong
+         |        UNION ALL SELECT b, a, w FROM strong),
+         |l0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |        CAST(n_nationkey AS BIGINT) AS lbl FROM nation),
+         |$rounds,
+         |cs AS (SELECT lbl, count(*) AS community_size FROM $last GROUP BY lbl)
+         |SELECT n_name, $last.lbl AS community, cs.community_size
+         |FROM nation JOIN $last ON n_nationkey = $last.node
+         |     JOIN cs ON $last.lbl = cs.lbl
+         |ORDER BY n_name""".stripMargin
+    },
     // bounded-hop cheapest routes: the recursive CTE enumerates every
     // ≤4-leg walk from the source — the exact walk set the Spark side's
     // 4 Bellman-Ford relaxation rounds minimize over
@@ -2298,6 +2344,52 @@ object SparkEntry {
          | floor(CAST(sum(is_shared) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
          |   AS shared_ratio
          |FROM x GROUP BY source ORDER BY source""".stripMargin,
+    // exact-substring span replay: stride-1 rolling 16-gram window
+    // hashes (the NGramHashes fold, generated from the same constants),
+    // cross-doc window set, per-doc island merge by one sorted window
+    // pass — positions and span extents replayed bit-for-bit.
+    "q_text_substr_spans" -> {
+      val w = Text.substrWindowTokens
+      val chain = (1 until w).foldLeft("th[i]") {
+        (acc, j) => s"($acc * ${Dedup.shingleMult} + th[i+$j]) % ${Dedup.P}"
+      }
+      s"""WITH t AS (
+         | SELECT doc_id, list_filter(string_split(text,' '), s -> len(s)>0) AS toks
+         | FROM documents),
+         |th AS (
+         | SELECT doc_id, list_transform(toks, tok ->
+         |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |     list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+         |     (acc,c) -> (acc*31 + c) % ${Dedup.P})) AS th
+         | FROM t WHERE len(toks) >= $w),
+         |wn0 AS (
+         | SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+         |  unnest(list_transform(generate_series(1, len(th) - ${w - 1}),
+         |    i -> {'pos': CAST(i - 1 AS BIGINT), 'wh': ($chain)})) AS u
+         | FROM th),
+         |wn AS (SELECT doc_id, n_tokens, u.pos AS pos, u.wh AS wh FROM wn0),
+         |dh AS (SELECT wh FROM wn GROUP BY wh
+         |       HAVING count(DISTINCT doc_id) >= 2),
+         |dup AS (SELECT wn.doc_id, wn.n_tokens, wn.pos
+         |        FROM wn JOIN dh USING (wh)),
+         |sp AS (SELECT doc_id, n_tokens, pos,
+         |  CASE WHEN pos > COALESCE(lag(pos) OVER
+         |    (PARTITION BY doc_id ORDER BY pos), ${-(w + 1)}) + $w
+         |   THEN 1 ELSE 0 END AS ns
+         | FROM dup),
+         |si AS (SELECT doc_id, n_tokens, pos,
+         |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS span_id
+         | FROM sp),
+         |sg AS (SELECT doc_id, n_tokens, span_id,
+         |  min(pos) AS s, max(pos) + ${w - 1} AS e
+         | FROM si GROUP BY doc_id, n_tokens, span_id)
+         |SELECT doc_id, count(*) AS n_spans,
+         | CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens, n_tokens,
+         | round(CAST(sum(e - s + 1) AS DOUBLE) / n_tokens, 6) AS dup_frac,
+         | CAST(min(s) AS BIGINT) AS first_start
+         |FROM sg GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+    },
     "q_ml_logloss" -> {
       val scoreExprs = mlScoreExprs
       val names = (0 until Metrics.numClasses).map(c => s"score_$c")

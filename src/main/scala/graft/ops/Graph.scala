@@ -192,4 +192,73 @@ object Graph {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("n_name"))
   }
+
+  /** Fixed LPA round count — shared with the generated DuckDB twin
+    * (one unrolled CTE pair per round). */
+  val lpaIters = 4
+
+  /** Label-propagation communities (Raghavan, Albert & Kumara, Phys.
+    * Rev. E 2007) over the strong trade graph — the near-linear-time
+    * community detector every graph stack ships (GraphFrames/GraphX
+    * `labelPropagation`). DETERMINISTIC variant: SYNCHRONOUS rounds
+    * (the classic async sweep is visit-order-dependent — unusable as a
+    * cross-engine contract), weighted neighbour vote (edge weight =
+    * trade volume), tie-break (vote weight desc, label asc), a FIXED
+    * [[lpaIters]] rounds rather than a convergence test, and isolated
+    * nodes keep their own label. Labels init to the node id.
+    *
+    * Graph: the same integer-exact above-average-weight edge cut as
+    * [[tradeTriangles]] (shared builder semantics, weights kept).
+    *
+    * Scale shape: per round ONE join of the edge list against the
+    * (node, label) frame and one (node, label) group-by — both
+    * partition by node id; no per-node adjacency materialization, no
+    * driver state. Rounds localCheckpoint the label frame so the plan
+    * does not grow 4× (the [[nationTradePageRank]] discipline). */
+  def tradeCommunities(spark: SparkSession, dir: String,
+                       iters: Int = lpaIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val und = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val tot = und.agg(count(lit(1)).as("ne"), sum(col("w")).as("sw"))
+    val strong = und.crossJoin(broadcast(tot))
+      .where(col("w") * col("ne") > col("sw"))
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+        col("w"))
+      .localCheckpoint()
+    val sym = strong.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(strong.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val nodes = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 0 until iters) {
+      val votes = sym
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl")).agg(sum(col("w")).as("vw"))
+      val best = votes
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("vw").desc, col("lbl"))))
+        .where(col("r") === 1)
+        .select(col("src").as("node"), col("lbl").as("new_lbl"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    nodes.join(labels, "node").join(sizes, "lbl")
+      .select(col("n_name"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy(col("n_name"))
+  }
 }

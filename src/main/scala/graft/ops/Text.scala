@@ -638,6 +638,84 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Exact-substring span width (tokens) — shared with the generated
+    * DuckDB twin. 16 tokens ≈ the shortest span worth excising; Lee et
+    * al. use 50 BPE tokens on web-scale corpora, the principle is the
+    * window length, not the constant. */
+  val substrWindowTokens = 16
+
+  /** Exact substring-duplication audit (Lee, Ippolito et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 — the EXACT-SUBSTRING dedup modality): find, per document, the
+    * maximal token spans whose every [[substrWindowTokens]]-token window
+    * also appears verbatim in at least one OTHER document. Document-level
+    * dedup (MinHash/SimHash families above) removes whole near-copies;
+    * this catches the memorization-relevant case where two otherwise
+    * distinct documents share a long verbatim run (quotes, licenses,
+    * syndicated paragraphs) that should be excised once, not trained on
+    * twice.
+    *
+    * Pipeline: one token-hash pass → stride-1 rolling window hashes (the
+    * native O(n) [[graft.functions.NGramHashes]] combine, the same
+    * arithmetic as the boilerplate miner's windows) → cross-document
+    * window hashes (distinct-doc count ≥ minDocs) → per-doc position
+    * islands merged into maximal spans by one sorted window pass (a new
+    * span starts where the gap to the previous duplicated window exceeds
+    * the window width) → per-doc span report (count, duplicated tokens,
+    * fraction, first offset).
+    *
+    * Shape at 100 TB: the window stream is a projection off one scan
+    * (O(tokens) rows of (pos, hash) pairs — this is the suffix-array
+    * substitute that distributes: no global suffix sort, one hash
+    * group-by bounded by distinct windows, one semi join back, and the
+    * island merge partitions BY DOCUMENT, so no cross-doc ordering
+    * exists anywhere). Every step is the shared integer poly-hash fold —
+    * the DuckDB twin replays positions and extents bit-for-bit. */
+  def substringDupSpans(spark: SparkSession, dir: String): DataFrame =
+    substringDupSpansOf(Tables.documents(spark, dir))
+
+  /** Core of [[substringDupSpans]] over any documents-shaped frame. */
+  private[graft] def substringDupSpansOf(docs: DataFrame,
+                                         w: Int = substrWindowTokens,
+                                         minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val th = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.tokenHashes(col("text")).as("th"))
+      .where(size(col("th")) >= w)
+      .select(col("doc_id"), size(col("th")).cast("long").as("n_tokens"),
+        graft.functions.GraftFunctions.ngramHashes(col("th"), w).as("whs"))
+    val wins = th.select(col("doc_id"), col("n_tokens"),
+      posexplode(col("whs")).as(Seq("pos", "wh")))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"),
+        col("wh"))
+    val dupHash = wins.groupBy(col("wh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("wh"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = wins.join(dupHash, Seq("wh"), "left_semi")
+      .withColumn("newspan",
+        when(col("pos") >
+          coalesce(lag(col("pos"), 1).over(byPos), lit(-(w + 1L))) + w, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("newspan")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + w - 1).as("e"))
+    spans.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        min(col("s")).as("first_start"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"),
+        col("first_start"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Default mixing temperature — shared with the generated DuckDB twin
     * so both engines exponentiate with the IDENTICAL double (0.7 - 1 is
     * NOT the double -0.3; the oracle embeds this constant via toString

@@ -85,4 +85,52 @@ class GraphSpec extends SparkSpec {
       Graph.tradeTriangles(spark, sf).collect().toSeq)
     df.unpersist()
   }
+
+  test("communities: exact vs driver-side synchronous LPA replay, sizes consistent") {
+    val df = Graph.tradeCommunities(spark, sf).cache()
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === Tables.nation(spark, sf).count())
+    // community_size must equal the actual label multiplicity
+    val mult = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (_, lbl, sz) => assert(sz === mult(lbl)) }
+    // independent reimplementation: collect the same strong weighted
+    // edge list and run Graph.lpaIters synchronous weighted-vote rounds
+    // in plain Scala — tie-break (vote desc, label asc), absent voters
+    // keep their label — the engine must match it exactly
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey"))
+    val und = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2)))
+    val sw = und.map(_._3).sum
+    val ne = und.length.toLong
+    val strong = und.filter { case (_, _, w) => w * ne > sw }
+    val sym = strong.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val nodeIds = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    var labels: Map[Long, Long] = nodeIds.map(n => n -> n).toMap
+    for (_ <- 0 until Graph.lpaIters) {
+      val votes = sym.groupBy(_._1).map { case (src, es) =>
+        val byLbl = es.groupBy { case (_, dst, _) => labels(dst) }
+          .view.mapValues(_.map(_._3).sum).toSeq
+        src -> byLbl.minBy { case (lbl, vw) => (-vw, lbl) }._1
+      }
+      labels = labels.map { case (n, l) => n -> votes.getOrElse(n, l) }
+    }
+    rows.foreach { case (name, lbl, _) =>
+      val node = name.stripPrefix("NATION_").toLong
+      assert(lbl === labels(node), s"label mismatch for $name")
+    }
+    // determinism: re-run is bit-identical
+    assert(df.collect().toSeq === Graph.tradeCommunities(spark, sf).collect().toSeq)
+    df.unpersist()
+  }
 }

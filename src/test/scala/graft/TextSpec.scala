@@ -585,4 +585,40 @@ class TextSpec extends SparkSpec {
     assert(nCand < n * (n - 1) / 2 / 20,
       s"prefix filter barely pruned: $nCand candidates for $n docs")
   }
+
+  test("substring spans: planted shared runs yield exact extents, islands merge, unique doc absent") {
+    import spark.implicits._
+    // doc 0 and doc 1 share an exact 20-token run (doc 0 at offset 3,
+    // doc 1 at offset 0); doc 1 and doc 3 additionally share a 16-token
+    // run placed > w tokens after doc 1's first run, so doc 1 must
+    // report TWO merged spans; doc 2 is entirely unique
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val shared2 = (1 to 16).map(i => s"also$i").mkString(" ")
+    val a = s"alpha beta gamma $shared delta epsilon"
+    val b = s"$shared zeta " +
+      (1 to 30).map(i => s"bfill$i").mkString(" ") + s" $shared2"
+    val c = (1 to 40).map(i => s"cuniq$i").mkString(" ")
+    val d = s"dstart $shared2 dtail1 dtail2"
+    val docs = Seq((0L, a, "en", "s"), (1L, b, "en", "s"),
+      (2L, c, "en", "s"), (3L, d, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.ops.Text.substringDupSpansOf(docs).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!byId.contains(2L), "unique doc reported a duplicated span")
+    // doc 0: 5 overlapping duplicated windows (pos 3..7) merge into ONE
+    // maximal span of exactly the 20 shared tokens at offset 3
+    assert(byId(0L).getAs[Long]("n_spans") === 1)
+    assert(byId(0L).getAs[Long]("dup_tokens") === 20)
+    assert(byId(0L).getAs[Long]("first_start") === 3)
+    // doc 1: two separated runs → two spans, 20 + 16 duplicated tokens
+    assert(byId(1L).getAs[Long]("n_spans") === 2)
+    assert(byId(1L).getAs[Long]("dup_tokens") === 36)
+    assert(byId(1L).getAs[Long]("first_start") === 0)
+    // doc 3: the 16-token run at offset 1 (single window = single span)
+    assert(byId(3L).getAs[Long]("n_spans") === 1)
+    assert(byId(3L).getAs[Long]("dup_tokens") === 16)
+    assert(byId(3L).getAs[Long]("first_start") === 1)
+    // fractions are span tokens over doc tokens (doc 0 has 25 tokens)
+    assert(math.abs(byId(0L).getAs[Double]("dup_frac") - 20.0 / 25) < 1e-9)
+  }
 }
