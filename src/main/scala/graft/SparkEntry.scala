@@ -162,6 +162,10 @@ object SparkEntry {
     // exact-substring dedup audit (Lee et al. ACL'22): maximal per-doc
     // spans whose every 16-token window recurs verbatim in another doc
     "q_text_substr_spans" -> ((s, d) => Text.substringDupSpans(s, d)),
+    // DSIR importance resampling (Xie et al. NeurIPS'23): hashed n-gram
+    // importance weights vs the target source's profile, exact integer
+    // micro-unit weights, per-source top-20% quota selection
+    "q_text_dsir" -> ((s, d) => Text.dsirWeights(s, d)),
     "q_text_vocab" -> ((s, d) => Text.vocabStats(s, d)),
     "q_text_zipf" -> ((s, d) => Text.zipfSlope(s, d)),
     "q_text_oov" -> ((s, d) => Text.oovRate(s, d)),
@@ -2389,6 +2393,53 @@ object SparkEntry {
          | round(CAST(sum(e - s + 1) AS DOUBLE) / n_tokens, 6) AS dup_frac,
          | CAST(min(s) AS BIGINT) AS first_start
          |FROM sg GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+    },
+    // DSIR replay: hashed unigram+bigram buckets (same polyHash/combine
+    // constants), add-one-smoothed bucket log-ratios vs the target
+    // source, per-(doc,bucket) terms rounded to integer micro-units
+    // BEFORE the per-doc sum (exact BIGINT — ln ulp noise absorbed,
+    // addition order irrelevant), per-source top-quota selection.
+    "q_text_dsir" -> {
+      val m = Dedup.shingleMult
+      val b = Text.dsirBuckets
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  list_filter(string_split(text,' '), s -> len(s)>0) AS toks
+         | FROM documents),
+         |th AS (
+         | SELECT doc_id, source, list_transform(toks, tok ->
+         |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |     list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+         |     (acc,c) -> (acc*31 + c) % ${Dedup.P})) AS th
+         | FROM t WHERE len(toks) >= 1),
+         |f0 AS (
+         | SELECT doc_id, source, unnest(list_concat(th,
+         |   list_transform(generate_series(1, len(th)-1),
+         |     i -> (th[i]*$m + th[i+1]) % ${Dedup.P}))) AS h
+         | FROM th),
+         |db AS (SELECT doc_id, source, CAST(h % $b AS INT) AS bucket,
+         |        count(*) AS c
+         |       FROM f0 GROUP BY 1, 2, 3),
+         |dist AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS rc,
+         |  CAST(sum(CASE WHEN source = '${Text.dsirTargetSource}' THEN c
+         |            ELSE 0 END) AS BIGINT) AS tc
+         | FROM db GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rt,
+         |        CAST(sum(tc) AS BIGINT) AS tt FROM dist),
+         |r AS (SELECT bucket,
+         |  ln((tc + 1.0) / (tt + $b.0)) - ln((rc + 1.0) / (rt + $b.0)) AS lr
+         | FROM dist, tot),
+         |w AS (SELECT db.doc_id, db.source,
+         |  CAST(sum(CAST(floor(CAST(c AS DOUBLE) * lr * 1e6 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS logw_micro
+         | FROM db JOIN r USING (bucket) GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY logw_micro DESC, doc_id) AS src_rank,
+         |  count(*) OVER (PARTITION BY source) AS n_src FROM w)
+         |SELECT doc_id, source, logw_micro, CAST(src_rank AS BIGINT) AS src_rank,
+         | CAST(CASE WHEN src_rank <= ceil(n_src * ${Text.dsirSelectFrac})
+         |      THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM rk ORDER BY doc_id""".stripMargin
     },
     "q_ml_logloss" -> {
       val scoreExprs = mlScoreExprs

@@ -716,6 +716,98 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR hashed-feature bucket count — shared with the generated DuckDB
+    * twin. 64 is the gate-rung constant; the published method uses 10k
+    * buckets at web scale, the contract is the bucket arithmetic. */
+  val dsirBuckets = 64
+
+  /** DSIR target slice: the source whose n-gram profile defines the
+    * "domain we want more of". Shared with the twin. */
+  val dsirTargetSource = "src0"
+
+  /** DSIR selection quota per source shard (top 20%). Shared with the
+    * twin. */
+  val dsirSelectFrac = 0.2
+
+  /** Data Selection via Importance Resampling (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023): score every document by how much more likely its hashed
+    * n-gram features are under a TARGET domain's profile than under the
+    * raw corpus profile, then keep a per-shard quota of the top-scored
+    * docs. The standard pre-training recipe for tilting a crawl toward
+    * a high-quality slice without training a classifier.
+    *
+    * DETERMINISTIC variant (the paper resamples with Gumbel noise —
+    * unusable as a cross-engine contract): features are hashed unigrams
+    * + bigrams into [[dsirBuckets]] buckets (the paper's hashing trick);
+    * bucket log-ratios use add-one smoothing
+    * `ln((tc+1)/(tT+B)) − ln((rc+1)/(rT+B))`; each per-(doc,bucket) term
+    * is rounded to integer MICRO-units before the per-doc sum, so the
+    * weight is an exact BIGINT (addition order cannot matter and the two
+    * engines' last-ulp `ln` noise is absorbed); selection is the top
+    * ⌈[[dsirSelectFrac]]·n⌉ per SOURCE by (weight desc, doc_id) — a
+    * per-shard quota, not a global sort.
+    *
+    * Scale shape: one token-hash pass; both distribution fits are
+    * B-row aggregates off the SAME per-(doc,bucket) count frame
+    * (target = filtered sum, raw = total sum) broadcast back; the only
+    * wide exchanges are the (doc,bucket) partial-agg shuffle and one
+    * window keyed by source (20 shards here; at 100 TB the shard key is
+    * whatever the corpus is already partitioned by — never a single
+    * global ordering). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(Tables.documents(spark, dir))
+
+  /** Core of [[dsirWeights]] over any documents-shaped frame. */
+  private[graft] def dsirWeightsOf(docs: DataFrame,
+                                   b: Int = dsirBuckets,
+                                   target: String = dsirTargetSource,
+                                   frac: Double = dsirSelectFrac): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val th = docs
+      .select(col("doc_id"), col("source"),
+        graft.functions.GraftFunctions.tokenHashes(col("text")).as("th"))
+      .where(size(col("th")) >= 1)
+    // hashed unigram + bigram features in one projection (NGramHashes
+    // yields an empty array below 2 tokens — no guard needed)
+    val feats = th.select(col("doc_id"), col("source"),
+      explode(concat(col("th"),
+        graft.functions.GraftFunctions.ngramHashes(col("th"), 2))).as("h"))
+      .select(col("doc_id"), col("source"),
+        pmod(col("h"), lit(b.toLong)).cast("int").as("bucket"))
+    val docBucket = feats.groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // raw profile = all docs; target profile = the target source's slice
+    // — both derive from the SAME (doc,bucket) counts, B rows each
+    val dist = docBucket.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("rc"),
+        sum(when(col("source") === lit(target), col("c")).otherwise(0L))
+          .as("tc"))
+    val tot = dist.agg(sum(col("rc")).as("rT"), sum(col("tc")).as("tT"))
+    val ratios = dist.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((col("tc") + lit(1.0)) / (col("tT") + lit(b.toDouble))) -
+          log((col("rc") + lit(1.0)) / (col("rT") + lit(b.toDouble))))
+          .as("lr"))
+    val weights = docBucket.join(broadcast(ratios), "bucket")
+      .withColumn("term_u",
+        floor(col("c").cast("double") * col("lr") * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("term_u")).as("logw_micro"))
+    val bySrc = Window.partitionBy(col("source"))
+    weights
+      .withColumn("src_rank", row_number().over(
+        bySrc.orderBy(col("logw_micro").desc, col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(bySrc))
+      .select(col("doc_id"), col("source"), col("logw_micro"),
+        col("src_rank").cast("long").as("src_rank"),
+        when(col("src_rank") <= ceil(col("n_src") * lit(frac)), 1L)
+          .otherwise(0L).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Default mixing temperature — shared with the generated DuckDB twin
     * so both engines exponentiate with the IDENTICAL double (0.7 - 1 is
     * NOT the double -0.3; the oracle embeds this constant via toString

@@ -621,4 +621,65 @@ class TextSpec extends SparkSpec {
     // fractions are span tokens over doc tokens (doc 0 has 25 tokens)
     assert(math.abs(byId(0L).getAs[Double]("dup_frac") - 20.0 / 25) < 1e-9)
   }
+
+  test("dsir: weights equal a driver-side replay, target-like docs outrank, quotas exact") {
+    import spark.implicits._
+    val P = graft.ops.Dedup.P
+    val M = graft.ops.Dedup.shingleMult
+    val B = graft.ops.Text.dsirBuckets
+    // src0 (the target) speaks {alpha beta}; srcA docs are either
+    // target-like (alpha/beta) or unlike (gamma/delta)
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha", "en", "src0"),
+      (1L, "beta alpha beta alpha", "en", "src0"),
+      (2L, "alpha beta alpha", "en", "srcA"),
+      (3L, "gamma delta gamma delta", "en", "srcA"),
+      (4L, "delta gamma delta gamma delta", "en", "srcA"),
+      (5L, "alpha beta", "en", "srcA"),
+      (6L, "gamma delta", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.ops.Text.dsirWeightsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    // driver-side replay of the full weight arithmetic
+    def ph(tok: String): Long =
+      tok.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+    val toks = Map(0L -> "alpha beta alpha beta alpha",
+      1L -> "beta alpha beta alpha", 2L -> "alpha beta alpha",
+      3L -> "gamma delta gamma delta", 4L -> "delta gamma delta gamma delta",
+      5L -> "alpha beta", 6L -> "gamma delta")
+      .view.mapValues(_.split(" ").toSeq).toMap
+    val srcOf = Map(0L -> "src0", 1L -> "src0", 2L -> "srcA", 3L -> "srcA",
+      4L -> "srcA", 5L -> "srcA", 6L -> "srcA")
+    val feats = toks.map { case (id, ts) =>
+      val th = ts.map(ph)
+      val bi = th.sliding(2).filter(_.length == 2)
+        .map(p => (p(0) * M + p(1)) % P).toSeq
+      id -> (th ++ bi).map(h => (h % B).toInt)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val rc = feats.values.flatten
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val tc = feats.filter(f => srcOf(f._1) == "src0").values.flatten
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val rT = rc.values.sum.toDouble
+    val tT = tc.values.sum.toDouble
+    val replay = feats.map { case (id, fb) =>
+      id -> fb.map { case (bkt, c) =>
+        val lr = math.log((tc.getOrElse(bkt, 0L) + 1.0) / (tT + B)) -
+          math.log((rc(bkt) + 1.0) / (rT + B))
+        math.floor(c.toDouble * lr * 1e6 + 0.5).toLong
+      }.sum
+    }
+    out.foreach { case (id, _, w, _, _) =>
+      assert(w === replay(id), s"weight mismatch for doc $id") }
+    // target-like srcA docs outrank unlike ones within the shard
+    val bySrcA = out.filter(_._2 == "srcA")
+    val rankOf = bySrcA.map(r => r._1 -> r._4).toMap
+    assert(rankOf(2L) < rankOf(3L) && rankOf(5L) < rankOf(6L))
+    // quota: ceil(0.2*n) selected per source — src0 has 2 docs → 1,
+    // srcA has 5 docs → 1; selected rows are exactly the rank-1 rows
+    assert(out.count(_._5 == 1L) === 2)
+    assert(out.filter(_._5 == 1L).forall(_._4 == 1L))
+  }
 }
