@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.explore.Stats
 import graft.model.Metrics
-import graft.ops.{Dedup, Events, Features, Graph, Layout, Materialize, Mining, Multimodal, Relational, Similarity, Text, TimeSeries, Validate}
+import graft.ops.{Dedup, Events, Features, Graph, Layout, Materialize, Mining, Multimodal, Privacy, Relational, Similarity, Text, TimeSeries, Validate}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -188,6 +188,10 @@ object SparkEntry {
     "q_valid_doc_checks" -> ((s, d) => Validate.docChecks(s, d)),
     // the full stage→audit→promote WAP gate, report + promote verdict
     "q_valid_wap" -> ((s, d) => Validate.wapGate(s, d)),
+    // privacy pack: k-anonymity audit over (nation, segment, $2000
+    // balance bin) and the pseudonymized suppressed export
+    "q_priv_kanon" -> ((s, d) => Privacy.kAnonymityAudit(s, d)),
+    "q_priv_export" -> ((s, d) => Privacy.anonymizedExport(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -2540,6 +2544,35 @@ object SparkEntry {
     "q_valid_benford" -> Validate.benfordSql,
     "q_valid_doc_checks" -> Validate.docChecksSql,
     "q_valid_wap" -> Validate.wapSql,
+    // k-anonymity audit replay: exact-cents balance bins, group sizes,
+    // meets-k flag — the bin arithmetic is integer before any division
+    "q_priv_kanon" ->
+      s"""WITH b AS (SELECT c_mktsegment,
+         |  CAST(floor(floor(c_acctbal * 100 + 0.5) / ${Privacy.balBinCents}.0)
+         |    AS BIGINT) AS bal_bin
+         | FROM customer)
+         |SELECT c_mktsegment, bal_bin,
+         | count(*) AS group_n,
+         | CAST(CASE WHEN count(*) >= ${Privacy.kAnon} THEN 1 ELSE 0 END
+         |   AS BIGINT) AS meets_k
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // pseudonymized k-anonymous export replay: the name poly-hash fold
+    // character-for-character, same bins, groups < k suppressed
+    "q_priv_export" ->
+      s"""WITH c AS (SELECT
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(c_name, ''),
+         |      ch -> CAST(ascii(ch) AS BIGINT))),
+         |    (acc, ch) -> (acc * 31 + ch) % ${Dedup.P}) AS pseudonym,
+         |  c_mktsegment,
+         |  CAST(floor(floor(c_acctbal * 100 + 0.5) / ${Privacy.balBinCents}.0)
+         |    AS BIGINT) AS bal_bin
+         | FROM customer),
+         |g AS (SELECT c_mktsegment, bal_bin FROM c
+         |      GROUP BY 1, 2 HAVING count(*) >= ${Privacy.kAnon})
+         |SELECT pseudonym, c_mktsegment, bal_bin
+         |FROM c JOIN g USING (c_mktsegment, bal_bin)
+         |ORDER BY pseudonym""".stripMargin,
     "q_valid_consistency" ->
       """WITH s AS (SELECT l_orderkey,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Privacy / compliance pack over the `customer` dimension — the PII
+  * stage every training-data or feature-export pipeline runs before
+  * data leaves the governed zone (SURVEY.md §2.B [EXT]): deterministic
+  * pseudonymization of direct identifiers plus k-anonymity
+  * generalization/suppression of quasi-identifiers (Sweeney, "k-anonymity:
+  * a model for protecting privacy", IJUFKS 2002).
+  *
+  * Determinism discipline: the pseudonym is the shared polynomial rolling
+  * hash of the name string (the same fold both engines replay
+  * character-for-character), and the balance generalization goes through
+  * exact integer cents before binning — no float boundary can disagree
+  * across engines.
+  *
+  * Scale shape: the audit is one hash-aggregate on the quasi-identifier
+  * pair whose output cardinality is bounded by |segments|×|bins|
+  * — constant in row count; the export is one projection + one broadcast
+  * semi-join of that constant-size group table back onto the dimension.
+  * Nothing here shuffles the fact tables.
+  */
+object Privacy {
+
+  /** k-anonymity threshold — shared with the generated DuckDB twin. */
+  val kAnon = 5
+
+  /** Balance generalization width: $2000 bins, computed over exact
+    * integer cents ([[balBin]]). Shared with the twin. */
+  val balBinCents = 200000L
+
+  /** Exact-integer balance bin: round 2-decimal dollars to cents
+    * (BIGINT), then floor-divide by [[balBinCents]]. */
+  private def balBin = floor(
+    floor(col("c_acctbal") * lit(100) + lit(0.5)) / lit(balBinCents.toDouble))
+    .cast("long").as("bal_bin")
+
+  /** k-anonymity audit over the quasi-identifier pair
+    * (market segment, $2000 balance bin): per-group size and whether
+    * the group meets [[kAnon]]. The table a privacy reviewer reads to
+    * size the suppression cost before an export is approved. The quasi
+    * set deliberately EXCLUDES the nation key — with it the quasi-space
+    * outnumbers the gate corpus and suppression removes everything; at
+    * a real release the reviewer picks the quasi columns, the operator
+    * contract is the audit/suppress arithmetic. Output cardinality is
+    * bounded by the quasi-space, not the row count — one hash-agg at
+    * any scale. */
+  def kAnonymityAudit(spark: SparkSession, dir: String,
+                      k: Int = kAnon): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), balBin)
+      .groupBy(col("c_mktsegment"), col("bal_bin"))
+      .agg(count(lit(1)).as("group_n"))
+      .select(col("c_mktsegment"), col("bal_bin"), col("group_n"),
+        when(col("group_n") >= k, 1L).otherwise(0L).as("meets_k"))
+      .orderBy(col("c_mktsegment"), col("bal_bin"))
+
+  /** k-anonymous pseudonymized export: direct identifiers replaced by
+    * the deterministic name-hash pseudonym, the balance generalized to
+    * its bin, and every row whose quasi-identifier group is smaller than
+    * [[kAnon]] SUPPRESSED (dropped) — the release therefore satisfies
+    * k-anonymity on (segment, bal_bin) by construction.
+    *
+    * The qualifying-group table is the [[kAnonymityAudit]] aggregate
+    * (constant-size) broadcast back as a semi-join — the dimension is
+    * scanned once and never shuffled. */
+  def anonymizedExport(spark: SparkSession, dir: String,
+                       k: Int = kAnon): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cust = Tables.customer(spark, dir)
+      .select(graft.functions.GraftFunctions.polyHash(col("c_name"))
+          .as("pseudonym"),
+        col("c_mktsegment"), balBin)
+    val okGroups = cust
+      .groupBy(col("c_mktsegment"), col("bal_bin"))
+      .agg(count(lit(1)).as("group_n"))
+      .where(col("group_n") >= k)
+      .select(col("c_mktsegment"), col("bal_bin"))
+    cust.join(broadcast(okGroups),
+        Seq("c_mktsegment", "bal_bin"), "left_semi")
+      .select(col("pseudonym"), col("c_mktsegment"), col("bal_bin"))
+      .orderBy(col("pseudonym"))
+  }
+}
