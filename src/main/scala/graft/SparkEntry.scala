@@ -140,6 +140,11 @@ object SparkEntry {
     "q_sim_pq_codes" -> ((s, d) => Similarity.pqCodesDump(s, d)),
     "q_sim_pq_topk" -> ((s, d) => Similarity.pqTopKCosine(s, d)),
     "q_sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopKCosine(s, d)),
+    // residual IVF-PQ (IVFADC proper): codes quantize nv − cn(cell);
+    // codebook dump rows-only, codes + retrieval hash-checked from it
+    "q_sim_rpq_codebooks" -> ((s, d) => Similarity.rpqCodebooksDump(s, d)),
+    "q_sim_rpq_codes" -> ((s, d) => Similarity.rpqCodesDump(s, d)),
+    "q_sim_ivfrpq_topk" -> ((s, d) => Similarity.ivfRpqTopKCosine(s, d)),
     // text-analysis pack [EXT] (SURVEY §2.B text-analysis row)
     "q_text_tokens" -> ((s, d) => Text.tokenCounts(s, d)),
     "q_text_doc_stats" -> ((s, d) => Text.docStats(s, d)),
@@ -632,6 +637,50 @@ object SparkEntry {
        |  list_reduce(list_transform(generate_series(1,8), i ->
        |    (pq.qw[cb.subspace*8+i] - cb.c[i]) * (pq.qw[cb.subspace*8+i] - cb.c[i])), (x,y) -> x+y) AS term
        | FROM pq CROSS JOIN cb)""".stripMargin
+
+  /** Shared CTE block for the residual IVF-PQ twins: residual codebooks
+    * from the `q_sim_rpq_codebooks` dump, coarse centroids (+ their
+    * normalized form `cn`) from `q_sim_ivf_centroids`, raw-vector coarse
+    * assignment (the [[graft.ops.Similarity.assignCells]] ‖c‖²−2·v·c
+    * argmin), residual rv = w − cn, and the per-(vector, subspace)
+    * residual code argmin — everything [[graft.ops.Similarity
+    * .rpqCodesDump]] publishes, replayed from the two dumps. */
+  private def rpqCtes: String =
+    s"""rcb AS (SELECT subspace, code, list(value ORDER BY dim) AS c
+       | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_rpq_codebooks/*.parquet'
+       | GROUP BY subspace, code),
+       |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pn AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+       | FROM pe),
+       |pw AS (SELECT vec_id, v, nrm,
+       |  list_transform(generate_series(1,64), i -> v[i]/nrm) AS w
+       | FROM pn WHERE nrm > 0),
+       |icent AS (SELECT cell, list(value ORDER BY dim) AS c
+       | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_ivf_centroids/*.parquet'
+       | GROUP BY cell),
+       |icn AS (SELECT cell, c, list_transform(c, x ->
+       |  x / sqrt(list_reduce(list_transform(generate_series(1,64), i -> c[i]*c[i]), (x,y) -> x+y))) AS cn
+       | FROM icent),
+       |iad AS (SELECT pw.vec_id, icent.cell,
+       |  list_reduce(list_transform(generate_series(1,64), i -> icent.c[i]*icent.c[i]), (x,y) -> x+y)
+       |  - 2.0 * list_reduce(list_transform(generate_series(1,64), i -> pw.v[i]*icent.c[i]), (x,y) -> x+y) AS dist
+       | FROM pw CROSS JOIN icent),
+       |iasg AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+       |  FROM iad) WHERE r = 1),
+       |rres AS (SELECT pw.vec_id, iasg.cell,
+       |  list_transform(generate_series(1,64), i -> pw.w[i] - icn.cn[i]) AS rv
+       | FROM pw JOIN iasg USING (vec_id) JOIN icn USING (cell)),
+       |rsub AS (SELECT rres.vec_id, rcb.subspace, rcb.code,
+       |  list_reduce(list_transform(generate_series(1,8), i -> rcb.c[i]*rcb.c[i]), (x,y) -> x+y)
+       |  - 2.0 * list_reduce(list_transform(generate_series(1,8), i -> rres.rv[rcb.subspace*8+i]*rcb.c[i]), (x,y) -> x+y) AS dist
+       | FROM rres CROSS JOIN rcb),
+       |rasg AS (SELECT vec_id, subspace, code FROM (
+       |  SELECT vec_id, subspace, code,
+       |   row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS r
+       |  FROM rsub) WHERE r = 1)""".stripMargin
 
   /** ADC-shortlist (≤ 64 by adc asc, cand_id tie-break) + exact-cosine
     * re-rank tail shared by the `q_sim_pq_topk` / `q_sim_ivfpq_topk`
@@ -3008,6 +3057,47 @@ object SparkEntry {
          | WHERE pasg.vec_id <> iprobed.q_id
          | GROUP BY pdt.q_id, pasg.vec_id),
          |${pqRerankTail("iadc")}""".stripMargin,
+    // residual code assignment replay over the q_sim_rpq_codebooks +
+    // q_sim_ivf_centroids dumps: normalization, raw-vector coarse
+    // argmin, centroid normalization, rv = w − cn, per-subspace argmin
+    // — the published residual layout itself is hash-checked.
+    "q_sim_rpq_codes" ->
+      s"""WITH $rpqCtes
+         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+         |       CAST(code AS BIGINT) AS code
+         |FROM rasg ORDER BY vec_id, subspace""".stripMargin,
+    // residual IVF-PQ (IVFADC) replay: probe ranking from the centroid
+    // dump (the q_sim_ivfpq_topk twin's arithmetic), PER-(query, probed
+    // cell) residual distance tables (qrv = qw − cn), candidates scored
+    // via their own cell's table, shared shortlist + exact re-rank.
+    "q_sim_ivfrpq_topk" ->
+      s"""WITH $rpqCtes,
+         |pq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, w AS qw
+         |       FROM pw WHERE vec_id < 10),
+         |ipd AS (SELECT pq.q_id, icent.cell,
+         |  list_reduce(list_transform(generate_series(1,64), i -> pq.qv[i]*icent.c[i]), (x,y) -> x+y)
+         |   / nullif(pq.qn * sqrt(list_reduce(list_transform(generate_series(1,64), i -> icent.c[i]*icent.c[i]), (x,y) -> x+y)), 0.0) AS cdist
+         | FROM pq CROSS JOIN icent),
+         |iprobed AS (SELECT q_id, cell FROM (
+         |  SELECT q_id, cell,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cdist DESC, cell) AS cr
+         |  FROM ipd) WHERE cr <= 8),
+         |rqd AS (SELECT pq.q_id, iprobed.cell,
+         |  list_transform(generate_series(1,64), i -> pq.qw[i] - icn.cn[i]) AS qrv
+         | FROM pq JOIN iprobed USING (q_id) JOIN icn USING (cell)),
+         |rdt AS (SELECT rqd.q_id, rqd.cell, rcb.subspace, rcb.code,
+         |  list_reduce(list_transform(generate_series(1,8), i ->
+         |    (rqd.qrv[rcb.subspace*8+i] - rcb.c[i]) * (rqd.qrv[rcb.subspace*8+i] - rcb.c[i])), (x,y) -> x+y) AS term
+         | FROM rqd CROSS JOIN rcb),
+         |radc AS (SELECT rdt.q_id, rasg.vec_id AS cand_id,
+         |  list_reduce(list(rdt.term ORDER BY rdt.subspace), (x,y) -> x+y) AS adc
+         | FROM rasg
+         | JOIN iasg ON iasg.vec_id = rasg.vec_id
+         | JOIN rdt ON rdt.cell = iasg.cell
+         |   AND rdt.subspace = rasg.subspace AND rdt.code = rasg.code
+         | WHERE rasg.vec_id <> rdt.q_id
+         | GROUP BY rdt.q_id, rasg.vec_id),
+         |${pqRerankTail("radc")}""".stripMargin,
     "q_sim_pair_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

@@ -375,6 +375,7 @@ object Similarity {
     val fp = embFingerprint(spark, dir)
     ensurePqCodes(spark, dir, fp)
     ensureIvfPqCodes(spark, dir, fp)
+    ensureIvfRpqCodes(spark, dir, fp)
   }
 
   /** Approximate top-k via the persisted sign index: hamming shortlist +
@@ -1032,6 +1033,195 @@ object Similarity {
     val probedQ = probed
       .join(pqQueryDtab(spark, dir, nQueries, pqCodebooks(spark, dir, fp)),
         "q_id")
+    val short = spark.table(codesTable)
+      .join(broadcast(probedQ), Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), adcExpr.as("adc"))
+    val shortIds = short.groupBy(col("q_id"))
+      .agg(GraftFunctions.topK(struct(col("adc"), col("cand_id")), shortlist)
+        .as("top"))
+      .select(col("q_id"), explode(col("top")).as("e"))
+      .select(col("q_id"), col("e.cand_id").as("cand_id"))
+    exactRerank(spark, dir, shortIds, nQueries, k)
+  }
+
+  // ------------------------------------------------------------------
+  // Residual IVF-PQ (IVFADC, Jégou et al. TPAMI'11 §5.1) — the
+  // continuation [[ensureIvfPqCodes]] documents: codes quantize the
+  // RESIDUAL nv − cn(cell) against the NORMALIZED coarse centroid
+  // instead of the vector itself. Residuals concentrate near the
+  // origin, so the same 8 bytes/row spend their quantization budget on
+  // a far smaller ball — sharper ADC at equal storage. The cost is
+  // per-(query, probed-cell) distance tables (nQueries·nProbe·M·ksub
+  // terms — still one projection off the broadcast probe frame, no
+  // extra shuffle).
+  // ------------------------------------------------------------------
+
+  /** Residual PQ codebook cache — keyed like [[pqCache]]. */
+  private val rpqCache =
+    TrieMap.empty[(String, Long, Int), Array[Array[Array[Double]]]]
+
+  /** Normalized coarse centroid cn = c/‖c‖ — the residual frame's
+    * anchor. Left-to-right square-sum fold, same order the twin's
+    * `list_reduce` replays. */
+  private def normCentroid(c: Array[Double]): Array[Double] = {
+    val n = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+    if (n > 0) c.map(_ / n) else c
+  }
+
+  /** Fit (or fetch) the RESIDUAL PQ codebooks: the same deterministic
+    * bounded sample as [[pqCodebooks]], each point assigned to its
+    * coarse cell by the engine's argmin form (‖c‖² − 2·v·c over the RAW
+    * vector, lowest-cell ties — [[assignCells]]'s arithmetic), then
+    * per-subspace seeded k-means over nv − cn(cell). Seeds offset from
+    * the plain-PQ fit so the banks are independent. */
+  private[ops] def residualPqCodebooks(spark: SparkSession, dir: String,
+                                       fp: Long): Array[Array[Array[Double]]] = {
+    val n = embCount(spark, dir, fp)
+    val ksub = adaptivePqKsub(n)
+    rpqCache.keys.filter(k => k._1 == dir && k._2 != fp)
+      .foreach(rpqCache.remove)
+    rpqCache.getOrElseUpdate((dir, fp, ksub), {
+      val cents = quantizerCentroids(spark, dir, adaptiveNlist(n), fp = fp)
+      val cns = cents.map(normCentroid)
+      val cap = math.max(4096, 16 * ksub)
+      val sampled = embDouble(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .where(pmod(xxhash64(col("vec_id")), lit(5)) === 0)
+        .orderBy(col("vec_id")).limit(cap)
+        .collect().map(_.getSeq[Double](1).toArray)
+      require(sampled.nonEmpty, s"empty embedding sample for $dir")
+      val residuals = sampled.flatMap { v =>
+        val nrm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+        if (nrm <= 0) None else {
+          val nv = v.map(_ / nrm)
+          val cell = cents.indices.minBy { j =>
+            val c = cents(j)
+            val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+            val vc = (0 until c.length).foldLeft(0.0)((acc, i) =>
+              acc + v(i) * c(i))
+            (cc - 2.0 * vc, j)
+          }
+          Some(nv.indices.map(i => nv(i) - cns(cell)(i)).toArray)
+        }
+      }
+      Array.tabulate(pqM)(m =>
+        lloyd(residuals.map(_.slice(m * pqSubDim, (m + 1) * pqSubDim)),
+          ksub, iters = 8, seed = 542 + 1000 * m))
+    })
+  }
+
+  /** The residual codebooks as a DECLARED rows-only dump — the
+    * [[pqCodebooksDump]] pattern: the fit is engine-specific, everything
+    * downstream of the dumped floats (residual code assignment, the
+    * per-(query,cell) ADC tables, shortlist, re-rank) is replayable, so
+    * `q_sim_rpq_codes` and `q_sim_ivfrpq_topk` are hash-checked with
+    * this dump + [[ivfCentroidsDump]] as inputs. */
+  def rpqCodebooksDump(spark: SparkSession, dir: String): DataFrame = {
+    val fp = embFingerprint(spark, dir)
+    val cbs = residualPqCodebooks(spark, dir, fp)
+    spark.createDataFrame(
+      for { (bank, m) <- cbs.toIndexedSeq.zipWithIndex
+            (c, j) <- bank.toIndexedSeq.zipWithIndex
+            (v, d) <- c.toIndexedSeq.zipWithIndex }
+        yield (m, j, d, v))
+      .toDF("subspace", "code", "dim", "value")
+      .orderBy(col("subspace"), col("code"), col("dim"))
+  }
+
+  /** Per-subspace residual code columns over the `rv` column. */
+  private def rpqCodeCols(cbs: Array[Array[Array[Double]]]): Seq[Column] =
+    (0 until pqM).map { m =>
+      GraftFunctions.cellArgMin(
+        slice(col("rv"), m * pqSubDim + 1, pqSubDim),
+        typedLit(cbs(m).map(_.toSeq).toSeq)).as(s"code_$m")
+    }
+
+  /** Broadcastable (cell, cn) frame of normalized coarse centroids. */
+  private def normCentDf(spark: SparkSession,
+                         cents: Array[Array[Double]]): DataFrame =
+    spark.createDataFrame(
+      cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+        (i, normCentroid(c)) })
+      .toDF("cell", "cn")
+
+  /** Publish the residual IVF-PQ layout: (vec_id, code_0 … code_7)
+    * hive-partitioned by the coarse cell, codes quantizing
+    * rv = nv − cn(cell). Same bytes, same partition pruning as
+    * [[ensureIvfPqCodes]] — only the quantization frame changes. */
+  private[ops] def ensureIvfRpqCodes(spark: SparkSession, dir: String,
+                                     fp: Long): String = {
+    GraftFunctions.register(spark)
+    val nlist = adaptiveNlist(embCount(spark, dir, fp))
+    val cents = quantizerCentroids(spark, dir, nlist, fp = fp)
+    val cbs = residualPqCodebooks(spark, dir, fp)
+    val assigned = assignCells(embNormalized(spark, dir), cents)
+      .join(broadcast(normCentDf(spark, cents)), "cell")
+      .withColumn("rv", zip_with(col("nv"), col("cn"), (x, y) => x - y))
+    FeatureStore.ensurePartitionedTable(spark,
+      assigned.select(col("vec_id") +: rpqCodeCols(cbs) :+ col("cell"): _*),
+      s"graft_ivfrpq_codes_${Relational.dirSlug(dir)}", "cell", fp)
+  }
+
+  /** The published residual codes as a DECLARED query, exploded to
+    * scalar rows — ORACLE-CHECKED: the twin replays normalization,
+    * coarse assignment (centroids dump), centroid normalization, the
+    * residual subtraction, and the per-subspace argmin (residual
+    * codebooks dump), so the published layout itself is hash-verified. */
+  def rpqCodesDump(spark: SparkSession, dir: String): DataFrame = {
+    val fp = embFingerprint(spark, dir)
+    val t = ensureIvfRpqCodes(spark, dir, fp)
+    spark.table(t)
+      .select(col("vec_id"),
+        posexplode(array((0 until pqM).map(m => col(s"code_$m")): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("subspace"),
+        col("col").cast("long").as("code"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  /** Residual IVF-PQ top-k (IVFADC proper): probe ranking as in
+    * [[ivfPqTopKCosine]], but each (query, probed cell) pair builds its
+    * OWN distance table over the query residual qnv − cn(cell) — the
+    * table the candidate's residual codes look distances up in. The
+    * probe frame is nQueries·nProbe rows (broadcast), so the extra
+    * tables cost one projection, never a shuffle; the scored scan still
+    * reads only probed partitions at 8 bytes/row. */
+  def ivfRpqTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
+                       k: Int = 10, nProbe: Int = 0,
+                       shortlist: Int = 64): DataFrame = {
+    val fp = embFingerprint(spark, dir)
+    val codesTable = ensureIvfRpqCodes(spark, dir, fp)
+    val nlist = adaptiveNlist(embCount(spark, dir, fp))
+    val probes = if (nProbe == 0) adaptiveNProbe(nlist) else nProbe
+    val centroids = quantizerCentroids(spark, dir, nlist, fp = fp)
+    val cbs = residualPqCodebooks(spark, dir, fp)
+    val centDf = spark.createDataFrame(
+      centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+    val queries = embNormalized(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("nv").as("qnv"))
+    val probed = queries.crossJoin(broadcast(centDf))
+      .withColumn("cdist",
+        GraftFunctions.dot(col("qv"), col("centroid").cast("array<double>")) /
+        nullif(col("qn") * sqrt(GraftFunctions.dot(
+          col("centroid").cast("array<double>"),
+          col("centroid").cast("array<double>"))), lit(0.0)))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cdist").desc, col("cell"))))
+      .where(col("crnk") <= probes)
+      .select(col("q_id"), col("cell"), col("qnv"))
+    val cbLit = typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    val probedQ = probed
+      .join(broadcast(normCentDf(spark, centroids)), "cell")
+      .withColumn("qrv", zip_with(col("qnv"), col("cn"), (x, y) => x - y))
+      .withColumn("dtab", transform(cbLit, (bank, m) =>
+        transform(bank, c =>
+          aggregate(zip_with(slice(col("qrv"), m * lit(pqSubDim) + 1,
+            lit(pqSubDim)), c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, e) => acc + e))))
+      .select(col("q_id"), col("cell"), col("dtab"))
     val short = spark.table(codesTable)
       .join(broadcast(probedQ), Seq("cell"))
       .where(col("q_id") =!= col("vec_id"))

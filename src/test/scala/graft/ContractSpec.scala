@@ -49,7 +49,11 @@ class ContractSpec extends SparkSpec {
     "q_sim_pq_codebooks" -> ("per-subspace k-means fit is engine-specific " +
       "(seeded kmeans++ on a bounded sample); its centroids are the INPUT " +
       "the hash-checked q_sim_pq_codes/q_sim_pq_topk/q_sim_ivfpq_topk " +
-      "twins replay end to end"))
+      "twins replay end to end"),
+    "q_sim_rpq_codebooks" -> ("residual per-subspace k-means fit is " +
+      "engine-specific (seeded kmeans++ on a bounded sample of coarse-cell " +
+      "residuals); its centroids are the INPUT the hash-checked " +
+      "q_sim_rpq_codes/q_sim_ivfrpq_topk twins replay end to end"))
 
   test("rows-only set: exactly the enlisted irreducible queries") {
     val declared = SparkEntry.queries.keySet

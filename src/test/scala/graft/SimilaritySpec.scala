@@ -593,4 +593,50 @@ class SimilaritySpec extends SparkSpec {
     assert(pqRecall >= 0.8, s"PQ planted recall $pqRecall below 0.8")
     assert(ivfpqRecall >= 0.7, s"IVF-PQ planted recall $ivfpqRecall below 0.7")
   }
+
+  test("residual PQ: code table shape, codes in range, deterministic rerun") {
+    val n = Tables.embeddings(spark, sf).count()
+    val codes = Similarity.rpqCodesDump(spark, sf).collect()
+    assert(codes.length === Similarity.pqM * n,
+      s"expected ${Similarity.pqM} residual code rows per vector")
+    assert(codes.forall { r =>
+      val c = r.getAs[Long]("code"); c >= 0 && c < 256 })
+    val again = Similarity.rpqCodesDump(spark, sf).collect()
+    assert(codes.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("residual IVF-PQ: planted clusters, recall@10 at a tight shortlist beats-or-matches plain IVF-PQ") {
+    // same clustered geometry as the PQ rung spec (different seed);
+    // shortlist 16 < k·2 makes shortlist QUALITY visible — the residual
+    // frame's whole claim is a sharper ADC at equal bytes
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpq_rung").toString
+    val rnd = new scala.util.Random(31)
+    val centres = Array.fill(20)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    import spark.implicits._
+    val rows = (0 until 3000).map { i =>
+      val c = centres(i % 20)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq, i % 20)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.topKCosine(spark, dir, nQueries = 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val pqR = recallOf(Similarity.ivfPqTopKCosine(spark, dir,
+      nQueries = 5, k = 10, shortlist = 16))
+    val rpqR = recallOf(Similarity.ivfRpqTopKCosine(spark, dir,
+      nQueries = 5, k = 10, shortlist = 16))
+    info(f"planted recall@10 @shortlist16: IVF-PQ $pqR%.2f, residual IVF-PQ $rpqR%.2f")
+    // measured at this geometry: plain 0.38, residual 0.60 — the tight
+    // shortlist starves the vector-frame ADC, the residual frame keeps
+    // working; both fits are seeded so the gap is stable
+    assert(rpqR >= 0.55, s"residual IVF-PQ planted recall $rpqR below 0.55")
+    assert(rpqR >= pqR,
+      s"residual recall $rpqR did not beat plain IVF-PQ $pqR")
+  }
 }
