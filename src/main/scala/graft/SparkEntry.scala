@@ -142,6 +142,9 @@ object SparkEntry {
     "q_sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopKCosine(s, d)),
     // residual IVF-PQ (IVFADC proper): codes quantize nv − cn(cell);
     // codebook dump rows-only, codes + retrieval hash-checked from it
+    // hard-negative mining (DPR recipe): top-5 most-similar
+    // different-label candidates per labeled query
+    "q_sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_sim_rpq_codebooks" -> ((s, d) => Similarity.rpqCodebooksDump(s, d)),
     "q_sim_rpq_codes" -> ((s, d) => Similarity.rpqCodesDump(s, d)),
     "q_sim_ivfrpq_topk" -> ((s, d) => Similarity.ivfRpqTopKCosine(s, d)),
@@ -167,6 +170,9 @@ object SparkEntry {
     // exact-substring dedup audit (Lee et al. ACL'22): maximal per-doc
     // spans whose every 16-token window recurs verbatim in another doc
     "q_text_substr_spans" -> ((s, d) => Text.substringDupSpans(s, d)),
+    // the rewrite half: excise duplicated spans everywhere except the
+    // min-doc_id canonical owner, rebuild the surviving text
+    "q_text_substr_excise" -> ((s, d) => Text.substringExcisedCorpus(s, d)),
     // DSIR importance resampling (Xie et al. NeurIPS'23): hashed n-gram
     // importance weights vs the target source's profile, exact integer
     // micro-unit weights, per-source top-20% quota selection
@@ -1891,6 +1897,23 @@ object SparkEntry {
     "q_sim_topk" -> (simTopkCtes +
       """
         |SELECT q_id, cand_id, cos_sim, rnk FROM topk ORDER BY q_id, rnk""".stripMargin),
+    // hard negatives: the exact-cosine ranking restricted to
+    // different-label candidates, top 5 per query (score desc, cand_id)
+    "q_sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |n AS (SELECT vec_id, v, label,
+        |  sqrt(list_reduce(list_transform(generate_series(1,64), i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+        | FROM e),
+        |p AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+        |  c.vec_id AS cand_id, c.label AS cand_label,
+        |  round(list_reduce(list_transform(generate_series(1,64), i -> q.v[i]*c.v[i]), (x,y) -> x+y)
+        |   / (q.nrm * c.nrm), 6) AS cos_sim
+        | FROM n q, n c
+        | WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id AND q.label <> c.label)
+        |SELECT q_id, q_label, cand_id, cand_label, cos_sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cos_sim DESC, cand_id) AS rnk FROM p) t
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // RRF hybrid fusion: the dense topk CTE and the sparse posting-pair
     // CTE composed (CTE names are collision-free by construction), then
     // the standard 1/(60+rank) fuse over a full-outer rank join
@@ -2493,6 +2516,60 @@ object SparkEntry {
          | CAST(CASE WHEN src_rank <= ceil(n_src * ${Text.dsirSelectFrac})
          |      THEN 1 ELSE 0 END AS BIGINT) AS selected
          |FROM rk ORDER BY doc_id""".stripMargin
+    },
+    // excision replay: dup-window owners (min doc_id), redundant
+    // occurrences, island merge, coverage, and the per-doc ordered
+    // token rebuild — clean_text strings compared byte-for-byte.
+    "q_text_substr_excise" -> {
+      val w = Text.substrWindowTokens
+      val chain = (1 until w).foldLeft("th[i]") {
+        (acc, j) => s"($acc * ${Dedup.shingleMult} + th[i+$j]) % ${Dedup.P}"
+      }
+      s"""WITH t AS (
+         | SELECT doc_id, list_filter(string_split(text,' '), s -> len(s)>0) AS toks
+         | FROM documents),
+         |th AS (
+         | SELECT doc_id, list_transform(toks, tok ->
+         |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |     list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+         |     (acc,c) -> (acc*31 + c) % ${Dedup.P})) AS th
+         | FROM t WHERE len(toks) >= $w),
+         |wn0 AS (
+         | SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, len(th) - ${w - 1}),
+         |    i -> {'pos': CAST(i - 1 AS BIGINT), 'wh': ($chain)})) AS u
+         | FROM th),
+         |wn AS (SELECT doc_id, u.pos AS pos, u.wh AS wh FROM wn0),
+         |own AS (SELECT wh, min(doc_id) AS owner FROM wn GROUP BY wh
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |red AS (SELECT wn.doc_id, wn.pos FROM wn JOIN own USING (wh)
+         |        WHERE wn.doc_id > own.owner),
+         |sp AS (SELECT doc_id, pos,
+         |  CASE WHEN pos > COALESCE(lag(pos) OVER
+         |    (PARTITION BY doc_id ORDER BY pos), ${-(w + 1)}) + $w
+         |   THEN 1 ELSE 0 END AS ns
+         | FROM red),
+         |si AS (SELECT doc_id, pos,
+         |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS span_id
+         | FROM sp),
+         |sg AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + ${w - 1} AS e
+         | FROM si GROUP BY doc_id, span_id),
+         |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS p
+         | FROM sg),
+         |tk0 AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, len(toks)),
+         |    i -> {'p': CAST(i - 1 AS BIGINT), 'tok': toks[i]})) AS u
+         | FROM t),
+         |tk AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tk0),
+         |kept AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(tok, ' ' ORDER BY p) AS clean_text
+         | FROM tk ANTI JOIN cov USING (doc_id, p)
+         | GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         | CAST(len(t.toks) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_excised,
+         | coalesce(kept.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin
     },
     "q_ml_logloss" -> {
       val scoreExprs = mlScoreExprs

@@ -1234,6 +1234,42 @@ object Similarity {
     exactRerank(spark, dir, shortIds, nQueries, k)
   }
 
+  /** Hard-negative mining for contrastive retrieval training (the DPR
+    * recipe, Karpukhin et al. EMNLP'20: the negatives that matter are
+    * the most-SIMILAR wrong answers, not random ones): for each labeled
+    * query vector, the top `nNeg` candidates by exact cosine whose label
+    * DIFFERS from the query's. The label filter runs before the bounded
+    * heap, so the heap never holds positives, and the scan side carries
+    * the same broadcast-queries shape as [[topKCosine]] — no extra
+    * shuffle over the lake at any scale. Deterministic: rounded cosine,
+    * (score desc, cand_id) ranking. */
+  def hardNegatives(spark: SparkSession, dir: String, nQueries: Int = 10,
+                    nNeg: Int = 5): DataFrame = {
+    val emb = embWithNorm(spark, dir)   // carries the label column
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("label").as("q_label"))
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("nrm").as("cn"),
+      col("label").as("cand_label"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .where(col("q_id") =!= col("cand_id") &&
+        col("q_label") =!= col("cand_label"))
+      .select(col("q_id"), col("q_label"), col("cand_id"), col("cand_label"),
+        round(GraftFunctions.dot(col("qv"), col("cv")) /
+          nullif(col("qn") * col("cn"), lit(0.0)), 6).as("cos_sim"))
+    val keyed = struct((-col("cos_sim")).as("negcos"), col("cand_id"),
+      col("cand_label"), col("cos_sim"))
+    scored.groupBy(col("q_id"), col("q_label"))
+      .agg(GraftFunctions.topK(keyed, nNeg).as("top"))
+      .select(col("q_id"), col("q_label"), posexplode(col("top")))
+      .select(col("q_id"), col("q_label"), col("col.cand_id").as("cand_id"),
+        col("col.cand_label").as("cand_label"),
+        col("col.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** kNN label vote: predict each query vector's label by majority vote
     * over its exact top-k cosine neighbours — retrieval-based labeling,
     * the nearest-neighbour classifier a training pipeline uses for label

@@ -716,6 +716,81 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring EXCISION (the rewrite half of Lee, Ippolito et
+    * al. ACL'22 — [[substringDupSpans]] is the audit half): remove every
+    * duplicated span from every document EXCEPT its canonical copy, so
+    * the corpus trains on each verbatim run once. Deterministic
+    * ownership contract: each duplicated window's canonical owner is
+    * the MINIMUM doc_id containing it; an occurrence is redundant iff
+    * its doc is not the owner; a token is excised iff covered by at
+    * least one redundant duplicated window (merged to maximal spans
+    * first, as in the audit). Output text is the surviving tokens
+    * single-space-joined (the corpus tokenizer is whitespace-split, so
+    * an untouched document round-trips byte-identical).
+    *
+    * Scale shape: the audit's window pipeline plus one owner aggregate
+    * keyed by window hash (same shuffle key as the dup set), the island
+    * merge and coverage stay partitioned BY DOCUMENT, and the rebuild is
+    * one per-doc sorted-struct fold — no global order anywhere. */
+  def substringExcisedCorpus(spark: SparkSession, dir: String): DataFrame =
+    substringExcisedCorpusOf(Tables.documents(spark, dir))
+
+  /** Core of [[substringExcisedCorpus]] over any documents-shaped frame. */
+  private[graft] def substringExcisedCorpusOf(docs: DataFrame,
+                                              w: Int = substrWindowTokens)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("toks"))
+    val th = base.where(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.ngramHashes(
+          graft.functions.GraftFunctions.tokenHashes(col("text")), w)
+          .as("whs"))
+    val wins = th.select(col("doc_id"),
+      posexplode(col("whs")).as(Seq("pos", "wh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wh"))
+    val own = wins.groupBy(col("wh"))
+      .agg(count_distinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("owner"))
+      .where(col("nd") >= 2)
+      .select(col("wh"), col("owner"))
+    val red = wins.join(own, "wh")
+      .where(col("doc_id") > col("owner"))
+      .select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = red
+      .withColumn("newspan",
+        when(col("pos") >
+          coalesce(lag(col("pos"), 1).over(byPos), lit(-(w + 1L))) + w, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("newspan")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + w - 1).as("e"))
+    val covered = spans
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("p"))
+      .distinct()
+    val toks = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode_outer(col("toks")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("n_tokens"), col("p").cast("long").as("p"),
+        col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(col("tok")).as("n_kept"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("p"), col("tok")))), x => x("tok")), " ")
+          .as("clean_text"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("nt"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        (col("nt") - coalesce(col("n_kept"), lit(0L))).as("n_excised"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR hashed-feature bucket count — shared with the generated DuckDB
     * twin. 64 is the gate-rung constant; the published method uses 10k
     * buckets at web scale, the contract is the bucket arithmetic. */

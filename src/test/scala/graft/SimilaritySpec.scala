@@ -594,6 +594,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfpqRecall >= 0.7, s"IVF-PQ planted recall $ivfpqRecall below 0.7")
   }
 
+  test("hard negatives: top different-label rows of the exact ranking, labels really differ") {
+    val negs = Similarity.hardNegatives(spark, sf, nQueries = 6, nNeg = 5)
+      .collect()
+    assert(negs.length === 30)
+    val labels = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    negs.foreach { r =>
+      assert(r.getAs[Int]("q_label") === labels(r.getAs[Long]("q_id")))
+      assert(r.getAs[Int]("cand_label") === labels(r.getAs[Long]("cand_id")))
+      assert(r.getAs[Int]("q_label") !== r.getAs[Int]("cand_label"))
+    }
+    // the mined set is exactly the different-label prefix of the full
+    // exact ranking: replay from a big-k exact top-k
+    val full = Similarity.topKCosine(spark, sf, nQueries = 6, k = 100).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    negs.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      val expect = full(q).sortBy(_.getAs[Long]("rnk"))
+        .filter(r => labels(r.getAs[Long]("cand_id")) != labels(q))
+        .take(5).map(_.getAs[Long]("cand_id")).toSeq
+      val got = rows.sortBy(_.getAs[Long]("rnk"))
+        .map(_.getAs[Long]("cand_id")).toSeq
+      assert(got === expect, s"query $q negative set mismatch")
+    }
+  }
+
   test("residual PQ: code table shape, codes in range, deterministic rerun") {
     val n = Tables.embeddings(spark, sf).count()
     val codes = Similarity.rpqCodesDump(spark, sf).collect()

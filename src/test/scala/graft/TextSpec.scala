@@ -622,6 +622,38 @@ class TextSpec extends SparkSpec {
     assert(math.abs(byId(0L).getAs[Double]("dup_frac") - 20.0 / 25) < 1e-9)
   }
 
+  test("substring excision: canonical copy kept byte-identical, later copies excised exactly") {
+    import spark.implicits._
+    // same planted geometry as the span-audit spec: doc 0 owns the
+    // 20-token run (0 < 1), doc 1 owns the 16-token run (1 < 3)
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val shared2 = (1 to 16).map(i => s"also$i").mkString(" ")
+    val a = s"alpha beta gamma $shared delta epsilon"
+    val bfill = (1 to 30).map(i => s"bfill$i").mkString(" ")
+    val b = s"$shared zeta $bfill $shared2"
+    val c = (1 to 40).map(i => s"cuniq$i").mkString(" ")
+    val d = s"dstart $shared2 dtail1 dtail2"
+    val docs = Seq((0L, a, "en", "s"), (1L, b, "en", "s"),
+      (2L, c, "en", "s"), (3L, d, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.ops.Text.substringExcisedCorpusOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_excised"),
+          r.getAs[String]("clean_text"))).toMap
+    // owners and unique docs round-trip byte-identical
+    assert(out(0L) === ((25L, 0L, a)))
+    assert(out(2L) === ((40L, 0L, c)))
+    // doc 1: loses doc-0's 20-token run, KEEPS the 16-token run it owns
+    assert(out(1L) === ((67L, 20L, s"zeta $bfill $shared2")))
+    // doc 3: loses the 16-token run owned by doc 1
+    assert(out(3L) === ((19L, 16L, "dstart dtail1 dtail2")))
+    // token conservation: kept + excised = total
+    out.values.foreach { case (nt, ne, txt) =>
+      val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(kept + ne === nt)
+    }
+  }
+
   test("dsir: weights equal a driver-side replay, target-like docs outrank, quotas exact") {
     import spark.implicits._
     val P = graft.ops.Dedup.P
