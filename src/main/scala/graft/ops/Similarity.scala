@@ -982,8 +982,10 @@ object Similarity {
     * 2011 §5): coarse cells bound WHICH rows a query reads (partition
     * pruning), PQ codes bound HOW WIDE each read row is (8 bytes). Codes
     * here quantize the normalized vector itself (not the cell residual);
-    * the residual refinement is the documented continuation — it sharpens
-    * ADC at equal bytes but needs per-(query, cell) distance tables. */
+    * the residual refinement is [[ensureIvfRpqCodes]]/[[ivfRpqTopKCosine]]
+    * — sharper ADC at equal bytes, at the cost of per-(query, cell)
+    * distance tables. Both layouts ship; this one is the cheaper-query
+    * variant (one table per query, any probe count). */
   private[ops] def ensureIvfPqCodes(spark: SparkSession, dir: String,
                                     fp: Long): String = {
     GraftFunctions.register(spark)
