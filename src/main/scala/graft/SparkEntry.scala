@@ -145,6 +145,9 @@ object SparkEntry {
     // hard-negative mining (DPR recipe): top-5 most-similar
     // different-label candidates per labeled query
     "q_sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    // PCA: rows-only model dump + hash-checked centered projection
+    "q_sim_pca_components" -> ((s, d) => Similarity.pcaComponentsDump(s, d)),
+    "q_sim_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "q_sim_rpq_codebooks" -> ((s, d) => Similarity.rpqCodebooksDump(s, d)),
     "q_sim_rpq_codes" -> ((s, d) => Similarity.rpqCodesDump(s, d)),
     "q_sim_ivfrpq_topk" -> ((s, d) => Similarity.ivfRpqTopKCosine(s, d)),
@@ -3138,6 +3141,21 @@ object SparkEntry {
     // q_sim_ivf_centroids dumps: normalization, raw-vector coarse
     // argmin, centroid normalization, rv = w − cn, per-subspace argmin
     // — the published residual layout itself is hash-checked.
+    // PCA projection replay over the q_sim_pca_components dump:
+    // y_k = Σ_i (v_i − mean_i)·c_{k,i}, left-fold order, round 6dp
+    "q_sim_pca_project" ->
+      s"""WITH pc AS (SELECT component, list(value ORDER BY dim) AS c
+         | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_pca_components/*.parquet'
+         | WHERE component >= 0 GROUP BY component),
+         |mu AS (SELECT list(value ORDER BY dim) AS m
+         | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_pca_components/*.parquet'
+         | WHERE component = -1),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT e.vec_id, CAST(pc.component AS BIGINT) AS component,
+         | round(list_reduce(list_transform(generate_series(1,64),
+         |   i -> (e.v[i] - mu.m[i]) * pc.c[i]), (x,y) -> x+y), 6) AS value
+         |FROM e CROSS JOIN pc CROSS JOIN mu
+         |ORDER BY vec_id, component""".stripMargin,
     "q_sim_rpq_codes" ->
       s"""WITH $rpqCtes
          |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,

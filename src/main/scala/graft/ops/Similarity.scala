@@ -1236,6 +1236,103 @@ object Similarity {
     exactRerank(spark, dir, shortIds, nQueries, k)
   }
 
+  // ------------------------------------------------------------------
+  // PCA for embedding columns (Pearson 1901; the energy-compacting
+  // rotation OPQ-style PQ pipelines run first — Ge et al. CVPR'13):
+  // fit on the same deterministic bounded sample as the quantizers,
+  // dump (mean + components) rows-only, and hash-check the PROJECTION,
+  // which given the dumped floats is pure replayable matmul — the
+  // ivfCentroidsDump / pqCodebooksDump verification pattern.
+  // ------------------------------------------------------------------
+
+  /** Principal components kept (64 → 16 = 4× narrower). */
+  val pcaK = 16
+
+  /** PCA model cache keyed like the quantizer caches. */
+  private val pcaCache =
+    TrieMap.empty[(String, Long, Int), (Array[Double], Array[Array[Double]])]
+
+  /** Fit (or fetch) the PCA model: sample mean + top-[[pcaK]]
+    * eigenvectors of the sample covariance (breeze `eigSym` on the
+    * driver-side 64×64 matrix — the sample is the quantizers' bounded
+    * deterministic hash-sample, so the fit is O(sample·dim²) and never
+    * touches the lake twice). Eigenvectors sort by eigenvalue DESC and
+    * are sign-canonicalized (largest-|entry| coordinate made positive,
+    * lowest index on ties) so the fit is stable run to run. */
+  private[ops] def pcaModel(spark: SparkSession, dir: String,
+                            fp: Long): (Array[Double], Array[Array[Double]]) = {
+    pcaCache.keys.filter(k => k._1 == dir && k._2 != fp)
+      .foreach(pcaCache.remove)
+    pcaCache.getOrElseUpdate((dir, fp, pcaK), {
+      val sampled = embDouble(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .where(pmod(xxhash64(col("vec_id")), lit(5)) === 0)
+        .orderBy(col("vec_id")).limit(4096)
+        .collect().map(_.getSeq[Double](1).toArray)
+      require(sampled.nonEmpty, s"empty embedding sample for $dir")
+      val d = sampled.head.length
+      val n = sampled.length
+      val mean = Array.tabulate(d)(i => sampled.foldLeft(0.0)(_ + _(i)) / n)
+      val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+      sampled.foreach { v =>
+        var i = 0
+        while (i < d) {
+          var j = 0
+          val vi = v(i) - mean(i)
+          while (j < d) { cov(i, j) += vi * (v(j) - mean(j)); j += 1 }
+          i += 1
+        }
+      }
+      cov :/= (n - 1).toDouble
+      val es = breeze.linalg.eigSym(cov)
+      val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(pcaK)
+      val comps = order.map { c =>
+        val v = Array.tabulate(d)(i => es.eigenvectors(i, c))
+        val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+        if (v(pivot) < 0) v.map(-_) else v
+      }.toArray
+      (mean, comps)
+    })
+  }
+
+  /** The PCA model as a DECLARED rows-only dump — scalar rows
+    * (component, dim, value); component −1 carries the sample mean. The
+    * fit is engine-specific (LAPACK eigensolver), but given these floats
+    * the projection is exact replayable arithmetic, so
+    * `q_sim_pca_project` is hash-checked end to end. */
+  def pcaComponentsDump(spark: SparkSession, dir: String): DataFrame = {
+    val fp = embFingerprint(spark, dir)
+    val (mean, comps) = pcaModel(spark, dir, fp)
+    val rows =
+      mean.toIndexedSeq.zipWithIndex.map { case (v, i) => (-1, i, v) } ++
+      comps.toIndexedSeq.zipWithIndex.flatMap { case (c, k) =>
+        c.toIndexedSeq.zipWithIndex.map { case (v, i) => (k, i, v) } }
+    spark.createDataFrame(rows).toDF("component", "dim", "value")
+      .orderBy(col("component"), col("dim"))
+  }
+
+  /** Project every embedding onto the top-[[pcaK]] principal axes:
+    * y_k = Σ_i (v_i − mean_i)·c_{k,i}, the centered matmul in one
+    * codegen projection (model as literals — no join, no shuffle; the
+    * lake is scanned once and emits 16 doubles/row instead of 64).
+    * Rounded 6dp; exploded to scalar rows for the harness. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val fp = embFingerprint(spark, dir)
+    val (mean, comps) = pcaModel(spark, dir, fp)
+    val meanLit = typedLit(mean.toSeq)
+    val compsLit = typedLit(comps.map(_.toSeq).toSeq)
+    embDouble(spark, dir)
+      .select(col("vec_id"),
+        transform(compsLit, c => round(GraftFunctions.dot(
+          zip_with(col("embedding"), meanLit, (x, m) => x - m), c), 6))
+          .as("proj"))
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("component"),
+        col("col").as("value"))
+      .orderBy(col("vec_id"), col("component"))
+  }
+
   /** Hard-negative mining for contrastive retrieval training (the DPR
     * recipe, Karpukhin et al. EMNLP'20: the negatives that matter are
     * the most-SIMILAR wrong answers, not random ones): for each labeled

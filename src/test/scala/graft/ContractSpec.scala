@@ -53,7 +53,11 @@ class ContractSpec extends SparkSpec {
     "q_sim_rpq_codebooks" -> ("residual per-subspace k-means fit is " +
       "engine-specific (seeded kmeans++ on a bounded sample of coarse-cell " +
       "residuals); its centroids are the INPUT the hash-checked " +
-      "q_sim_rpq_codes/q_sim_ivfrpq_topk twins replay end to end"))
+      "q_sim_rpq_codes/q_sim_ivfrpq_topk twins replay end to end"),
+    "q_sim_pca_components" -> ("LAPACK eigensolver fit is engine-specific; " +
+      "its mean+components floats are the INPUT the hash-checked " +
+      "q_sim_pca_project twin replays; SimilaritySpec pins orthonormality, " +
+      "non-increasing explained variance, and rerun determinism"))
 
   test("rows-only set: exactly the enlisted irreducible queries") {
     val declared = SparkEntry.queries.keySet
