@@ -2427,15 +2427,22 @@ object SparkEntry {
          | floor(CAST(sum(is_shared) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
          |   AS shared_ratio
          |FROM x GROUP BY source ORDER BY source""".stripMargin,
-    // exact-substring span replay: stride-1 rolling 16-gram window
-    // hashes (the NGramHashes fold, generated from the same constants),
-    // cross-doc window set, per-doc island merge by one sorted window
-    // pass — positions and span extents replayed bit-for-bit.
+    // exact-substring span replay: stride-1 rolling 16-gram WIDE window
+    // hashes (the NGramHashesWide two-fold key h1·P+h2, generated from
+    // the same constants — single-fold keys birthday-collide past ~1e7
+    // windows and a collision fabricates a duplicate span invisibly,
+    // round-11 ADVICE #1), cross-doc window set, per-doc island merge by
+    // one sorted window pass — positions and extents replayed
+    // bit-for-bit.
     "q_text_substr_spans" -> {
       val w = Text.substrWindowTokens
-      val chain = (1 until w).foldLeft("th[i]") {
+      val chain1 = (1 until w).foldLeft("th[i]") {
         (acc, j) => s"($acc * ${Dedup.shingleMult} + th[i+$j]) % ${Dedup.P}"
       }
+      val chain2 = (1 until w).foldLeft("th[i]") {
+        (acc, j) => s"($acc * ${Dedup.shingleMult2} + th[i+$j]) % ${Dedup.P}"
+      }
+      val chain = s"($chain1) * ${Dedup.P} + ($chain2)"
       s"""WITH t AS (
          | SELECT doc_id, list_filter(string_split(text,' '), s -> len(s)>0) AS toks
          | FROM documents),
@@ -2520,14 +2527,20 @@ object SparkEntry {
          |      THEN 1 ELSE 0 END AS BIGINT) AS selected
          |FROM rk ORDER BY doc_id""".stripMargin
     },
-    // excision replay: dup-window owners (min doc_id), redundant
-    // occurrences, island merge, coverage, and the per-doc ordered
-    // token rebuild — clean_text strings compared byte-for-byte.
+    // excision replay: dup-window owners (min doc_id) over the WIDE
+    // two-fold window key (h1·P+h2 — same rationale as the spans twin),
+    // redundant occurrences, island merge, coverage, and the per-doc
+    // ordered token rebuild — clean_text strings compared
+    // byte-for-byte.
     "q_text_substr_excise" -> {
       val w = Text.substrWindowTokens
-      val chain = (1 until w).foldLeft("th[i]") {
+      val chain1 = (1 until w).foldLeft("th[i]") {
         (acc, j) => s"($acc * ${Dedup.shingleMult} + th[i+$j]) % ${Dedup.P}"
       }
+      val chain2 = (1 until w).foldLeft("th[i]") {
+        (acc, j) => s"($acc * ${Dedup.shingleMult2} + th[i+$j]) % ${Dedup.P}"
+      }
+      val chain = s"($chain1) * ${Dedup.P} + ($chain2)"
       s"""WITH t AS (
          | SELECT doc_id, list_filter(string_split(text,' '), s -> len(s)>0) AS toks
          | FROM documents),

@@ -810,11 +810,16 @@ object Dedup {
     * minimum, from the published labels) is dropped; documents in no
     * cluster keep themselves. This is the keep-list join every training
     * pipeline runs after pair mining — the output is the corpus you
-    * actually train on. One anti-join against the (tiny) broadcast
-    * non-representative set; the corpus scan streams. */
+    * actually train on. One anti-join against the non-representative
+    * set. That set is NOT tiny in general: on a real web crawl 30–50% of
+    * documents are near-dups, so the drop list is corpus-proportional —
+    * the broadcast is therefore size-guarded ([[Hints.dimHint]]): hinted
+    * while the optimizer estimate fits an executor, a plain shuffled
+    * left_anti on doc_id (the published labels' own key) once it
+    * doesn't (round-11 verdict #1b). */
   def dedupedCorpus(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .join(broadcast(clusterDropList(spark, dir)), Seq("doc_id"), "left_anti")
+      .join(Hints.dimHint(clusterDropList(spark, dir)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 

@@ -132,13 +132,14 @@ object Features {
   /** Smoothed target (mean) encoding of customer market segment against
     * order total price — the high-cardinality-categorical encoder
     * (Micci-Barreca, SIGKDD Expl. 2001): enc = (Σy + m·ȳ)/(n + m) with
-    * prior weight m. One broadcast dim join + one grouped aggregate +
-    * one broadcast of the global mean; at 100 TB the join flips to
-    * shuffle automatically when the dim outgrows the broadcast
-    * threshold, the aggregate shapes are unchanged. */
+    * prior weight m. One size-guarded dim join ([[Hints.dimHint]] —
+    * customer grows linearly with SF) + one grouped aggregate + one
+    * broadcast of the global mean; at 100 TB the dim join flips to
+    * shuffle because the guard withholds the hint, the aggregate shapes
+    * are unchanged. */
   def targetEncode(spark: SparkSession, dir: String, m: Double = 100.0): DataFrame = {
     val joined = Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)
+      .join(Hints.dimHint(Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
     val globalMean = joined.agg(avg(col("o_totalprice")).as("gm"))
@@ -252,12 +253,12 @@ object Features {
     * trick): segment × order-priority → `polyHash mod 32` bucket, so
     * the cross's cardinality is capped without a vocabulary. The
     * distinct-cross count per bucket exposes collisions — the quantity
-    * a user tunes the dimension against. Broadcast dim join + one
-    * grouped aggregate. */
+    * a user tunes the dimension against. Size-guarded dim join
+    * ([[Hints.dimHint]]) + one grouped aggregate. */
   def crossFeatures(spark: SparkSession, dir: String, nDims: Int = 32): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)
+      .join(Hints.dimHint(Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
       .select(concat_ws("|", col("c_mktsegment"), col("o_orderpriority"))

@@ -39,8 +39,10 @@ object Graph {
     * `units·w·85` under 2^63; corpora beyond that pre-normalize weights.
     *
     * Scale shape: ONE pass over the fact table builds the edge list
-    * (lineitem shuffles on orderkey for the orders join, dimensions
-    * broadcast), which is then `localCheckpoint`ed — O(nations²) rows —
+    * (lineitem shuffles on orderkey for the orders join; the linearly
+    * growing customer/supplier dims join under size-guarded
+    * [[Hints.dimHint]] — hinted while they fit, shuffled sort-merge once
+    * they don't), which is then `localCheckpoint`ed — O(nations²) rows —
     * so the 5 iterations are tiny broadcast joins, never a re-read of
     * the fact table. At web-graph scale the same plan shape runs with
     * ranks and edges both partitioned by node id. */
@@ -52,8 +54,8 @@ object Graph {
     val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
     val edges0 = li
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimHint(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimHint(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
     val outw = edges0.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
@@ -101,7 +103,8 @@ object Graph {
     * can never beat extending `u`'s own minimum.
     *
     * Scale shape: ONE fact pass builds the edge list (dimensions
-    * broadcast, one shuffle), localCheckpoint'd at O(nations²) rows; the
+    * under size-guarded hints, one shuffle), localCheckpoint'd at
+    * O(nations²) rows; the
     * k relaxation rounds are tiny broadcast joins against the O(nodes)
     * distance frame. At web scale the same plan runs with both sides
     * hash-partitioned on node id and the frontier-only refinement
@@ -114,8 +117,8 @@ object Graph {
     val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
     val edges0 = li
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimHint(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimHint(supp), col("l_suppkey") === col("s_suppkey"))
       .where(col("c_nationkey") =!= col("s_nationkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
@@ -154,7 +157,8 @@ object Graph {
     * cross-engine.
     *
     * Scale shape: one fact pass builds the edge list (the only
-    * corpus-sized work — dimensions broadcast, one shuffle);
+    * corpus-sized work — cust/supp dims under size-guarded hints, one
+    * shuffle);
     * the thresholded edge set is localCheckpoint'd and triangle
     * enumeration is two self-joins on the CANONICAL orientation a<b<c,
     * so each triangle is counted exactly once and the join fan-out is
@@ -168,8 +172,8 @@ object Graph {
     val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
     val und = li
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimHint(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimHint(supp), col("l_suppkey") === col("s_suppkey"))
       .where(col("c_nationkey") =!= col("s_nationkey"))
       .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("a"),
         greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
@@ -224,8 +228,8 @@ object Graph {
     val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
     val und = li
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimHint(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimHint(supp), col("l_suppkey") === col("s_suppkey"))
       .where(col("c_nationkey") =!= col("s_nationkey"))
       .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("a"),
         greatest(col("c_nationkey"), col("s_nationkey")).as("b"))

@@ -64,7 +64,7 @@ object Relational {
     val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimHint(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(revenue, 2).as("rev"))
       // dates are emitted as yyyy-MM-dd strings in every oracle-checked
@@ -94,7 +94,7 @@ object Relational {
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
           .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimHint(dims), col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(round(revenue, 2).as("rev"), count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
@@ -216,7 +216,7 @@ object Relational {
     * (order/engine-insensitive; see [[bloomFilteredJoinRevenue]]). */
   def supplierRevenue(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Hints.dimHint(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(round(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -607,9 +607,9 @@ object Relational {
     Tables.lineitem(spark, dir)
       .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
       .where(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimHint(supp), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimHint(cust), col("o_custkey") === col("c_custkey"))
       .where(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("int").as("l_year"))

@@ -1373,22 +1373,30 @@ object Similarity {
     * over its exact top-k cosine neighbours — retrieval-based labeling,
     * the nearest-neighbour classifier a training pipeline uses for label
     * propagation / weak supervision. Composes [[topKCosine]] (bounded-heap
-    * partial top-k) with a broadcast label lookup and a per-query argmax
-    * (count desc, label asc tiebreak — deterministic, oracle-replayable). */
+    * partial top-k) with a label lookup and a per-query argmax (count
+    * desc, label asc tiebreak — deterministic, oracle-replayable).
+    *
+    * Join-side discipline (round-11 verdict #1a): the label frame is
+    * CORPUS-sized — every (vec_id, label) in the embeddings table — so it
+    * must never carry the broadcast hint; at 100 TB it is billions of
+    * rows and a forced hint is a driver OOM. The hint goes on the other
+    * side, which is tiny BY CONSTRUCTION (nQueries × k rows, then
+    * nQueries rows after the argmax), so the label scan streams and each
+    * join is a broadcast probe into it regardless of corpus size. */
   def knnLabelVote(spark: SparkSession, dir: String, nQueries: Int = 10,
                    k: Int = 10): DataFrame = {
     val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
-    val votes = topKCosine(spark, dir, nQueries, k)
-      .join(broadcast(labels.select(col("vec_id").as("cand_id"),
-        col("label").as("nbr_label"))), "cand_id")
+    val votes = broadcast(topKCosine(spark, dir, nQueries, k))
+      .join(labels.select(col("vec_id").as("cand_id"),
+        col("label").as("nbr_label")), "cand_id")
       .groupBy(col("q_id"), col("nbr_label"))
       .agg(count(lit(1)).as("n_votes"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
       .orderBy(col("n_votes").desc, col("nbr_label"))
-    votes.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .join(broadcast(labels.select(col("vec_id").as("q_id"),
-        col("label").as("true_label"))), "q_id")
+    broadcast(votes.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1))
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("true_label")), "q_id")
       .select(col("q_id"), col("true_label"),
         col("nbr_label").as("pred_label"), col("n_votes"))
       .orderBy(col("q_id"))

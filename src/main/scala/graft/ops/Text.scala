@@ -121,7 +121,10 @@ object Text {
     * statement that produces a training corpus from the raw documents
     * table by composing three declared operators in one Catalyst plan:
     * near-dup cluster keep-list ([[Dedup.dupClusters]] non-representatives
-    * anti-joined away, broadcast), quality floor ([[withQuality]] — same
+    * anti-joined away under a size-guarded hint — the drop list is
+    * corpus-proportional on a real crawl, so [[Hints.dimHint]] hints only
+    * while it fits, else the anti-join shuffles on doc_id),
+    * quality floor ([[withQuality]] — same
     * score definition as the standalone query), and the content-keyed
     * train split ([[corpusSplit]]'s bucket rule). This is what "a user of
     * the reference could switch and run their pipeline" means in
@@ -135,7 +138,7 @@ object Text {
     val bucket =
       pmod(graft.functions.GraftFunctions.polyHash(col("text")), lit(10))
     withQuality(Tables.documents(spark, dir))
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(Hints.dimHint(drop), Seq("doc_id"), "left_anti")
       .where(bucket <= 7 && col("quality") >= minQuality)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("quality"))
@@ -670,7 +673,16 @@ object Text {
     * group-by bounded by distinct windows, one semi join back, and the
     * island merge partitions BY DOCUMENT, so no cross-doc ordering
     * exists anywhere). Every step is the shared integer poly-hash fold —
-    * the DuckDB twin replays positions and extents bit-for-bit. */
+    * the DuckDB twin replays positions and extents bit-for-bit.
+    *
+    * Window identity is the WIDE two-fold key
+    * ([[graft.functions.NGramHashesWide]], ~60-bit): in the single-fold
+    * ~2³⁰ space birthday collisions are expected past ~10⁷ distinct
+    * windows and CERTAIN at the 100 TB target — and a colliding window
+    * pair in two documents fabricates a "verbatim" duplicate invisibly
+    * to every check, because the twin replays the identical hash
+    * (round-11 ADVICE #1). With both folds required to collide, expected
+    * collisions stay ≪ 1 out past 10⁹ distinct windows. */
   def substringDupSpans(spark: SparkSession, dir: String): DataFrame =
     substringDupSpansOf(Tables.documents(spark, dir))
 
@@ -685,7 +697,7 @@ object Text {
         graft.functions.GraftFunctions.tokenHashes(col("text")).as("th"))
       .where(size(col("th")) >= w)
       .select(col("doc_id"), size(col("th")).cast("long").as("n_tokens"),
-        graft.functions.GraftFunctions.ngramHashes(col("th"), w).as("whs"))
+        graft.functions.GraftFunctions.ngramHashesWide(col("th"), w).as("whs"))
     val wins = th.select(col("doc_id"), col("n_tokens"),
       posexplode(col("whs")).as(Seq("pos", "wh")))
       .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"),
@@ -745,7 +757,7 @@ object Text {
       tokens(col("text")).as("toks"))
     val th = base.where(size(col("toks")) >= w)
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.ngramHashes(
+        graft.functions.GraftFunctions.ngramHashesWide(
           graft.functions.GraftFunctions.tokenHashes(col("text")), w)
           .as("whs"))
     val wins = th.select(col("doc_id"),

@@ -27,7 +27,8 @@ object TimeSeries {
   /** Per-nation 6-month holdout backtest of seasonal-naive vs drift on
     * the monthly order-revenue series.
     *
-    * Scale shape: ONE pass over `orders` (customer dim broadcast) builds
+    * Scale shape: ONE pass over `orders` (customer dim under a
+    * size-guarded [[Hints.dimHint]] — it grows linearly with SF) builds
     * the monthly series — the only corpus-sized work; everything after
     * operates on O(nations × months) rows: a broadcast self-join for the
     * month-keyed seasonal reference, one window for index/length, a
@@ -44,7 +45,7 @@ object TimeSeries {
     // fact scan a second time.
     val monthly = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimHint(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nk"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mk"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.explore.Stats
 import graft.ops.{Dedup, Relational, Similarity}
@@ -227,5 +228,81 @@ class PlanSpec extends SparkSpec {
     // four buffers here (the 4x plan defect caught by the sf1 audit)
     assert(countOccurrences(p, "percentile_approx") <= 2, p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  /** Run `body` with AQE and the engine's own auto-broadcast estimation
+    * disabled, so the ONLY possible source of a BroadcastExchange in the
+    * built plan is an explicit hint — the configuration under which the
+    * size-guard assertions below are exact, not threshold-dependent. */
+  private def withOnlyHintedBroadcasts[T](body: => T): T = {
+    val confs = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("dimHint: the size guard alone decides broadcast vs shuffle") {
+    withOnlyHintedBroadcasts {
+      val o = graft.sources.Tables.orders(spark, sf).select("o_custkey")
+      def joined(dim: DataFrame) =
+        o.join(dim, col("o_custkey") === col("c_custkey"))
+      val dim = graft.sources.Tables.customer(spark, sf).select("c_custkey")
+      // under the guard (test-SF customer ≪ 64 MiB): hint applied
+      val under = plan(joined(graft.ops.Hints.dimHint(dim)))
+      assert(under.contains("BroadcastHashJoin"), under)
+      // above the guard (1-byte ceiling): hint withheld — with the
+      // engine estimator off this MUST fall back to a shuffled join,
+      // which is exactly what a 100 TB customer frame gets
+      val over = plan(joined(graft.ops.Hints.dimHint(dim, maxBytes = 1L)))
+      assert(!over.contains("BroadcastExchange"), over)
+      assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
+        over)
+    }
+  }
+
+  test("knn vote: corpus-sized label frame is never the broadcast side") {
+    withOnlyHintedBroadcasts {
+      val exec = Similarity.knnLabelVote(spark, sf)
+        .queryExecution.executedPlan
+      val bxs = exec.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      // the two label joins build on the hinted tiny sides + the
+      // topKCosine query broadcast — at least three hinted exchanges
+      assert(bxs.size >= 3, exec.toString)
+      // invariant (round-11 verdict #1a): every broadcast subtree is
+      // bounded — EITHER its output passed through a reducing aggregate/
+      // window (O(nQueries·k) rows) OR every embeddings scan under it
+      // carries the vec_id < nQueries pushdown. A bare corpus-label scan
+      // under an exchange fails both arms.
+      bxs.foreach { b =>
+        val s = b.toString
+        val bounded = s.contains("HashAggregate") || s.contains("Window") ||
+          b.collect {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+          }.forall(_.toString.contains("LessThan(vec_id"))
+        assert(bounded, s)
+      }
+    }
+  }
+
+  test("deduped corpus + training corpus: drop-list anti-join is size-guarded") {
+    withOnlyHintedBroadcasts {
+      // the guard hints the drop list at test SF (it fits), so the plan
+      // keeps the broadcast anti-join here — while the SAME call site
+      // falls back to a shuffled left_anti once the optimizer estimate
+      // crosses the guard (proven by the dimHint test above; these pin
+      // the call sites actually routing through the guard)
+      val p1 = plan(Dedup.dedupedCorpus(spark, sf))
+      assert(p1.contains("BroadcastHashJoin") && p1.contains("LeftAnti"), p1)
+      val p2 = plan(graft.ops.Text.trainingCorpus(spark, sf))
+      assert(p2.contains("BroadcastHashJoin") && p2.contains("LeftAnti"), p2)
+    }
   }
 }

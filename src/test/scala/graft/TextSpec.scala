@@ -654,6 +654,38 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("substring ops key windows in the WIDE two-fold space (round-11 ADVICE #1)") {
+    import spark.implicits._
+    // a narrow-fold collision fabricates a verbatim duplicate that both
+    // engines replay identically — the regression here pins the plans to
+    // the wide expression so the narrow key can't silently come back
+    val docs = Seq((0L, "a b", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    Seq(graft.ops.Text.substringDupSpansOf(docs),
+        graft.ops.Text.substringExcisedCorpusOf(docs)).foreach { df =>
+      val p = df.queryExecution.analyzed.toString
+      assert(p.contains("graft_ngram_hashes_wide"), p)
+      assert(!p.contains("graft_ngram_hashes("), p)
+    }
+    // and the wide key actually separates a planted single-fold collision:
+    // [x+1, y-1009 mod P] has the SAME 1009-fold window hash as [x, y]
+    // (Δ·1009 + Δ' ≡ 0 mod P) but a different 10007-fold — so the wide
+    // combine distinguishes what the narrow key conflates
+    val P = graft.ops.Dedup.P
+    val x = 123456789L; val y = 987654321L
+    val pair = Seq((Seq(x, y), Seq(x + 1, (y - 1009L + P) % P)))
+      .toDF("a", "b")
+      .select(
+        graft.functions.GraftFunctions.ngramHashes(col("a"), 2).as("na"),
+        graft.functions.GraftFunctions.ngramHashes(col("b"), 2).as("nb"),
+        graft.functions.GraftFunctions.ngramHashesWide(col("a"), 2).as("wa"),
+        graft.functions.GraftFunctions.ngramHashesWide(col("b"), 2).as("wb"))
+      .head()
+    assert(pair.getSeq[Long](0) === pair.getSeq[Long](1),
+      "planted narrow collision did not collide")
+    assert(pair.getSeq[Long](2) !== pair.getSeq[Long](3),
+      "wide key failed to separate the planted collision")
+  }
+
   test("dsir: weights equal a driver-side replay, target-like docs outrank, quotas exact") {
     import spark.implicits._
     val P = graft.ops.Dedup.P
