@@ -61,6 +61,9 @@ object SparkEntry {
     "q_part_pruned_revenue" -> ((s, d) => Relational.partitionPrunedRevenue(s, d)),
     "q_win_rank_breadth" -> ((s, d) => Relational.customerBalanceWindows(s, d)),
     "q_skew_salted_join" -> ((s, d) => Relational.saltedJoinRevenue(s, d)),
+    // two-phase value-salted aggregate: exact count(distinct) that fans
+    // a hot group key across `salts` reducers (round-11 verdict #4)
+    "q_agg_salted_skew" -> ((s, d) => Relational.saltedSkewedAgg(s, d)),
     "q_outer_nation_parties" -> ((s, d) => Relational.nationPartiesOuter(s, d)),
     "q_csv_json_sources" -> ((s, d) => Relational.csvJsonSourceJoin(s, d)),
     "q_unpivot_measures" -> ((s, d) => Relational.unpivotMeasureStats(s, d)),
@@ -125,6 +128,11 @@ object SparkEntry {
     // orders over (custkey, day) — the multi-dimensional stats-pruning
     // layout; the twin replays scale → interleave → bucket bit-for-bit
     "q_layout_zorder" -> ((s, d) => Layout.zorderBucketStats(s, d)),
+    // snapshot time travel: two-version planted history in the
+    // Snapshots store, read back by id and full-outer diffed — the twin
+    // recomputes both versions from raw orders, so the hash check
+    // proves publish/readVersion fidelity
+    "q_layout_time_travel" -> ((s, d) => Layout.timeTravelDiff(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // ORACLE-CHECKED via the q_sim_ivf_centroids dump twin: given the
     // published centroids, cell assignment (argmin |c|²−2·v·c), probe
@@ -170,6 +178,11 @@ object SparkEntry {
     "q_text_chunk_windows" -> ((s, d) => Text.chunkWindows(s, d)),
     "q_text_boilerplate" -> ((s, d) => Text.boilerplateSpans(s, d)),
     "q_text_boiler_ratio" -> ((s, d) => Text.boilerplateRatio(s, d)),
+    // greedy BPE subword tokenization (Sennrich et al. ACL'16): the
+    // bounded corpus-fit merge table (rows-only dump, enlisted) feeds
+    // the hash-checked per-doc encode — counts + full subword rendering
+    "q_text_bpe_merges" -> ((s, d) => Text.bpeMergesDump(s, d)),
+    "q_text_bpe" -> ((s, d) => Text.bpeEncodedDocs(s, d)),
     // exact-substring dedup audit (Lee et al. ACL'22): maximal per-doc
     // spans whose every 16-token window recurs verbatim in another doc
     "q_text_substr_spans" -> ((s, d) => Text.substringDupSpans(s, d)),
@@ -202,8 +215,9 @@ object SparkEntry {
     "q_valid_doc_checks" -> ((s, d) => Validate.docChecks(s, d)),
     // the full stage→audit→promote WAP gate, report + promote verdict
     "q_valid_wap" -> ((s, d) => Validate.wapGate(s, d)),
-    // privacy pack: k-anonymity audit over (nation, segment, $2000
-    // balance bin) and the pseudonymized suppressed export
+    // privacy pack: k-anonymity audit over (segment, $2000 balance
+    // bin) — the nation key is deliberately excluded, see
+    // Privacy.kAnonymityAudit — and the pseudonymized suppressed export
     "q_priv_kanon" -> ((s, d) => Privacy.kAnonymityAudit(s, d)),
     "q_priv_export" -> ((s, d) => Privacy.anonymizedExport(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
@@ -1084,6 +1098,17 @@ object SparkEntry {
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the salted two-phase aggregate must equal the PLAIN single-phase
+    // aggregate — that equality is the whole correctness contract of
+    // the value-space salting rewrite
+    "q_agg_salted_skew" ->
+      """SELECT o_custkey,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | round(sum(floor(l_extendedprice*(1-l_discount)*100 + 0.5))/100, 2)
+        |   AS rev,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_outer_nation_parties" ->
       """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust,
         |            round(sum(c_acctbal), 2) AS cust_bal
@@ -1848,6 +1873,38 @@ object SparkEntry {
     // Morton-interleave (the 32-term shift/mask expression is GENERATED
     // from Layout.zBits — the twin cannot drift from the engine), bucket
     // by the top 8 z-bits, report per-bucket envelopes.
+    // time-travel replay: both snapshot versions recomputed from raw
+    // orders (v1 = date-truncated, minus 1-URGENT, plus the synthetic
+    // 0-LEGACY row; v2 = full), then the same full-outer status diff —
+    // matches only if the stored versions are byte-faithful
+    "q_layout_time_travel" ->
+      """WITH v1 AS (
+        | SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        | FROM orders
+        | WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |   AND o_orderpriority <> '1-URGENT'
+        | GROUP BY 1
+        | UNION ALL
+        | SELECT '0-LEGACY', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |v2 AS (
+        | SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        | FROM orders GROUP BY 1)
+        |SELECT coalesce(v1.o_orderpriority, v2.o_orderpriority)
+        |    AS o_orderpriority,
+        |  CASE WHEN v1.o_orderpriority IS NULL THEN 'added'
+        |       WHEN v2.o_orderpriority IS NULL THEN 'removed'
+        |       WHEN v1.n_orders <> v2.n_orders OR v1.cents <> v2.cents
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(v1.n_orders, -1) AS n_old,
+        |  coalesce(v2.n_orders, -1) AS n_new
+        |FROM v1 FULL OUTER JOIN v2
+        |  ON v1.o_orderpriority = v2.o_orderpriority
+        |ORDER BY 1""".stripMargin,
     "q_layout_zorder" ->
       s"""WITH od AS (SELECT o_orderkey, o_custkey,
          |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
@@ -2427,6 +2484,54 @@ object SparkEntry {
          | floor(CAST(sum(is_shared) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
          |   AS shared_ratio
          |FROM x GROUP BY source ORDER BY source""".stripMargin,
+    // BPE encode replay over the q_text_bpe_merges dump: the IDENTICAL
+    // rewriting algorithm as graft.functions.BpeTable — sep-wrapped
+    // code points (chr(31)), merges in rank order, each applied as
+    // leftmost-non-overlapping replace until fixpoint (a recursive CTE
+    // whose step either replaces once more at the current rank or
+    // advances the rank) — then per-doc reassembly in token order.
+    // Distinct words encode once; the join back restores positions.
+    "q_text_bpe" ->
+      s"""WITH RECURSIVE
+         |m AS (SELECT CAST(rank AS BIGINT) AS r, a, b
+         |      FROM '${graft.explore.Stats.verifyOutToken}/q_text_bpe_merges/*.parquet'),
+         |mm AS (SELECT r, chr(31) || a || chr(31) || b || chr(31) AS pat,
+         |               chr(31) || a || b || chr(31) AS rep FROM m),
+         |mx AS (SELECT COALESCE(max(r), 0) AS mx FROM mm),
+         |t AS (SELECT doc_id,
+         |        list_filter(string_split(text, ' '), s -> len(s) > 0) AS toks
+         |      FROM documents),
+         |w0 AS (SELECT DISTINCT unnest(toks) AS w FROM t),
+         |enc(w, s, r) AS (
+         |  SELECT w, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
+         |         CAST(1 AS BIGINT)
+         |  FROM w0
+         |  UNION ALL
+         |  SELECT e.w,
+         |    CASE WHEN contains(e.s, mm.pat) THEN replace(e.s, mm.pat, mm.rep)
+         |         ELSE e.s END,
+         |    CASE WHEN contains(e.s, mm.pat) THEN e.r ELSE e.r + 1 END
+         |  FROM enc e JOIN mm ON mm.r = e.r),
+         |wenc AS (SELECT w, s FROM enc, mx WHERE enc.r = mx.mx + 1),
+         |wd AS (SELECT w,
+         |        list_filter(string_split(s, chr(31)), x -> len(x) > 0) AS pieces
+         |       FROM wenc),
+         |wdd AS (SELECT w, array_to_string(pieces, '@@ ') AS disp,
+         |         CAST(len(pieces) AS BIGINT) AS np FROM wd),
+         |tp0 AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(toks)),
+         |           i -> {'p': CAST(i AS BIGINT), 'tok': toks[i]})) AS u
+         |        FROM t),
+         |tp AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tp0),
+         |d AS (SELECT tp.doc_id, count(*) AS n_words,
+         |        CAST(sum(wdd.np) AS BIGINT) AS n_bpe_tokens,
+         |        string_agg(wdd.disp, ' ' ORDER BY tp.p) AS bpe_text
+         |      FROM tp JOIN wdd ON tp.tok = wdd.w GROUP BY tp.doc_id)
+         |SELECT t.doc_id,
+         | CAST(coalesce(d.n_words, 0) AS BIGINT) AS n_words,
+         | CAST(coalesce(d.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+         | coalesce(d.bpe_text, '') AS bpe_text
+         |FROM t LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
     // exact-substring span replay: stride-1 rolling 16-gram WIDE window
     // hashes (the NGramHashesWide two-fold key h1·P+h2, generated from
     // the same constants — single-fold keys birthday-collide past ~1e7
@@ -2698,12 +2803,19 @@ object SparkEntry {
          | CAST(CASE WHEN count(*) >= ${Privacy.kAnon} THEN 1 ELSE 0 END
          |   AS BIGINT) AS meets_k
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // pseudonymized k-anonymous export replay: the name poly-hash fold
-    // character-for-character, same bins, groups < k suppressed
+    // pseudonymized k-anonymous export replay: the WIDE two-fold name
+    // pseudonym (forward + reversed-name 31-folds combined h1·P+h2 —
+    // a single fold birthday-collides at SF1's 150k names, silently
+    // merging identities) character-for-character, same bins, groups
+    // < k suppressed; tie-break keys keep row order engine-neutral
     "q_priv_export" ->
       s"""WITH c AS (SELECT
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_transform(string_split(c_name, ''),
+         |      ch -> CAST(ascii(ch) AS BIGINT))),
+         |    (acc, ch) -> (acc * 31 + ch) % ${Dedup.P}) * ${Dedup.P} +
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(reverse(c_name), ''),
          |      ch -> CAST(ascii(ch) AS BIGINT))),
          |    (acc, ch) -> (acc * 31 + ch) % ${Dedup.P}) AS pseudonym,
          |  c_mktsegment,
@@ -2714,7 +2826,7 @@ object SparkEntry {
          |      GROUP BY 1, 2 HAVING count(*) >= ${Privacy.kAnon})
          |SELECT pseudonym, c_mktsegment, bal_bin
          |FROM c JOIN g USING (c_mktsegment, bal_bin)
-         |ORDER BY pseudonym""".stripMargin,
+         |ORDER BY pseudonym, c_mktsegment, bal_bin""".stripMargin,
     "q_valid_consistency" ->
       """WITH s AS (SELECT l_orderkey,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))

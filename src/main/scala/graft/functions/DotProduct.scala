@@ -336,6 +336,7 @@ object GraftFunctions {
   val minhashName = "graft_minhash_sigs"
   val tokenHashesName = "graft_token_hashes"
   val cellArgMinName = "graft_cell_argmin"
+  val bpeEncodeName = "graft_bpe_encode"
 
   /** Arity-checked SQL builders — a wrong argument count is a clear
     * analysis-time error, not an IndexOutOfBoundsException at runtime. */
@@ -378,6 +379,9 @@ object GraftFunctions {
   private[functions] val cellArgMinBuilder =
     arity(cellArgMinName, 2)(exprs => CellArgMin(exprs(0), exprs(1)))
 
+  private[functions] val bpeEncodeBuilder =
+    arity(bpeEncodeName, 3)(exprs => BpeEncodeDoc(exprs(0), exprs(1), exprs(2)))
+
   private def registrations = Seq(
     (FunctionIdentifier(dotName),
       new ExpressionInfo(classOf[DotProduct].getName, dotName), dotBuilder),
@@ -399,7 +403,10 @@ object GraftFunctions {
       tokenHashesBuilder),
     (FunctionIdentifier(cellArgMinName),
       new ExpressionInfo(classOf[CellArgMin].getName, cellArgMinName),
-      cellArgMinBuilder))
+      cellArgMinBuilder),
+    (FunctionIdentifier(bpeEncodeName),
+      new ExpressionInfo(classOf[BpeEncodeDoc].getName, bpeEncodeName),
+      bpeEncodeBuilder))
 
   /** Idempotent per-session registration; query builders call this before
     * using [[dot]] / [[polyHash]] / [[topK]]. */
@@ -453,6 +460,13 @@ object GraftFunctions {
     * against a literal centroid matrix; requires [[register]]. */
   def cellArgMin(v: Column, centroids: Column): Column =
     call_function(cellArgMinName, v, centroids)
+
+  /** Greedy-BPE document encode ([[BpeEncodeDoc]]) against a literal
+    * merge table: `struct<n_bpe, bpe_text>`; requires [[register]]. */
+  def bpeEncode(toks: Column, a: Seq[String], b: Seq[String]): Column =
+    call_function(bpeEncodeName, toks,
+      org.apache.spark.sql.functions.typedLit(a),
+      org.apache.spark.sql.functions.typedLit(b))
 }
 
 /** `spark.sql.extensions` entry point: registers graft's native functions
@@ -493,5 +507,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[CellArgMin].getName,
         GraftFunctions.cellArgMinName),
       GraftFunctions.cellArgMinBuilder))
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.bpeEncodeName),
+      new ExpressionInfo(classOf[BpeEncodeDoc].getName,
+        GraftFunctions.bpeEncodeName),
+      GraftFunctions.bpeEncodeBuilder))
   }
 }

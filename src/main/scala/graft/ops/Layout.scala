@@ -111,4 +111,50 @@ object Layout {
       .repartitionByRange(nFiles, col("__ck"))
       .sortWithinPartitions(col("__ck"))
       .drop("__ck")
+
+  /** Snapshot time travel over the published layouts (round-11 verdict
+    * #3): seed a two-version history of a deterministic per-priority
+    * orders aggregate in the [[graft.store.Snapshots]] store (create-
+    * once), read BOTH versions back by id, and diff them with the
+    * shared [[Validate.snapshotDiffRows]] full-outer engine. The planted
+    * history exercises every status: version 1 drops `1-URGENT` (→
+    * `added` in v2), carries a synthetic `0-LEGACY` row (→ `removed`),
+    * and is date-truncated so the surviving priorities all change.
+    *
+    * The hash check covers snapshot FIDELITY end to end: the twin
+    * recomputes both version definitions from the raw `orders` table,
+    * so the stored-version read only matches if `publish` froze exactly
+    * the frame it was handed and `readVersion` returns it untouched.
+    * Scale: both versions are bounded (O(priorities)) aggregates off one
+    * fact pass each at publish time; the declared read is two pruned
+    * scans of tiny tables + a 6-row diff. */
+  def timeTravelDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_tt_orders_${Relational.dirSlug(dir)}"
+    val cut = lit("1997-01-01").cast("timestamp")
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    graft.store.Snapshots.ensureVersions(spark, base, Seq(
+      () => agg(Tables.orders(spark, dir)
+          .where(col("o_orderdate") < cut &&
+            col("o_orderpriority") =!= "1-URGENT"))
+        .unionByName(spark.range(1).select(
+          lit("0-LEGACY").as("o_orderpriority"),
+          lit(0L).as("n_orders"), lit(0L).as("cents"))),
+      () => agg(Tables.orders(spark, dir))))
+    val vs = graft.store.Snapshots.versions(spark, base)
+    val v1 = graft.store.Snapshots.readVersion(spark, base, vs.head)
+    val v2 = graft.store.Snapshots.readVersion(spark, base, vs.last)
+    Validate.snapshotDiffRows(v1, v2,
+        Seq("o_orderpriority"), Seq("n_orders", "cents"))
+      .join(v1.select(col("o_orderpriority"), col("n_orders").as("n_old")),
+        Seq("o_orderpriority"), "left")
+      .join(v2.select(col("o_orderpriority"), col("n_orders").as("n_new")),
+        Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"), col("status"),
+        coalesce(col("n_old"), lit(-1L)).as("n_old"),
+        coalesce(col("n_new"), lit(-1L)).as("n_new"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -12,11 +12,24 @@ import graft.sources.Tables
   * generalization/suppression of quasi-identifiers (Sweeney, "k-anonymity:
   * a model for protecting privacy", IJUFKS 2002).
   *
-  * Determinism discipline: the pseudonym is the shared polynomial rolling
-  * hash of the name string (the same fold both engines replay
-  * character-for-character), and the balance generalization goes through
-  * exact integer cents before binning — no float boundary can disagree
-  * across engines.
+  * Determinism discipline: the pseudonym is a WIDE two-fold polynomial
+  * hash of the name string — the shared 31-fold over the name combined
+  * with the same fold over the REVERSED name as `h1·P + h2` (~60-bit key,
+  * both replayed character-for-character by the twin). A single mod-P
+  * fold lives in a ~2³⁰ space where birthday collisions are expected past
+  * ~10⁴·√2 names (≈11 expected at SF1's 150k customers) and a collision
+  * silently merges two customers' identities in the release; the wide key
+  * needs both folds to collide (~2⁻⁶⁰ per pair). The balance
+  * generalization goes through exact integer cents before binning — no
+  * float boundary can disagree across engines.
+  *
+  * Threat-model caveat (round-11 ADVICE): a deterministic UNSALTED hash
+  * of a low-entropy identifier is dictionary-invertible — anyone who can
+  * enumerate the name space can recover names from pseudonyms. The
+  * operator contract here is the deterministic, cross-engine-replayable
+  * transform + k-anonymity suppression; a production release substitutes
+  * a keyed PRF (e.g. HMAC with a secret) for the fold, which changes only
+  * the hash call, not the plan shape.
   *
   * Scale shape: the audit is one hash-aggregate on the quasi-identifier
   * pair whose output cardinality is bounded by |segments|×|bins|
@@ -71,10 +84,11 @@ object Privacy {
   def anonymizedExport(spark: SparkSession, dir: String,
                        k: Int = kAnon): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    val wide = graft.functions.GraftFunctions.polyHash(col("c_name"))
+      .cast("long") * lit(1000000007L) +
+      graft.functions.GraftFunctions.polyHash(reverse(col("c_name")))
     val cust = Tables.customer(spark, dir)
-      .select(graft.functions.GraftFunctions.polyHash(col("c_name"))
-          .as("pseudonym"),
-        col("c_mktsegment"), balBin)
+      .select(wide.as("pseudonym"), col("c_mktsegment"), balBin)
     val okGroups = cust
       .groupBy(col("c_mktsegment"), col("bal_bin"))
       .agg(count(lit(1)).as("group_n"))
@@ -83,6 +97,8 @@ object Privacy {
     cust.join(broadcast(okGroups),
         Seq("c_mktsegment", "bal_bin"), "left_semi")
       .select(col("pseudonym"), col("c_mktsegment"), col("bal_bin"))
-      .orderBy(col("pseudonym"))
+      // secondary keys make row order deterministic even under a
+      // (now ~2⁻⁶⁰-improbable) pseudonym tie
+      .orderBy(col("pseudonym"), col("c_mktsegment"), col("bal_bin"))
   }
 }

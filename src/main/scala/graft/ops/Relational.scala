@@ -702,6 +702,46 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Two-phase SALTED aggregate for skewed high-cardinality group keys —
+    * the aggregation-side counterpart of [[saltedJoinRevenue]] (round-11
+    * verdict #4). Per-customer stats through lineitem ⋈ orders where the
+    * exact distinct-part count is the skew hazard: `count(distinct)` has
+    * no map-side combine — every (hot key, value) pair shuffles to ONE
+    * reducer task, so a customer carrying 30% of a 100 TB fact table
+    * serializes on a single straggler.
+    *
+    * The rewrite salts by the HASH OF THE DISTINCT VALUE (`l_partkey`),
+    * not by a random number: each part key maps to exactly one salt, so
+    * the per-(key, salt) distinct shards are DISJOINT and the final
+    * phase merges them with a plain `sum` of longs — exact, not
+    * approximate. Phase 1 groups on (o_custkey, salt) — the hot key fans
+    * out across `salts` reducer tasks; phase 2 groups on o_custkey alone
+    * over the already-collapsed O(keys·salts) frame. The algebraic
+    * measures (revenue cents, row count) ride the same two phases for
+    * free. Result is oracle-identical to the plain single-phase
+    * aggregate. */
+  def saltedSkewedAgg(spark: SparkSession, dir: String,
+                      salts: Int = 8): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100 + 0.5).as("cents"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    val phase1 = pairs
+      .withColumn("salt",
+        pmod(xxhash64(col("l_partkey")), lit(salts)).cast("int"))
+      .groupBy(col("o_custkey"), col("salt"))
+      .agg(countDistinct(col("l_partkey")).as("pd"),
+        sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+    phase1.groupBy(col("o_custkey"))
+      .agg(sum(col("pd")).as("n_parts"),
+        round(sum(col("cents")) / 100, 2).as("rev"),
+        sum(col("n")).as("n_items"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** CSV + JSON source coverage in a declared query: `nation` is
     * round-tripped through a header CSV and `region` through JSON lines
     * (published once per session next to the warehouse), then both are

@@ -526,20 +526,36 @@ object Similarity {
   private val centroidCache =
     TrieMap.empty[(String, Long, Int, Int, Int), Array[Array[Double]]]
 
+  /** Adaptive fit-sample modulus (round-11 ADVICE #4): the widest
+    * 1-in-`mod` hash filter whose EXPECTED hit count n/mod still covers
+    * the fit cap — `max(1, min(5, n / cap))`. Large corpora keep the
+    * historical 1-in-5 bound; corpora whose fifth undershoots the cap
+    * are sampled densely, down to whole-corpus, so a k-means fit never
+    * sees fewer points than the data could provide. */
+  private[graft] def adaptiveSampleMod(n: Long, cap: Int): Int =
+    math.max(1L, math.min(5L, n / cap)).toInt
+
   /** Fit (or fetch) the IVF coarse quantizer: seeded k-means++ + 8 Lloyd
     * iterations over a deterministic, *bounded* hash-sample of the corpus
     * (1-in-`sampleMod` by id hash, capped at `sampleCap` rows). The
     * default cap is ADAPTIVE — max(4096, 16·nlist), i.e. ≥ 16 sample
     * points per cell, ≤ 64 Ki rows / ~33 MB of driver memory at the
-    * 4096-cell rung ([[adaptiveNlist]]) regardless of corpus size. A
-    * coarse quantizer only needs cluster geometry, which a sample fixes
-    * at a fraction of the full-scan cost; fitting the collected sample
-    * ([[fitCentroids]] — flat Lloyd to 256 cells, two-level above) takes
-    * milliseconds to tens of milliseconds, vs. 8 distributed passes
-    * (3+ s of scheduler overhead at any SF, 8 full lake scans at 100 TB)
-    * for a cluster-side fit. */
+    * 4096-cell rung ([[adaptiveNlist]]) regardless of corpus size. The
+    * default `sampleMod = 0` resolves ADAPTIVELY too (round-11 ADVICE
+    * #4): the widest hash modulus whose expected hit count still covers
+    * the cap — `max(1, min(5, n / cap))` — so a corpus whose 1-in-5
+    * sample would undershoot the fit target (e.g. 2 100 rows for a
+    * 256-entry codebook) is sampled densely (down to whole-corpus at
+    * small n) instead of silently starving the fit, while large corpora
+    * keep the historical 1-in-5 bound. A coarse quantizer only needs
+    * cluster geometry, which a sample fixes at a fraction of the
+    * full-scan cost; fitting the collected sample ([[fitCentroids]] —
+    * flat Lloyd to 256 cells, two-level above) takes milliseconds to
+    * tens of milliseconds, vs. 8 distributed passes (3+ s of scheduler
+    * overhead at any SF, 8 full lake scans at 100 TB) for a
+    * cluster-side fit. */
   private[ops] def quantizerCentroids(spark: SparkSession, dir: String,
-                                      nlist: Int, sampleMod: Int = 5,
+                                      nlist: Int, sampleMod: Int = 0,
                                       sampleCap: Int = 0,
                                       fp: Long = Long.MinValue): Array[Array[Double]] = {
     // callers holding a fingerprint pass it in (one FS listing per query,
@@ -548,18 +564,22 @@ object Similarity {
     // is the cache-key component, so an explicit equal cap aliases.
     val cap = if (sampleCap == 0) math.max(4096, 16 * nlist) else sampleCap
     val mtime = if (fp == Long.MinValue) embFingerprint(spark, dir) else fp
+    // adaptive modulus: never let the hash filter starve the fit below
+    // its per-centroid target (round-11 ADVICE #4)
+    val mod = if (sampleMod != 0) sampleMod
+      else adaptiveSampleMod(embCount(spark, dir, mtime), cap)
     // evict superseded-mtime entries for the same config: without this,
     // a long-lived JVM that rewrites the corpus accumulates one centroid
     // matrix per rewrite forever (round-3 review finding)
     centroidCache.keys
-      .filter(k => k._1 == dir && k._3 == nlist && k._4 == sampleMod &&
+      .filter(k => k._1 == dir && k._3 == nlist && k._4 == mod &&
         k._5 == cap && k._2 != mtime)
       .foreach(centroidCache.remove)
     centroidCache.getOrElseUpdate(
-      (dir, mtime, nlist, sampleMod, cap), {
+      (dir, mtime, nlist, mod, cap), {
       val sampled = embDouble(spark, dir)
         .select(col("vec_id"), col("embedding"))
-        .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+        .where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
         .orderBy(col("vec_id")).limit(cap)   // ordered → deterministic
         .collect().map(_.getSeq[Double](1).toArray)
       require(sampled.nonEmpty, s"empty embedding sample for $dir")
@@ -794,8 +814,12 @@ object Similarity {
     * rows — 16⁸ ≈ 4.3·10⁹ composite cells is already far beyond the
     * corpus); 256 above it — the standard one-byte-per-subspace code,
     * 8 bytes/vector vs 512 for the raw float64 row (64×). The fit
-    * sample ([[pqCodebooks]]) caps at max(4096, 16·ksub) rows, so the
-    * 256-code fit sees ≥ 16 points per centroid like the IVF fit. */
+    * sample ([[pqCodebooks]]) caps at max(4096, 16·ksub) rows with an
+    * ADAPTIVE sampling modulus, so the 256-code fit sees ≥ 16 points
+    * per centroid whenever the corpus has ≥ 4096 rows, and the whole
+    * corpus below that — never a hash-starved sliver (round-11 ADVICE
+    * #4 closed the 2 049–20 480-row band where the fixed 1-in-5 filter
+    * fed < 2 points per centroid). */
   private[graft] def adaptivePqKsub(n: Long): Int =
     if (n <= 2048L) 16 else 256
 
@@ -819,9 +843,14 @@ object Similarity {
       .foreach(pqCache.remove)
     pqCache.getOrElseUpdate((dir, fp, ksub), {
       val cap = math.max(4096, 16 * ksub)
+      // adaptive modulus, same rule as the IVF quantizer: 1-in-5 only
+      // while the expected hit count covers the fit target; corpora in
+      // the 2 049–20 480 band would otherwise feed a 256-code fit < 2
+      // points per centroid (round-11 ADVICE #4)
+      val mod = adaptiveSampleMod(embCount(spark, dir, fp), cap)
       val sampled = embDouble(spark, dir)
         .select(col("vec_id"), col("embedding"))
-        .where(pmod(xxhash64(col("vec_id")), lit(5)) === 0)
+        .where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
         .orderBy(col("vec_id")).limit(cap)   // ordered → deterministic
         .collect().map(_.getSeq[Double](1).toArray)
       require(sampled.nonEmpty, s"empty embedding sample for $dir")

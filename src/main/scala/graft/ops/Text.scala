@@ -1348,4 +1348,143 @@ object Text {
       .select(col("doc_a"), col("doc_b"))
     (sets, cand)
   }
+
+  // ------------------------------------------------------------------
+  // Subword tokenization: greedy BPE (Sennrich et al. ACL 2016)
+  // ------------------------------------------------------------------
+
+  /** Merge-table size cap. 200 merges is enough to expose every
+    * mechanism (char pairs -> morphemes -> whole frequent words) on the
+    * synthetic corpora; production vocabularies just raise the knob —
+    * the fit loop is linear in it. */
+  val bpeMaxMerges = 200
+
+  /** Fit-table bound: the merge fit sees the TOP-N words by (count
+    * desc, word asc) — a deterministic bounded collect, the same
+    * driver-side-fit discipline as the PQ/IVF codebooks
+    * ([[graft.ops.Similarity]]): at 100 TB the word-count aggregate is
+    * one distributed map-side-combined pass and the top-k is a
+    * TakeOrdered — never a full vocabulary collect. Zipf's law makes
+    * the head carry almost all pair mass, so the capped fit tracks the
+    * full-corpus fit closely (the standard practical recipe). */
+  val bpeFitWords = 4096
+
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[(String, String)]]
+
+  /** Fit (or fetch) the corpus BPE merge table — ranked (a, b) symbol
+    * pairs, fingerprint-cached like the quantizer fits. */
+  private[graft] def bpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$dir/documents.parquet")
+    bpeCache.keys.filter(k => k._1 == dir && k._2 != fp).foreach(bpeCache.remove)
+    bpeCache.getOrElseUpdate((dir, fp), {
+      val wc = Tables.documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .limit(bpeFitWords)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      fitBpe(wc, bpeMaxMerges)
+    })
+  }
+
+  /** Deterministic greedy BPE fit over a bounded word-count table: each
+    * round counts weighted adjacent symbol pairs, takes the max by
+    * (count desc, pair lexicographic asc — a total order, so the fit is
+    * engine- and shuffle-independent), records the merge and applies it
+    * to every word with the SAME iterated-`replace` rule the encode
+    * kernel uses ([[graft.functions.BpeTable]] — fit and encode share
+    * one rewriting semantics by construction). Stops early when no pair
+    * repeats. */
+  private[graft] def fitBpe(wordCounts: Seq[(String, Long)],
+                            maxMerges: Int): Seq[(String, String)] = {
+    val Sep = graft.functions.BpeTable.Sep
+    def wrap(w: String): String = {
+      val sb = new java.lang.StringBuilder(w.length * 2 + 1)
+      sb.append(Sep)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendCodePoint(cp).append(Sep)
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+    var words = wordCounts.map { case (w, c) => (wrap(w), c) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < maxMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (s, c) =>
+        val syms = s.split(Sep).filter(_.nonEmpty)
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      val best = counts.reduceOption { (x, y) =>
+        val ((xa, xb), xc) = x; val ((ya, yb), yc) = y
+        if (xc > yc || (xc == yc &&
+          (xa < ya || (xa == ya && xb <= yb)))) x else y
+      }
+      best match {
+        case Some(((a, b), c)) if c >= 2 =>
+          merges += ((a, b))
+          val pat = s"$Sep$a$Sep$b$Sep"
+          val rep = s"$Sep$a$b$Sep"
+          words = words.map { case (s0, c0) =>
+            var cur = s0
+            var t = cur.replace(pat, rep)
+            while (t != cur) { cur = t; t = cur.replace(pat, rep) }
+            (cur, c0)
+          }
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The fitted merge table as a DECLARED dump query (rank, a, b) — the
+    * [[graft.ops.Similarity.pqCodebooksDump]] pattern: the iterative
+    * argmax fit is engine-specific (rows-only, enlisted), but given
+    * these merges the ENCODE is replayable rewriting, so `q_text_bpe`
+    * is hash-checked end to end with this dump as its input. */
+  def bpeMergesDump(spark: SparkSession, dir: String): DataFrame = {
+    val m = bpeMerges(spark, dir)
+    val spark2 = spark
+    import spark2.implicits._
+    m.zipWithIndex.map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("rank", "a", "b").orderBy(col("rank"))
+  }
+
+  /** BPE-encoded corpus: per document the whitespace word count, the
+    * subword token count, and the full subword rendering (pieces of a
+    * word joined by `"@@ "`, words by a single space — stripping
+    * `"@@ "` reconstructs the original text, spec-asserted). THE token
+    * counter for LLM data budgeting: whitespace `tokens()` understates
+    * subword token counts by the fertility factor, and every
+    * tokens-per-doc / packing / cost estimate downstream wants this
+    * number (round-11 verdict #2).
+    *
+    * Scale shape: the merge table is a bounded driver fit (see
+    * [[bpeFitWords]]); the encode is ONE projection over the documents
+    * scan — a codegen kernel expression with a memoized Zipf-friendly
+    * per-word cache, no shuffle, no UDF serde, no join against a
+    * vocabulary table. At 100 TB it is embarrassingly parallel over
+    * scan partitions. */
+  def bpeEncodedDocs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val m = bpeMerges(spark, dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"),
+        graft.functions.GraftFunctions.bpeEncode(
+          col("toks"), m.map(_._1), m.map(_._2)).as("e"))
+      .select(col("doc_id"), col("n_words"),
+        col("e.n_bpe").as("n_bpe_tokens"), col("e.bpe_text"))
+      .orderBy(col("doc_id"))
+  }
 }

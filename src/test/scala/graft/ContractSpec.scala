@@ -57,7 +57,12 @@ class ContractSpec extends SparkSpec {
     "q_sim_pca_components" -> ("LAPACK eigensolver fit is engine-specific; " +
       "its mean+components floats are the INPUT the hash-checked " +
       "q_sim_pca_project twin replays; SimilaritySpec pins orthonormality, " +
-      "non-increasing explained variance, and rerun determinism"))
+      "non-increasing explained variance, and rerun determinism"),
+    "q_text_bpe_merges" -> ("iterative greedy-BPE argmax fit on the " +
+      "bounded word-count table is engine-specific by nature; its ranked " +
+      "merge pairs are the INPUT the hash-checked q_text_bpe twin replays " +
+      "end to end (the q_sim_pq_codebooks pattern); TextSpec pins a " +
+      "planted-vocab fit + encode round-trip"))
 
   test("rows-only set: exactly the enlisted irreducible queries") {
     val declared = SparkEntry.queries.keySet

@@ -87,4 +87,50 @@ class LayoutSpec extends SparkSpec {
     assert(zCust < nFiles * fullCust * 8 / 10,
       s"z-order custkey coverage $zCust not bounded vs ${nFiles * fullCust}")
   }
+
+  test("snapshots: concurrent publishes allocate distinct versions; retention + time travel") {
+    import graft.store.Snapshots
+    import spark.implicits._
+    val base = "graft_tt_spec"
+    // clean slate: the suite may rerun in one warehouse
+    Snapshots.retain(spark, base, keep = 0)
+    assert(Snapshots.versions(spark, base).isEmpty)
+    // two RACING publishers of the same 5-row frame: the per-base lock
+    // must serialize id allocation — distinct sequential versions, no
+    // errorifexists crash, both frozen intact
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ids = Await.result(Future.sequence(Seq.fill(2)(Future {
+      Snapshots.publish(spark, spark.range(5).toDF("id"), base)
+    })), 60.seconds)
+    assert(ids.toSet === Set(1L, 2L))
+    // grow a history, then time-travel to every version
+    assert(Snapshots.publish(spark, spark.range(7).toDF("id"), base) === 3L)
+    assert(Snapshots.publish(spark, spark.range(9).toDF("id"), base) === 4L)
+    assert(Snapshots.versions(spark, base) === Seq(1L, 2L, 3L, 4L))
+    assert(Snapshots.readVersion(spark, base, 1L).count() === 5L)
+    assert(Snapshots.readVersion(spark, base, 3L).count() === 7L)
+    // a later publish never mutates an old version (isolation)
+    assert(Snapshots.readVersion(spark, base, 1L)
+      .agg(sum(col("id"))).head.getLong(0) === 10L)
+    // retention: keep the newest 2, the dropped ids are gone
+    assert(Snapshots.retain(spark, base, keep = 2) === Seq(1L, 2L))
+    assert(Snapshots.versions(spark, base) === Seq(3L, 4L))
+    assert(Snapshots.readVersion(spark, base, 4L).count() === 9L)
+    Snapshots.retain(spark, base, keep = 0)
+  }
+
+  test("time-travel diff: every status present, sides consistent") {
+    val out = graft.ops.Layout.timeTravelDiff(spark, sf).collect()
+    val byStatus = out.groupBy(_.getString(1))
+    assert(byStatus.contains("added") && byStatus.contains("removed") &&
+      byStatus.contains("changed"), out.mkString("\n"))
+    out.foreach { r =>
+      val (st, nOld, nNew) = (r.getString(1), r.getLong(2), r.getLong(3))
+      if (st == "added") assert(nOld === -1L && nNew >= 0L)
+      if (st == "removed") assert(nNew === -1L && nOld >= 0L)
+      if (st == "changed") assert(nOld >= 0L && nNew >= 0L && nOld != nNew)
+    }
+  }
 }

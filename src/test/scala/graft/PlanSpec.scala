@@ -292,6 +292,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("salted skewed aggregate: two aggregation levels, salt in the first shuffle key") {
+    val p = plan(Relational.saltedSkewedAgg(spark, sf))
+    // phase 1 shuffles on (o_custkey, salt) — the hot key fans out;
+    // phase 2 shuffles on o_custkey alone over the collapsed frame
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+    assert(countOccurrences(p, "Exchange hashpartitioning") >= 2, p)
+    assert(p.contains("salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("deduped corpus + training corpus: drop-list anti-join is size-guarded") {
     withOnlyHintedBroadcasts {
       // the guard hints the drop list at test SF (it fits), so the plan

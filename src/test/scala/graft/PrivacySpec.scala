@@ -36,8 +36,10 @@ class PrivacySpec extends SparkSpec {
 
   test("pseudonym and bin arithmetic equal a driver-side replay") {
     val P = graft.ops.Dedup.P
-    def ph(s: String): Long =
+    def fold(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+    // the wide two-fold pseudonym: forward fold · P + reversed fold
+    def ph(s: String): Long = fold(s) * P + fold(s.reverse)
     val raw = Tables.customer(spark, sf)
       .select("c_name", "c_acctbal").limit(50).collect()
       .map(r => (r.getString(0), r.getDouble(1)))

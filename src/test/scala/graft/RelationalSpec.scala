@@ -448,4 +448,28 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("salted two-phase aggregate equals the plain single-phase aggregate") {
+    import graft.sources.Tables
+    val salted = Relational.saltedSkewedAgg(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_parts"), r.getAs[Double]("rev"),
+          r.getAs[Long]("n_items"))).toMap
+    val plain = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100 + 0.5).as("cents"))
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        round(sum(col("cents")) / 100, 2).as("rev"),
+        count(lit(1)).as("n_items"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_parts"), r.getAs[Double]("rev"),
+          r.getAs[Long]("n_items"))).toMap
+    assert(salted.nonEmpty)
+    assert(salted === plain)
+  }
 }

@@ -213,6 +213,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.adaptiveNProbe(256) === 8)
     assert(Similarity.adaptiveNProbe(512) === 16)
     assert(Similarity.adaptiveNProbe(4096) === 128)
+    // fit-sample modulus (round-11 ADVICE #4): the expected sample
+    // n/mod must cover the cap whenever the corpus can — the fixed
+    // 1-in-5 filter starved 256-code fits in the 2049..20480 band
+    val cap = 4096
+    assert(Similarity.adaptiveSampleMod(500, cap) === 1)    // whole corpus
+    assert(Similarity.adaptiveSampleMod(2100, cap) === 1)   // the ADVICE band
+    assert(Similarity.adaptiveSampleMod(12000, cap) === 2)  // 6000 ≥ cap
+    assert(Similarity.adaptiveSampleMod(20480, cap) === 5)
+    assert(Similarity.adaptiveSampleMod(100000000, cap) === 5)
+    Seq(500L, 2100L, 12000L, 20480L, 1000000L).foreach { n =>
+      val exp = n / Similarity.adaptiveSampleMod(n, cap)
+      assert(exp >= math.min(n, cap.toLong), s"n=$n expected sample $exp")
+    }
     // plant a 3000-vector clustered corpus (> 2048 ⇒ the 256-cell rung):
     // 20 seeded cluster centres + small noise, so true neighbours share a
     // cell and the 8-probe scan should retrieve them

@@ -746,4 +746,48 @@ class TextSpec extends SparkSpec {
     assert(out.count(_._5 == 1L) === 2)
     assert(out.filter(_._5 == 1L).forall(_._4 == 1L))
   }
+
+  test("bpe: planted-vocab fit picks the expected ranked merges") {
+    // pair mass: (a,b) = 2·10 + 5 = 25 wins round 1; merging makes
+    // (ab,ab) = 10 win round 2; (c,d) = 3 wins round 3; then no pair
+    // repeats (count < 2) and the fit stops before the merge cap
+    val wc = Seq(("abab", 10L), ("ab", 5L), ("cd", 3L))
+    val merges = Text.fitBpe(wc, maxMerges = 10)
+    assert(merges === Seq(("a", "b"), ("ab", "ab"), ("c", "d")))
+    // encode against the fitted table: rank order + iterated replace
+    val t = new graft.functions.BpeTable(
+      merges.map(_._1).toArray, merges.map(_._2).toArray)
+    assert(t.encodeWord("abab") === (("abab", 1)))
+    // back-to-back case the single replace pass would miss: after
+    // (a,b), "ababab" is [ab ab ab]; (ab,ab) leftmost gives [abab, ab]
+    assert(t.encodeWord("ababab") === (("abab@@ ab", 2)))
+    assert(t.encodeWord("cdx") === (("cd@@ x", 2)))
+    // out-of-vocabulary word falls back to characters
+    assert(t.encodeWord("zq") === (("z@@ q", 2)))
+    // deterministic tie-break: equal counts resolve lexicographically
+    val tie = Text.fitBpe(Seq(("xy", 2L), ("uv", 2L)), maxMerges = 1)
+    assert(tie === Seq(("u", "v")))
+  }
+
+  test("bpe encode round-trips the corpus and counts subwords consistently") {
+    val orig = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).mkString(" ")).toMap
+    val out = Text.bpeEncodedDocs(spark, sf).collect()
+    assert(out.length === orig.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nWords = r.getLong(1)
+      val nBpe = r.getLong(2)
+      val txt = r.getString(3)
+      // stripping the continuation marker reconstructs the exact text
+      assert(txt.replace("@@ ", "") === orig(id), s"doc $id round-trip")
+      // every word yields >= 1 piece; marker count accounts for extras
+      assert(nBpe >= nWords)
+      assert(nBpe === nWords + "@@ ".r.findAllIn(txt).length, s"doc $id counts")
+    }
+    // the fit actually learned something on the corpus: some multi-char
+    // subword exists (not the all-characters degenerate split)
+    assert(out.exists(r => r.getLong(2) < 3 * r.getLong(1)))
+  }
 }
