@@ -1475,4 +1475,100 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** STREAMING incremental-dedup labeler (round-11 verdict #5) — the
+    * consumer that closes the loop
+    * [[graft.streaming.EventStream.lshCandidatesStateful]] opens: new
+    * documents arrive over micro-batches, and after any prefix of
+    * batches [[labels]] returns the SAME assignment the one-shot
+    * [[incrementalAssign]] produces for the documents seen so far
+    * (spec-asserted across >= 3 micro-batches).
+    *
+    * The trick is WHAT the state is: not labels (a later batch can
+    * connect two earlier components, so per-doc labels are not
+    * append-only) but the VERIFIED RELATIONS the one-shot assignment is
+    * a pure function of — the accumulated signature index of arrived
+    * docs, the exact-Jaccard self edges (within each batch via the
+    * capped band self-join, batch x earlier-state via the banded cross
+    * join: every pair lands in exactly one of the two), and the per-doc
+    * anchors against the published old corpus (complete at arrival,
+    * since a doc's old-corpus matches don't depend on other new docs).
+    * [[labels]] then replays steps 1-3 of the one-shot assignment over
+    * the accumulated relations — O(increment), never O(corpus).
+    *
+    * State shape at 100 TB: all four frames are O(increment) and
+    * localCheckpoint-pinned each step (bounded lineage across an
+    * unbounded stream); in production they ARE the per-day signature/
+    * label writeback tables ([[dedupIncWriteback]]'s contract), so the
+    * stream holds nothing a batch ingest wouldn't publish anyway. The
+    * one documented divergence from one-shot: a degenerate band bucket
+    * past the star cap can shed different pairs when its members span
+    * batch boundaries — the same capped-bucket trade
+    * `lshCandidatesStateful` documents. */
+  final class StreamingIncrementLabeler(oldSigs: DataFrame,
+                                        oldLabels: DataFrame,
+                                        minJaccard: Double = 0.8) {
+    private var stateSigs: Option[DataFrame] = None
+    private var anchors: Option[DataFrame] = None
+    private var edges: Option[DataFrame] = None
+    private var ids: Option[DataFrame] = None
+
+    private def appended(acc: Option[DataFrame], add: DataFrame): Option[DataFrame] =
+      Some(acc.map(_.unionByName(add)).getOrElse(add).localCheckpoint())
+
+    /** Ingest one micro-batch of documents-shaped rows (doc_id, text). */
+    def step(batchDocs: DataFrame): Unit = synchronized {
+      if (batchDocs.isEmpty) return
+      val sigs = signaturesKeeping(shingledOf(
+        batchDocs.select(col("doc_id"), col("text"))), col("hs"))
+        .localCheckpoint()
+      val sh = sigs.select(col("doc_id"), col("hs"))
+      val batchAnchors = crossVerifiedPairsFrom(sigs, oldSigs, minJaccard)
+        .join(oldLabels.select(col("doc_id").as("doc_b"), col("cluster_rep")),
+          Seq("doc_b"), "left")
+        .groupBy(col("doc_a"))
+        .agg(min(coalesce(col("cluster_rep"), col("doc_b"))).as("anchor"))
+        .select(col("doc_a").as("doc_id"), col("anchor"))
+      val within = jaccardVerify(selfCandidates(bandsOf(sigs)), sh, sh, minJaccard)
+      val cross = stateSigs.map { prior =>
+        crossVerifiedPairsFrom(sigs, prior, minJaccard)
+          .select(col("doc_a"), col("doc_b"))
+      }
+      val batchEdges = cross.map(within.select(col("doc_a"), col("doc_b"))
+        .unionByName(_)).getOrElse(within.select(col("doc_a"), col("doc_b")))
+      anchors = appended(anchors, batchAnchors)
+      edges = appended(edges, batchEdges)
+      ids = appended(ids, sigs.select(col("doc_id")))
+      stateSigs = appended(stateSigs, sigs)
+    }
+
+    /** The assignment for every document seen so far — steps 1-3 of
+      * [[incrementalAssign]] over the accumulated relations: batch-
+      * internal connected components, component label = min member
+      * anchor, else the component minimum. */
+    def labels(): DataFrame = synchronized {
+      require(ids.nonEmpty, "no micro-batch ingested yet")
+      val idsDf = ids.get
+      val comps = connectedComponents(edges.get)
+      val withComp = idsDf.join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("comp"))
+      val compAnchor = withComp
+        .join(anchors.get, Seq("doc_id"), "left")
+        .groupBy(col("comp")).agg(min(col("anchor")).as("comp_anchor"))
+      withComp.join(compAnchor, "comp")
+        .select(col("doc_id"),
+          coalesce(col("comp_anchor"), col("comp")).as("cluster_rep"),
+          col("comp_anchor").isNotNull.cast("int").as("attached"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** The streaming increment the parity spec feeds: the same post-cut
+    * document slice [[incrementalAssign]] labels, exposed so the spec
+    * and the one-shot operator share one increment definition. */
+  private[graft] def incrementDocs(spark: SparkSession, dir: String,
+                                   newFrac: Double = incNewFrac): DataFrame =
+    incTagged(spark, dir, newFrac).where(col("doc_id") >= col("cut"))
+      .select(col("doc_id"), col("text"))
 }

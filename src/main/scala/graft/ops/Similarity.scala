@@ -229,6 +229,24 @@ object Similarity {
   private[graft] def adaptiveNProbe(nlist: Int): Int =
     math.max(8, nlist / 32)
 
+  /** ADC shortlist (exact-rerank depth) for a corpus of n rows:
+    * max(64, n/256) capped at 1024. The shortlist must exceed the
+    * expected ADC-TIE multiplicity or the exact re-rank never sees the
+    * true neighbours: in clustered corpora whole clusters share PQ
+    * codes, their ADC distances tie exactly, and a fixed 64-deep
+    * shortlist then samples ~64 of the tied cluster at random — the
+    * 120 Ki-row wide-rung spec measured plain IVF-PQ recall@10 of 0.24
+    * under the fixed default vs ≥ 0.9 once the shortlist covers the
+    * tie mass. n/256 tracks per-cluster candidate multiplicity at the
+    * audited geometries; the 1024 cap bounds the re-rank at ~1 Ki exact
+    * dot products per query regardless of corpus size (the re-rank is
+    * the ONLY full-width read in the plan, so the cap is what keeps the
+    * 64× PQ I/O win intact at 100 TB). The gate rung (≤ 2048 rows)
+    * resolves to the historical 64 — every oracle-twin literal is
+    * unchanged. */
+  private[graft] def adaptiveShortlist(n: Long): Int =
+    math.min(1024L, math.max(64L, n / 256)).toInt
+
   /** Corpus row-count cache keyed like [[centroidCache]] (dir +
     * fingerprint): [[adaptiveNlist]] needs n, and re-counting the lake
     * per query call would be a full narrow scan each time. Superseded
@@ -990,8 +1008,10 @@ object Similarity {
     * join. Deterministic (seeded fit, fixed fold orders, id tie-breaks);
     * hash-checked end to end via the [[pqCodebooksDump]] twin. */
   def pqTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
-                   k: Int = 10, shortlist: Int = 64): DataFrame = {
+                   k: Int = 10, shortlist: Int = 0): DataFrame = {
     val fp = embFingerprint(spark, dir)
+    val sl = if (shortlist == 0)
+      adaptiveShortlist(embCount(spark, dir, fp)) else shortlist
     val codesTable = ensurePqCodes(spark, dir, fp)
     val queries = pqQueryDtab(spark, dir, nQueries, pqCodebooks(spark, dir, fp))
     val short = spark.table(codesTable)
@@ -999,7 +1019,7 @@ object Similarity {
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"), adcExpr.as("adc"))
     val shortIds = short.groupBy(col("q_id"))
-      .agg(GraftFunctions.topK(struct(col("adc"), col("cand_id")), shortlist)
+      .agg(GraftFunctions.topK(struct(col("adc"), col("cand_id")), sl)
         .as("top"))
       .select(col("q_id"), explode(col("top")).as("e"))
       .select(col("q_id"), col("e.cand_id").as("cand_id"))
@@ -1038,8 +1058,10 @@ object Similarity {
     * ([[ivfCentroidsDump]] + [[pqCodebooksDump]]). */
   def ivfPqTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
                       k: Int = 10, nProbe: Int = 0,
-                      shortlist: Int = 64): DataFrame = {
+                      shortlist: Int = 0): DataFrame = {
     val fp = embFingerprint(spark, dir)
+    val sl = if (shortlist == 0)
+      adaptiveShortlist(embCount(spark, dir, fp)) else shortlist
     val codesTable = ensureIvfPqCodes(spark, dir, fp)
     val nlist = adaptiveNlist(embCount(spark, dir, fp))
     val probes = if (nProbe == 0) adaptiveNProbe(nlist) else nProbe
@@ -1069,7 +1091,7 @@ object Similarity {
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"), adcExpr.as("adc"))
     val shortIds = short.groupBy(col("q_id"))
-      .agg(GraftFunctions.topK(struct(col("adc"), col("cand_id")), shortlist)
+      .agg(GraftFunctions.topK(struct(col("adc"), col("cand_id")), sl)
         .as("top"))
       .select(col("q_id"), explode(col("top")).as("e"))
       .select(col("q_id"), col("e.cand_id").as("cand_id"))
@@ -1219,8 +1241,10 @@ object Similarity {
     * reads only probed partitions at 8 bytes/row. */
   def ivfRpqTopKCosine(spark: SparkSession, dir: String, nQueries: Int = 10,
                        k: Int = 10, nProbe: Int = 0,
-                       shortlist: Int = 64): DataFrame = {
+                       shortlist: Int = 0): DataFrame = {
     val fp = embFingerprint(spark, dir)
+    val sl = if (shortlist == 0)
+      adaptiveShortlist(embCount(spark, dir, fp)) else shortlist
     val codesTable = ensureIvfRpqCodes(spark, dir, fp)
     val nlist = adaptiveNlist(embCount(spark, dir, fp))
     val probes = if (nProbe == 0) adaptiveNProbe(nlist) else nProbe
@@ -1258,7 +1282,7 @@ object Similarity {
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"), adcExpr.as("adc"))
     val shortIds = short.groupBy(col("q_id"))
-      .agg(GraftFunctions.topK(struct(col("adc"), col("cand_id")), shortlist)
+      .agg(GraftFunctions.topK(struct(col("adc"), col("cand_id")), sl)
         .as("top"))
       .select(col("q_id"), explode(col("top")).as("e"))
       .select(col("q_id"), col("e.cand_id").as("cand_id"))

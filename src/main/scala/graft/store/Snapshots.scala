@@ -50,10 +50,35 @@ object Snapshots {
   def latest(spark: SparkSession, base: String): Option[Long] =
     versions(spark, base).lastOption
 
+  /** Clear warehouse directories of `base` versions that have NO catalog
+    * entry — orphans from a previous JVM (the in-memory catalog dies with
+    * each process, so a dead session's snapshot data is unreadable
+    * anyway, and its surviving directory would otherwise block this
+    * session's same-numbered CREATE forever — the same stale-location
+    * discipline as [[FeatureStore.ensureVersionedTable]]). Caller holds
+    * the base lock. */
+  private def sweepOrphans(spark: SparkSession, base: String): Unit = {
+    val live = versions(spark, base).map(v => vname(base, v).toLowerCase).toSet
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(whPath)) {
+      fs.listStatus(whPath).map(_.getPath)
+        .filter { p =>
+          val n = p.getName.toLowerCase
+          n.startsWith(base.toLowerCase + "_v") &&
+            n.stripPrefix(base.toLowerCase + "_v").toLongOption.nonEmpty &&
+            !live.contains(n)
+        }
+        .foreach(p => fs.delete(p, true))
+    }
+  }
+
   /** Publish `df` as the next immutable version of `base`; returns the
     * allocated version id. */
   def publish(spark: SparkSession, df: DataFrame, base: String): Long =
     lock(base).synchronized {
+      sweepOrphans(spark, base)
       val next = latest(spark, base).getOrElse(0L) + 1
       df.write.mode("errorifexists").format("parquet")
         .saveAsTable(vname(base, next))

@@ -607,4 +607,55 @@ class StreamingSpec extends SparkSpec {
     assert(corrupt.contains("2024-01-03"), corrupt.sorted.mkString(","))
     assert(corrupt.contains("2024-01-10"), "post-collapse zero-day missing")
   }
+
+  test("streaming incremental labeler == one-shot incrementalAssign across 3 micro-batches") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val D = graft.ops.Dedup
+    // the one-shot ground truth over the standard increment, and the
+    // SAME published old-corpus contract it reads
+    val oneShot = D.incrementalAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(oneShot.nonEmpty)
+    val oldSigs = spark.table(D.ensureIncrementalSigs(spark, sf))
+    val oldLabels = spark.table(D.ensureIncrementalBase(spark, sf))
+    // the same increment, split into three files -> three micro-batches
+    val inc = D.incrementDocs(spark, sf)
+    val idsSorted = inc.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (t1, t2) = (idsSorted(idsSorted.length / 3),
+      idsSorted(2 * idsSorted.length / 3))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_stream").toString
+    inc.where(col("doc_id") < t1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/f1")
+    inc.where(col("doc_id") >= t1 && col("doc_id") < t2)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/f2")
+    inc.where(col("doc_id") >= t2)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/f3")
+    val now = System.currentTimeMillis()
+    Seq("f2" -> 60000L, "f3" -> 120000L).foreach { case (d, off) =>
+      new java.io.File(s"$tmp/$d").listFiles()
+        .foreach(_.setLastModified(now + off))
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/f*")
+    val labeler = new D.StreamingIncrementLabeler(oldSigs, oldLabels)
+    val q = EventStream.incrementalLabelsQuery(stream, labeler)
+    try q.processAllAvailable() finally q.stop()
+    // three genuine micro-batches ran (state carried twice)
+    assert(q.lastProgress.batchId >= 2, s"batchId ${q.lastProgress.batchId}")
+    val streamed = labeler.labels().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // exact parity: same docs, same cluster reps, same attached flags —
+    // including cross-batch components and anchor-over-component wins
+    assert(streamed === oneShot)
+    // the interesting cases actually occur on this corpus: some doc is
+    // attached to an old cluster, and some batch-internal cluster spans
+    // a split boundary (so the cross-batch edge path was exercised)
+    assert(oneShot.values.exists(_._2 == 1), "no attached doc in increment")
+    val reps = oneShot.toSeq.groupBy(_._2._1).filter(_._2.size > 1)
+    assert(reps.nonEmpty, "no multi-doc component in increment")
+  }
 }
