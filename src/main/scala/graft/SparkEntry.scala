@@ -183,6 +183,9 @@ object SparkEntry {
     // the hash-checked per-doc encode — counts + full subword rendering
     "q_text_bpe_merges" -> ((s, d) => Text.bpeMergesDump(s, d)),
     "q_text_bpe" -> ((s, d) => Text.bpeEncodedDocs(s, d)),
+    // per-language fertility (subwords per word) — the token-budget
+    // multiplier a multilingual data mix is costed with
+    "q_text_bpe_fertility" -> ((s, d) => Text.bpeFertilityByLang(s, d)),
     // exact-substring dedup audit (Lee et al. ACL'22): maximal per-doc
     // spans whose every 16-token window recurs verbatim in another doc
     "q_text_substr_spans" -> ((s, d) => Text.substringDupSpans(s, d)),
@@ -220,6 +223,9 @@ object SparkEntry {
     // Privacy.kAnonymityAudit — and the pseudonymized suppressed export
     "q_priv_kanon" -> ((s, d) => Privacy.kAnonymityAudit(s, d)),
     "q_priv_export" -> ((s, d) => Privacy.anonymizedExport(s, d)),
+    // GDPR erasure: request list applied to the dimension + FK cascade
+    // through orders, per-segment compliance audit
+    "q_priv_erasure" -> ((s, d) => Privacy.erasureAudit(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -238,6 +244,9 @@ object SparkEntry {
     // over the exact published bits; recall vs brute additionally
     // spec-asserted
     "q_sim_ann_topk" -> ((s, d) => Similarity.annTopKCosine(s, d)),
+    // retrieval-quality dashboard: recall@10 / MRR / graded nDCG of the
+    // ANN ranking vs the exact ranking, micro-unit-exact per query
+    "q_sim_rank_eval" -> ((s, d) => Similarity.annRankEval(s, d)),
     // ORACLE-CHECKED via the same dump twin: radius cutoff + exact
     // cosine verify replay; precision exact by construction
     "q_sim_range" -> ((s, d) => Similarity.annRangeSearch(s, d)),
@@ -625,6 +634,49 @@ object SparkEntry {
        |    ORDER BY cos_sim DESC, cand_id) AS rnk
        |  FROM scored) t WHERE rnk <= 10)""".stripMargin
   }
+
+  /** Shared DuckDB CTEs for the BPE family: merge table from the
+    * `q_text_bpe_merges` dump, the recursive replace-until-fixpoint
+    * encode per DISTINCT word (the graft.functions.BpeTable contract,
+    * see that scaladoc), and the per-doc reassembly frame `d` plus the
+    * tokenized base `t`. Composed by `q_text_bpe` (per-doc) and
+    * `q_text_bpe_fertility` (per-language). Must run under
+    * `WITH RECURSIVE`. */
+  private def bpeCtes: String =
+    s"""m AS (SELECT CAST(rank AS BIGINT) AS r, a, b
+         |      FROM '${graft.explore.Stats.verifyOutToken}/q_text_bpe_merges/*.parquet'),
+         |mm AS (SELECT r, chr(31) || a || chr(31) || b || chr(31) AS pat,
+         |               chr(31) || a || b || chr(31) AS rep FROM m),
+         |mx AS (SELECT COALESCE(max(r), 0) AS mx FROM mm),
+         |t AS (SELECT doc_id,
+         |        list_filter(string_split(text, ' '), s -> len(s) > 0) AS toks
+         |      FROM documents),
+         |w0 AS (SELECT DISTINCT unnest(toks) AS w FROM t),
+         |enc(w, s, r) AS (
+         |  SELECT w, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
+         |         CAST(1 AS BIGINT)
+         |  FROM w0
+         |  UNION ALL
+         |  SELECT e.w,
+         |    CASE WHEN contains(e.s, mm.pat) THEN replace(e.s, mm.pat, mm.rep)
+         |         ELSE e.s END,
+         |    CASE WHEN contains(e.s, mm.pat) THEN e.r ELSE e.r + 1 END
+         |  FROM enc e JOIN mm ON mm.r = e.r),
+         |wenc AS (SELECT w, s FROM enc, mx WHERE enc.r = mx.mx + 1),
+         |wd AS (SELECT w,
+         |        list_filter(string_split(s, chr(31)), x -> len(x) > 0) AS pieces
+         |       FROM wenc),
+         |wdd AS (SELECT w, array_to_string(pieces, '@@ ') AS disp,
+         |         CAST(len(pieces) AS BIGINT) AS np FROM wd),
+         |tp0 AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(toks)),
+         |           i -> {'p': CAST(i AS BIGINT), 'tok': toks[i]})) AS u
+         |        FROM t),
+         |tp AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tp0),
+         |d AS (SELECT tp.doc_id, count(*) AS n_words,
+         |        CAST(sum(wdd.np) AS BIGINT) AS n_bpe_tokens,
+         |        string_agg(wdd.disp, ' ' ORDER BY tp.p) AS bpe_text
+         |      FROM tp JOIN wdd ON tp.tok = wdd.w GROUP BY tp.doc_id)""".stripMargin
 
   /** Shared DuckDB CTEs for the PQ family: codebooks rebuilt from the
     * `q_sim_pq_codebooks` dump, L2-normalized embeddings, and the
@@ -2493,45 +2545,25 @@ object SparkEntry {
     // Distinct words encode once; the join back restores positions.
     "q_text_bpe" ->
       s"""WITH RECURSIVE
-         |m AS (SELECT CAST(rank AS BIGINT) AS r, a, b
-         |      FROM '${graft.explore.Stats.verifyOutToken}/q_text_bpe_merges/*.parquet'),
-         |mm AS (SELECT r, chr(31) || a || chr(31) || b || chr(31) AS pat,
-         |               chr(31) || a || b || chr(31) AS rep FROM m),
-         |mx AS (SELECT COALESCE(max(r), 0) AS mx FROM mm),
-         |t AS (SELECT doc_id,
-         |        list_filter(string_split(text, ' '), s -> len(s) > 0) AS toks
-         |      FROM documents),
-         |w0 AS (SELECT DISTINCT unnest(toks) AS w FROM t),
-         |enc(w, s, r) AS (
-         |  SELECT w, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
-         |         CAST(1 AS BIGINT)
-         |  FROM w0
-         |  UNION ALL
-         |  SELECT e.w,
-         |    CASE WHEN contains(e.s, mm.pat) THEN replace(e.s, mm.pat, mm.rep)
-         |         ELSE e.s END,
-         |    CASE WHEN contains(e.s, mm.pat) THEN e.r ELSE e.r + 1 END
-         |  FROM enc e JOIN mm ON mm.r = e.r),
-         |wenc AS (SELECT w, s FROM enc, mx WHERE enc.r = mx.mx + 1),
-         |wd AS (SELECT w,
-         |        list_filter(string_split(s, chr(31)), x -> len(x) > 0) AS pieces
-         |       FROM wenc),
-         |wdd AS (SELECT w, array_to_string(pieces, '@@ ') AS disp,
-         |         CAST(len(pieces) AS BIGINT) AS np FROM wd),
-         |tp0 AS (SELECT doc_id,
-         |         unnest(list_transform(generate_series(1, len(toks)),
-         |           i -> {'p': CAST(i AS BIGINT), 'tok': toks[i]})) AS u
-         |        FROM t),
-         |tp AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tp0),
-         |d AS (SELECT tp.doc_id, count(*) AS n_words,
-         |        CAST(sum(wdd.np) AS BIGINT) AS n_bpe_tokens,
-         |        string_agg(wdd.disp, ' ' ORDER BY tp.p) AS bpe_text
-         |      FROM tp JOIN wdd ON tp.tok = wdd.w GROUP BY tp.doc_id)
+         |$bpeCtes
          |SELECT t.doc_id,
          | CAST(coalesce(d.n_words, 0) AS BIGINT) AS n_words,
          | CAST(coalesce(d.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
          | coalesce(d.bpe_text, '') AS bpe_text
          |FROM t LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // fertility replay: the same recursive encode CTEs, folded to one
+    // row per language with integer sums and a single rounded division
+    "q_text_bpe_fertility" ->
+      s"""WITH RECURSIVE
+         |$bpeCtes
+         |SELECT doc.lang, count(*) AS n_docs,
+         | CAST(sum(coalesce(d.n_words, 0)) AS BIGINT) AS n_words,
+         | CAST(sum(coalesce(d.n_bpe_tokens, 0)) AS BIGINT) AS n_bpe_tokens,
+         | round(CAST(sum(coalesce(d.n_bpe_tokens, 0)) AS DOUBLE)
+         |   / nullif(sum(coalesce(d.n_words, 0)), 0), 6) AS fertility
+         |FROM t LEFT JOIN d USING (doc_id)
+         |     JOIN documents doc ON doc.doc_id = t.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact-substring span replay: stride-1 rolling 16-gram WIDE window
     // hashes (the NGramHashesWide two-fold key h1·P+h2, generated from
     // the same constants — single-fold keys birthday-collide past ~1e7
@@ -2827,6 +2859,36 @@ object SparkEntry {
          |SELECT pseudonym, c_mktsegment, bal_bin
          |FROM c JOIN g USING (c_mktsegment, bal_bin)
          |ORDER BY pseudonym, c_mktsegment, bal_bin""".stripMargin,
+    // erasure replay: the same name-fold residue defines the request
+    // list; semi/anti joins split the dimension, the orders cascade
+    // joins back through the deleted keys — exact-cents balances
+    "q_priv_erasure" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(c_name, ''),
+         |      ch -> CAST(ascii(ch) AS BIGINT))),
+         |    (acc, ch) -> (acc * 31 + ch) % ${Dedup.P}) % ${Privacy.erasureMod}
+         |    AS h
+         | FROM customer),
+         |r AS (SELECT c_custkey FROM c WHERE h = 0),
+         |e AS (SELECT c_mktsegment, count(*) AS n_erased,
+         |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS erased_bal_cents
+         | FROM c SEMI JOIN r USING (c_custkey) GROUP BY 1),
+         |kp AS (SELECT c_mktsegment, count(*) AS n_kept
+         | FROM c ANTI JOIN r USING (c_custkey) GROUP BY 1),
+         |cs AS (SELECT c.c_mktsegment, count(*) AS n_erased_orders
+         | FROM orders o JOIN r ON o.o_custkey = r.c_custkey
+         |      JOIN c ON c.c_custkey = o.o_custkey
+         | GROUP BY 1)
+         |SELECT c_mktsegment,
+         | coalesce(e.n_erased, 0) AS n_erased,
+         | coalesce(kp.n_kept, 0) AS n_kept,
+         | coalesce(e.erased_bal_cents, 0) AS erased_bal_cents,
+         | coalesce(cs.n_erased_orders, 0) AS n_erased_orders
+         |FROM e FULL JOIN kp USING (c_mktsegment)
+         |       FULL JOIN cs USING (c_mktsegment)
+         |ORDER BY 1""".stripMargin,
     "q_valid_consistency" ->
       """WITH s AS (SELECT l_orderkey,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -3135,6 +3197,31 @@ object SparkEntry {
          |SELECT nt.q_id, nt.n_true, coalesce(nh.n_hit, 0) AS n_hit,
          | floor(CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / nt.n_true * 1e6 + 0.5) / 1e6 AS recall
          |FROM nt LEFT JOIN nh ON nt.q_id = nh.q_id ORDER BY nt.q_id""".stripMargin),
+    // retrieval-eval replay: exact CTEs + ANN CTEs, left-joined per
+    // (q_id, cand_id); every DCG/MRR term micro-rounded BEFORE the sum
+    // (log2 ulp noise absorbed), ideal DCG embedded as the same library
+    // constant the Spark side normalizes by
+    "q_sim_rank_eval" -> (simTopkCtes + ",\n" + annTopkCtes + s"""
+         |, j AS (SELECT a.q_id, a.cand_id, a.rnk AS ann_rnk,
+         |          t.rnk AS exact_rnk
+         |        FROM atopk a LEFT JOIN topk t
+         |          ON a.q_id = t.q_id AND a.cand_id = t.cand_id),
+         |g AS (SELECT q_id,
+         |  CAST(sum(CASE WHEN exact_rnk IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(sum(CAST(floor(COALESCE(11 - exact_rnk, 0)
+         |    / log2(ann_rnk + 1) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS dcg_micro,
+         |  CAST(max(CASE WHEN exact_rnk = 1
+         |    THEN CAST(floor(1e6 / ann_rnk + 0.5) AS BIGINT)
+         |    ELSE 0 END) AS BIGINT) AS mrr_micro
+         | FROM j GROUP BY q_id)
+         |SELECT q_id, n_hits,
+         | round(CAST(n_hits AS DOUBLE) / 10, 6) AS recall,
+         | round(CAST(mrr_micro AS DOUBLE) / 1e6, 6) AS mrr,
+         | round(CAST(dcg_micro AS DOUBLE) / ${graft.ops.Similarity.idcgMicro(10)}, 6)
+         |   AS ndcg
+         |FROM g ORDER BY q_id""".stripMargin),
     "q_sim_range" -> {
       // annRangeSearch defaults: nQueries = 10, minCos = 0.3; the cutoff
       // is the ENGINE'S OWN shared hamCutFor (binomial mean + 2σ —

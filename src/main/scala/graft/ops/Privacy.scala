@@ -101,4 +101,59 @@ object Privacy {
       // (now ~2⁻⁶⁰-improbable) pseudonym tie
       .orderBy(col("pseudonym"), col("c_mktsegment"), col("bal_bin"))
   }
+
+  /** Deterministic proxy for an erasure-request list: customers whose
+    * name-hash lands on the [[erasureMod]] residue — stands in for the
+    * external id list a real right-to-be-forgotten batch arrives as.
+    * Shared with the twin. */
+  val erasureMod = 97
+
+  /** GDPR/CCPA ERASURE audit (right to be forgotten): apply a
+    * deletion-request list to the customer dimension AND cascade it
+    * through the orders fact (FK `o_custkey`), reporting per segment
+    * what a compliance reviewer signs off on — requests honoured, rows
+    * kept, erased balance mass (exact cents), and cascaded fact rows.
+    *
+    * Scale shape: the request list is bounded by the request batch, not
+    * the corpus — [[Hints.dimHint]] hints it while it fits and lets the
+    * anti-joins shuffle on their keys when it doesn't; the dimension and
+    * the fact are each scanned once. The erased-side aggregates read the
+    * same broadcast list via semi-joins. In production the kept frames
+    * are republished as a new [[graft.store.Snapshots]] version so the
+    * pre-erasure snapshot stays auditable while every live reader sees
+    * the purged table. */
+  def erasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("c_name"))
+    val requests = cust
+      .where(pmod(graft.functions.GraftFunctions.polyHash(col("c_name")),
+        lit(erasureMod)) === 0)
+      .select(col("c_custkey"))
+    val erased = cust.join(Hints.dimHint(requests), Seq("c_custkey"),
+        "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_erased"),
+        sum(floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+          .as("erased_bal_cents"))
+    val kept = cust.join(Hints.dimHint(requests), Seq("c_custkey"),
+        "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_kept"))
+    val cascade = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"))
+      .join(Hints.dimHint(requests), Seq("c_custkey"), "left_semi")
+      .join(cust.select(col("c_custkey"), col("c_mktsegment")), "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_erased_orders"))
+    erased.join(kept, Seq("c_mktsegment"), "full_outer")
+      .join(cascade, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_erased"), lit(0L)).as("n_erased"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("erased_bal_cents"), lit(0L)).as("erased_bal_cents"),
+        coalesce(col("n_erased_orders"), lit(0L)).as("n_erased_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

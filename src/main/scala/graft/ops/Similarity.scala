@@ -1640,4 +1640,61 @@ object Similarity {
         (col("vec_id") === col("cluster_rep")).cast("int"))
       .orderBy(col("vec_id"))
   }
+
+  // ------------------------------------------------------------------
+  // Retrieval evaluation (nDCG / MRR / recall) — the metrics layer a
+  // retrieval pipeline tunes its index knobs against.
+  // ------------------------------------------------------------------
+
+  /** Ideal DCG at k in integer micro-units: Σ_{i=1..k} (k+1−i)/log₂(i+1),
+    * each term micro-rounded EXACTLY like the per-candidate gains below —
+    * the same constant is embedded as a literal in the DuckDB twin, so
+    * the normalization cannot drift between engines. */
+  private[graft] def idcgMicro(k: Int): Long =
+    (1 to k).map(i => math.floor(
+      (k + 1 - i) / (math.log(i + 1.0) / math.log(2.0)) * 1e6 + 0.5).toLong).sum
+
+  /** Core of [[annRankEval]] over any two (q_id, cand_id, rnk) rankings:
+    * per query recall@k, MRR (reciprocal of the approximate rank of the
+    * exact top-1 neighbour; 0 if it was missed) and nDCG@k with graded
+    * relevance k+1−exact_rank. Every per-candidate term is rounded to
+    * integer micro-units BEFORE summation (the DSIR/PageRank exactness
+    * discipline): log₂ ulp noise is absorbed and addition order cannot
+    * matter, so the metric is a cross-engine contract, not a float. */
+  private[graft] def rankEvalOf(approx: DataFrame, exact: DataFrame,
+                                k: Int): DataFrame = {
+    val a = approx.select(col("q_id"), col("cand_id"),
+      col("rnk").as("ann_rnk"))
+    val e = exact.select(col("q_id"), col("cand_id"),
+      col("rnk").as("exact_rnk"))
+    val rel = coalesce(lit(k + 1).cast("long") - col("exact_rnk"), lit(0L))
+    a.join(e, Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("exact_rnk").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(floor(rel.cast("double") / log2(col("ann_rnk") + 1) * 1e6 + 0.5)
+          .cast("long")).as("dcg_micro"),
+        max(when(col("exact_rnk") === 1,
+          floor(lit(1e6) / col("ann_rnk") + 0.5).cast("long"))
+          .otherwise(lit(0L))).as("mrr_micro"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"),
+        round(col("mrr_micro").cast("double") / 1e6, 6).as("mrr"),
+        round(col("dcg_micro").cast("double") / idcgMicro(k), 6).as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Per-query retrieval quality of the sign-index ANN ranking
+    * ([[annTopKCosine]]) against the exact ranking ([[topKCosine]]) —
+    * recall@k, MRR and graded nDCG@k. This is the evaluation loop that
+    * justifies every index knob (planes, probes, shortlist): at 100 TB
+    * the exact side runs over a bounded query sample while the index
+    * serves traffic, and this frame is the regression dashboard.
+    * Both rankings are rank-deterministic, so the metric frame is
+    * hash-checked end to end (the twin composes the existing exact and
+    * ANN replay CTEs). */
+  def annRankEval(spark: SparkSession, dir: String, nQueries: Int = 10,
+                  k: Int = 10): DataFrame =
+    rankEvalOf(annTopKCosine(spark, dir, nQueries, k),
+      topKCosine(spark, dir, nQueries, k), k)
 }

@@ -1487,4 +1487,24 @@ object Text {
         col("e.n_bpe").as("n_bpe_tokens"), col("e.bpe_text"))
       .orderBy(col("doc_id"))
   }
+
+  /** Tokenizer fertility by language: subword-per-word ratio of the
+    * [[bpeEncodedDocs]] encoding, grouped by `lang` — the per-language
+    * token-budget multiplier every multilingual data mix is costed
+    * with (a language the merge table under-serves shows fertility
+    * near characters-per-word; the fit language sits near 1). Integer
+    * sums, one rounded division at the end. Scale: the encode
+    * projection + one tiny (|langs|-row) aggregate. */
+  def bpeFertilityByLang(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodedDocs(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          nullif(col("n_words"), lit(0L)), 6).as("fertility"))
+      .orderBy(col("lang"))
 }

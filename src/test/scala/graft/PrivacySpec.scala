@@ -59,4 +59,36 @@ class PrivacySpec extends SparkSpec {
         s"bin mismatch for $name: got $b want $bin"))
     }
   }
+
+  test("erasure: partition exact, cascade equals a driver replay, erased really gone") {
+    val P = graft.ops.Dedup.P
+    def fold(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment", "c_acctbal", "c_name").collect()
+    val requests = cust.filter(r => fold(r.getString(3)) % Privacy.erasureMod == 0)
+      .map(_.getLong(0)).toSet
+    assert(requests.nonEmpty, "planted residue matched no customer at this SF")
+    val out = Privacy.erasureAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // erased + kept partitions the dimension, per segment and in total
+    val bySeg = cust.groupBy(_.getString(1))
+    bySeg.foreach { case (seg, rows) =>
+      val e = rows.count(r => requests(r.getLong(0)))
+      val r = out(seg)
+      assert(r.getAs[Long]("n_erased") === e.toLong, s"$seg erased")
+      assert(r.getAs[Long]("n_kept") === (rows.length - e).toLong, s"$seg kept")
+      val cents = rows.filter(x => requests(x.getLong(0)))
+        .map(x => math.floor(x.getDouble(2) * 100 + 0.5).toLong).sum
+      assert(r.getAs[Long]("erased_bal_cents") === cents, s"$seg cents")
+    }
+    // FK cascade equals the driver replay over orders
+    val seg = cust.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cascade = Tables.orders(spark, sf).select("o_custkey").collect()
+      .map(_.getLong(0)).filter(requests)
+      .groupBy(seg).view.mapValues(_.length.toLong).toMap
+    out.foreach { case (sg, r) =>
+      assert(r.getAs[Long]("n_erased_orders") === cascade.getOrElse(sg, 0L), sg)
+    }
+  }
 }

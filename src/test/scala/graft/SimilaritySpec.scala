@@ -774,4 +774,36 @@ class SimilaritySpec extends SparkSpec {
     assert(rIvfPq >= 0.7, f"IVF-PQ wide-rung recall $rIvfPq%.2f below 0.7")
     assert(rRpq >= 0.7, f"residual-PQ wide-rung recall $rRpq%.2f below 0.7")
   }
+
+  test("rank eval: perfect self-eval scores 1.0 everywhere; ANN eval bounded and hit-consistent") {
+    val exact = Similarity.topKCosine(spark, sf, nQueries = 5, k = 10)
+    // the metric arithmetic itself: evaluating a ranking against itself
+    // must yield recall = mrr = ndcg = 1 exactly (the micro-unit DCG sums
+    // cancel against the same-constant ideal DCG)
+    val self = Similarity.rankEvalOf(exact, exact, 10).collect()
+    assert(self.length === 5)
+    self.foreach { r =>
+      assert(r.getAs[Long]("n_hits") === 10L)
+      assert(r.getAs[Double]("recall") === 1.0)
+      assert(r.getAs[Double]("mrr") === 1.0)
+      assert(r.getAs[Double]("ndcg") === 1.0, r.toString)
+    }
+    // the declared ANN eval: bounded metrics, recall consistent with the
+    // raw intersection, and ndcg <= recall-implied ceiling
+    val eval = Similarity.annRankEval(spark, sf, nQueries = 5, k = 10)
+      .collect().map(r => r.getAs[Long]("q_id") -> r).toMap
+    val ex = Similarity.topKCosine(spark, sf, nQueries = 5, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ann = Similarity.annTopKCosine(spark, sf, nQueries = 5, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    eval.foreach { case (q, r) =>
+      val hits = ex(q).intersect(ann(q)).size
+      assert(r.getAs[Long]("n_hits") === hits.toLong, s"q=$q")
+      Seq("recall", "mrr", "ndcg").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"q=$q $c=$v")
+      }
+      assert(r.getAs[Double]("recall") === math.floor(hits / 10.0 * 1e6 + 0.5) / 1e6)
+    }
+  }
 }

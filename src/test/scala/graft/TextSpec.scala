@@ -790,4 +790,24 @@ class TextSpec extends SparkSpec {
     // subword exists (not the all-characters degenerate split)
     assert(out.exists(r => r.getLong(2) < 3 * r.getLong(1)))
   }
+
+  test("bpe fertility: per-language sums equal the per-doc encode, ratio >= 1") {
+    val docs = Text.bpeEncodedDocs(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))
+    val expect = docs.groupBy(_._1).view.mapValues(rs =>
+      (rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    val out = Text.bpeFertilityByLang(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSet === expect.keySet)
+    out.foreach { r =>
+      val (nd, nw, nb) = expect(r.getString(0))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_words") === nw)
+      assert(r.getAs[Long]("n_bpe_tokens") === nb)
+      // a word yields at least one subword, so fertility >= 1 wherever
+      // any words exist
+      if (nw > 0) assert(r.getAs[Double]("fertility") >= 1.0)
+    }
+  }
 }
