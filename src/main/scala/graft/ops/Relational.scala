@@ -742,6 +742,43 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** The SQL SURFACE demonstrated as a declared query: the same engine
+    * driven entirely through `spark.sql` over registered views — top-3
+    * customers by exact-cents revenue per market segment, written as
+    * SQL text (CTE + join + window), not DataFrame calls. "A user of
+    * the reference could switch" includes SQL-first users: every graft
+    * native function is also SQL-callable (`graft_polyhash`,
+    * `graft_top_k`, … via [[graft.functions.GraftExtensions]] —
+    * ExtensionsSpec), and this query pins that the textual surface
+    * plans exactly like the API surface (same Catalyst plan shapes,
+    * same oracle hash). Scale: identical plan to the equivalent
+    * DataFrame query — one fact shuffle on the join/agg key, a
+    * per-segment WindowGroupLimit top-k, dims under the usual
+    * size-guarded policies. */
+  def sqlTopCustomersPerSegment(spark: SparkSession, dir: String,
+                                k: Int = 3): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      s"""WITH rev AS (
+         |  SELECT o_custkey,
+         |    sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+         |      AS BIGINT)) AS cents
+         |  FROM graft_lineitem JOIN graft_orders ON l_orderkey = o_orderkey
+         |  GROUP BY o_custkey),
+         |rk AS (
+         |  SELECT c_mktsegment, c_custkey, cents,
+         |    row_number() OVER (PARTITION BY c_mktsegment
+         |                       ORDER BY cents DESC, c_custkey) AS rnk
+         |  FROM rev JOIN graft_customer ON c_custkey = o_custkey)
+         |SELECT c_mktsegment, c_custkey,
+         |  round(CAST(cents AS DOUBLE) / 100, 2) AS rev,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM rk WHERE rnk <= $k
+         |ORDER BY c_mktsegment, rnk""".stripMargin)
+  }
+
   /** CSV + JSON source coverage in a declared query: `nation` is
     * round-tripped through a header CSV and `region` through JSON lines
     * (published once per session next to the warehouse), then both are

@@ -103,4 +103,30 @@ object GraftProps extends Properties("graft") {
         math.abs(aa - a.map(x => x * x).sum) < 1e-9
     }
   }
+
+  // BPE: for ANY word corpus, the fitted merge table's encode is
+  // lossless (pieces concatenate back to the word), counts are
+  // marker-consistent, and the fit itself is deterministic — the
+  // invariants the whole-corpus round-trip spec checks on the real
+  // corpus, here under adversarially random vocabularies (repeated
+  // characters, shared prefixes, single-char words)
+  property("bpe.encodeLossless") = Prop.forAll(
+    Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)),
+      Gen.choose(1L, 50L)))) { wc0 =>
+    val wc = wc0.distinctBy(_._1)
+    Prop.propBoolean(wc.nonEmpty) ==> {
+      val merges = graft.ops.Text.fitBpe(wc, maxMerges = 20)
+      val again = graft.ops.Text.fitBpe(wc, maxMerges = 20)
+      val t = new graft.functions.BpeTable(
+        merges.map(_._1).toArray, merges.map(_._2).toArray)
+      merges == again && wc.forall { case (w, _) =>
+        val (disp, n) = t.encodeWord(w)
+        disp.replace("@@ ", "") == w &&
+          n == 1 + "@@ ".r.findAllIn(disp).length &&
+          n >= 1 && n <= w.length
+      }
+    }
+  }
 }
