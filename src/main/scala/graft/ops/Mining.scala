@@ -54,7 +54,7 @@ object Mining {
     // runs once, not three times (same pattern as the pagerank edge set).
     val basketSets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Hints.dimHint(Tables.part(spark, dir)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey").as("basket"))

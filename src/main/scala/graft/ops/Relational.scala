@@ -201,7 +201,7 @@ object Relational {
   def partSupplierBreadth(spark: SparkSession, dir: String,
                           excludeBrand: String = "Brand#45"): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Hints.dimHint(Tables.part(spark, dir)
           .where(col("p_brand") =!= excludeBrand)),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
