@@ -760,15 +760,18 @@ object SparkEntry {
        |   row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS r
        |  FROM rsub) WHERE r = 1)""".stripMargin
 
-  /** ADC-shortlist (≤ 64 by adc asc, cand_id tie-break) + exact-cosine
+  /** ADC-shortlist (by adc asc, cand_id tie-break) + exact-cosine
     * re-rank tail shared by the `q_sim_pq_topk` / `q_sim_ivfpq_topk`
     * twins — mirrors [[graft.ops.Similarity.exactRerank]]. `adcCte` is
-    * the name of the (q_id, cand_id, adc) CTE to shortlist from. */
+    * the name of the (q_id, cand_id, adc) CTE to shortlist from. The
+    * shortlist depth is [[graft.ops.Similarity.pqTwinShortlist]] — the
+    * engine's own adaptiveShortlist at the gate rung, never a hand
+    * literal (round-12 ADVICE). */
   private def pqRerankTail(adcCte: String): String =
     s"""psl AS (SELECT q_id, cand_id FROM (
        |  SELECT q_id, cand_id,
        |   row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS r
-       |  FROM $adcCte) WHERE r <= 64),
+       |  FROM $adcCte) WHERE r <= ${Similarity.pqTwinShortlist}),
        |pscored AS (SELECT psl.q_id, psl.cand_id,
        |  round(list_reduce(list_transform(generate_series(1,64), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
        |   / nullif(a.nrm * b.nrm, 0.0), 6) AS cos_sim

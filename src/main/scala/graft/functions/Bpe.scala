@@ -136,7 +136,30 @@ case class BpeEncodeDoc(first: Expression, second: Expression, third: Expression
         if (!second.foldable || !third.foldable)
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName requires literal merge arrays")
-        else TypeCheckResult.TypeCheckSuccess
+        else {
+          // validate the foldable merge arrays HERE, so SQL-surface misuse
+          // is a clean analysis-time error (round-12 ADVICE): a null array
+          // would NPE in fromLiterals, unequal lengths would either throw
+          // ArrayIndexOutOfBounds (shorter merge_b) or silently drop
+          // trailing merges (longer merge_b), and a null ELEMENT would NPE
+          // mid-encode on an executor.
+          val (a, b) = (second.eval(), third.eval())
+          if (a == null || b == null)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName merge arrays must be non-null literals")
+          else {
+            val (ad, bd) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+            if (ad.numElements() != bd.numElements())
+              TypeCheckResult.TypeCheckFailure(
+                s"$prettyName merge arrays must have equal length, " +
+                  s"got ${ad.numElements()} vs ${bd.numElements()}")
+            else if ((0 until ad.numElements()).exists(i =>
+                ad.isNullAt(i) || bd.isNullAt(i)))
+              TypeCheckResult.TypeCheckFailure(
+                s"$prettyName merge arrays must not contain null entries")
+            else TypeCheckResult.TypeCheckSuccess
+          }
+        }
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<string>, array<string>, array<string>), " +
           s"got (${a.sql}, ${b.sql}, ${c.sql})")

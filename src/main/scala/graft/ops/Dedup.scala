@@ -1516,7 +1516,22 @@ object Dedup {
     private def appended(acc: Option[DataFrame], add: DataFrame): Option[DataFrame] =
       Some(acc.map(_.unionByName(add)).getOrElse(add).localCheckpoint())
 
-    /** Ingest one micro-batch of documents-shaped rows (doc_id, text). */
+    /** Batch ids already ingested — `foreachBatch` is at-least-once once a
+      * checkpointLocation is set (a batch can be REDELIVERED after
+      * recovery), and re-unioning a delivered batch into sigs/ids/edges
+      * would duplicate doc_id rows in [[labels]] (round-12 ADVICE). */
+    private val seenBatches = scala.collection.mutable.Set.empty[Long]
+
+    /** Idempotent ingest keyed by the sink's batchId: a redelivered batch
+      * is skipped, so recovery replays cannot corrupt the accumulated
+      * relations. This is the entry point streaming sinks must use. */
+    def step(batchId: Long, batchDocs: DataFrame): Unit = synchronized {
+      if (seenBatches.add(batchId)) step(batchDocs)
+    }
+
+    /** Ingest one micro-batch of documents-shaped rows (doc_id, text).
+      * NOT idempotent under redelivery — callers with a batchId (any
+      * `foreachBatch` sink) must go through `step(batchId, df)`. */
     def step(batchDocs: DataFrame): Unit = synchronized {
       if (batchDocs.isEmpty) return
       val sigs = signaturesKeeping(shingledOf(

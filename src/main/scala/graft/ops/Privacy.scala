@@ -84,8 +84,11 @@ object Privacy {
   def anonymizedExport(spark: SparkSession, dir: String,
                        k: Int = kAnon): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // the fold modulus is the ONE shared constant (Dedup.P) — the DuckDB
+    // twin interpolates it and PrivacySpec replays with it, so the three
+    // sites can never silently diverge (round-12 ADVICE)
     val wide = graft.functions.GraftFunctions.polyHash(col("c_name"))
-      .cast("long") * lit(1000000007L) +
+      .cast("long") * lit(Dedup.P) +
       graft.functions.GraftFunctions.polyHash(reverse(col("c_name")))
     val cust = Tables.customer(spark, dir)
       .select(wide.as("pseudonym"), col("c_mktsegment"), balBin)

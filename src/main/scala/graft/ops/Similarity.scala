@@ -247,6 +247,15 @@ object Similarity {
   private[graft] def adaptiveShortlist(n: Long): Int =
     math.min(1024L, math.max(64L, n / 256)).toInt
 
+  /** The ADC-shortlist rung the PQ/IVF-PQ/residual-PQ oracle twins embed —
+    * BUILT from the engine's own [[adaptiveShortlist]] at the verify-gate
+    * corpus bound (round-12 ADVICE: a hand-written 64 in the twin SQL
+    * would silently diverge if the rung formula changed). Valid while the
+    * gate corpus stays ≤ 16384 embeddings; `Verify` already warns loudly
+    * at the far stricter 2048-row gate-geometry bound, so a gate corpus
+    * outside this rung is flagged before the hash mismatch. */
+  private[graft] val pqTwinShortlist: Int = adaptiveShortlist(2048L)
+
   /** Corpus row-count cache keyed like [[centroidCache]] (dir +
     * fingerprint): [[adaptiveNlist]] needs n, and re-counting the lake
     * per query call would be a full narrow scan each time. Superseded

@@ -671,11 +671,16 @@ object EventStream {
     * [[graft.ops.Dedup.incrementalAssign]] on the documents seen so far
     * (StreamingSpec asserts parity across >= 3 micro-batches). Honest
     * non-oracle like the other streaming ops: the driver's DuckDB gate
-    * can't run a live stream, so the contract lives in the parity spec. */
+    * can't run a live stream, so the contract lives in the parity spec.
+    *
+    * The batchId is threaded through to the labeler's idempotent entry
+    * point: `foreachBatch` is at-least-once once a checkpointLocation is
+    * set, and a redelivered batch must not be unioned into the state a
+    * second time (round-12 ADVICE). */
   def incrementalLabelsQuery(docStream: DataFrame,
       labeler: graft.ops.Dedup.StreamingIncrementLabeler)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
-      .foreachBatch((b: DataFrame, _: Long) => labeler.step(b))
+      .foreachBatch((b: DataFrame, id: Long) => labeler.step(id, b))
       .start()
 }

@@ -651,6 +651,13 @@ class StreamingSpec extends SparkSpec {
     // exact parity: same docs, same cluster reps, same attached flags —
     // including cross-batch components and anchor-over-component wins
     assert(streamed === oneShot)
+    // at-least-once redelivery (round-12 ADVICE): replaying an
+    // already-seen batchId through the idempotent entry point is a no-op
+    // — labels() is unchanged, no duplicate doc_id rows
+    labeler.step(0L, inc.where(col("doc_id") < t1))
+    val replayed = labeler.labels().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(replayed === oneShot, "redelivered batch corrupted the state")
     // the interesting cases actually occur on this corpus: some doc is
     // attached to an old cluster, and some batch-internal cluster spans
     // a split boundary (so the cross-batch edge path was exercised)

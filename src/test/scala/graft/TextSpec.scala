@@ -769,6 +769,28 @@ class TextSpec extends SparkSpec {
     assert(tie === Seq(("u", "v")))
   }
 
+  test("bpe encode: SQL-surface misuse is a clean analysis-time error") {
+    // round-12 ADVICE: unequal-length, null, or null-entry merge arrays
+    // must fail at analysis, not throw AIOOBE/NPE at plan/run time or
+    // silently drop merges
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(1).createOrReplaceTempView("bpe_misuse_one")
+    def fails(call: String, frag: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT graft_bpe_encode(array('a'), $call) " +
+          "FROM bpe_misuse_one").collect()
+      }
+      assert(e.getMessage.contains(frag), s"$call -> ${e.getMessage}")
+    }
+    fails("array('a','b'), array('c')", "equal length")
+    fails("CAST(NULL AS ARRAY<STRING>), array('c')", "non-null")
+    fails("array('a', NULL), array('c', 'd')", "null entries")
+    // the valid shape still encodes
+    val ok = spark.sql("SELECT graft_bpe_encode(array('ab'), array('a'), " +
+      "array('b')).n_bpe AS n FROM bpe_misuse_one").collect()
+    assert(ok.head.getLong(0) === 1L)
+  }
+
   test("bpe encode round-trips the corpus and counts subwords consistently") {
     val orig = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) ->
