@@ -95,16 +95,25 @@ class LayoutSpec extends SparkSpec {
     // clean slate: the suite may rerun in one warehouse
     Snapshots.retain(spark, base, keep = 0)
     assert(Snapshots.versions(spark, base).isEmpty)
-    // two RACING publishers of the same 5-row frame: the per-base lock
-    // must serialize id allocation — distinct sequential versions, no
-    // errorifexists crash, both frozen intact
+    // two RACING publishers through SEPARATE SparkSessions — no shared
+    // JVM lock anywhere in the path (round-12 verdict #2): the atomic
+    // filesystem claim alone must allocate distinct sequential versions,
+    // with both frames frozen intact (no lost update)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val ids = Await.result(Future.sequence(Seq.fill(2)(Future {
-      Snapshots.publish(spark, spark.range(5).toDF("id"), base)
-    })), 60.seconds)
+    val sessions = Seq(spark.newSession(), spark.newSession())
+    val ids = Await.result(Future.sequence(sessions.zipWithIndex.map {
+      case (s, i) => Future {
+        Snapshots.publish(s, s.range(5).select(
+          (col("id") + i * 100).as("id")), base)
+      }
+    }), 60.seconds)
     assert(ids.toSet === Set(1L, 2L))
+    // no lost update: each session's distinct payload is retrievable
+    val sums = ids.indices.map(i => Snapshots.readVersion(spark, base,
+      ids(i)).agg(sum(col("id"))).head.getLong(0))
+    assert(sums.toSet === Set(10L, 510L), sums.toString)
     // grow a history, then time-travel to every version
     assert(Snapshots.publish(spark, spark.range(7).toDF("id"), base) === 3L)
     assert(Snapshots.publish(spark, spark.range(9).toDF("id"), base) === 4L)
@@ -112,8 +121,8 @@ class LayoutSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, base, 1L).count() === 5L)
     assert(Snapshots.readVersion(spark, base, 3L).count() === 7L)
     // a later publish never mutates an old version (isolation)
-    assert(Snapshots.readVersion(spark, base, 1L)
-      .agg(sum(col("id"))).head.getLong(0) === 10L)
+    assert(Set(10L, 510L).contains(Snapshots.readVersion(spark, base, 1L)
+      .agg(sum(col("id"))).head.getLong(0)))
     // retention: keep the newest 2, the dropped ids are gone
     assert(Snapshots.retain(spark, base, keep = 2) === Seq(1L, 2L))
     assert(Snapshots.versions(spark, base) === Seq(3L, 4L))
