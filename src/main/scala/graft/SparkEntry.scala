@@ -229,6 +229,10 @@ object SparkEntry {
     // GDPR erasure: request list applied to the dimension + FK cascade
     // through orders, per-segment compliance audit
     "q_priv_erasure" -> ((s, d) => Privacy.erasureAudit(s, d)),
+    // erasure APPLY: the purged customer/orders published as snapshot v2,
+    // both versions read back and diffed — the surviving-keys column is
+    // twin-pinned to 0, so one un-erased key hash-fails the round
+    "q_priv_erasure_apply" -> ((s, d) => Privacy.erasureApply(s, d)),
     "q_sim_dim_stats" -> ((s, d) => Similarity.dimensionStats(s, d)),
     // the end-to-end composition: near-dup keep-list ∩ quality floor ∩
     // train split, one declarative plan (each piece oracle-checked alone)
@@ -2913,6 +2917,43 @@ object SparkEntry {
          | coalesce(cs.n_erased_orders, 0) AS n_erased_orders
          |FROM e FULL JOIN kp USING (c_mktsegment)
          |       FULL JOIN cs USING (c_mktsegment)
+         |ORDER BY 1""".stripMargin,
+    // erasure APPLY replay: the twin recomputes the ENTIRE post-erasure
+    // state from the raw tables + the residue rule, and pins the
+    // surviving-requested-keys proof column to literal 0 — the Spark side
+    // computes it from the PUBLISHED v2 snapshots, so any key that
+    // survived the rewrite (or any publish-fidelity drift) hash-fails
+    "q_priv_erasure_apply" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+         |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(c_name, ''),
+         |      ch -> CAST(ascii(ch) AS BIGINT))),
+         |    (acc, ch) -> (acc * 31 + ch) % ${Dedup.P}) % ${Privacy.erasureMod}
+         |    AS h
+         | FROM customer),
+         |r AS (SELECT c_custkey FROM c WHERE h = 0),
+         |b AS (SELECT c_mktsegment, count(*) AS n_before,
+         |  CAST(sum(bal_cents) AS BIGINT) AS cents1 FROM c GROUP BY 1),
+         |a AS (SELECT c_mktsegment, count(*) AS n_after,
+         |  CAST(sum(bal_cents) AS BIGINT) AS cents2
+         | FROM c ANTI JOIN r USING (c_custkey) GROUP BY 1),
+         |ob AS (SELECT c.c_mktsegment, count(*) AS n_orders_before
+         | FROM orders o JOIN c ON c.c_custkey = o.o_custkey GROUP BY 1),
+         |oo AS (SELECT o_custkey FROM orders ANTI JOIN r
+         |  ON o_custkey = c_custkey),
+         |oa AS (SELECT c.c_mktsegment, count(*) AS n_orders_after
+         | FROM oo JOIN c ON c.c_custkey = oo.o_custkey GROUP BY 1)
+         |SELECT b.c_mktsegment, b.n_before,
+         | coalesce(a.n_after, 0) AS n_after,
+         | b.n_before - coalesce(a.n_after, 0) AS n_erased,
+         | b.cents1 - coalesce(a.cents2, 0) AS erased_bal_cents,
+         | coalesce(ob.n_orders_before, 0) AS n_orders_before,
+         | coalesce(oa.n_orders_after, 0) AS n_orders_after,
+         | CAST(0 AS BIGINT) AS n_requested_surviving
+         |FROM b LEFT JOIN a USING (c_mktsegment)
+         | LEFT JOIN ob USING (c_mktsegment)
+         | LEFT JOIN oa USING (c_mktsegment)
          |ORDER BY 1""".stripMargin,
     "q_valid_consistency" ->
       """WITH s AS (SELECT l_orderkey,

@@ -91,4 +91,33 @@ class PrivacySpec extends SparkSpec {
       assert(r.getAs[Long]("n_erased_orders") === cascade.getOrElse(sg, 0L), sg)
     }
   }
+
+  test("erasure apply: snapshot rewrite balances the audit, zero requested keys survive") {
+    val audit = Privacy.erasureAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val out = Privacy.erasureApply(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val seg = r.getString(0)
+      val a = audit(seg)
+      // the rewrite moved EXACTLY the mass the audit promised, per segment
+      assert(r.getAs[Long]("n_erased") === a.getAs[Long]("n_erased"), seg)
+      assert(r.getAs[Long]("erased_bal_cents") ===
+        a.getAs[Long]("erased_bal_cents"), seg)
+      assert(r.getAs[Long]("n_orders_before") - r.getAs[Long]("n_orders_after")
+        === a.getAs[Long]("n_erased_orders"), seg)
+      assert(r.getAs[Long]("n_after") === a.getAs[Long]("n_kept"), seg)
+      // the proof column: no requested key survives v2 via ANY join path
+      assert(r.getAs[Long]("n_requested_surviving") === 0L, seg)
+    }
+    // v1 stayed a faithful pre-erasure snapshot: per-segment totals match
+    // the raw dimension (auditable history, not a second rewrite)
+    val raw = Tables.customer(spark, sf).groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_before") === raw(r.getString(0)), r.getString(0))
+    }
+    // something was actually erased at this SF (the test isn't vacuous)
+    assert(out.map(_.getAs[Long]("n_erased")).sum > 0)
+  }
 }
