@@ -189,6 +189,9 @@ object SparkEntry {
     // per-language fertility (subwords per word) — the token-budget
     // multiplier a multilingual data mix is costed with
     "q_text_bpe_fertility" -> ((s, d) => Text.bpeFertilityByLang(s, d)),
+    // tokenizer-as-artifact APPLY: encode under the PUBLISHED merge table
+    // (no refit) + per-doc token-id fold against the sorted-piece vocab
+    "q_text_bpe_apply" -> ((s, d) => Text.bpeApplyTokenIds(s, d)),
     // exact-substring dedup audit (Lee et al. ACL'22): maximal per-doc
     // spans whose every 16-token window recurs verbatim in another doc
     "q_text_substr_spans" -> ((s, d) => Text.substringDupSpans(s, d)),
@@ -2580,6 +2583,39 @@ object SparkEntry {
          | CAST(coalesce(d.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
          | coalesce(d.bpe_text, '') AS bpe_text
          |FROM t LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // tokenizer-apply replay: the same recursive encode off the SAME
+    // dumped merges, then ids = 1-based ranks of the sorted distinct
+    // marked pieces and the per-doc (acc*31 + id) % P fold in token
+    // order — the engine reads its PUBLISHED merge artifact, the twin
+    // the q_text_bpe_merges dump; both are the one fitted table
+    "q_text_bpe_apply" ->
+      s"""WITH RECURSIVE
+         |$bpeCtes,
+         |pl AS (SELECT doc_id,
+         |  list_filter(string_split(bpe_text, ' '), x -> len(x) > 0) AS ps
+         | FROM d),
+         |vv AS (SELECT p, CAST(row_number() OVER (ORDER BY p) AS BIGINT)
+         |    AS pid
+         | FROM (SELECT DISTINCT unnest(ps) AS p FROM pl)),
+         |vn AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM vv),
+         |px0 AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, len(ps)),
+         |    i -> {'pos': CAST(i AS BIGINT), 'p': ps[i]})) AS u
+         | FROM pl),
+         |px AS (SELECT doc_id, u.pos AS pos, u.p AS p FROM px0),
+         |pf AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list(pid ORDER BY pos)),
+         |    (acc, x) -> (acc * 31 + x) % ${Dedup.P}) AS id_fold
+         | FROM px JOIN vv USING (p) GROUP BY doc_id)
+         |SELECT t.doc_id,
+         | CAST(coalesce(d.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+         | CAST(coalesce(pf.id_fold, 0) AS BIGINT) AS id_fold,
+         | vn.vocab_size
+         |FROM t LEFT JOIN d USING (doc_id)
+         |     LEFT JOIN pf ON pf.doc_id = t.doc_id
+         |     CROSS JOIN vn
+         |ORDER BY t.doc_id""".stripMargin,
     // fertility replay: the same recursive encode CTEs, folded to one
     // row per language with integer sums and a single rounded division
     "q_text_bpe_fertility" ->

@@ -1488,6 +1488,74 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** The fitted merge table PUBLISHED as a versioned catalog artifact —
+    * the tokenizer-as-artifact contract (round-12 verdict #3): a
+    * production pipeline fits the tokenizer ONCE and applies it
+    * everywhere, because a refit on each corpus silently shifts every
+    * token budget downstream (tokenizer drift). Fingerprinted like the
+    * quantizer layouts, so a corpus rewrite re-fits exactly once. */
+  def ensureBpeMergesTable(spark: SparkSession, dir: String): String = {
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$dir/documents.parquet")
+    graft.store.FeatureStore.ensurePlainTable(spark, bpeMergesDump(spark, dir),
+      s"graft_bpe_merges_${Relational.dirSlug(dir)}", fp)
+  }
+
+  /** Encode a corpus under a FIXED, EXTERNAL merge-table frame (rank, a,
+    * b) — the apply half of the fit/apply split: the merges come from
+    * whatever artifact the caller read (the published
+    * [[ensureBpeMergesTable]], a dump from another corpus, a foreign
+    * tokenizer export), NOT from a refit. The collect is bounded by the
+    * merge-table size ([[bpeMaxMerges]] rows — an artifact, not data),
+    * and the encode stays the single codegen kernel projection. */
+  def bpeEncodeWith(spark: SparkSession, docs: DataFrame,
+                    merges: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val m = merges.select(col("rank"), col("a"), col("b"))
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"),
+        graft.functions.GraftFunctions.bpeEncode(
+          col("toks"), m.map(_._1), m.map(_._2)).as("e"))
+      .select(col("doc_id"), col("n_words"),
+        col("e.n_bpe").as("n_bpe_tokens"), col("e.bpe_text"))
+  }
+
+  /** DECLARED apply query: encode the corpus under the PUBLISHED merge
+    * artifact (read back from the catalog, not refit) and emit per doc
+    * the subword count plus a TOKEN-ID fold against the dumped vocab —
+    * ids are 1-based ranks of the sorted distinct marked pieces
+    * (`x@@` = continuation piece, `x` = word-final, the standard BPE
+    * vocab distinction), folded in document order as (acc·31 + id) mod
+    * [[graft.ops.Dedup.P]]. The fold pins the ENTIRE id sequence of
+    * every document into one hash-checkable BIGINT without violating
+    * the no-top-level-array output contract.
+    *
+    * Scale shape: one narrow corpus pass for the distinct-piece vocab
+    * (bounded by |merges| + |alphabet| — a few hundred rows collected,
+    * same discipline as the quantizer fits), then ONE projection: the
+    * encode kernel + a constant-folded literal map lookup inside
+    * `transform`/`aggregate` — no join, no shuffle, no UDF. */
+  def bpeApplyTokenIds(spark: SparkSession, dir: String): DataFrame = {
+    val merges = spark.table(ensureBpeMergesTable(spark, dir))
+    val enc = bpeEncodeWith(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), merges)
+    val pieces = enc.select(col("doc_id"), col("n_bpe_tokens"),
+      filter(split(col("bpe_text"), " "), p => length(p) > 0).as("ps"))
+    val vocab = pieces.select(explode(col("ps")).as("p")).distinct()
+      .orderBy(col("p")).collect().map(_.getString(0))
+    val idMap = map_from_arrays(
+      array(vocab.toIndexedSeq.map(lit): _*),
+      array(vocab.indices.map(i => lit(i + 1L)): _*))
+    pieces.select(col("doc_id"), col("n_bpe_tokens"),
+        aggregate(transform(col("ps"), p => element_at(idMap, p)),
+          lit(0L), (acc, x) => pmod(acc * lit(31L) + x, lit(Dedup.P)))
+          .as("id_fold"),
+        lit(vocab.length.toLong).as("vocab_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tokenizer fertility by language: subword-per-word ratio of the
     * [[bpeEncodedDocs]] encoding, grouped by `lang` — the per-language
     * token-budget multiplier every multilingual data mix is costed

@@ -813,6 +813,45 @@ class TextSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(2) < 3 * r.getLong(1)))
   }
 
+  test("bpe apply: foreign corpus under corpus-A merges == kernel replay; id fold replayable") {
+    import spark.implicits._
+    // corpus A's PUBLISHED merge artifact (fit once, apply everywhere)
+    val merges = spark.table(Text.ensureBpeMergesTable(spark, sf))
+    val m = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(m.nonEmpty)
+    // corpus B: in-vocabulary, OOV, repeated, and empty documents — the
+    // apply path must NOT refit, just replay corpus A's merges
+    val docsB = Seq((1L, "zqwx zqwx"), (2L, "the of and"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Text.bpeEncodeWith(spark, docsB, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val kernel = new graft.functions.BpeTable(m.map(_._1), m.map(_._2))
+    Seq(1L -> "zqwx zqwx", 2L -> "the of and", 3L -> "").foreach {
+      case (id, txt) =>
+        val words = txt.split(" ").filter(_.nonEmpty)
+        val encoded = words.map(kernel.encodeWord)
+        assert(out(id) === ((encoded.map(_._2.toLong).sum,
+          encoded.map(_._1).mkString(" "))), s"doc $id")
+    }
+    // the declared apply query's id fold replays driver-side: sorted
+    // distinct marked pieces -> 1-based ids -> (acc*31 + id) % P in order
+    val enc = Text.bpeEncodedDocs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pieceSeq = enc.view.mapValues(_.split(" ").filter(_.nonEmpty)).toMap
+    val vocab = pieceSeq.values.flatten.toSeq.distinct.sorted
+    val ids = vocab.zipWithIndex.map { case (p, i) => p -> (i + 1L) }.toMap
+    val applied = Text.bpeApplyTokenIds(spark, sf).collect()
+    assert(applied.length === enc.size)
+    applied.foreach { r =>
+      val docId = r.getLong(0)
+      val expect = pieceSeq(docId).foldLeft(0L)(
+        (acc, p) => (acc * 31 + ids(p)) % graft.ops.Dedup.P)
+      assert(r.getAs[Long]("id_fold") === expect, s"doc $docId fold")
+      assert(r.getAs[Long]("vocab_size") === vocab.length.toLong)
+    }
+  }
+
   test("bpe fertility: per-language sums equal the per-doc encode, ratio >= 1") {
     val docs = Text.bpeEncodedDocs(spark, sf)
       .join(Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
