@@ -136,6 +136,9 @@ object SparkEntry {
     // recomputes both versions from raw orders, so the hash check
     // proves publish/readVersion fidelity
     "q_layout_time_travel" -> ((s, d) => Layout.timeTravelDiff(s, d)),
+    // schema evolution: v1 narrow (INT count, no cents), v2 evolved —
+    // both read back reconciled to the evolved schema and diffed
+    "q_layout_schema_evo" -> ((s, d) => Layout.schemaEvolutionDiff(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // ORACLE-CHECKED via the q_sim_ivf_centroids dump twin: given the
     // published centroids, cell assignment (argmin |c|²−2·v·c), probe
@@ -1986,6 +1989,38 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status,
         |  coalesce(v1.n_orders, -1) AS n_old,
         |  coalesce(v2.n_orders, -1) AS n_new
+        |FROM v1 FULL OUTER JOIN v2
+        |  ON v1.o_orderpriority = v2.o_orderpriority
+        |ORDER BY 1""".stripMargin,
+    // schema-evolution replay: both version DEFINITIONS recomputed from
+    // raw orders (v1 cast through INT exactly like the stored narrow
+    // schema), reconciled in BIGINT with the added column NULL on the
+    // v1 side — cents_old is the -1 sentinel everywhere by construction
+    "q_layout_schema_evo" ->
+      """WITH v1 AS (
+        | SELECT o_orderpriority,
+        |  CAST(CAST(count(*) AS INT) AS BIGINT) AS n_orders,
+        |  CAST(NULL AS BIGINT) AS cents
+        | FROM orders
+        | WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |   AND o_orderpriority <> '1-URGENT'
+        | GROUP BY 1),
+        |v2 AS (
+        | SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        | FROM orders GROUP BY 1)
+        |SELECT coalesce(v1.o_orderpriority, v2.o_orderpriority)
+        |    AS o_orderpriority,
+        |  CASE WHEN v1.o_orderpriority IS NULL THEN 'added'
+        |       WHEN v2.o_orderpriority IS NULL THEN 'removed'
+        |       WHEN v1.n_orders IS DISTINCT FROM v2.n_orders
+        |         OR v1.cents IS DISTINCT FROM v2.cents THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(v1.n_orders, -1) AS n_old,
+        |  coalesce(v2.n_orders, -1) AS n_new,
+        |  coalesce(v1.cents, -1) AS cents_old,
+        |  coalesce(v2.cents, -1) AS cents_new
         |FROM v1 FULL OUTER JOIN v2
         |  ON v1.o_orderpriority = v2.o_orderpriority
         |ORDER BY 1""".stripMargin,

@@ -128,8 +128,63 @@ object Layout {
     * Scale: both versions are bounded (O(priorities)) aggregates off one
     * fact pass each at publish time; the declared read is two pruned
     * scans of tiny tables + a 6-row diff. */
+  /** Schema evolution across snapshot versions (round-12 verdict #6):
+    * version 1 of the per-priority orders aggregate is written with a
+    * NARROW schema (INT `n_orders`, no `cents` column, `1-URGENT`
+    * withheld), version 2 with the evolved one (BIGINT `n_orders`,
+    * added `cents`). The declared read reconciles BOTH versions to the
+    * evolved schema via [[graft.store.Snapshots.readVersionAs]] —
+    * missing column as typed NULL, widened compare in BIGINT — and
+    * diffs them with the shared full-outer engine. The twin recomputes
+    * both version definitions from raw `orders` (casting through INT
+    * exactly like the store), so the hash check covers write fidelity,
+    * by-name resolution, NULL-fill, and the widening cast end to end.
+    * `cents_old` surfaces as the -1 sentinel everywhere — the proof the
+    * added column reads as absent data, not garbage, from v1. */
+  def schemaEvolutionDiff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$dir/orders.parquet")
+    val base = s"graft_se_orders_${Relational.dirSlug(dir)}_$fp"
+    val cut = lit("1997-01-01").cast("timestamp")
+    graft.store.Snapshots.ensureVersions(spark, base, Seq(
+      () => Tables.orders(spark, dir)
+        .where(col("o_orderdate") < cut &&
+          col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("int").as("n_orders")),
+      () => Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents"))))
+    val evolved = StructType(Seq(
+      StructField("o_orderpriority", StringType),
+      StructField("n_orders", LongType),
+      StructField("cents", LongType)))
+    val v1 = graft.store.Snapshots.readVersionAs(spark, base, 1L, evolved)
+    val v2 = graft.store.Snapshots.readVersionAs(spark, base, 2L, evolved)
+    Validate.snapshotDiffRows(v1, v2,
+        Seq("o_orderpriority"), Seq("n_orders", "cents"))
+      .join(v1.select(col("o_orderpriority"), col("n_orders").as("o_n"),
+        col("cents").as("o_c")), Seq("o_orderpriority"), "left")
+      .join(v2.select(col("o_orderpriority"), col("n_orders").as("n_n"),
+        col("cents").as("n_c")), Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"), col("status"),
+        coalesce(col("o_n"), lit(-1L)).as("n_old"),
+        coalesce(col("n_n"), lit(-1L)).as("n_new"),
+        coalesce(col("o_c"), lit(-1L)).as("cents_old"),
+        coalesce(col("n_c"), lit(-1L)).as("cents_new"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def timeTravelDiff(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"graft_tt_orders_${Relational.dirSlug(dir)}"
+    // fingerprinted base: snapshot versions persist on the FILESYSTEM
+    // across JVMs now, so a regenerated source corpus must seed a fresh
+    // history instead of reading a stale one
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$dir/orders.parquet")
+    val base = s"graft_tt_orders_${Relational.dirSlug(dir)}_$fp"
     val cut = lit("1997-01-01").cast("timestamp")
     def agg(df: DataFrame): DataFrame = df
       .groupBy(col("o_orderpriority"))

@@ -130,6 +130,48 @@ class LayoutSpec extends SparkSpec {
     Snapshots.retain(spark, base, keep = 0)
   }
 
+  test("schema evolution: both read directions reconcile; added column is NULL history") {
+    import graft.store.Snapshots
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val out = graft.ops.Layout.schemaEvolutionDiff(spark, sf).collect()
+    // the withheld priority surfaces as 'added'; surviving rows changed
+    val byStatus = out.groupBy(_.getString(1))
+    assert(byStatus.contains("added") && byStatus.contains("changed"),
+      out.mkString("\n"))
+    // the added column reads as absent data (-1 sentinel) from v1, real
+    // data from v2, on EVERY row
+    out.foreach { r =>
+      assert(r.getAs[Long]("cents_old") === -1L, r.toString)
+      if (r.getString(1) != "added") assert(r.getAs[Long]("cents_new") >= 0L)
+    }
+    // both directions of read against the seeded history directly:
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$sf/orders.parquet")
+    val slug = s"${sf.replaceAll("[^A-Za-z0-9]+", "_")}_" +
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sf))
+    val base = s"graft_se_orders_${slug}_$fp"
+    val bases = Snapshots.versions(spark, base)
+    assert(bases === Seq(1L, 2L), bases.toString)
+    // NEW reader (evolved schema) over OLD data: widened type + NULL fill
+    val evolved = StructType(Seq(StructField("o_orderpriority", StringType),
+      StructField("n_orders", LongType), StructField("cents", LongType)))
+    val v1New = Snapshots.readVersionAs(spark, base, 1L, evolved)
+    assert(v1New.schema("n_orders").dataType === LongType)
+    assert(v1New.collect().forall(_.isNullAt(2)), "cents must be NULL in v1")
+    // OLD reader (narrow schema) over NEW data: projection + narrow cast
+    val narrow = StructType(Seq(StructField("o_orderpriority", StringType),
+      StructField("n_orders", IntegerType)))
+    val v2Old = Snapshots.readVersionAs(spark, base, 2L, narrow)
+    assert(v2Old.columns.toSeq === Seq("o_orderpriority", "n_orders"))
+    assert(v2Old.schema("n_orders").dataType === IntegerType)
+    val raw = Snapshots.readVersion(spark, base, 2L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    v2Old.collect().foreach { r =>
+      assert(r.getInt(1).toLong === raw(r.getString(0)), r.toString)
+    }
+  }
+
   test("time-travel diff: every status present, sides consistent") {
     val out = graft.ops.Layout.timeTravelDiff(spark, sf).collect()
     val byStatus = out.groupBy(_.getString(1))
