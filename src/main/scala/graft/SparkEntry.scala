@@ -139,6 +139,10 @@ object SparkEntry {
     // schema evolution: v1 narrow (INT count, no cents), v2 evolved —
     // both read back reconciled to the evolved schema and diffed
     "q_layout_schema_evo" -> ((s, d) => Layout.schemaEvolutionDiff(s, d)),
+    // compaction skip audit: file-stats pruning before vs after
+    // bin-packing — arrival-cut files scan everything, clustered files
+    // scan only the day-range slice; exact integer bin arithmetic
+    "q_layout_compact" -> ((s, d) => Layout.compactionSkipAudit(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // ORACLE-CHECKED via the q_sim_ivf_centroids dump twin: given the
     // published centroids, cell assignment (argmin |c|²−2·v·c), probe
@@ -2024,6 +2028,49 @@ object SparkEntry {
         |FROM v1 FULL OUTER JOIN v2
         |  ON v1.o_orderpriority = v2.o_orderpriority
         |ORDER BY 1""".stripMargin,
+    // compaction-audit replay: same broadcast stats row, same
+    // ((x-mn)*16) // (mx-mn+1) bin arithmetic for both layout models,
+    // same envelope-intersects-predicate pruning rule
+    "q_layout_compact" -> {
+      val b = graft.ops.Layout.compactBins
+      s"""WITH od AS (SELECT o_orderkey,
+         |  CAST(date_diff('day', DATE '1992-01-01',
+         |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+         | FROM orders),
+         |st AS (SELECT min(day) AS mn_d, max(day) AS mx_d,
+         |  min(o_orderkey) AS mn_k, max(o_orderkey) AS mx_k FROM od),
+         |w AS (SELECT o_orderkey, day,
+         |  ((day - mn_d) * $b) // (mx_d - mn_d + 1) AS bin_c,
+         |  ((o_orderkey - mn_k) * $b) // (mx_k - mn_k + 1) AS bin_a,
+         |  mn_d + 100 AS lo, mn_d + 130 AS hi
+         | FROM od CROSS JOIN st),
+         |ca AS (SELECT bin_c AS bin, count(*) AS n,
+         |  min(day) AS mnd, max(day) AS mxd, max(lo) AS lo, max(hi) AS hi,
+         |  CAST(sum(CASE WHEN day >= lo AND day <= hi THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS matched
+         | FROM w GROUP BY 1),
+         |aa AS (SELECT bin_a AS bin, count(*) AS n,
+         |  min(day) AS mnd, max(day) AS mxd, max(lo) AS lo, max(hi) AS hi,
+         |  CAST(sum(CASE WHEN day >= lo AND day <= hi THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS matched
+         | FROM w GROUP BY 1)
+         |SELECT 'arrival' AS layout, count(*) AS n_files,
+         | CAST(sum(CASE WHEN mxd >= lo AND mnd <= hi THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS files_scanned,
+         | CAST(sum(CASE WHEN mxd >= lo AND mnd <= hi THEN n ELSE 0 END)
+         |   AS BIGINT) AS rows_scanned,
+         | CAST(sum(matched) AS BIGINT) AS rows_matched
+         |FROM aa
+         |UNION ALL
+         |SELECT 'clustered', count(*),
+         | CAST(sum(CASE WHEN mxd >= lo AND mnd <= hi THEN 1 ELSE 0 END)
+         |   AS BIGINT),
+         | CAST(sum(CASE WHEN mxd >= lo AND mnd <= hi THEN n ELSE 0 END)
+         |   AS BIGINT),
+         | CAST(sum(matched) AS BIGINT)
+         |FROM ca
+         |ORDER BY 1""".stripMargin
+    },
     "q_layout_zorder" ->
       s"""WITH od AS (SELECT o_orderkey, o_custkey,
          |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day

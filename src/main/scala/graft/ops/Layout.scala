@@ -112,6 +112,85 @@ object Layout {
       .sortWithinPartitions(col("__ck"))
       .drop("__ck")
 
+  /** OPTIMIZE bin-packing compaction (round-12 verdict #4): rewrite the
+    * LATEST snapshot version of `base` into ceil(n / targetRows)
+    * range-partitioned, key-sorted files and publish the result as a NEW
+    * version — the Delta/Iceberg `OPTIMIZE` shape over the snapshot
+    * store. An incrementally-grown base (daily label/dedup publishes)
+    * accumulates one small file per publish; compaction restores both
+    * the per-file size target AND the clustering invariant (contiguous
+    * disjoint key ranges per file, [[clusteredBy]]), so file-stats
+    * pruning works again. The old version stays readable — compaction
+    * is a publish, never a mutation; [[graft.store.Snapshots.retain]]
+    * reclaims it on the caller's schedule. Returns the new version id.
+    * Scale: one count + the same range-shuffle any clustering write
+    * pays; no driver-side data. */
+  def compactSnapshot(spark: SparkSession, base: String, key: Column,
+                      targetRows: Long): Long = {
+    val cur = graft.store.Snapshots.latest(spark, base).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions of $base"))
+    val df = graft.store.Snapshots.readVersion(spark, base, cur)
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    graft.store.Snapshots.publish(spark, clusteredBy(df, key, nFiles), base)
+  }
+
+  /** Bins in the compaction skip audit — models a 16-file layout. */
+  val compactBins = 16
+
+  /** Exact-integer bin id: ((x − mn) · nBins) div (mx − mn + 1) — every
+    * row lands in [0, nBins), degenerate ranges all in bin 0. The same
+    * `div` the twin replays with `//`. */
+  private def binOf(x: Column, mn: Column, mx: Column): Column =
+    call_function("div", (x - mn) * lit(compactBins.toLong),
+      mx - mn + lit(1L)).cast("long")
+
+  /** DECLARED compaction/zone-map skip audit: the file-stats pruning a
+    * selective day predicate gets BEFORE vs AFTER bin-packing
+    * compaction, in exact integer arithmetic the DuckDB twin replays
+    * bit-for-bit. "arrival" models the incrementally-grown base — files
+    * cut by ingest sequence (order key), so every file's day envelope
+    * spans ~the whole range and min/max stats prune nothing; "clustered"
+    * models the compacted layout — files cut by day range, so the
+    * 31-day predicate intersects only the files that can match. Both
+    * layouts are [[compactBins]]-file models built from one broadcast
+    * stats row + a pure projection (no global sort, no per-row rank —
+    * the audit costs two aggregates at any scale). `rows_matched` is
+    * layout-invariant by construction: the audit proves pruning changes
+    * I/O, never answers. */
+  def compactionSkipAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersDims(spark, dir)
+    val stats = o.agg(
+      min(col("day")).as("mn_d"), max(col("day")).as("mx_d"),
+      min(col("o_orderkey")).as("mn_k"), max(col("o_orderkey")).as("mx_k"))
+    val w = o.crossJoin(broadcast(stats))
+      .withColumn("lo", col("mn_d") + 100)
+      .withColumn("hi", col("mn_d") + 130)
+      .withColumn("bin_clustered",
+        binOf(col("day"), col("mn_d"), col("mx_d")))
+      .withColumn("bin_arrival",
+        binOf(col("o_orderkey"), col("mn_k"), col("mx_k")))
+    def audit(binCol: String, name: String): DataFrame = {
+      val perFile = w.groupBy(col(binCol).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("day")).as("mnd"), max(col("day")).as("mxd"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          sum(when(col("day") >= col("lo") && col("day") <= col("hi"), 1L)
+            .otherwise(0L)).as("matched"))
+      val hit = col("mxd") >= col("lo") && col("mnd") <= col("hi")
+      perFile.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"),
+        sum(col("matched")).as("rows_matched"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("files_scanned"), col("rows_scanned"), col("rows_matched"))
+    }
+    audit("bin_arrival", "arrival")
+      .unionByName(audit("bin_clustered", "clustered"))
+      .orderBy(col("layout"))
+  }
+
   /** Snapshot time travel over the published layouts (round-11 verdict
     * #3): seed a two-version history of a deterministic per-priority
     * orders aggregate in the [[graft.store.Snapshots]] store (create-

@@ -130,6 +130,52 @@ class LayoutSpec extends SparkSpec {
     Snapshots.retain(spark, base, keep = 0)
   }
 
+  test("compaction: file count bounded, contents identical, clustering restored, audit wins") {
+    import graft.store.Snapshots
+    val base = "graft_compact_spec"
+    Snapshots.retain(spark, base, keep = 0)
+    // v1: an incrementally-grown table — 64 scattered small files whose
+    // day envelopes all span ~the full range (stats prune nothing)
+    val src = Layout.ordersZ(spark, sf).drop("z")
+    Snapshots.publish(spark, src.repartition(64), base)
+    val v1 = Snapshots.readVersion(spark, base, 1L)
+    assert(v1.select(input_file_name()).distinct().count() === 64L)
+    // OPTIMIZE: bin-pack to ~n/4 rows per file -> exactly 4 files
+    val n = src.count()
+    val v2id = Layout.compactSnapshot(spark, base, col("day"), (n + 3) / 4)
+    val after = Snapshots.readVersion(spark, base, v2id)
+    val files = after.groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("nr"),
+        min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .collect()
+    assert(files.length === 4, s"${files.length} files")
+    // contents unchanged: the compaction moved bytes, not rows
+    val diff = graft.ops.Validate.snapshotDiffRows(v1, after,
+        Seq("o_orderkey"), Seq("o_custkey", "day"))
+      .where(col("status") =!= "unchanged").count()
+    assert(diff === 0L, "compaction changed table contents")
+    // clustering invariant: per-file day ranges are contiguous-disjoint
+    val sorted = files.sortBy(_.getAs[Long]("mn"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("mx") <= b.getAs[Long]("mn"),
+          s"overlapping file envelopes: $a / $b")
+      case _ =>
+    }
+    // the old version stays readable history until retained away
+    assert(v1.count() === after.count())
+    Snapshots.retain(spark, base, keep = 0)
+    // the declared audit shows the point: same answers, less I/O
+    val audit = Layout.compactionSkipAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (arr, cl) = (audit("arrival"), audit("clustered"))
+    assert(arr.getAs[Long]("rows_matched") === cl.getAs[Long]("rows_matched"))
+    assert(cl.getAs[Long]("files_scanned") < arr.getAs[Long]("files_scanned"))
+    assert(cl.getAs[Long]("rows_scanned") * 4 < arr.getAs[Long]("rows_scanned"),
+      s"clustered ${cl.getAs[Long]("rows_scanned")} vs " +
+        s"arrival ${arr.getAs[Long]("rows_scanned")}")
+  }
+
   test("schema evolution: both read directions reconcile; added column is NULL history") {
     import graft.store.Snapshots
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
