@@ -31,7 +31,19 @@ object Hints {
 
   /** Broadcast `df` iff the optimizer estimates it under `maxBytes`;
     * otherwise return it unchanged and let AQE decide the join strategy
-    * from the real runtime size. */
+    * from the real runtime size.
+    *
+    * ESTIMATE CONTRACT (round-12 verdict #5): the guard is only safe
+    * while estimation errs UPWARD. Published-table scans estimate from
+    * real file sizes (accurate); DERIVED frames (post-aggregate drop
+    * lists, post-filter request lists) estimate as size-of-child under
+    * the default size-only visitor — an over-estimate, which fails SAFE
+    * here: the worst a wrong estimate costs is a shuffle where a
+    * broadcast would have won, never a forced driver-OOM broadcast.
+    * PlanSpec pins this directionality with a deliberately
+    * over-estimated 2-row frame; if a Spark upgrade or a CBO flag flip
+    * ever produces UNDER-estimates for such frames, that spec fails
+    * before any query silently re-grows a corpus-sized broadcast. */
   def dimHint(df: DataFrame, maxBytes: Long = dimMaxBytes): DataFrame =
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes))
       broadcast(df)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.explore.Stats
 import graft.ops.{Dedup, Relational, Similarity}
@@ -264,6 +264,29 @@ class PlanSpec extends SparkSpec {
       assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
         over)
     }
+  }
+
+  test("dimHint fails SAFE under wrong estimates: over-estimated tiny frame stays un-hinted") {
+    // round-12 verdict #5: the guard trusts optimizedPlan.stats, and
+    // without CBO those estimates for derived frames are
+    // size-of-child — an OVER-estimate. This pins the fail-safe
+    // directionality: a frame that is actually 2 rows but estimated at
+    // ~1.6 GB (range filtered without CBO selectivity) must take the
+    // un-hinted path, so a mis-estimate can only cost a shuffle, never
+    // force a driver-OOM broadcast. If a Spark upgrade or CBO flag flip
+    // ever turns this into an under-estimate, this test fails loudly.
+    val tiny = spark.range(200000000L)
+      .where(pmod(col("id"), lit(100000000L)) === 0)
+      .select(col("id").as("k"))
+    val est = tiny.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > BigInt(graft.ops.Hints.dimMaxBytes),
+      s"precondition: estimate $est must exceed the guard")
+    // the guard returns the frame UNTOUCHED (reference-equal): no hint
+    // node enters the plan regardless of what AQE later decides
+    assert(graft.ops.Hints.dimHint(tiny) eq tiny)
+    // and a genuinely small-estimated frame still gets the hint
+    val small = spark.range(4L).select(col("id").as("k"))
+    assert(!(graft.ops.Hints.dimHint(small) eq small))
   }
 
   test("knn vote: corpus-sized label frame is never the broadcast side") {
