@@ -775,6 +775,61 @@ class SimilaritySpec extends SparkSpec {
     assert(rRpq >= 0.7, f"residual-PQ wide-rung recall $rRpq%.2f below 0.7")
   }
 
+  test("million rung: IVF-PQ and residual-PQ recall@10 floors at 1M rows / 1024 cells / 3% probes") {
+    // One decade past the corpus (round-12 verdict #8): the geometry
+    // contract must already hold at the NEXT rung before the data gets
+    // there. 1M rows resolve to the 1024-cell coarse quantizer, 32
+    // probes (3.125%), 256 PQ codes, and the 1024-deep adaptive ADC
+    // shortlist. The corpus is GENERATED DISTRIBUTED (range + literal
+    // centre bank + hash noise — no driver-side row materialization),
+    // because a 1M-row driver Seq is exactly the kind of collect this
+    // engine bans.
+    val dir = java.nio.file.Files.createTempDirectory("graft_m_rung").toString
+    val rnd = new scala.util.Random(31)
+    val nClusters = 1000
+    val centres: Seq[Seq[Float]] =
+      Seq.fill(nClusters)(Seq.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val cents = typedLit(centres)
+    val t0 = System.nanoTime()
+    spark.range(1000000L).select(
+        col("id").as("vec_id"),
+        transform(
+          element_at(cents, (pmod(col("id"), lit(nClusters)) + 1).cast("int")),
+          (x, j) => x + (pmod(xxhash64(col("id"), j), lit(1000L))
+            .cast("float") / lit(1000f) - lit(0.5f)) * lit(0.3f))
+          .cast("array<float>").as("embedding"),
+        pmod(col("id"), lit(nClusters.toLong)).as("label"))
+      .coalesce(8).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val tGen = (System.nanoTime() - t0) / 1e9
+    // the adaptive geometry actually lands on the million rung
+    assert(Similarity.adaptiveNlist(1000000) === 1024)
+    assert(Similarity.adaptiveNProbe(1024) === 32)
+    assert(Similarity.adaptiveShortlist(1000000) === 1024)
+    val t1 = System.nanoTime()
+    val exact = Similarity.topKCosine(spark, dir, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tExact = (System.nanoTime() - t1) / 1e9
+    assert(exact.size === 50)
+    def recall(approx: Set[(Long, Long)]): Double =
+      exact.intersect(approx).size.toDouble / exact.size
+    val t2 = System.nanoTime()
+    val rIvfPq = recall(
+      Similarity.ivfPqTopKCosine(spark, dir, nQueries = 5, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val tIvfPq = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val rRpq = recall(
+      Similarity.ivfRpqTopKCosine(spark, dir, nQueries = 5, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val tRpq = (System.nanoTime() - t3) / 1e9
+    info(f"1M rung recall@10: ivfpq=$rIvfPq%.2f rpq=$rRpq%.2f | " +
+      f"gen=$tGen%.1fs exact=$tExact%.1fs ivfpq(fit+probe)=$tIvfPq%.1fs " +
+      f"rpq(fit+probe)=$tRpq%.1fs")
+    assert(rIvfPq >= 0.7, f"IVF-PQ 1M-rung recall $rIvfPq%.2f below 0.7")
+    assert(rRpq >= 0.7, f"residual-PQ 1M-rung recall $rRpq%.2f below 0.7")
+  }
+
   test("rank eval: perfect self-eval scores 1.0 everywhere; ANN eval bounded and hit-consistent") {
     val exact = Similarity.topKCosine(spark, sf, nQueries = 5, k = 10)
     // the metric arithmetic itself: evaluating a ranking against itself
