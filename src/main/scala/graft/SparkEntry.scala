@@ -143,6 +143,9 @@ object SparkEntry {
     // bin-packing — arrival-cut files scan everything, clustered files
     // scan only the day-range slice; exact integer bin arithmetic
     "q_layout_compact" -> ((s, d) => Layout.compactionSkipAudit(s, d)),
+    // change data feed between snapshot versions: insert/delete/update
+    // pre+post image rows off the planted history
+    "q_layout_cdf" -> ((s, d) => Layout.changeFeedBetweenVersions(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // ORACLE-CHECKED via the q_sim_ivf_centroids dump twin: given the
     // published centroids, cell assignment (argmin |c|²−2·v·c), probe
@@ -1996,6 +1999,44 @@ object SparkEntry {
         |FROM v1 FULL OUTER JOIN v2
         |  ON v1.o_orderpriority = v2.o_orderpriority
         |ORDER BY 1""".stripMargin,
+    // change-feed replay: both planted version definitions recomputed
+    // from raw orders, then the Delta-CDF row rules — insert rows carry
+    // new values, deletes old, updates one preimage + one postimage
+    "q_layout_cdf" ->
+      """WITH v1 AS (
+        | SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        | FROM orders
+        | WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |   AND o_orderpriority <> '1-URGENT'
+        | GROUP BY 1
+        | UNION ALL
+        | SELECT '0-LEGACY', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |v2 AS (
+        | SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |j AS (SELECT coalesce(v1.o_orderpriority, v2.o_orderpriority) AS p,
+        |  v1.n_orders AS o_n, v1.cents AS o_c,
+        |  v2.n_orders AS n_n, v2.cents AS n_c,
+        |  CASE WHEN v1.o_orderpriority IS NULL THEN 'insert'
+        |       WHEN v2.o_orderpriority IS NULL THEN 'delete'
+        |       WHEN v1.n_orders IS DISTINCT FROM v2.n_orders
+        |         OR v1.cents IS DISTINCT FROM v2.cents THEN 'update'
+        |       ELSE 'same' END AS t
+        | FROM v1 FULL OUTER JOIN v2
+        |   ON v1.o_orderpriority = v2.o_orderpriority)
+        |SELECT p AS o_orderpriority, n_n AS n_orders, n_c AS cents,
+        |  'insert' AS change_type FROM j WHERE t = 'insert'
+        |UNION ALL
+        |SELECT p, o_n, o_c, 'delete' FROM j WHERE t = 'delete'
+        |UNION ALL
+        |SELECT p, o_n, o_c, 'update_preimage' FROM j WHERE t = 'update'
+        |UNION ALL
+        |SELECT p, n_n, n_c, 'update_postimage' FROM j WHERE t = 'update'
+        |ORDER BY 1, 4""".stripMargin,
     // schema-evolution replay: both version DEFINITIONS recomputed from
     // raw orders (v1 cast through INT exactly like the stored narrow
     // schema), reconciled in BIGINT with the added column NULL on the

@@ -257,10 +257,12 @@ object Layout {
       .orderBy(col("o_orderpriority"))
   }
 
-  def timeTravelDiff(spark: SparkSession, dir: String): DataFrame = {
-    // fingerprinted base: snapshot versions persist on the FILESYSTEM
-    // across JVMs now, so a regenerated source corpus must seed a fresh
-    // history instead of reading a stale one
+  /** Seed (create-once) the planted two-version orders history shared by
+    * [[timeTravelDiff]] and [[changeFeedBetweenVersions]]; returns the
+    * base name. Fingerprinted: snapshot versions persist on the
+    * FILESYSTEM across JVMs now, so a regenerated source corpus must
+    * seed a fresh history instead of reading a stale one. */
+  private def ensureTtHistory(spark: SparkSession, dir: String): String = {
     val fp = graft.store.FeatureStore.versionFingerprint(
       spark, s"$dir/orders.parquet")
     val base = s"graft_tt_orders_${Relational.dirSlug(dir)}_$fp"
@@ -277,6 +279,29 @@ object Layout {
           lit("0-LEGACY").as("o_orderpriority"),
           lit(0L).as("n_orders"), lit(0L).as("cents"))),
       () => agg(Tables.orders(spark, dir))))
+    base
+  }
+
+  /** Change data feed between the two planted versions (Delta CDF
+    * shape): `insert` for the withheld `1-URGENT`, `delete` for the
+    * legacy row, `update_preimage`/`update_postimage` PAIRS for every
+    * surviving priority — the CDC-read counterpart of the shipped CDC
+    * MERGE apply ([[Validate.cdcMergeApply]]): one produces the feed
+    * from version history, the other consumes one. Hash-checked: the
+    * twin recomputes both version definitions from raw `orders` and
+    * replays the row-shape rules, so publish fidelity AND the feed
+    * semantics are covered. Scale: one full-outer join on the version
+    * key + one explode — no per-change-type rescan of either side. */
+  def changeFeedBetweenVersions(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureTtHistory(spark, dir)
+    val vs = graft.store.Snapshots.versions(spark, base)
+    graft.store.Snapshots.changeFeed(spark, base, vs.head, vs.last,
+        Seq("o_orderpriority"), Seq("n_orders", "cents"))
+      .orderBy(col("o_orderpriority"), col("change_type"))
+  }
+
+  def timeTravelDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureTtHistory(spark, dir)
     val vs = graft.store.Snapshots.versions(spark, base)
     val v1 = graft.store.Snapshots.readVersion(spark, base, vs.head)
     val v2 = graft.store.Snapshots.readVersion(spark, base, vs.last)

@@ -169,6 +169,51 @@ object Snapshots {
     }: _*)
   }
 
+  /** Change data feed between two frames keyed by `keys` with value
+    * columns `vals` — the Delta CDF row shape: `insert` rows (key only
+    * in the new frame, new values), `delete` rows (key only in the old,
+    * old values), and `update_preimage`/`update_postimage` PAIRS for
+    * keys present in both with any value change. ONE full-outer join +
+    * one explode — the change array is built per joined row, so nothing
+    * rescans either side per change type. Unchanged keys emit nothing.
+    * Downstream consumers (incremental view maintenance, replication,
+    * audit) apply the feed instead of diffing snapshots themselves. */
+  def changeFeedOf(oldDf: DataFrame, newDf: DataFrame,
+                   keys: Seq[String], vals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = oldDf.select((keys ++ vals).map(col): _*)
+      .toDF(keys.map("k_" + _) ++ vals.map("o_" + _): _*)
+    val n = newDf.select((keys ++ vals).map(col): _*)
+      .toDF(keys.map("n_" + _) ++ vals.map("v_" + _): _*)
+    val joinCond = keys.map(k => col("k_" + k) <=> col("n_" + k))
+      .reduce(_ && _)
+    val oPresent = keys.map(k => col("k_" + k).isNotNull).reduce(_ || _)
+    val nPresent = keys.map(k => col("n_" + k).isNotNull).reduce(_ || _)
+    val sameVals = vals.map(v => col("o_" + v) <=> col("v_" + v))
+      .foldLeft(lit(true))(_ && _)
+    def img(prefix: String, tpe: String) = struct(
+      vals.map(v => col(prefix + v).as(v)) :+ lit(tpe).as("change_type"): _*)
+    o.join(n, joinCond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col("k_" + k), col("n_" + k)).as(k)) :+
+          explode(
+            when(!oPresent, array(img("v_", "insert")))
+              .when(!nPresent, array(img("o_", "delete")))
+              .when(!sameVals, array(img("o_", "update_preimage"),
+                img("v_", "update_postimage")))
+              // typed EMPTY array (slice to length 0) — unchanged keys
+              // emit no feed rows
+              .otherwise(slice(array(img("o_", "none")), 1, 0))).as("c"): _*)
+      .select(keys.map(col) ++ vals.map(v => col(s"c.$v").as(v)) :+
+        col("c.change_type").as("change_type"): _*)
+  }
+
+  /** [[changeFeedOf]] between two committed VERSIONS of `base`. */
+  def changeFeed(spark: SparkSession, base: String, vOld: Long, vNew: Long,
+                 keys: Seq[String], vals: Seq[String]): DataFrame =
+    changeFeedOf(readVersion(spark, base, vOld),
+      readVersion(spark, base, vNew), keys, vals)
+
   /** Retention sweep: drop all but the newest `keep` committed versions
     * (data dir + claim marker); returns the dropped ids. Explicit and
     * caller-scheduled — a publish never deletes anything a concurrent

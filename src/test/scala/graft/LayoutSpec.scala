@@ -218,6 +218,41 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("change feed: typed rows partition the diff; applying the feed to v1 yields v2") {
+    val feed = graft.ops.Layout.changeFeedBetweenVersions(spark, sf).collect()
+    val byType = feed.groupBy(_.getAs[String]("change_type"))
+    assert(Set("insert", "delete", "update_preimage", "update_postimage")
+      .subsetOf(byType.keySet), byType.keySet.toString)
+    // updates come as exact pre/post PAIRS over the same keys
+    assert(byType("update_preimage").map(_.getString(0)).sorted.toSeq ===
+      byType("update_postimage").map(_.getString(0)).sorted.toSeq)
+    // ground truth versions recomputed driver-side from raw orders
+    def cents(p: Double) = math.floor(p * 100 + 0.5).toLong
+    val ords = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderdate", "o_totalprice").collect()
+    val cut = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    def aggOf(rs: Array[org.apache.spark.sql.Row]) =
+      rs.groupBy(_.getString(0)).view.mapValues(g =>
+        (g.length.toLong, g.map(r => cents(r.getDouble(2))).sum)).toMap
+    val v2 = aggOf(ords)
+    val v1 = aggOf(ords.filter(r => r.getTimestamp(1).before(cut) &&
+      r.getString(0) != "1-URGENT")) + ("0-LEGACY" -> ((0L, 0L)))
+    // APPLY semantics: v1 - deletes - preimages + inserts + postimages == v2
+    var state = v1
+    feed.filter(r => Set("delete", "update_preimage")
+        .contains(r.getAs[String]("change_type")))
+      .foreach { r =>
+        val k = r.getString(0)
+        // the feed's old-image values match the actual v1 state
+        assert(state(k) === ((r.getLong(1), r.getLong(2))), s"$k preimage")
+        state -= k
+      }
+    feed.filter(r => Set("insert", "update_postimage")
+        .contains(r.getAs[String]("change_type")))
+      .foreach(r => state += r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(state === v2, "applying the feed to v1 did not reconstruct v2")
+  }
+
   test("time-travel diff: every status present, sides consistent") {
     val out = graft.ops.Layout.timeTravelDiff(spark, sf).collect()
     val byStatus = out.groupBy(_.getString(1))
