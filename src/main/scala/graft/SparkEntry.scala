@@ -146,6 +146,11 @@ object SparkEntry {
     // change data feed between snapshot versions: insert/delete/update
     // pre+post image rows off the planted history
     "q_layout_cdf" -> ((s, d) => Layout.changeFeedBetweenVersions(s, d)),
+    // MERGE INTO as a versioned snapshot: copy-on-write merge published
+    // as the next version, verified by reading both stored versions back
+    // and change-feeding between them — the twin recomputes pre/post
+    // states from raw orders and replays the CDF classification
+    "q_snap_merge" -> ((s, d) => Layout.mergeIntoSnapshot(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // ORACLE-CHECKED via the q_sim_ivf_centroids dump twin: given the
     // published centroids, cell assignment (argmin |c|²−2·v·c), probe
@@ -2037,6 +2042,56 @@ object SparkEntry {
         |UNION ALL
         |SELECT p, n_n, n_c, 'update_postimage' FROM j WHERE t = 'update'
         |ORDER BY 1, 4""".stripMargin,
+    // snapshot MERGE replay: pre-merge state and the merged state both
+    // recomputed from raw orders with the shared pmod change families,
+    // then the Delta-CDF classification between them — value-change
+    // detection (not the pmod rule) decides 'update', so a change row
+    // whose new cents equal the old (cents*110//100 == cents) correctly
+    // emits nothing, exactly like the engine's changeFeedOf
+    "q_snap_merge" -> {
+      val (addM, chgM, remM) = graft.ops.Validate.snapshotDiffMods
+      s"""WITH o AS (
+         | SELECT o_orderkey AS k, o_orderpriority AS prio,
+         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         | FROM orders),
+         |upd AS (SELECT k, prio, cents * 110 // 100 AS cents FROM o
+         |        WHERE k % $chgM = 0 AND k % $remM <> 0),
+         |ins AS (SELECT -(k + 1) AS k, prio, cents FROM o
+         |        WHERE k % $addM = 0),
+         |del AS (SELECT k FROM o WHERE k % $remM = 0),
+         |touched AS (SELECT k FROM upd UNION SELECT k FROM ins
+         |            UNION SELECT k FROM del),
+         |v2 AS (SELECT * FROM o
+         |        WHERE k NOT IN (SELECT k FROM touched)
+         |       UNION ALL SELECT * FROM upd
+         |       UNION ALL SELECT * FROM ins),
+         |j AS (SELECT o.prio AS op, o.cents AS oc,
+         |  v2.prio AS np, v2.cents AS nc,
+         |  CASE WHEN o.k IS NULL THEN 'insert'
+         |       WHEN v2.k IS NULL THEN 'delete'
+         |       WHEN o.prio IS DISTINCT FROM v2.prio
+         |         OR o.cents IS DISTINCT FROM v2.cents THEN 'update'
+         |       ELSE 'same' END AS t
+         | FROM o FULL OUTER JOIN v2 ON o.k = v2.k)
+         |SELECT 'delete' AS change_type, count(*) AS n_rows,
+         |  coalesce(CAST(sum(oc) AS BIGINT), 0) AS total_cents
+         | FROM j WHERE t = 'delete'
+         |UNION ALL
+         |SELECT 'insert', count(*), coalesce(CAST(sum(nc) AS BIGINT), 0)
+         | FROM j WHERE t = 'insert'
+         |UNION ALL
+         |SELECT 'update_preimage', count(*),
+         |  coalesce(CAST(sum(oc) AS BIGINT), 0)
+         | FROM j WHERE t = 'update'
+         |UNION ALL
+         |SELECT 'update_postimage', count(*),
+         |  coalesce(CAST(sum(nc) AS BIGINT), 0)
+         | FROM j WHERE t = 'update'
+         |UNION ALL
+         |SELECT 'v2_state', count(*), coalesce(CAST(sum(cents) AS BIGINT), 0)
+         | FROM v2
+         |ORDER BY 1""".stripMargin
+    },
     // schema-evolution replay: both version DEFINITIONS recomputed from
     // raw orders (v1 cast through INT exactly like the stored narrow
     // schema), reconciled in BIGINT with the added column NULL on the

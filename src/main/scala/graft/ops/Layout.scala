@@ -316,4 +316,75 @@ object Layout {
         coalesce(col("n_new"), lit(-1L)).as("n_new"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** MERGE INTO as a versioned snapshot (`q_snap_merge`) — the lakehouse
+    * WRITE path the round-12 snapshot work left open: `q_valid_cdc_apply`
+    * computes a merged state but publishes nothing; here the same
+    * deterministic change batch (the [[Validate.snapshotDiffMods]] pmod
+    * families, exact integer cents) is applied to a ROW-GRAIN keyed
+    * orders snapshot through [[graft.store.Snapshots.mergeApplyOf]] and
+    * the result is PUBLISHED as the next immutable version, copy-on-write.
+    * The declared frame then reads BOTH stored versions back and reports
+    * the change feed between them by change type plus the merged-state
+    * totals — so the hash check proves, end to end, that the merge wrote
+    * exactly the rows the MERGE semantics demand and that history
+    * survived intact (the twin recomputes pre- and post-merge states from
+    * raw `orders` and replays the Delta-CDF classification rules).
+    *
+    * Scale shape: the merge is one left-anti equi-join plus two narrow
+    * unions (exchange-free when target and batch share the key
+    * bucketing); the feed is ONE full-outer join on the key. Nothing is
+    * proportional to the version count and no row is rewritten in place. */
+  def mergeIntoSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val (addM, chgM, remM) = Validate.snapshotDiffMods
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$dir/orders.parquet")
+    val base = s"graft_mrg_orders_${Relational.dirSlug(dir)}_$fp"
+    def keyed: DataFrame = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    def changeBatch: DataFrame = {
+      val o = keyed
+      val updates = o
+        .where(pmod(col("k"), lit(chgM)) === 0 &&
+          pmod(col("k"), lit(remM)) =!= 0)
+        .select(col("k"), col("prio"),
+          expr("cents * 110L div 100L").as("cents"), lit("upsert").as("_op"))
+      val inserts = o.where(pmod(col("k"), lit(addM)) === 0)
+        .select((-(col("k") + 1)).as("k"), col("prio"), col("cents"),
+          lit("upsert").as("_op"))
+      val deletes = o.where(pmod(col("k"), lit(remM)) === 0)
+        .select(col("k"), col("prio"), col("cents"), lit("delete").as("_op"))
+      updates.unionByName(inserts).unionByName(deletes)
+    }
+    graft.store.Snapshots.ensureVersions(spark, base, Seq(
+      () => keyed,
+      () => graft.store.Snapshots.mergeApplyOf(
+        graft.store.Snapshots.readVersion(spark, base,
+          graft.store.Snapshots.latest(spark, base).get),
+        changeBatch, Seq("k"))))
+    val vs = graft.store.Snapshots.versions(spark, base)
+    val v1 = graft.store.Snapshots.readVersion(spark, base, vs.head)
+    val v2 = graft.store.Snapshots.readVersion(spark, base, vs.last)
+    // dense change-type grid so an empty class still reports a zero row
+    // (the twin's per-class global aggregates always emit one row each)
+    val grid = spark.range(1).select(explode(array(
+      Seq("delete", "insert", "update_preimage", "update_postimage")
+        .map(lit): _*)).as("change_type"))
+    val byType = grid.join(
+        graft.store.Snapshots
+          .changeFeedOf(v1, v2, Seq("k"), Seq("prio", "cents"))
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("c")),
+        Seq("change_type"), "left")
+      .select(col("change_type"),
+        coalesce(col("n"), lit(0L)).as("n_rows"),
+        coalesce(col("c"), lit(0L)).as("total_cents"))
+    val state = v2
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+      .select(lit("v2_state").as("change_type"), col("n_rows"),
+        col("total_cents"))
+    byType.unionByName(state).orderBy(col("change_type"))
+  }
 }

@@ -139,6 +139,80 @@ object Snapshots {
     v
   }
 
+  /** Name of the per-version txn tag recording which streaming batch
+    * produced it (underscore-prefixed so parquet readers skip it) —
+    * the Delta `txn` action re-expressed as a marker file. */
+  private def batchTag(id: Long) = s"_graft_batch-$id"
+
+  /** True iff some COMMITTED version of `base` already carries streaming
+    * batch `batchId` — one directory listing per committed version, no
+    * data read. */
+  def batchCommitted(spark: SparkSession, base: String,
+                     batchId: Long): Boolean = {
+    val (hfs, _) = fs(spark)
+    versions(spark, base).exists(v =>
+      hfs.exists(new Path(versionDir(spark, base, v), batchTag(batchId))))
+  }
+
+  /** EXACTLY-ONCE streaming publish: publish `df` as the next version of
+    * `base` tagged with the micro-batch id, or skip if some committed
+    * version already carries that tag. `foreachBatch` is at-least-once
+    * once a checkpoint is set — a batch redelivered after a sink-side
+    * success must not append a second version. The tag is written into
+    * the version directory BEFORE the commit marker, so the only
+    * crash-window outcomes are (a) no commit marker → the version is
+    * invisible and the redelivery publishes cleanly under a fresh id, or
+    * (b) marker present → the redelivery sees the tag and no-ops. This
+    * is the Delta transactional-sink contract (txn appId/version action)
+    * on the same create-if-absent primitive the version claim uses.
+    * Returns the allocated version id, or None when skipped. */
+  def publishBatch(spark: SparkSession, df: DataFrame, base: String,
+                   batchId: Long): Option[Long] = {
+    if (batchCommitted(spark, base, batchId)) None
+    else {
+      val (hfs, _) = fs(spark)
+      var v = maxClaimed(spark, base) + 1
+      while (!tryClaim(spark, base, v)) v = math.max(v + 1, maxClaimed(spark, base) + 1)
+      val dir = versionDir(spark, base, v)
+      df.write.mode("errorifexists").parquet(dir.toString)
+      createAtomic(hfs, new Path(dir, batchTag(batchId)))
+      createAtomic(hfs, new Path(dir, commitMarker))
+      Some(v)
+    }
+  }
+
+  /** Distributed MERGE semantics over a keyed frame: `changes` carries
+    * the key columns, the target's value columns, and an `_op` column in
+    * {"upsert", "delete"}. Matched keys are dropped from the target with
+    * ONE left-anti equi-join, then upsert rows (updates + inserts alike)
+    * are unioned back — the standard two-branch distributed MERGE, no
+    * row ever rewritten in place. With target and changes co-bucketed on
+    * the key the whole apply is exchange-free; nothing here is
+    * driver-side. A key listed as both delete and upsert resolves to the
+    * upsert (the union re-adds it), matching `WHEN MATCHED THEN UPDATE`
+    * precedence over a stale delete in the same batch. */
+  def mergeApplyOf(target: DataFrame, changes: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val upserts = changes.where(col("_op") === "upsert").drop("_op")
+    target.join(touched, keys, "left_anti").unionByName(upserts)
+  }
+
+  /** MERGE INTO the snapshot store: apply `changes` ([[mergeApplyOf]])
+    * to the LATEST committed version of `base` and publish the result as
+    * the next immutable version — the Iceberg/Delta copy-on-write MERGE.
+    * History stays intact (the pre-merge version remains readable and
+    * [[changeFeed]] between the two versions IS the effective change
+    * set); concurrent publishers stay safe because the write path is
+    * [[publish]]'s atomic claim/commit. Returns the new version id. */
+  def mergeIntoLatest(spark: SparkSession, base: String, changes: DataFrame,
+                      keys: Seq[String]): Long = {
+    val v = latest(spark, base).getOrElse(
+      sys.error(s"mergeIntoLatest: $base has no committed versions"))
+    publish(spark, mergeApplyOf(readVersion(spark, base, v), changes, keys), base)
+  }
+
   /** Time travel: the frozen content of committed version `v`. */
   def readVersion(spark: SparkSession, base: String, v: Long): DataFrame = {
     val (hfs, _) = fs(spark)

@@ -683,4 +683,22 @@ object EventStream {
     docStream.writeStream
       .foreachBatch((b: DataFrame, id: Long) => labeler.step(id, b))
       .start()
+
+  /** Streaming EXACTLY-ONCE snapshot sink: every micro-batch lands as a
+    * new immutable [[graft.store.Snapshots]] version tagged with its
+    * batchId, so the full stream history is time-travelable and a batch
+    * redelivered under foreachBatch's at-least-once contract publishes
+    * NOTHING the second time ([[graft.store.Snapshots.publishBatch]] —
+    * the Delta transactional-sink txn shape). Readers see each version
+    * only after its commit marker, so a crash mid-batch never exposes a
+    * torn write; StreamingSpec drives a redelivery and asserts one
+    * version per distinct batch with contents intact. */
+  def snapshotSinkQuery(stream: DataFrame, base: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.store.Snapshots.publishBatch(b.sparkSession, b, base, id)
+        ()
+      }
+      .start()
 }

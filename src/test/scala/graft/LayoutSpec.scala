@@ -253,6 +253,77 @@ class LayoutSpec extends SparkSpec {
     assert(state === v2, "applying the feed to v1 did not reconstruct v2")
   }
 
+  test("snapshot MERGE INTO: copy-on-write apply, history intact, upsert beats delete") {
+    import graft.store.Snapshots
+    import spark.implicits._
+    val base = "graft_spec_merge"
+    Snapshots.retain(spark, base, keep = 0)
+    Snapshots.publish(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "name", "v"),
+      base)
+    val changes = Seq(
+      (2L, "b2", 22L, "upsert"), // matched -> update
+      (3L, "c", 30L, "delete"), // matched -> delete
+      (4L, "d", 40L, "upsert"), // not matched -> insert
+      (5L, "e", 50L, "delete"), // delete of an absent key -> no-op
+      (1L, "a1", 11L, "delete"), // same key deleted AND upserted...
+      (1L, "a1", 11L, "upsert")  // ...the upsert wins
+    ).toDF("k", "name", "v", "_op")
+    assert(Snapshots.mergeIntoLatest(spark, base, changes, Seq("k")) === 2L)
+    def rows(v: Long) = Snapshots.readVersion(spark, base, v).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("name"),
+        r.getAs[Long]("v"))).toSet
+    assert(rows(2L) === Set((1L, "a1", 11L), (2L, "b2", 22L), (4L, "d", 40L)))
+    // the pre-merge version is untouched history, not a rewrite target
+    assert(rows(1L) === Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    Snapshots.retain(spark, base, keep = 0)
+  }
+
+  test("snapshot publishBatch: redelivered micro-batch publishes nothing") {
+    import graft.store.Snapshots
+    val base = "graft_spec_batchsink"
+    Snapshots.retain(spark, base, keep = 0)
+    assert(Snapshots.publishBatch(spark, spark.range(3).toDF("id"), base, 0L)
+      === Some(1L))
+    assert(Snapshots.publishBatch(spark, spark.range(5).toDF("id"), base, 1L)
+      === Some(2L))
+    // at-least-once redelivery: an already-committed batchId is a no-op
+    // even with different (stale) content
+    assert(Snapshots.publishBatch(spark, spark.range(99).toDF("id"), base, 1L)
+      === None)
+    assert(Snapshots.versions(spark, base) === Seq(1L, 2L))
+    assert(Snapshots.readVersion(spark, base, 2L).count() === 5L)
+    assert(Snapshots.publishBatch(spark, spark.range(7).toDF("id"), base, 2L)
+      === Some(3L))
+    assert(Snapshots.versions(spark, base) === Seq(1L, 2L, 3L))
+    Snapshots.retain(spark, base, keep = 0)
+  }
+
+  test("q_snap_merge: feed classes balance the merged state exactly") {
+    import org.apache.spark.sql.functions.{col, floor => ffloor, sum => fsum, count => fcount, lit}
+    val rows = graft.ops.Layout.mergeIntoSnapshot(spark, sf).collect()
+    val m = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m.keySet === Set("delete", "insert", "update_preimage",
+      "update_postimage", "v2_state"))
+    // updates come in preimage/postimage PAIRS
+    assert(m("update_preimage")._1 === m("update_postimage")._1)
+    // v1 totals straight off raw orders (the seeded v1 definition)
+    val v1 = Tables.orders(spark, sf)
+      .agg(fcount(lit(1)).as("n"),
+        fsum(ffloor(col("o_totalprice") * 100 + 0.5).cast("long")).as("c"))
+      .collect()(0)
+    val (n1, c1) = (v1.getLong(0), v1.getLong(1))
+    // row balance: v2 = v1 - deletes + inserts (updates keep the row)
+    assert(m("v2_state")._1 === n1 - m("delete")._1 + m("insert")._1)
+    // mass balance: v2 cents = v1 - deleted - preimage + postimage + inserted
+    assert(m("v2_state")._2 === c1 - m("delete")._2 - m("update_preimage")._2
+      + m("update_postimage")._2 + m("insert")._2)
+    // the merge actually did something at this sf
+    assert(m("delete")._1 > 0 && m("insert")._1 > 0 &&
+      m("update_preimage")._1 > 0)
+  }
+
   test("time-travel diff: every status present, sides consistent") {
     val out = graft.ops.Layout.timeTravelDiff(spark, sf).collect()
     val byStatus = out.groupBy(_.getString(1))

@@ -608,6 +608,37 @@ class StreamingSpec extends SparkSpec {
     assert(corrupt.contains("2024-01-10"), "post-collapse zero-day missing")
   }
 
+  test("streaming snapshot sink: one committed version per micro-batch, exactly once") {
+    import graft.store.Snapshots
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = "graft_spec_stream_sink"
+    Snapshots.retain(spark, base, keep = 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap_sink").toString
+    spark.range(0, 4).coalesce(1).write.parquet(s"$tmp/f1")
+    spark.range(4, 10).coalesce(1).write.parquet(s"$tmp/f2")
+    // stagger mtimes so the two files arrive as two ordered micro-batches
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$tmp/f2").listFiles().foreach(_.setLastModified(now + 60000))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType))))
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/f*")
+    val q = EventStream.snapshotSinkQuery(stream, base)
+    try q.processAllAvailable() finally q.stop()
+    val vs = Snapshots.versions(spark, base)
+    assert(vs.size === 2, s"versions $vs")
+    // the version union IS the stream, no row lost or doubled
+    val all = vs.flatMap(v => Snapshots.readVersion(spark, base, v)
+      .collect().map(_.getLong(0))).sorted
+    assert(all === (0L until 10L).toSeq)
+    // at-least-once redelivery of an already-committed batch: no third
+    // version, even with different content
+    assert(Snapshots.publishBatch(spark, spark.range(42).toDF("id"), base, 0L)
+      === None)
+    assert(Snapshots.versions(spark, base).size === 2)
+    Snapshots.retain(spark, base, keep = 0)
+  }
+
   test("streaming incremental labeler == one-shot incrementalAssign across 3 micro-batches") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
