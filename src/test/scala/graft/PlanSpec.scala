@@ -338,4 +338,20 @@ class PlanSpec extends SparkSpec {
       assert(p2.contains("BroadcastHashJoin") && p2.contains("LeftAnti"), p2)
     }
   }
+
+  test("snapshot merge apply: one left-anti equi-join, never a nested loop") {
+    import org.apache.spark.sql.functions.when
+    val target = spark.range(1000)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+    val changes = spark.range(100)
+      .select(col("id").as("k"), (col("id") * 3).as("v"),
+        when(pmod(col("id"), lit(2)) === 0, "upsert")
+          .otherwise("delete").as("_op"))
+    val p = plan(graft.store.Snapshots.mergeApplyOf(target, changes, Seq("k")))
+    // the matched-key drop is a real anti equi-join on the key...
+    assert(p.contains("LeftAnti"), p)
+    // ...and nothing degenerates into a per-row scan of the other side
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

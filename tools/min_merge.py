@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Min-merge several `graft.Bench` artifacts (bench_out.json) from the
+SAME corpus point into one committed comparable (BENCH_local_r*.json):
+per query, keep the minimum over every run of every sweep — under
+one-sided host noise the smallest observation is the closest to plan
+cost (the same rule `tools/make_steady.py` applies for the in-jar
+steady reference, and the bench itself applies across its re-times).
+
+Usage:
+  python3 tools/min_merge.py OUT.json sweep1.json [sweep2.json ...]
+
+The LAST sweep's artifact is the scaffold (its wall/gc/meta fields are
+kept, annotated with the sweep count); `queries`, per-query `sec`, and
+the headline `value` are the min-merge. Driver-side tooling only.
+"""
+import json
+import sys
+
+
+def main(out, paths):
+    best = {}
+    arts = []
+    for p in paths:
+        with open(p) as f:
+            art = json.load(f)
+        arts.append(art)
+        for name, d in art["detail"].items():
+            if not d.get("ok", False):
+                continue
+            lo = min(d.get("runs", [d["sec"]]))
+            best[name] = min(best.get(name, lo), lo)
+    scaffold = arts[-1]
+    for name, sec in best.items():
+        scaffold["queries"][name] = sec
+        scaffold["detail"][name]["sec"] = sec
+    scaffold["value"] = sum(best.values())
+    scaffold["min_merged_sweeps"] = len(paths)
+    with open(out, "w") as f:
+        json.dump(scaffold, f)
+    print(f"wrote {out}: {scaffold['value']:.1f}s / {len(best)} queries "
+          f"({scaffold['value'] / max(1, len(best)):.3f} s/q) "
+          f"over {len(paths)} sweeps")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    main(sys.argv[1], sys.argv[2:])
