@@ -156,6 +156,11 @@ object SparkEntry {
     // published centroids, cell assignment (argmin |c|²−2·v·c), probe
     // ranking, and the exact-cosine top-k are all replayable arithmetic
     "q_sim_ivf_topk" -> ((s, d) => Similarity.ivfTopKCosine(s, d)),
+    // IVF recall-vs-probe operating curve: recall@10 vs exact at probe
+    // levels 1/2/4/8, every level replayed by the twin from the
+    // published centroid dump — the whole tradeoff curve is
+    // oracle-checked, not a single operating point
+    "q_sim_probe_curve" -> ((s, d) => Similarity.ivfProbeRecallCurve(s, d)),
     // the dump behind the twin above: the coarse-quantizer centroids
     // (rows-only — the k-means fit itself is engine-specific by nature)
     "q_sim_ivf_centroids" -> ((s, d) => Similarity.ivfCentroidsDump(s, d)),
@@ -3571,6 +3576,60 @@ object SparkEntry {
          | SELECT *, row_number() OVER (PARTITION BY q_id
          |   ORDER BY cos_sim DESC, cand_id) AS rnk
          | FROM scored) t WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    // IVF probe-curve replay: brute ground truth (simTopkCtes) + the
+    // q_sim_ivf_topk twin's centroid-dump arithmetic, with the probe
+    // cutoff swept over the engine's probe ladder — one recall row per
+    // level, floor-half-up rounding shared with the Spark side
+    "q_sim_probe_curve" -> {
+      val levels = Seq(1, 2, 4, 8)
+      val shared = simTopkCtes + "," +
+        s"""
+           |cent AS (SELECT cell, list(value ORDER BY dim) AS c
+           | FROM '${graft.explore.Stats.verifyOutToken}/q_sim_ivf_centroids/*.parquet'
+           | GROUP BY cell),
+           |ad AS (SELECT n.vec_id, cent.cell,
+           |  list_reduce(list_transform(generate_series(1,64), i -> cent.c[i]*cent.c[i]), (x,y) -> x+y)
+           |  - 2.0 * list_reduce(list_transform(generate_series(1,64), i -> n.v[i]*cent.c[i]), (x,y) -> x+y) AS dist
+           | FROM n CROSS JOIN cent),
+           |asg AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+           |  FROM ad) WHERE r = 1),
+           |qq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+           |pd AS (SELECT qq.q_id, cent.cell,
+           |  list_reduce(list_transform(generate_series(1,64), i -> qq.qv[i]*cent.c[i]), (x,y) -> x+y)
+           |   / nullif(qq.qn * sqrt(list_reduce(list_transform(generate_series(1,64), i -> cent.c[i]*cent.c[i]), (x,y) -> x+y)), 0.0) AS cdist
+           | FROM qq CROSS JOIN cent),
+           |pr AS (SELECT q_id, cell,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cdist DESC, cell) AS cr
+           | FROM pd)""".stripMargin
+      val perLevel = levels.map { p =>
+        s""",
+           |sc$p AS (SELECT qq.q_id, n.vec_id AS cand_id,
+           |  round(list_reduce(list_transform(generate_series(1,64), i -> qq.qv[i]*n.v[i]), (x,y) -> x+y)
+           |   / nullif(qq.qn * n.nrm, 0.0), 6) AS cos_sim
+           | FROM (SELECT q_id, cell FROM pr WHERE cr <= $p) pb
+           |      JOIN qq ON pb.q_id = qq.q_id
+           |      JOIN asg ON asg.cell = pb.cell
+           |      JOIN n ON n.vec_id = asg.vec_id
+           | WHERE n.vec_id <> qq.q_id),
+           |tp$p AS (SELECT q_id, cand_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos_sim DESC, cand_id) AS rnk FROM sc$p) t
+           |  WHERE rnk <= 10),
+           |ht$p AS (SELECT count(*) AS n FROM topk
+           |         JOIN tp$p USING (q_id, cand_id))""".stripMargin
+      }.mkString
+      val rows = levels.map { p =>
+        s"""SELECT CAST($p AS BIGINT) AS n_probe,
+           | (SELECT count(*) FROM topk) AS n_true,
+           | (SELECT n FROM ht$p) AS n_hit,
+           | floor(CAST((SELECT n FROM ht$p) AS DOUBLE)
+           |   / (SELECT count(*) FROM topk) * 1e6 + 0.5) / 1e6 AS recall"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      shared + perLevel + "\n" + rows + "\nORDER BY n_probe"
+    },
     // PQ code assignment replay over the q_sim_pq_codebooks dump: given
     // the per-subspace centroids, normalization and the argmin are exact
     // replayable arithmetic — the published 8-byte/row code layout itself

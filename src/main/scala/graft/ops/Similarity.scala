@@ -1578,6 +1578,41 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** IVF recall-vs-probe tradeoff curve (`q_sim_probe_curve`): recall@k
+    * of [[ivfTopKCosine]] against the exact [[topKCosine]] ground truth
+    * at a ladder of `nProbe` settings — the operating-point dashboard
+    * every IVF deployment tunes against (Jégou et al.'s recall/speed
+    * curve stated as data): probing more cells scans more of the corpus
+    * and recovers more of the true neighbours, and THIS query pins
+    * exactly how much, per rung, as hash-checked rows. The DuckDB twin
+    * replays every level from the published centroid dump (cell
+    * assignment, probe ranking, exact-cosine top-k, recall), so the
+    * whole curve — not one point on it — is oracle-checked.
+    *
+    * Scale shape: the probe-independent work (cell ranking per query)
+    * is shared; each level is the standard partition-pruned IVF probe
+    * (cells are hive-partitioned, so a level reading `p` cells scans
+    * `p/nlist` of the corpus) plus a broadcast equi-join against the
+    * bounded ground-truth set. Output is |levels| rows. */
+  def ivfProbeRecallCurve(spark: SparkSession, dir: String,
+                          nQueries: Int = 10, k: Int = 10,
+                          probeLevels: Seq[Int] = Seq(1, 2, 4, 8))
+      : DataFrame = {
+    val brute = topKCosine(spark, dir, nQueries, k)
+      .select(col("q_id"), col("cand_id"))
+    probeLevels.map { p =>
+      val hits = brute.join(
+        ivfTopKCosine(spark, dir, nQueries, k, nProbe = p)
+          .select(col("q_id"), col("cand_id")),
+        Seq("q_id", "cand_id"))
+      brute.agg(count(lit(1)).as("n_true"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(lit(p.toLong).as("n_probe"), col("n_true"), col("n_hit"),
+          (floor(col("n_hit").cast("double") / col("n_true") * 1e6 + 0.5)
+            / 1e6).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("n_probe"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al., 2023): connected
     * components over the cosine-similarity graph, keeping one
     * representative (the min vec_id) per semantic cluster — the

@@ -861,4 +861,23 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("recall") === math.floor(hits / 10.0 * 1e6 + 0.5) / 1e6)
     }
   }
+  test("ivf probe curve: recall monotone in probes, bounded by truth, strong at the rung default") {
+    val rows = graft.ops.Similarity.ivfProbeRecallCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_probe")).toSeq === Seq(1L, 2L, 4L, 8L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("n_true") === 100L) // 10 queries x top-10
+    }
+    // probing a superset of cells can only add candidates that are
+    // either true neighbours or rank below them, so recall@k is
+    // monotone along the ladder (total order shared with the brute side)
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    recalls.zip(recalls.tail).foreach { case (a, b) =>
+      assert(b >= a - 1e-9, recalls.mkString(","))
+    }
+    // the adaptive operating point (nProbe=8 at this rung) recovers
+    // most of the exact top-10
+    assert(recalls.last >= 0.5, recalls.mkString(","))
+  }
+
 }
