@@ -151,6 +151,12 @@ object SparkEntry {
     // and change-feeding between them — the twin recomputes pre/post
     // states from raw orders and replays the CDF classification
     "q_snap_merge" -> ((s, d) => Layout.mergeIntoSnapshot(s, d)),
+    // MERGE as a lightweight DELTA version reconciled at read time
+    // (merge-on-read): same change batch, same declared output as
+    // q_snap_merge by construction — the hash check proves the two
+    // write paths (copy-on-write rewrite vs O(batch) delta publish +
+    // lazy anti-join/union reconcile) are state-equivalent end to end
+    "q_snap_merge_mor" -> ((s, d) => Layout.mergeIntoSnapshotMoR(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // ORACLE-CHECKED via the q_sim_ivf_centroids dump twin: given the
     // published centroids, cell assignment (argmin |c|²−2·v·c), probe
@@ -1097,6 +1103,55 @@ object SparkEntry {
       |                               ORDER BY cos_sim DESC, cand_id) AS rnk
       |  FROM p) t
       | WHERE rnk <= 10)""".stripMargin
+
+  /** MERGE replay shared by `q_snap_merge` (copy-on-write) and
+    * `q_snap_merge_mor` (merge-on-read): the twin recomputes pre/post
+    * states from raw orders and replays the CDF classification — both
+    * write paths must land the same state, so one twin pins both. */
+  private def snapMergeSql: String = {
+    val (addM, chgM, remM) = graft.ops.Validate.snapshotDiffMods
+    s"""WITH o AS (
+       | SELECT o_orderkey AS k, o_orderpriority AS prio,
+       |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       | FROM orders),
+       |upd AS (SELECT k, prio, cents * 110 // 100 AS cents FROM o
+       |        WHERE k % $chgM = 0 AND k % $remM <> 0),
+       |ins AS (SELECT -(k + 1) AS k, prio, cents FROM o
+       |        WHERE k % $addM = 0),
+       |del AS (SELECT k FROM o WHERE k % $remM = 0),
+       |touched AS (SELECT k FROM upd UNION SELECT k FROM ins
+       |            UNION SELECT k FROM del),
+       |v2 AS (SELECT * FROM o
+       |        WHERE k NOT IN (SELECT k FROM touched)
+       |       UNION ALL SELECT * FROM upd
+       |       UNION ALL SELECT * FROM ins),
+       |j AS (SELECT o.prio AS op, o.cents AS oc,
+       |  v2.prio AS np, v2.cents AS nc,
+       |  CASE WHEN o.k IS NULL THEN 'insert'
+       |       WHEN v2.k IS NULL THEN 'delete'
+       |       WHEN o.prio IS DISTINCT FROM v2.prio
+       |         OR o.cents IS DISTINCT FROM v2.cents THEN 'update'
+       |       ELSE 'same' END AS t
+       | FROM o FULL OUTER JOIN v2 ON o.k = v2.k)
+       |SELECT 'delete' AS change_type, count(*) AS n_rows,
+       |  coalesce(CAST(sum(oc) AS BIGINT), 0) AS total_cents
+       | FROM j WHERE t = 'delete'
+       |UNION ALL
+       |SELECT 'insert', count(*), coalesce(CAST(sum(nc) AS BIGINT), 0)
+       | FROM j WHERE t = 'insert'
+       |UNION ALL
+       |SELECT 'update_preimage', count(*),
+       |  coalesce(CAST(sum(oc) AS BIGINT), 0)
+       | FROM j WHERE t = 'update'
+       |UNION ALL
+       |SELECT 'update_postimage', count(*),
+       |  coalesce(CAST(sum(nc) AS BIGINT), 0)
+       | FROM j WHERE t = 'update'
+       |UNION ALL
+       |SELECT 'v2_state', count(*), coalesce(CAST(sum(cents) AS BIGINT), 0)
+       | FROM v2
+       |ORDER BY 1""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2053,50 +2108,10 @@ object SparkEntry {
     // detection (not the pmod rule) decides 'update', so a change row
     // whose new cents equal the old (cents*110//100 == cents) correctly
     // emits nothing, exactly like the engine's changeFeedOf
-    "q_snap_merge" -> {
-      val (addM, chgM, remM) = graft.ops.Validate.snapshotDiffMods
-      s"""WITH o AS (
-         | SELECT o_orderkey AS k, o_orderpriority AS prio,
-         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-         | FROM orders),
-         |upd AS (SELECT k, prio, cents * 110 // 100 AS cents FROM o
-         |        WHERE k % $chgM = 0 AND k % $remM <> 0),
-         |ins AS (SELECT -(k + 1) AS k, prio, cents FROM o
-         |        WHERE k % $addM = 0),
-         |del AS (SELECT k FROM o WHERE k % $remM = 0),
-         |touched AS (SELECT k FROM upd UNION SELECT k FROM ins
-         |            UNION SELECT k FROM del),
-         |v2 AS (SELECT * FROM o
-         |        WHERE k NOT IN (SELECT k FROM touched)
-         |       UNION ALL SELECT * FROM upd
-         |       UNION ALL SELECT * FROM ins),
-         |j AS (SELECT o.prio AS op, o.cents AS oc,
-         |  v2.prio AS np, v2.cents AS nc,
-         |  CASE WHEN o.k IS NULL THEN 'insert'
-         |       WHEN v2.k IS NULL THEN 'delete'
-         |       WHEN o.prio IS DISTINCT FROM v2.prio
-         |         OR o.cents IS DISTINCT FROM v2.cents THEN 'update'
-         |       ELSE 'same' END AS t
-         | FROM o FULL OUTER JOIN v2 ON o.k = v2.k)
-         |SELECT 'delete' AS change_type, count(*) AS n_rows,
-         |  coalesce(CAST(sum(oc) AS BIGINT), 0) AS total_cents
-         | FROM j WHERE t = 'delete'
-         |UNION ALL
-         |SELECT 'insert', count(*), coalesce(CAST(sum(nc) AS BIGINT), 0)
-         | FROM j WHERE t = 'insert'
-         |UNION ALL
-         |SELECT 'update_preimage', count(*),
-         |  coalesce(CAST(sum(oc) AS BIGINT), 0)
-         | FROM j WHERE t = 'update'
-         |UNION ALL
-         |SELECT 'update_postimage', count(*),
-         |  coalesce(CAST(sum(nc) AS BIGINT), 0)
-         | FROM j WHERE t = 'update'
-         |UNION ALL
-         |SELECT 'v2_state', count(*), coalesce(CAST(sum(cents) AS BIGINT), 0)
-         | FROM v2
-         |ORDER BY 1""".stripMargin
-    },
+    "q_snap_merge" -> snapMergeSql,
+    // merge-on-read is state-equivalent to copy-on-write by contract —
+    // ONE twin pins both write paths to the same recomputed truth
+    "q_snap_merge_mor" -> snapMergeSql,
     // schema-evolution replay: both version DEFINITIONS recomputed from
     // raw orders (v1 cast through INT exactly like the stored narrow
     // schema), reconciled in BIGINT with the added column NULL on the

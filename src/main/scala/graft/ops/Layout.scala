@@ -123,13 +123,19 @@ object Layout {
     * pruning works again. The old version stays readable — compaction
     * is a publish, never a mutation; [[graft.store.Snapshots.retain]]
     * reclaims it on the caller's schedule. Returns the new version id.
-    * Scale: one count + the same range-shuffle any clustering write
-    * pays; no driver-side data. */
+    *
+    * Doubles as the MATERIALIZE step of the merge-on-read path: the
+    * latest state is read through
+    * [[graft.store.Snapshots.readVersionMerged]], so a stack of
+    * lightweight delta versions folds into ONE clustered base version —
+    * after which reads are a plain pruned scan again and `retain` can
+    * sweep the whole pre-compaction chain. Scale: one count + the same
+    * range-shuffle any clustering write pays; no driver-side data. */
   def compactSnapshot(spark: SparkSession, base: String, key: Column,
                       targetRows: Long): Long = {
     val cur = graft.store.Snapshots.latest(spark, base).getOrElse(
       throw new IllegalArgumentException(s"no committed versions of $base"))
-    val df = graft.store.Snapshots.readVersion(spark, base, cur)
+    val df = graft.store.Snapshots.readVersionMerged(spark, base, cur)
     val n = df.count()
     val nFiles = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     graft.store.Snapshots.publish(spark, clusteredBy(df, key, nFiles), base)
@@ -336,38 +342,55 @@ object Layout {
     * bucketing); the feed is ONE full-outer join on the key. Nothing is
     * proportional to the version count and no row is rewritten in place. */
   def mergeIntoSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    val (addM, chgM, remM) = Validate.snapshotDiffMods
     val fp = graft.store.FeatureStore.versionFingerprint(
       spark, s"$dir/orders.parquet")
     val base = s"graft_mrg_orders_${Relational.dirSlug(dir)}_$fp"
-    def keyed: DataFrame = Tables.orders(spark, dir)
-      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    def changeBatch: DataFrame = {
-      val o = keyed
-      val updates = o
-        .where(pmod(col("k"), lit(chgM)) === 0 &&
-          pmod(col("k"), lit(remM)) =!= 0)
-        .select(col("k"), col("prio"),
-          expr("cents * 110L div 100L").as("cents"), lit("upsert").as("_op"))
-      val inserts = o.where(pmod(col("k"), lit(addM)) === 0)
-        .select((-(col("k") + 1)).as("k"), col("prio"), col("cents"),
-          lit("upsert").as("_op"))
-      val deletes = o.where(pmod(col("k"), lit(remM)) === 0)
-        .select(col("k"), col("prio"), col("cents"), lit("delete").as("_op"))
-      updates.unionByName(inserts).unionByName(deletes)
-    }
     graft.store.Snapshots.ensureVersions(spark, base, Seq(
-      () => keyed,
+      () => keyedOrders(spark, dir),
       () => graft.store.Snapshots.mergeApplyOf(
         graft.store.Snapshots.readVersion(spark, base,
           graft.store.Snapshots.latest(spark, base).get),
-        changeBatch, Seq("k"))))
+        ordersChangeBatch(spark, dir), Seq("k"))))
     val vs = graft.store.Snapshots.versions(spark, base)
-    val v1 = graft.store.Snapshots.readVersion(spark, base, vs.head)
-    val v2 = graft.store.Snapshots.readVersion(spark, base, vs.last)
-    // dense change-type grid so an empty class still reports a zero row
-    // (the twin's per-class global aggregates always emit one row each)
+    mergeSummary(spark,
+      graft.store.Snapshots.readVersion(spark, base, vs.head),
+      graft.store.Snapshots.readVersion(spark, base, vs.last))
+  }
+
+  /** Row-grain keyed orders (exact integer cents) — the MERGE fixtures'
+    * shared target shape. */
+  private def keyedOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+
+  /** The deterministic change batch shared by the copy-on-write and
+    * merge-on-read MERGE fixtures: the [[Validate.snapshotDiffMods]]
+    * pmod families as updates (+10% cents), inserts (negative mirror
+    * keys), and deletes. */
+  private def ordersChangeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val (addM, chgM, remM) = Validate.snapshotDiffMods
+    val o = keyedOrders(spark, dir)
+    val updates = o
+      .where(pmod(col("k"), lit(chgM)) === 0 &&
+        pmod(col("k"), lit(remM)) =!= 0)
+      .select(col("k"), col("prio"),
+        expr("cents * 110L div 100L").as("cents"), lit("upsert").as("_op"))
+    val inserts = o.where(pmod(col("k"), lit(addM)) === 0)
+      .select((-(col("k") + 1)).as("k"), col("prio"), col("cents"),
+        lit("upsert").as("_op"))
+    val deletes = o.where(pmod(col("k"), lit(remM)) === 0)
+      .select(col("k"), col("prio"), col("cents"), lit("delete").as("_op"))
+    updates.unionByName(inserts).unionByName(deletes)
+  }
+
+  /** Change-feed class counts/cents between two states plus the merged
+    * state totals — the shared declared-output shape of `q_snap_merge`
+    * and `q_snap_merge_mor`. A dense change-type grid keeps an empty
+    * class as a zero row (the twin's per-class aggregates always emit
+    * one row each). */
+  private def mergeSummary(spark: SparkSession, v1: DataFrame,
+                           v2: DataFrame): DataFrame = {
     val grid = spark.range(1).select(explode(array(
       Seq("delete", "insert", "update_preimage", "update_postimage")
         .map(lit): _*)).as("change_type"))
@@ -386,5 +409,37 @@ object Layout {
       .select(lit("v2_state").as("change_type"), col("n_rows"),
         col("total_cents"))
     byType.unionByName(state).orderBy(col("change_type"))
+  }
+
+  /** MERGE-ON-READ as a versioned snapshot (`q_snap_merge_mor`, round-13
+    * verdict #1): the SAME deterministic change batch as `q_snap_merge`,
+    * but published through [[graft.store.Snapshots.publishDelta]] as a
+    * LIGHTWEIGHT delta version — the write costs O(change batch), not a
+    * full-table rewrite — and reconciled lazily at read time by
+    * [[graft.store.Snapshots.readVersionMerged]] (the Iceberg
+    * merge-on-read recipe: one anti-join + union per stacked delta, with
+    * [[compactSnapshot]] as the materialize step). The declared frame is
+    * bit-identical to the copy-on-write `q_snap_merge` state by
+    * construction — same feed classes, same merged totals — so ONE twin
+    * covers both write paths and the hash check proves write-path
+    * equivalence end to end.
+    *
+    * Seeding is idempotent under racing seeders: applying the identical
+    * validated batch as a second stacked delta reproduces the same
+    * merged state (drop-touched + re-add is idempotent for identical
+    * batches), so the declared output is stable whatever the race. */
+  def mergeIntoSnapshotMoR(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$dir/orders.parquet")
+    val base = s"graft_mor_orders_${Relational.dirSlug(dir)}_$fp"
+    graft.store.Snapshots.ensureVersions(spark, base,
+      Seq(() => keyedOrders(spark, dir)))
+    if (graft.store.Snapshots.latest(spark, base).contains(1L))
+      graft.store.Snapshots.publishDelta(spark,
+        ordersChangeBatch(spark, dir), base, Seq("k"))
+    val vs = graft.store.Snapshots.versions(spark, base)
+    mergeSummary(spark,
+      graft.store.Snapshots.readVersionMerged(spark, base, vs.head),
+      graft.store.Snapshots.latestMerged(spark, base))
   }
 }

@@ -685,19 +685,30 @@ object EventStream {
       .start()
 
   /** Streaming EXACTLY-ONCE snapshot sink: every micro-batch lands as a
-    * new immutable [[graft.store.Snapshots]] version tagged with its
-    * batchId, so the full stream history is time-travelable and a batch
-    * redelivered under foreachBatch's at-least-once contract publishes
-    * NOTHING the second time ([[graft.store.Snapshots.publishBatch]] —
-    * the Delta transactional-sink txn shape). Readers see each version
-    * only after its commit marker, so a crash mid-batch never exposes a
-    * torn write; StreamingSpec drives a redelivery and asserts one
-    * version per distinct batch with contents intact. */
-  def snapshotSinkQuery(stream: DataFrame, base: String)
+    * new immutable [[graft.store.Snapshots]] version tagged with
+    * (writerId, batchId), so the full stream history is time-travelable
+    * and a batch redelivered under foreachBatch's at-least-once contract
+    * publishes NOTHING the second time
+    * ([[graft.store.Snapshots.publishBatch]] — the Delta
+    * transactional-sink txn shape, keyed on WRITER identity + batch id).
+    * The checkpoint location is REQUIRED (round-13 ADVICE, medium):
+    * batch ids are only meaningful relative to a durable checkpoint — a
+    * restart under an ephemeral temp checkpoint restarts ids at 0, and
+    * un-scoped dedup would then silently drop every new batch whose id
+    * was already seen. `writerId` is the stable publisher identity (one
+    * per logical query); two distinct queries writing one base must pass
+    * distinct writerIds, and a query restarted from ITS OWN checkpoint
+    * reuses its writerId so true redeliveries still no-op. Readers see
+    * each version only after its commit marker, so a crash mid-batch
+    * never exposes a torn write; StreamingSpec drives a redelivery and
+    * asserts one version per distinct batch with contents intact. */
+  def snapshotSinkQuery(stream: DataFrame, base: String,
+                        checkpointLocation: String, writerId: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.store.Snapshots.publishBatch(b.sparkSession, b, base, id)
+        graft.store.Snapshots.publishBatch(b.sparkSession, b, base, id, writerId)
         ()
       }
       .start()

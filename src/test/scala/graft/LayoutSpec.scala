@@ -336,4 +336,175 @@ class LayoutSpec extends SparkSpec {
       if (st == "changed") assert(nOld >= 0L && nNew >= 0L && nOld != nNew)
     }
   }
+
+  test("merge-on-read: stacked deltas reconcile lazily, compaction materializes, retention keeps the chain") {
+    import graft.store.Snapshots
+    import spark.implicits._
+    val base = "graft_spec_mor_stack"
+    Snapshots.retain(spark, base, keep = 0)
+    Snapshots.publish(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "name", "v"),
+      base)
+    // three stacked O(batch) delta publishes — never a table rewrite
+    assert(Snapshots.publishDelta(spark,
+      Seq((2L, "b2", 22L, "upsert"), (3L, "c", 30L, "delete"),
+        (4L, "d", 40L, "upsert")).toDF("k", "name", "v", "_op"),
+      base, Seq("k")) === 2L)
+    assert(Snapshots.publishDelta(spark,
+      Seq((3L, "c3", 33L, "upsert"), (4L, "d4", 44L, "upsert"))
+        .toDF("k", "name", "v", "_op"),
+      base, Seq("k")) === 3L)
+    assert(Snapshots.publishDelta(spark,
+      Seq((1L, "a", 10L, "delete")).toDF("k", "name", "v", "_op"),
+      base, Seq("k")) === 4L)
+    def merged(v: Long) = Snapshots.readVersionMerged(spark, base, v)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // every intermediate STATE is reconstructible — time travel through
+    // a delta stack, each rung one more anti-join + union
+    assert(merged(1L) === Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    assert(merged(2L) === Set((1L, "a", 10L), (2L, "b2", 22L), (4L, "d", 40L)))
+    assert(merged(3L) === Set((1L, "a", 10L), (2L, "b2", 22L),
+      (3L, "c3", 33L), (4L, "d4", 44L)))
+    assert(merged(4L) === Set((2L, "b2", 22L), (3L, "c3", 33L), (4L, "d4", 44L)))
+    // the delta version STORES the change batch, not the table state
+    assert(Snapshots.readVersion(spark, base, 4L).count() === 1L)
+    assert(Snapshots.deltaKeys(spark, base, 4L) === Some(Seq("k")))
+    assert(Snapshots.deltaKeys(spark, base, 1L) === None)
+    // retention never severs a reconstruction chain: keep=1 would retain
+    // only delta v4, so the horizon pulls back to its anchor base v1
+    assert(Snapshots.retain(spark, base, keep = 1) === Seq.empty)
+    assert(Snapshots.versions(spark, base) === Seq(1L, 2L, 3L, 4L))
+    // compaction IS the materialize step: the stack folds into one base
+    val v5 = Layout.compactSnapshot(spark, base, col("k"), 100L)
+    assert(v5 === 5L)
+    assert(Snapshots.deltaKeys(spark, base, v5) === None)
+    assert(Snapshots.readVersion(spark, base, v5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === merged(4L))
+    assert(Snapshots.latestMerged(spark, base).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === merged(4L))
+    // ...after which the full pre-compaction chain is sweepable
+    assert(Snapshots.retain(spark, base, keep = 1) === Seq(1L, 2L, 3L, 4L))
+    assert(Snapshots.versions(spark, base) === Seq(5L))
+    Snapshots.retain(spark, base, keep = 0)
+  }
+
+  test("merge change batches fail fast: bad _op, duplicate upsert keys") {
+    import graft.store.Snapshots
+    import spark.implicits._
+    val target = Seq((1L, 10L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeApplyOf(target,
+        Seq((1L, 11L, "UPSERT")).toDF("k", "v", "_op"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeApplyOf(target,
+        Seq((2L, 20L, "upsert"), (2L, 21L, "upsert")).toDF("k", "v", "_op"),
+        Seq("k"))
+    }
+    // publishDelta enforces the same contract and publishes NOTHING on
+    // a bad batch
+    val base = "graft_spec_badbatch"
+    Snapshots.retain(spark, base, keep = 0)
+    Snapshots.publish(spark, target, base)
+    intercept[IllegalArgumentException] {
+      Snapshots.publishDelta(spark,
+        Seq((1L, 11L, "replace")).toDF("k", "v", "_op"), base, Seq("k"))
+    }
+    assert(Snapshots.versions(spark, base) === Seq(1L))
+    Snapshots.retain(spark, base, keep = 0)
+  }
+
+  test("q_snap_merge_mor == q_snap_merge: merge-on-read is state-equivalent, delta write is O(batch)") {
+    import graft.store.Snapshots
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val cow = rows(Layout.mergeIntoSnapshot(spark, sf))
+    val mor = rows(Layout.mergeIntoSnapshotMoR(spark, sf))
+    assert(mor === cow)
+    // the stored MoR version 2 is the CHANGE BATCH (a small fraction of
+    // the table), where copy-on-write v2 is a full rewrite
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$sf/orders.parquet")
+    val slug = s"${sf.replaceAll("[^A-Za-z0-9]+", "_")}_" +
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sf))
+    val base = s"graft_mor_orders_${slug}_$fp"
+    val vs = Snapshots.versions(spark, base)
+    assert(vs.size >= 2, vs.toString)
+    assert(Snapshots.deltaKeys(spark, base, vs(1)) === Some(Seq("k")))
+    val nBase = Snapshots.readVersion(spark, base, vs.head).count()
+    val nDelta = Snapshots.readVersion(spark, base, vs(1)).count()
+    assert(nDelta < nBase / 2, s"delta $nDelta vs base $nBase")
+  }
+
+  test("vacuum: crashed-claim debris reclaimed after TTL, committed history untouched") {
+    import graft.store.Snapshots
+    val base = "graft_spec_vacuum"
+    Snapshots.retain(spark, base, keep = 0)
+    assert(Snapshots.publish(spark, spark.range(4).toDF("id"), base) === 1L)
+    assert(Snapshots.publish(spark, spark.range(6).toDF("id"), base) === 2L)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val bd = new org.apache.hadoop.fs.Path(s"$wh/graft_snapshots/$base")
+    val hfs = bd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant a crashed publish: claim marker + partial data, NO commit
+    hfs.create(new org.apache.hadoop.fs.Path(bd, ".claim-3"), false).close()
+    spark.range(9).write.parquet(new org.apache.hadoop.fs.Path(bd, "v=3").toString)
+    assert(Snapshots.versions(spark, base) === Seq(1L, 2L), "debris invisible")
+    // a FRESH claim is inside the writer lease — never swept
+    assert(Snapshots.vacuum(spark, base, ttlMs = 3600L * 1000).isEmpty)
+    // plant a stale txn claim whose batch never committed
+    hfs.create(new org.apache.hadoop.fs.Path(bd, ".txn-deadwriter-7"), false).close()
+    val swept = Snapshots.vacuum(spark, base, ttlMs = 0L)
+    assert(swept.toSet === Set(".claim-3", ".txn-deadwriter-7"), swept.toString)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(bd, "v=3")))
+    // committed history byte-identical
+    assert(Snapshots.versions(spark, base) === Seq(1L, 2L))
+    assert(Snapshots.readVersion(spark, base, 1L).count() === 4L)
+    assert(Snapshots.readVersion(spark, base, 2L).count() === 6L)
+    // a txn claim WITH a committed tag is transaction history, not debris
+    assert(Snapshots.publishBatch(spark, spark.range(2).toDF("id"), base,
+      9L, "w") === Some(3L))
+    assert(Snapshots.vacuum(spark, base, ttlMs = 0L).isEmpty)
+    // the un-wedge path: a redelivery blocked by a dead claim throws,
+    // vacuum frees it, the retry lands
+    hfs.create(new org.apache.hadoop.fs.Path(bd, ".txn-w-10"), false).close()
+    intercept[IllegalStateException] {
+      Snapshots.publishBatch(spark, spark.range(2).toDF("id"), base, 10L, "w")
+    }
+    Snapshots.vacuum(spark, base, ttlMs = 0L)
+    assert(Snapshots.publishBatch(spark, spark.range(2).toDF("id"), base,
+      10L, "w") === Some(4L))
+    Snapshots.retain(spark, base, keep = 0)
+  }
+
+  test("publishBatch race: two concurrent deliveries of one batch land exactly one version") {
+    import graft.store.Snapshots
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = "graft_spec_batchrace"
+    Snapshots.retain(spark, base, keep = 0)
+    // two deliveries of THE SAME (writer, batch) through separate
+    // sessions — the misconfigured double-start / zombie-driver shape
+    val sessions = Seq(spark.newSession(), spark.newSession())
+    val results = Await.result(Future.sequence(sessions.map { s =>
+      Future(scala.util.Try(
+        Snapshots.publishBatch(s, s.range(10).toDF("id"), base, 0L, "raceq")))
+    }), 120.seconds)
+    val wins = results.collect { case scala.util.Success(Some(v)) => v }
+    assert(wins.size === 1, results.toString)
+    results.foreach {
+      case scala.util.Success(_) => // winner, or loser that saw the commit
+      case scala.util.Failure(e) => // loser that raced an in-flight winner
+        assert(e.isInstanceOf[IllegalStateException], e.toString)
+    }
+    assert(Snapshots.versions(spark, base).size === 1)
+    // late redelivery after the dust settles: plain no-op
+    assert(Snapshots.publishBatch(spark, spark.range(3).toDF("id"), base,
+      0L, "raceq") === None)
+    assert(Snapshots.versions(spark, base).size === 1)
+    Snapshots.retain(spark, base, keep = 0)
+  }
 }

@@ -623,7 +623,8 @@ class StreamingSpec extends SparkSpec {
       .schema(StructType(Seq(StructField("id", LongType))))
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(s"$tmp/f*")
-    val q = EventStream.snapshotSinkQuery(stream, base)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snap_ckpt").toString
+    val q = EventStream.snapshotSinkQuery(stream, base, ckpt, "specq")
     try q.processAllAvailable() finally q.stop()
     val vs = Snapshots.versions(spark, base)
     assert(vs.size === 2, s"versions $vs")
@@ -631,11 +632,16 @@ class StreamingSpec extends SparkSpec {
     val all = vs.flatMap(v => Snapshots.readVersion(spark, base, v)
       .collect().map(_.getLong(0))).sorted
     assert(all === (0L until 10L).toSeq)
-    // at-least-once redelivery of an already-committed batch: no third
-    // version, even with different content
-    assert(Snapshots.publishBatch(spark, spark.range(42).toDF("id"), base, 0L)
-      === None)
+    // at-least-once redelivery of an already-committed batch UNDER THE
+    // SAME WRITER: no third version, even with different content
+    assert(Snapshots.publishBatch(spark, spark.range(42).toDF("id"), base,
+      0L, "specq") === None)
     assert(Snapshots.versions(spark, base).size === 2)
+    // a DIFFERENT writer's batch 0 is NOT the same transaction — it
+    // must land (the round-13 conflation data-loss shape, inverted)
+    assert(Snapshots.publishBatch(spark, spark.range(2).toDF("id"), base,
+      0L, "otherq") === Some(3L))
+    assert(Snapshots.versions(spark, base).size === 3)
     Snapshots.retain(spark, base, keep = 0)
   }
 

@@ -19,6 +19,7 @@ import sys
 
 def main(out, paths):
     best = {}
+    best_detail = {}
     arts = []
     for p in paths:
         with open(p) as f:
@@ -27,12 +28,23 @@ def main(out, paths):
         for name, d in art["detail"].items():
             if not d.get("ok", False):
                 continue
-            lo = min(d.get("runs", [d["sec"]]))
-            best[name] = min(best.get(name, lo), lo)
+            runs = d.get("runs") or [d["sec"]]
+            lo = min(runs)
+            if name not in best or lo < best[name]:
+                best[name] = lo
+                best_detail[name] = d
     scaffold = arts[-1]
+    # queries/detail reflect EXACTLY the min-merged set: a query absent
+    # from the scaffold sweep is inserted from the sweep that produced
+    # its min, and stale all-failed entries are dropped so the headline
+    # value always equals sum(queries.values())
+    scaffold["queries"] = dict(sorted(best.items()))
+    for name in list(scaffold["detail"]):
+        if name not in best:
+            del scaffold["detail"][name]
     for name, sec in best.items():
-        scaffold["queries"][name] = sec
-        scaffold["detail"][name]["sec"] = sec
+        d = scaffold["detail"].setdefault(name, dict(best_detail[name]))
+        d["sec"] = sec
     scaffold["value"] = sum(best.values())
     scaffold["min_merged_sweeps"] = len(paths)
     with open(out, "w") as f:
