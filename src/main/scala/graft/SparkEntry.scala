@@ -143,6 +143,12 @@ object SparkEntry {
     // bin-packing — arrival-cut files scan everything, clustered files
     // scan only the day-range slice; exact integer bin arithmetic
     "q_layout_compact" -> ((s, d) => Layout.compactionSkipAudit(s, d)),
+    // REAL footer-stats pruning audit: per-file row counts + day
+    // envelopes read from actual parquet footers of stored snapshot
+    // versions (arrival-cut vs genuinely compacted), with the pruning
+    // decision for a selective 31-day window; the twin recomputes every
+    // file's stats FROM THE DATA of the same physical files
+    "q_layout_file_stats" -> ((s, d) => Layout.fileStatsAudit(s, d)),
     // change data feed between snapshot versions: insert/delete/update
     // pre+post image rows off the planted history
     "q_layout_cdf" -> ((s, d) => Layout.changeFeedBetweenVersions(s, d)),
@@ -2112,6 +2118,31 @@ object SparkEntry {
     // merge-on-read is state-equivalent to copy-on-write by contract —
     // ONE twin pins both write paths to the same recomputed truth
     "q_snap_merge_mor" -> snapMergeSql,
+    // footer-stats replay FROM THE PHYSICAL FILES: DuckDB groups the
+    // same stored snapshot files by filename and recomputes each file's
+    // row count and day envelope from the data — footer statistics must
+    // agree with physical reality file by file, and the pruning rule
+    // (envelope intersects the min+100..min+130 window) is shared
+    "q_layout_file_stats" ->
+      s"""WITH f1 AS (
+         | SELECT regexp_extract(filename, '[^/]*$$') AS file,
+         |   count(*) AS n_rows, min(day) AS min_day, max(day) AS max_day
+         | FROM read_parquet('${graft.ops.Layout.fstatsV1Token}/*.parquet',
+         |                   filename=true)
+         | GROUP BY 1),
+         |f2 AS (
+         | SELECT regexp_extract(filename, '[^/]*$$') AS file,
+         |   count(*) AS n_rows, min(day) AS min_day, max(day) AS max_day
+         | FROM read_parquet('${graft.ops.Layout.fstatsV2Token}/*.parquet',
+         |                   filename=true)
+         | GROUP BY 1),
+         |b AS (SELECT min(min_day) + 100 AS lo FROM f1),
+         |a AS (SELECT CAST(1 AS BIGINT) AS version, * FROM f1
+         |      UNION ALL SELECT CAST(2 AS BIGINT), * FROM f2)
+         |SELECT version, file, n_rows, min_day, max_day,
+         |  CAST(max_day >= b.lo AND min_day <= b.lo + 30 AS BIGINT) AS hit
+         |FROM a CROSS JOIN b
+         |ORDER BY version, file""".stripMargin,
     // schema-evolution replay: both version DEFINITIONS recomputed from
     // raw orders (v1 cast through INT exactly like the stored narrow
     // schema), reconciled in BIGINT with the added column NULL on the

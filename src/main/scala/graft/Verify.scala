@@ -55,9 +55,18 @@ object Verify {
     // the q_synth_features dump by absolute path — substitute it here,
     // where the output dir is finally known
     val outAbs = new java.io.File(outDir).getAbsolutePath
+    // the file-stats twin scans the PHYSICAL snapshot files of the
+    // fingerprinted fixture — resolvable only at dump time (and only
+    // if the fixture query ran under a SPARK_GRAFT_ONLY filter)
+    val (fsV1, fsV2) =
+      try graft.ops.Layout.fileStatsVersionDirs(spark, sfDir)
+      catch { case _: Throwable => ("/graft_fstats_unseeded_v1",
+        "/graft_fstats_unseeded_v2") }
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace(graft.explore.Stats.verifyOutToken, outAbs))}"
+        s"${q(k)}: ${q(v.replace(graft.explore.Stats.verifyOutToken, outAbs)
+          .replace(graft.ops.Layout.fstatsV1Token, fsV1)
+          .replace(graft.ops.Layout.fstatsV2Token, fsV2))}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -410,6 +410,17 @@ object Snapshots {
     }
   }
 
+  /** Absolute filesystem path of committed version `v`'s data directory
+    * — the address file-level tooling (footer-stats planning, external
+    * readers like the DuckDB oracle) scans directly. */
+  def versionPath(spark: SparkSession, base: String, v: Long): String = {
+    val (hfs, _) = fs(spark)
+    val dir = versionDir(spark, base, v)
+    require(hfs.exists(new Path(dir, commitMarker)),
+      s"snapshot $base v$v does not exist or is not committed")
+    dir.toUri.getPath
+  }
+
   /** Time travel: the frozen content of committed version `v`. */
   def readVersion(spark: SparkSession, base: String, v: Long): DataFrame = {
     val (hfs, _) = fs(spark)

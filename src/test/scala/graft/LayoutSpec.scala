@@ -337,6 +337,38 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("file-stats audit: footer stats equal a data recompute per file; compaction prunes") {
+    val out = Layout.fileStatsAudit(spark, sf).collect()
+    val v1 = out.filter(_.getLong(0) == 1L)
+    val v2 = out.filter(_.getLong(0) == 2L)
+    assert(v1.length === Layout.fstatsArrivalFiles, "arrival file count")
+    assert(v2.length === Layout.fstatsCompactFiles, "compacted file count")
+    // no row lost or doubled across the real compaction
+    assert(v1.map(_.getLong(2)).sum === v2.map(_.getLong(2)).sum)
+    // arrival layout (order-key cut): the day envelopes span ~everything,
+    // stats prune ~nothing for the 31-day window
+    assert(v1.count(_.getLong(5) == 1L) >= Layout.fstatsArrivalFiles - 1,
+      v1.mkString("\n"))
+    // compacted (day-clustered by a REAL compactSnapshot): the window
+    // intersects at most the straddling pair of files
+    assert(v2.count(_.getLong(5) == 1L) <= 2, v2.mkString("\n"))
+    // the footer statistics agree with the DATA of the physical files —
+    // an independent spark-side recompute, file by file
+    val (d1, d2) = Layout.fileStatsVersionDirs(spark, sf)
+    def recompute(path: String) = spark.read.parquet(path)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(count(lit(1)).as("n"), min(col("day")).as("mn"),
+        max(col("day")).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def footer(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(footer(v1) === recompute(d1))
+    assert(footer(v2) === recompute(d2))
+  }
+
   test("merge-on-read: stacked deltas reconcile lazily, compaction materializes, retention keeps the chain") {
     import graft.store.Snapshots
     import spark.implicits._
