@@ -306,6 +306,35 @@ object Layout {
       .orderBy(col("o_orderpriority"), col("change_type"))
   }
 
+  /** Snapshot TIME TRAVEL from SQL TEXT (`q_sql_time_travel`): both
+    * planted versions addressed directly with Spark SQL's
+    * ``parquet.`path` `` table syntax — the query text itself does the
+    * version addressing, no DataFrame call anywhere — and full-outer
+    * diffed in SQL into exactly [[timeTravelDiff]]'s output shape, so
+    * the existing `q_layout_time_travel` twin hash-checks the SQL-first
+    * read path too. The marker files inside a version directory are
+    * underscore-prefixed and invisible to the parquet source. */
+  def sqlTimeTravelDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureTtHistory(spark, dir)
+    val vs = graft.store.Snapshots.versions(spark, base)
+    val p1 = graft.store.Snapshots.versionPath(spark, base, vs.head)
+    val p2 = graft.store.Snapshots.versionPath(spark, base, vs.last)
+    spark.sql(
+      s"""SELECT coalesce(a.o_orderpriority, b.o_orderpriority)
+         |    AS o_orderpriority,
+         |  CASE WHEN a.o_orderpriority IS NULL THEN 'added'
+         |       WHEN b.o_orderpriority IS NULL THEN 'removed'
+         |       WHEN a.n_orders <> b.n_orders OR a.cents <> b.cents
+         |         THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  coalesce(a.n_orders, CAST(-1 AS BIGINT)) AS n_old,
+         |  coalesce(b.n_orders, CAST(-1 AS BIGINT)) AS n_new
+         |FROM parquet.`$p1` a
+         |FULL OUTER JOIN parquet.`$p2` b
+         |  ON a.o_orderpriority = b.o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   def timeTravelDiff(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureTtHistory(spark, dir)
     val vs = graft.store.Snapshots.versions(spark, base)

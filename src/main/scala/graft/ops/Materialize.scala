@@ -70,6 +70,39 @@ object Materialize {
     * (cast to double, 2dp) values equal a full recompute's — the DuckDB
     * twin IS the full recompute, making the oracle check a genuine
     * incremental-equals-batch proof. */
+  /** Mergeable view state of a row-grain keyed table: per `groupCol`,
+    * the exact long total of `valCol` plus a row count — the partial-
+    * aggregate shape every incrementally-maintainable view here uses
+    * (long sums are order-independent, so increments merge exactly). */
+  def cdfViewOf(table: DataFrame, groupCol: String, valCol: String): DataFrame =
+    table.groupBy(col(groupCol))
+      .agg(sum(col(valCol)).as(s"${valCol}_sum"), count(lit(1)).as("n_rows"))
+
+  /** Apply ONE change-data-feed increment
+    * ([[graft.store.Snapshots.changeFeed]] row shape) to the view state
+    * — the streaming CDF consumer's per-micro-batch body (round-13
+    * verdict #6). Every feed row carries its sign directly: inserts and
+    * update postimages add, deletes and update preimages subtract, so
+    * the view needs ONE aggregate over the (increment-sized) feed plus
+    * a re-merge with the state — never a rescan of any table version.
+    * Groups whose row count reaches zero leave the view, so the state
+    * stays exactly `cdfViewOf(current version)` after every apply. */
+  def applyCdfToView(state: DataFrame, feed: DataFrame,
+                     groupCol: String, valCol: String): DataFrame = {
+    val delta = feed
+      .withColumn("_sgn",
+        when(col("change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy(col(groupCol))
+      .agg(sum(col(valCol) * col("_sgn")).as(s"${valCol}_sum"),
+        sum(col("_sgn")).as("n_rows"))
+    state.unionByName(delta)
+      .groupBy(col(groupCol))
+      .agg(sum(col(s"${valCol}_sum")).as(s"${valCol}_sum"),
+        sum(col("n_rows")).as("n_rows"))
+      .where(col("n_rows") > 0)
+  }
+
   def incrementalRevenueRefresh(spark: SparkSession, dir: String): DataFrame = {
     // in production the cutoff is the orchestrator's job parameter; the
     // data-derived scalar here keeps the fixture self-contained, computed

@@ -779,6 +779,53 @@ object Relational {
          |ORDER BY c_mktsegment, rnk""".stripMargin)
   }
 
+  /** The TPC-H Q1 pricing summary as SQL TEXT (`q_sql_pricing_summary`)
+    * — the flagship aggregate driven through `spark.sql` instead of the
+    * DataFrame API, hash-checked against the SAME oracle twin as
+    * `q1_pricing_summary`, so the textual surface is pinned to plan and
+    * compute exactly like the API surface (one partial+final aggregate
+    * off the pushed-down shipdate scan; identical rounding). */
+  def sqlPricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM graft_lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** The NATIVE bounded-heap top-k aggregate called from SQL TEXT
+    * (`q_sql_topk_brand`): `graft_top_k` is a registered catalog
+    * function, so SQL-first users get the custom codegen kernel with no
+    * Scala at all — named_struct keying, posexplode ranking, the same
+    * output (and the same oracle twin) as the DataFrame-driven
+    * `q_topk_brand_agg`. */
+  def sqlTopPartsPerBrand(spark: SparkSession, dir: String,
+                          k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    spark.sql(
+      s"""SELECT p_brand, col.p_partkey AS p_partkey, col.p_name AS p_name,
+         |  col.p_retailprice AS p_retailprice,
+         |  CAST(pos + 1 AS BIGINT) AS rnk
+         |FROM (
+         | SELECT p_brand,
+         |  graft_top_k(named_struct(
+         |    'negprice', -p_retailprice, 'p_partkey', p_partkey,
+         |    'p_name', p_name, 'p_retailprice', p_retailprice), $k) AS top
+         | FROM graft_part GROUP BY p_brand) t
+         |LATERAL VIEW posexplode(top) x AS pos, col
+         |ORDER BY p_brand, rnk""".stripMargin)
+  }
+
   /** CSV + JSON source coverage in a declared query: `nation` is
     * round-tripped through a header CSV and `region` through JSON lines
     * (published once per session next to the warehouse), then both are

@@ -28,4 +28,16 @@ class ExtensionsSpec extends SparkSpec {
       .head().getSeq[Double](0)
     assert(topk === Seq(1.0, 2.0))
   }
+
+  test("SQL-text flagships equal their DataFrame siblings row for row") {
+    import graft.ops.{Layout, Relational}
+    assert(Relational.sqlPricingSummary(spark, sf).collect().toSeq
+      === Relational.pricingSummary(spark, sf).collect().toSeq)
+    // the native bounded-heap kernel reached purely through SQL text
+    assert(Relational.sqlTopPartsPerBrand(spark, sf).collect().toSeq
+      === Relational.topPartsPerBrandAgg(spark, sf).collect().toSeq)
+    // time travel addressed inside the query text (parquet.`path`)
+    assert(Layout.sqlTimeTravelDiff(spark, sf).collect().toSeq
+      === Layout.timeTravelDiff(spark, sf).collect().toSeq)
+  }
 }

@@ -645,6 +645,73 @@ class StreamingSpec extends SparkSpec {
     Snapshots.retain(spark, base, keep = 0)
   }
 
+  test("streaming CDF apply: view maintained from change feeds == recompute at every version") {
+    import graft.store.Snapshots
+    import graft.ops.Materialize
+    import spark.implicits._
+    val base = "graft_spec_cdf_view"
+    Snapshots.retain(spark, base, keep = 0)
+    // a 4-version history: updates, inserts, deletes, and a group ('b')
+    // whose last row dies — the view must drop it, not keep a zero
+    Snapshots.publish(spark,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("k", "g", "cents"),
+      base)
+    Snapshots.mergeIntoLatest(spark, base,
+      Seq((2L, "a", 25L, "upsert"), (4L, "b", 40L, "upsert"))
+        .toDF("k", "g", "cents", "_op"), Seq("k"))
+    Snapshots.mergeIntoLatest(spark, base,
+      Seq((1L, "a", 10L, "delete"), (3L, "b", 35L, "upsert"))
+        .toDF("k", "g", "cents", "_op"), Seq("k"))
+    Snapshots.mergeIntoLatest(spark, base,
+      Seq((3L, "b", 35L, "delete"), (4L, "b", 40L, "delete"),
+        (5L, "c", 50L, "upsert")).toDF("k", "g", "cents", "_op"), Seq("k"))
+    def viewOf(v: Long) = Materialize
+      .cdfViewOf(Snapshots.readVersion(spark, base, v), "g", "cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // version bumps arrive as a file stream, one micro-batch per bump
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf_bumps").toString
+    val now = System.currentTimeMillis()
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, i + 1L)).toDF("v_old", "v_new")
+        .coalesce(1).write.parquet(s"$tmp/b$i")
+      new java.io.File(s"$tmp/b$i").listFiles()
+        .foreach(_.setLastModified(now + i * 60000L))
+    }
+    var state = Materialize
+      .cdfViewOf(Snapshots.readVersion(spark, base, 1L), "g", "cents")
+      .localCheckpoint(true)
+    var applied = 0
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("v_old", LongType),
+        StructField("v_new", LongType))))
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/b*")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().sortBy(_.getLong(0)).foreach { r =>
+          val feed = Snapshots.changeFeed(spark, base,
+            r.getLong(0), r.getLong(1), Seq("k"), Seq("g", "cents"))
+          state = Materialize.applyCdfToView(state, feed, "g", "cents")
+            .localCheckpoint(true)
+          applied += 1
+          // stream-applied state == full recompute AT EVERY version
+          assert(state.collect()
+            .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+            === viewOf(r.getLong(1)), s"after v${r.getLong(1)}")
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(applied === 3, s"applied $applied increments")
+    val fin = state.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(fin === viewOf(4L))
+    // the emptied group LEFT the view
+    assert(!fin.exists(_._1 == "b"), fin.toString)
+    Snapshots.retain(spark, base, keep = 0)
+  }
+
   test("streaming incremental labeler == one-shot incrementalAssign across 3 micro-batches") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
