@@ -830,6 +830,62 @@ class SimilaritySpec extends SparkSpec {
     assert(rRpq >= 0.7, f"residual-PQ 1M-rung recall $rRpq%.2f below 0.7")
   }
 
+  test("4M-rung geometry: 2048 cells, 64 probes (3.1%), shortlist at the cap") {
+    // Two decades past the corpus (round-13 verdict #8) — the 2048-cell
+    // rung the adaptive ladder lands on between the tested 1024 and the
+    // 4096 cap. The geometry contract always runs; the 4M MEASUREMENT
+    // below is opt-in (~4x the 1M rung's cost) and its one-off evidence
+    // lives in SCALE_AUDIT.md.
+    assert(Similarity.adaptiveNlist(4000000) === 2048)
+    assert(Similarity.adaptiveNProbe(2048) === 64)
+    assert(Similarity.adaptiveShortlist(4000000) === 1024)
+  }
+
+  test("4M rung (opt-in, SPARK_GRAFT_WIDE_RUNGS=1): IVF-PQ and residual-PQ recall@10 floors") {
+    assume(sys.env.get("SPARK_GRAFT_WIDE_RUNGS").contains("1"),
+      "4M measurement is opt-in (SPARK_GRAFT_WIDE_RUNGS=1); evidence in SCALE_AUDIT.md")
+    val dir = java.nio.file.Files.createTempDirectory("graft_4m_rung").toString
+    val rnd = new scala.util.Random(37)
+    val nClusters = 1000
+    val centres: Seq[Seq[Float]] =
+      Seq.fill(nClusters)(Seq.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val cents = typedLit(centres)
+    val t0 = System.nanoTime()
+    spark.range(4000000L).select(
+        col("id").as("vec_id"),
+        transform(
+          element_at(cents, (pmod(col("id"), lit(nClusters)) + 1).cast("int")),
+          (x, j) => x + (pmod(xxhash64(col("id"), j), lit(1000L))
+            .cast("float") / lit(1000f) - lit(0.5f)) * lit(0.3f))
+          .cast("array<float>").as("embedding"),
+        pmod(col("id"), lit(nClusters.toLong)).as("label"))
+      .coalesce(16).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val tGen = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val exact = Similarity.topKCosine(spark, dir, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tExact = (System.nanoTime() - t1) / 1e9
+    assert(exact.size === 50)
+    def recall(approx: Set[(Long, Long)]): Double =
+      exact.intersect(approx).size.toDouble / exact.size
+    val t2 = System.nanoTime()
+    val rIvfPq = recall(
+      Similarity.ivfPqTopKCosine(spark, dir, nQueries = 5, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val tIvfPq = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val rRpq = recall(
+      Similarity.ivfRpqTopKCosine(spark, dir, nQueries = 5, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val tRpq = (System.nanoTime() - t3) / 1e9
+    info(f"4M rung recall@10: ivfpq=$rIvfPq%.2f rpq=$rRpq%.2f | " +
+      f"gen=$tGen%.1fs exact=$tExact%.1fs ivfpq(fit+probe)=$tIvfPq%.1fs " +
+      f"rpq(fit+probe)=$tRpq%.1fs")
+    assert(rIvfPq >= 0.7, f"IVF-PQ 4M-rung recall $rIvfPq%.2f below 0.7")
+    assert(rRpq >= 0.7, f"residual-PQ 4M-rung recall $rRpq%.2f below 0.7")
+  }
+
   test("rank eval: perfect self-eval scores 1.0 everywhere; ANN eval bounded and hit-consistent") {
     val exact = Similarity.topKCosine(spark, sf, nQueries = 5, k = 10)
     // the metric arithmetic itself: evaluating a ranking against itself
