@@ -230,7 +230,7 @@ object Similarity {
     math.max(8, nlist / 32)
 
   /** ADC shortlist (exact-rerank depth) for a corpus of n rows:
-    * max(64, n/256) capped at 1024. The shortlist must exceed the
+    * max(64, n/256) capped at 4096. The shortlist must exceed the
     * expected ADC-TIE multiplicity or the exact re-rank never sees the
     * true neighbours: in clustered corpora whole clusters share PQ
     * codes, their ADC distances tie exactly, and a fixed 64-deep
@@ -238,14 +238,21 @@ object Similarity {
     * 120 Ki-row wide-rung spec measured plain IVF-PQ recall@10 of 0.24
     * under the fixed default vs ≥ 0.9 once the shortlist covers the
     * tie mass. n/256 tracks per-cluster candidate multiplicity at the
-    * audited geometries; the 1024 cap bounds the re-rank at ~1 Ki exact
-    * dot products per query regardless of corpus size (the re-rank is
-    * the ONLY full-width read in the plan, so the cap is what keeps the
-    * 64× PQ I/O win intact at 100 TB). The gate rung (≤ 2048 rows)
-    * resolves to the historical 64 — every oracle-twin literal is
-    * unchanged. */
+    * audited geometries; the cap bounds the re-rank at ~4 Ki exact dot
+    * products per query regardless of corpus size (the re-rank is the
+    * ONLY full-width read in the plan, so the cap is what keeps the 64×
+    * PQ I/O win intact at 100 TB). The cap was 1024 through round 13;
+    * the round-14 opt-in 4M-rung measurement caught plain IVF-PQ
+    * recall@10 at 0.30 there — 4000-member planted clusters tie their
+    * ADC codes while a 1024-deep shortlist samples ~26% of the tie mass
+    * (predicted 0.26, measured 0.30; residual-PQ, whose codes break
+    * within-cluster ties, held 1.00) — so the cap now tracks n/256 one
+    * decade further. ~4 Ki extra exact dot products per query is noise
+    * next to the ~3%-of-corpus ADC scan it re-ranks. The gate rung
+    * (≤ 2048 rows) still resolves to the historical 64 — every
+    * oracle-twin literal is unchanged. */
   private[graft] def adaptiveShortlist(n: Long): Int =
-    math.min(1024L, math.max(64L, n / 256)).toInt
+    math.min(4096L, math.max(64L, n / 256)).toInt
 
   /** The ADC-shortlist rung the PQ/IVF-PQ/residual-PQ oracle twins embed —
     * BUILT from the engine's own [[adaptiveShortlist]] at the verify-gate

@@ -779,7 +779,7 @@ class SimilaritySpec extends SparkSpec {
     // One decade past the corpus (round-12 verdict #8): the geometry
     // contract must already hold at the NEXT rung before the data gets
     // there. 1M rows resolve to the 1024-cell coarse quantizer, 32
-    // probes (3.125%), 256 PQ codes, and the 1024-deep adaptive ADC
+    // probes (3.125%), 256 PQ codes, and the 3906-deep adaptive ADC
     // shortlist. The corpus is GENERATED DISTRIBUTED (range + literal
     // centre bank + hash noise — no driver-side row materialization),
     // because a 1M-row driver Seq is exactly the kind of collect this
@@ -805,7 +805,7 @@ class SimilaritySpec extends SparkSpec {
     // the adaptive geometry actually lands on the million rung
     assert(Similarity.adaptiveNlist(1000000) === 1024)
     assert(Similarity.adaptiveNProbe(1024) === 32)
-    assert(Similarity.adaptiveShortlist(1000000) === 1024)
+    assert(Similarity.adaptiveShortlist(1000000) === 3906)
     val t1 = System.nanoTime()
     val exact = Similarity.topKCosine(spark, dir, nQueries = 5, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -838,7 +838,7 @@ class SimilaritySpec extends SparkSpec {
     // lives in SCALE_AUDIT.md.
     assert(Similarity.adaptiveNlist(4000000) === 2048)
     assert(Similarity.adaptiveNProbe(2048) === 64)
-    assert(Similarity.adaptiveShortlist(4000000) === 1024)
+    assert(Similarity.adaptiveShortlist(4000000) === 4096)
   }
 
   test("4M rung (opt-in, SPARK_GRAFT_WIDE_RUNGS=1): IVF-PQ and residual-PQ recall@10 floors") {
