@@ -36,15 +36,28 @@ def main(out, paths):
     scaffold = arts[-1]
     # queries/detail reflect EXACTLY the min-merged set: a query absent
     # from the scaffold sweep is inserted from the sweep that produced
-    # its min, and stale all-failed entries are dropped so the headline
-    # value always equals sum(queries.values())
+    # its min. A query that failed in EVERY sweep stays in `detail` with
+    # ok:false (latest failure record wins) and is counted in n_failed —
+    # excluded from the headline sum but never silently dropped, so an
+    # all-failed query reads as a regression, not an improvement.
+    all_failed = {}
+    for art in arts:
+        for name, d in art["detail"].items():
+            if name not in best:
+                all_failed[name] = d  # latest sweep's failure record wins
     scaffold["queries"] = dict(sorted(best.items()))
     for name in list(scaffold["detail"]):
-        if name not in best:
+        if name not in best and name not in all_failed:
             del scaffold["detail"][name]
     for name, sec in best.items():
         d = scaffold["detail"].setdefault(name, dict(best_detail[name]))
         d["sec"] = sec
+    for name, d in all_failed.items():
+        scaffold["detail"][name] = d
+        print(f"WARNING: {name} failed in all {len(paths)} sweeps — "
+              f"kept in detail with ok:false, excluded from headline",
+              file=sys.stderr)
+    scaffold["n_failed"] = len(all_failed)
     scaffold["value"] = sum(best.values())
     scaffold["min_merged_sweeps"] = len(paths)
     with open(out, "w") as f:
