@@ -168,6 +168,11 @@ object SparkEntry {
     // write paths (copy-on-write rewrite vs O(batch) delta publish +
     // lazy anti-join/union reconcile) are state-equivalent end to end
     "q_snap_merge_mor" -> ((s, d) => Layout.mergeIntoSnapshotMoR(s, d)),
+    // MERGE as a POSITIONAL-DELETE delta: the publish resolves touched
+    // keys to (file, pos) once and stores a deletion vector, so the
+    // merged read is live-files minus ONE fixed-width anti-join however
+    // deep the stack — third write path, same declared output, same twin
+    "q_snap_merge_dv" -> ((s, d) => Layout.mergeIntoSnapshotDV(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // ORACLE-CHECKED via the q_sim_ivf_centroids dump twin: given the
     // published centroids, cell assignment (argmin |c|²−2·v·c), probe
@@ -2130,6 +2135,9 @@ object SparkEntry {
     // merge-on-read is state-equivalent to copy-on-write by contract —
     // ONE twin pins both write paths to the same recomputed truth
     "q_snap_merge_mor" -> snapMergeSql,
+    // ...and the deletion-vector write path makes three: position-based
+    // reconcile must land the exact same state the key paths do
+    "q_snap_merge_dv" -> snapMergeSql,
     // footer-stats replay FROM THE PHYSICAL FILES: DuckDB groups the
     // same stored snapshot files by filename and recomputes each file's
     // row count and day envelope from the data — footer statistics must
@@ -2155,10 +2163,14 @@ object SparkEntry {
          |  CAST(max_day >= b.lo AND min_day <= b.lo + 30 AS BIGINT) AS hit
          |FROM a CROSS JOIN b
          |ORDER BY version, file""".stripMargin,
-    // schema-evolution replay: both version DEFINITIONS recomputed from
-    // raw orders (v1 cast through INT exactly like the stored narrow
-    // schema), reconciled in BIGINT with the added column NULL on the
-    // v1 side — cents_old is the -1 sentinel everywhere by construction
+    // schema-evolution replay: all three version DEFINITIONS recomputed
+    // from raw orders (v1 cast through INT exactly like the stored
+    // narrow schema), reconciled in BIGINT with the added column NULL on
+    // the v1 side — cents_old is the -1 sentinel everywhere by
+    // construction — and the RENAME resolved the way stable column ids
+    // demand: cnt_renamed_v2 IS v2's n_orders surfacing under v3's
+    // order_cnt name (a by-name read would yield the -1 sentinel and
+    // break the hash)
     "q_layout_schema_evo" ->
       """WITH v1 AS (
         | SELECT o_orderpriority,
@@ -2172,7 +2184,12 @@ object SparkEntry {
         | SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS cents
-        | FROM orders GROUP BY 1)
+        | FROM orders GROUP BY 1),
+        |v3 AS (
+        | SELECT o_orderpriority, count(*) AS order_cnt
+        | FROM orders
+        | WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        | GROUP BY 1)
         |SELECT coalesce(v1.o_orderpriority, v2.o_orderpriority)
         |    AS o_orderpriority,
         |  CASE WHEN v1.o_orderpriority IS NULL THEN 'added'
@@ -2183,9 +2200,14 @@ object SparkEntry {
         |  coalesce(v1.n_orders, -1) AS n_old,
         |  coalesce(v2.n_orders, -1) AS n_new,
         |  coalesce(v1.cents, -1) AS cents_old,
-        |  coalesce(v2.cents, -1) AS cents_new
+        |  coalesce(v2.cents, -1) AS cents_new,
+        |  coalesce(v2.n_orders, -1) AS cnt_renamed_v2,
+        |  coalesce(v3.order_cnt, -1) AS cnt_v3
         |FROM v1 FULL OUTER JOIN v2
         |  ON v1.o_orderpriority = v2.o_orderpriority
+        |LEFT JOIN v3
+        |  ON v3.o_orderpriority
+        |     = coalesce(v1.o_orderpriority, v2.o_orderpriority)
         |ORDER BY 1""".stripMargin,
     // compaction-audit replay: same broadcast stats row, same
     // ((x-mn)*16) // (mx-mn+1) bin arithmetic for both layout models,

@@ -213,53 +213,76 @@ object Layout {
     * Scale: both versions are bounded (O(priorities)) aggregates off one
     * fact pass each at publish time; the declared read is two pruned
     * scans of tiny tables + a 6-row diff. */
-  /** Schema evolution across snapshot versions (round-12 verdict #6):
-    * version 1 of the per-priority orders aggregate is written with a
-    * NARROW schema (INT `n_orders`, no `cents` column, `1-URGENT`
-    * withheld), version 2 with the evolved one (BIGINT `n_orders`,
-    * added `cents`). The declared read reconciles BOTH versions to the
-    * evolved schema via [[graft.store.Snapshots.readVersionAs]] —
-    * missing column as typed NULL, widened compare in BIGINT — and
-    * diffs them with the shared full-outer engine. The twin recomputes
-    * both version definitions from raw `orders` (casting through INT
-    * exactly like the store), so the hash check covers write fidelity,
-    * by-name resolution, NULL-fill, and the widening cast end to end.
-    * `cents_old` surfaces as the -1 sentinel everywhere — the proof the
-    * added column reads as absent data, not garbage, from v1. */
+  /** Schema evolution across snapshot versions (round-12 verdict #6;
+    * write-side column ids round-14 verdict #5): version 1 of the
+    * per-priority orders aggregate is written with a NARROW schema (INT
+    * `n_orders`, no `cents` column, `1-URGENT` withheld), version 2 with
+    * the evolved one (BIGINT `n_orders`, added `cents`), and version 3
+    * RENAMES `n_orders` to `order_cnt` — declared at publish, so the new
+    * name inherits the column's stable id — over a date-restricted
+    * recompute so its values genuinely differ from v2's.
+    *
+    * The declared read reconciles v1/v2 to the evolved schema via
+    * [[graft.store.Snapshots.readVersionAs]] (missing column as typed
+    * NULL, widened compare in BIGINT) and reads v2 THROUGH THE RENAME
+    * via [[graft.store.Snapshots.readVersionMapped]] — v2's `n_orders`
+    * data surfacing under `order_cnt` because the id matched. The twin
+    * recomputes all three version definitions from raw `orders`, so the
+    * hash check covers write fidelity, by-name resolution, NULL-fill,
+    * the widening cast, AND id-resolution across the rename end to end:
+    * had the mapped read resolved by name, `cnt_renamed_v2` would be the
+    * -1 sentinel everywhere and the hash would break. */
   def schemaEvolutionDiff(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val fp = graft.store.FeatureStore.versionFingerprint(
       spark, s"$dir/orders.parquet")
-    val base = s"graft_se_orders_${Relational.dirSlug(dir)}_$fp"
+    val base = s"graft_se2_orders_${Relational.dirSlug(dir)}_$fp"
     val cut = lit("1997-01-01").cast("timestamp")
-    graft.store.Snapshots.ensureVersions(spark, base, Seq(
-      () => Tables.orders(spark, dir)
+    val cut3 = lit("1998-01-01").cast("timestamp")
+    graft.store.Snapshots.ensureHistory(spark, base, Seq(
+      () => { graft.store.Snapshots.publish(spark, Tables.orders(spark, dir)
         .where(col("o_orderdate") < cut &&
           col("o_orderpriority") =!= "1-URGENT")
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).cast("int").as("n_orders")),
-      () => Tables.orders(spark, dir)
+        .agg(count(lit(1)).cast("int").as("n_orders")), base); () },
+      () => { graft.store.Snapshots.publish(spark, Tables.orders(spark, dir)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
-            .as("cents"))))
+            .as("cents")), base); () },
+      () => { graft.store.Snapshots.publish(spark, Tables.orders(spark, dir)
+        .where(col("o_orderdate") < cut3)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents")), base,
+        renames = Map("order_cnt" -> "n_orders")); () }))
     val evolved = StructType(Seq(
       StructField("o_orderpriority", StringType),
       StructField("n_orders", LongType),
       StructField("cents", LongType)))
     val v1 = graft.store.Snapshots.readVersionAs(spark, base, 1L, evolved)
     val v2 = graft.store.Snapshots.readVersionAs(spark, base, 2L, evolved)
+    // v2 under v3's schema: n_orders surfaces as order_cnt BY COLUMN ID
+    val v2m = graft.store.Snapshots.readVersionMapped(spark, base, 2L, asOf = 3L)
+    val v3 = graft.store.Snapshots.readVersion(spark, base, 3L)
     Validate.snapshotDiffRows(v1, v2,
         Seq("o_orderpriority"), Seq("n_orders", "cents"))
       .join(v1.select(col("o_orderpriority"), col("n_orders").as("o_n"),
         col("cents").as("o_c")), Seq("o_orderpriority"), "left")
       .join(v2.select(col("o_orderpriority"), col("n_orders").as("n_n"),
         col("cents").as("n_c")), Seq("o_orderpriority"), "left")
+      .join(v2m.select(col("o_orderpriority"), col("order_cnt").as("rn2")),
+        Seq("o_orderpriority"), "left")
+      .join(v3.select(col("o_orderpriority"), col("order_cnt").as("rn3")),
+        Seq("o_orderpriority"), "left")
       .select(col("o_orderpriority"), col("status"),
         coalesce(col("o_n"), lit(-1L)).as("n_old"),
         coalesce(col("n_n"), lit(-1L)).as("n_new"),
         coalesce(col("o_c"), lit(-1L)).as("cents_old"),
-        coalesce(col("n_c"), lit(-1L)).as("cents_new"))
+        coalesce(col("n_c"), lit(-1L)).as("cents_new"),
+        coalesce(col("rn2"), lit(-1L)).as("cnt_renamed_v2"),
+        coalesce(col("rn3"), lit(-1L)).as("cnt_v3"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -307,18 +330,20 @@ object Layout {
   }
 
   /** Snapshot TIME TRAVEL from SQL TEXT (`q_sql_time_travel`): both
-    * planted versions addressed directly with Spark SQL's
-    * ``parquet.`path` `` table syntax — the query text itself does the
-    * version addressing, no DataFrame call anywhere — and full-outer
-    * diffed in SQL into exactly [[timeTravelDiff]]'s output shape, so
-    * the existing `q_layout_time_travel` twin hash-checks the SQL-first
-    * read path too. The marker files inside a version directory are
-    * underscore-prefixed and invisible to the parquet source. */
+    * planted versions addressed by the store's OWN coordinates through
+    * the `graft_version(base, v)` table function (round-14 verdict #8 —
+    * the earlier ``parquet.`path` `` form made the query text do the
+    * version addressing, but a SQL user has no catalog that tells them
+    * physical paths), and full-outer diffed in SQL into exactly
+    * [[timeTravelDiff]]'s output shape, so the existing
+    * `q_layout_time_travel` twin hash-checks the SQL-first read path
+    * too. The TVF splices [[graft.store.Snapshots.readVersion]]'s plan —
+    * commit-marker check, not-committed error, pruned parquet scan —
+    * straight into the query. */
   def sqlTimeTravelDiff(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureTtHistory(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
     val vs = graft.store.Snapshots.versions(spark, base)
-    val p1 = graft.store.Snapshots.versionPath(spark, base, vs.head)
-    val p2 = graft.store.Snapshots.versionPath(spark, base, vs.last)
     spark.sql(
       s"""SELECT coalesce(a.o_orderpriority, b.o_orderpriority)
          |    AS o_orderpriority,
@@ -329,8 +354,8 @@ object Layout {
          |       ELSE 'unchanged' END AS status,
          |  coalesce(a.n_orders, CAST(-1 AS BIGINT)) AS n_old,
          |  coalesce(b.n_orders, CAST(-1 AS BIGINT)) AS n_new
-         |FROM parquet.`$p1` a
-         |FULL OUTER JOIN parquet.`$p2` b
+         |FROM graft_version('$base', ${vs.head}) a
+         |FULL OUTER JOIN graft_version('$base', ${vs.last}) b
          |  ON a.o_orderpriority = b.o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin)
   }
@@ -572,6 +597,41 @@ object Layout {
     if (graft.store.Snapshots.latest(spark, base).contains(1L))
       graft.store.Snapshots.publishDelta(spark,
         ordersChangeBatch(spark, dir), base, Seq("k"))
+    val vs = graft.store.Snapshots.versions(spark, base)
+    mergeSummary(spark,
+      graft.store.Snapshots.readVersionMerged(spark, base, vs.head),
+      graft.store.Snapshots.latestMerged(spark, base))
+  }
+
+  /** MERGE-ON-READ with POSITIONAL DELETION VECTORS (`q_snap_merge_dv`,
+    * round-14 verdict #3): the SAME deterministic change batch as
+    * `q_snap_merge`/`q_snap_merge_mor`, published through
+    * [[graft.store.Snapshots.publishDeltaDV]] — the publish resolves the
+    * touched keys to physical `(file, pos)` rows once (one column-pruned
+    * key scan) and stores them as the version's deletion vector, so the
+    * merged read is a union of live files minus ONE fixed-width
+    * position anti-join, however deep the delta stack (the key-delta
+    * path pays one wide-key anti-join PER stacked delta instead). The
+    * declared frame is bit-identical to both siblings' state by
+    * construction, so the one `snapMergeSql` twin hash-pins all THREE
+    * write paths — copy-on-write, key-delta, and DV — to the same MERGE
+    * semantics.
+    *
+    * Seeded create-once through [[graft.store.Snapshots.ensureHistory]]:
+    * unlike the key-delta fixture (where a racing seeder's duplicate
+    * delta is provably idempotent), two racing DV publishes whose
+    * position scans miss each other's in-flight upsert files would stack
+    * deltas that fail to supersede each other — so exactly one seeder
+    * runs both steps and the loser waits for the committed history. */
+  def mergeIntoSnapshotDV(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$dir/orders.parquet")
+    val base = s"graft_dv_orders_${Relational.dirSlug(dir)}_$fp"
+    graft.store.Snapshots.ensureHistory(spark, base, Seq(
+      () => { graft.store.Snapshots.publish(spark, keyedOrders(spark, dir),
+        base); () },
+      () => { graft.store.Snapshots.publishDeltaDV(spark,
+        ordersChangeBatch(spark, dir), base, Seq("k")); () }))
     val vs = graft.store.Snapshots.versions(spark, base)
     mergeSummary(spark,
       graft.store.Snapshots.readVersionMerged(spark, base, vs.head),

@@ -58,18 +58,6 @@ object Materialize {
       graft.store.FeatureStore.versionFingerprint(spark,
         s"$dir/orders.parquet"))
 
-  /** Incremental refresh of the monthly revenue view: aggregate ONLY the
-    * open month's orders into partials and merge them with the published
-    * base partials — closed months are never rescanned. The delta scan's
-    * `o_orderdate >= cutoff` literal is pushed to the parquet reader
-    * (row-group skipping here; partition pruning on a date-partitioned
-    * lake table, as `q_part_pruned_revenue` demonstrates), so refresh
-    * cost is O(delta + |view|), independent of history length.
-    *
-    * Output parity: merged decimal partials are exact, so the final
-    * (cast to double, 2dp) values equal a full recompute's — the DuckDB
-    * twin IS the full recompute, making the oracle check a genuine
-    * incremental-equals-batch proof. */
   /** Mergeable view state of a row-grain keyed table: per `groupCol`,
     * the exact long total of `valCol` plus a row count — the partial-
     * aggregate shape every incrementally-maintainable view here uses
@@ -103,6 +91,18 @@ object Materialize {
       .where(col("n_rows") > 0)
   }
 
+  /** Incremental refresh of the monthly revenue view: aggregate ONLY the
+    * open month's orders into partials and merge them with the published
+    * base partials — closed months are never rescanned. The delta scan's
+    * `o_orderdate >= cutoff` literal is pushed to the parquet reader
+    * (row-group skipping here; partition pruning on a date-partitioned
+    * lake table, as `q_part_pruned_revenue` demonstrates), so refresh
+    * cost is O(delta + |view|), independent of history length.
+    *
+    * Output parity: merged decimal partials are exact, so the final
+    * (cast to double, 2dp) values equal a full recompute's — the DuckDB
+    * twin IS the full recompute, making the oracle check a genuine
+    * incremental-equals-batch proof. */
   def incrementalRevenueRefresh(spark: SparkSession, dir: String): DataFrame = {
     // in production the cutoff is the orchestrator's job parameter; the
     // data-derived scalar here keeps the fixture self-contained, computed

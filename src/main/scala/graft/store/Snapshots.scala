@@ -38,10 +38,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale notes: id allocation is one directory listing + one create —
   * no data read, no lock, O(versions) metadata. Reading a version is a
   * plain pruned parquet scan — none of the reader paths pay anything for
-  * the versioning. The claim/commit markers assume an atomic
-  * create-if-absent, which HDFS and local filesystems provide; an
-  * object store without it (S3) swaps this layer for its conditional-put
-  * — the protocol shape is unchanged. */
+  * the versioning. Every claim/commit/txn marker is created through the
+  * [[AtomicClaim]] seam (default: Hadoop create-if-absent); running on
+  * an object store means plugging a conditional-put impl into that one
+  * trait — the protocol shape is unchanged, and the lost-put recovery
+  * path (retry at the next id, vacuum reclaims the orphan) is spec-pinned
+  * with an injected lossy impl. */
 object Snapshots {
 
   /** Marker file inside a version directory whose presence = committed.
@@ -98,22 +100,19 @@ object Snapshots {
     }.foldLeft(0L)(math.max)
   }
 
-  /** Atomic create-if-absent — the one filesystem primitive the whole
-    * multi-writer story rests on. HDFS `create(overwrite = false)` is
-    * atomic at the NameNode; the LOCAL filesystem's is check-then-create
-    * (a TOCTOU race two concurrent publishers genuinely lose), so the
-    * `file:` scheme routes to the OS's O_CREAT|O_EXCL via
-    * `File.createNewFile`. Returns true iff THIS caller created it. */
+  /** The pluggable atomic create-if-absent seam ([[AtomicClaim]]) every
+    * claim/commit/txn marker goes through — swap in a conditional-put
+    * impl to run the store on S3. Volatile so a test (or a deployment
+    * bootstrap) can inject before any publish; the protocol itself never
+    * reads it more than once per marker. */
+  @volatile private[graft] var atomicClaim: AtomicClaim = HadoopAtomicClaim
+
+  /** Atomic create-if-absent via the [[AtomicClaim]] seam. Returns true
+    * iff THIS caller created it; an unknown-outcome transport failure
+    * reports false (see the trait contract — the orphaned marker becomes
+    * a vacuum-reclaimable hole, never a lost update). */
   private def createAtomic(hfs: FileSystem, p: Path): Boolean =
-    if (hfs.getScheme == "file") {
-      new java.io.File(p.toUri.getPath).createNewFile()
-    } else {
-      try { hfs.create(p, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if hfs.exists(p) => false
-      }
-    }
+    atomicClaim.create(hfs, p)
 
   /** Atomically claim version id `v`: true iff THIS caller created the
     * claim marker. */
@@ -123,18 +122,98 @@ object Snapshots {
     createAtomic(hfs, claimPath(spark, base, v))
   }
 
+  /** Name of the per-version schema record (underscore-prefixed, skipped
+    * by parquet readers): the publish-time schema as `StructType` JSON
+    * with a STABLE COLUMN ID stamped into each field's metadata (round-14
+    * verdict #5). Ids are inherited by name from the previous version —
+    * or by the publisher's explicit `renames` declaration — so a RENAME
+    * keeps its id while a DROP+ADD of the same name mints a fresh one,
+    * which is exactly the distinction plain by-name resolution
+    * ([[readVersionAs]]) cannot make and [[readVersionMapped]] can. */
+  private val schemaMarker = "_graft_schema"
+
+  /** Field-metadata key carrying the stable column id. */
+  private[graft] val colIdKey = "graft.col_id"
+
+  /** The recorded publish-time schema of version `v` (column ids in
+    * field metadata under [[colIdKey]]), or None for versions published
+    * before schema recording existed. */
+  def versionSchema(spark: SparkSession, base: String,
+                    v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val (hfs, _) = fs(spark)
+    val p = new Path(versionDir(spark, base, v), schemaMarker)
+    if (!hfs.exists(p)) None
+    else {
+      val buf = new Array[Byte](hfs.getFileStatus(p).getLen.toInt)
+      val in = hfs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(org.apache.spark.sql.types.DataType
+        .fromJson(new String(buf, "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  private def idsOf(st: org.apache.spark.sql.types.StructType): Map[String, Long] =
+    st.fields.iterator
+      .filter(_.metadata.contains(colIdKey))
+      .map(f => f.name -> f.metadata.getLong(colIdKey)).toMap
+
+  /** Assign stable column ids to a schema about to be published: every
+    * name present in the previous version's recorded schema (directly,
+    * or through the `renames` declaration `newName -> oldName`) keeps
+    * that column's id; genuinely new names mint fresh ids above the
+    * previous maximum. With no prior recorded schema, ids are minted
+    * fresh in field order. */
+  private def stampColumnIds(spark: SparkSession, base: String,
+                             schema: org.apache.spark.sql.types.StructType,
+                             renames: Map[String, String])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    val prevIds = latest(spark, base)
+      .flatMap(versionSchema(spark, base, _)).map(idsOf).getOrElse(Map.empty)
+    renames.foreach { case (nw, old) =>
+      require(schema.fieldNames.contains(nw),
+        s"rename $old -> $nw: $nw is not in the published schema")
+      require(prevIds.contains(old),
+        s"rename $old -> $nw: $old is not in the previous version's schema")
+    }
+    var next = (prevIds.values ++ Seq(0L)).max
+    StructType(schema.fields.map { f =>
+      val id = prevIds.get(renames.getOrElse(f.name, f.name))
+        .getOrElse { next += 1; next }
+      StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(colIdKey, id).build())
+    })
+  }
+
+  private def writeSchemaMarker(hfs: FileSystem, dir: Path,
+                                st: org.apache.spark.sql.types.StructType): Unit = {
+    val out = hfs.create(new Path(dir, schemaMarker), false)
+    try out.write(st.json.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Publish `df` as the next immutable version of `base`; returns the
     * allocated version id. Lock-free and multi-writer safe: claim an id
     * atomically (retrying past ids other writers claimed first), write
     * the parquet data into the claimed directory, then drop the commit
     * marker — the version is invisible to [[versions]]/[[readVersion]]
-    * until that final atomic create. */
-  def publish(spark: SparkSession, df: DataFrame, base: String): Long = {
+    * until that final atomic create.
+    *
+    * Every publish records its schema with stable column ids
+    * ([[schemaMarker]]); a publisher renaming columns declares it via
+    * `renames` (`newName -> oldName`) so the new name inherits the old
+    * column's id — [[readVersionMapped]] then reads the data across the
+    * rename, where an undeclared drop+add correctly reads as absent. */
+  def publish(spark: SparkSession, df: DataFrame, base: String,
+              renames: Map[String, String] = Map.empty): Long = {
     val (hfs, _) = fs(spark)
+    val stamped = stampColumnIds(spark, base, df.schema, renames)
     var v = maxClaimed(spark, base) + 1
     while (!tryClaim(spark, base, v)) v = math.max(v + 1, maxClaimed(spark, base) + 1)
     val dir = versionDir(spark, base, v)
     df.write.mode("errorifexists").parquet(dir.toString)
+    writeSchemaMarker(hfs, dir, stamped)
     createAtomic(hfs, new Path(dir, commitMarker))
     v
   }
@@ -156,15 +235,27 @@ object Snapshots {
                            writerId: String, batchId: Long): Path =
     new Path(baseDir(spark, base), s".txn-$writerId-$batchId")
 
+  /** Base-level tombstone recording that a (writer, batch) txn WAS
+    * committed in a version [[retain]] has since dropped — written by
+    * retain as it drops a tagged version, so exactly-once dedup history
+    * survives data retention (round-14 ADVICE: without it a redelivery
+    * of a retained-away batch first wedges on the surviving `.txn`
+    * claim, and once [[vacuum]] releases that claim — no committed
+    * version carries the tag any more — the batch silently REPUBLISHES). */
+  private def txnLogPath(spark: SparkSession, base: String, tag: String): Path =
+    new Path(baseDir(spark, base), s".txnlog-$tag")
+
   /** True iff some COMMITTED version of `base` already carries batch
     * `batchId` of writer `writerId` — one directory listing per
-    * committed version, no data read. */
+    * committed version, no data read — or the version that carried it
+    * was retained away (its base-level txnlog tombstone remains). */
   def batchCommitted(spark: SparkSession, base: String, batchId: Long,
                      writerId: String = "default"): Boolean = {
     val (hfs, _) = fs(spark)
-    versions(spark, base).exists(v =>
-      hfs.exists(new Path(versionDir(spark, base, v),
-        batchTag(writerId, batchId))))
+    hfs.exists(txnLogPath(spark, base, s"$writerId-$batchId")) ||
+      versions(spark, base).exists(v =>
+        hfs.exists(new Path(versionDir(spark, base, v),
+          batchTag(writerId, batchId))))
   }
 
   /** EXACTLY-ONCE streaming publish: publish `df` as the next version of
@@ -208,11 +299,13 @@ object Snapshots {
             "delivery is in flight, or a crashed claim awaits vacuum()")
       } else {
         try {
+          val stamped = stampColumnIds(spark, base, df.schema, Map.empty)
           var v = maxClaimed(spark, base) + 1
           while (!tryClaim(spark, base, v))
             v = math.max(v + 1, maxClaimed(spark, base) + 1)
           val dir = versionDir(spark, base, v)
           df.write.mode("errorifexists").parquet(dir.toString)
+          writeSchemaMarker(hfs, dir, stamped)
           createAtomic(hfs, new Path(dir, batchTag(writerId, batchId)))
           createAtomic(hfs, new Path(dir, commitMarker))
           Some(v)
@@ -253,7 +346,12 @@ object Snapshots {
     val row = changes
       .groupBy(keys.map(col): _*)
       .agg(count_if(col("_op") === "upsert").as("n_ups"),
-        count_if(!col("_op").isin("upsert", "delete")).as("n_bad"))
+        // null-safe: a NULL _op makes `isin` NULL, and count_if skips
+        // NULL — coalesce to false so a NULL _op row COUNTS as bad
+        // instead of slipping through and silently acting as a delete
+        // in the apply (round-14 ADVICE)
+        count_if(!coalesce(col("_op").isin("upsert", "delete"),
+          lit(false))).as("n_bad"))
       .agg(coalesce(sum(col("n_bad")), lit(0L)).as("bad_ops"),
         coalesce(max(col("n_ups")), lit(0L)).as("max_dup"))
       .head()
@@ -334,7 +432,13 @@ object Snapshots {
     * base (full-state) version. */
   def deltaKeys(spark: SparkSession, base: String, v: Long): Option[Seq[String]] = {
     val (hfs, _) = fs(spark)
-    val p = new Path(versionDir(spark, base, v), deltaMarker)
+    readMarker(spark, base, v, deltaMarker)
+  }
+
+  private def readMarker(spark: SparkSession, base: String, v: Long,
+                         marker: String): Option[Seq[String]] = {
+    val (hfs, _) = fs(spark)
+    val p = new Path(versionDir(spark, base, v), marker)
     if (!hfs.exists(p)) None
     else {
       val buf = new Array[Byte](hfs.getFileStatus(p).getLen.toInt)
@@ -344,23 +448,165 @@ object Snapshots {
     }
   }
 
+  /** Marker inside a version directory flagging it as a POSITIONAL-
+    * DELETE delta version (round-14 verdict #3): the directory's parquet
+    * is the batch's UPSERT rows only, and its hidden `_graft_dv/` child
+    * holds the deletion vector — `(file, pos)` rows naming every
+    * superseded or deleted physical row position among the live files
+    * below it (the Iceberg-v2 / Delta deletion-vector shape). First line
+    * records the merge keys, like [[deltaMarker]]. */
+  private val dvMarker = "_graft_dv_delta"
+
+  /** The hidden deletion-vector directory of a DV delta version —
+    * underscore-prefixed, so a parquet scan of the version directory
+    * never lists it. */
+  private def dvDir(spark: SparkSession, base: String, v: Long): Path =
+    new Path(versionDir(spark, base, v), "_graft_dv")
+
+  /** Merge keys of version `v` if it is a positional-delete (DV) delta,
+    * None otherwise. */
+  def dvKeys(spark: SparkSession, base: String, v: Long): Option[Seq[String]] =
+    readMarker(spark, base, v, dvMarker)
+
+  /** A base (full-state) version: neither a key-delta nor a DV delta. */
+  private def isBaseVersion(spark: SparkSession, base: String, v: Long): Boolean =
+    deltaKeys(spark, base, v).isEmpty && dvKeys(spark, base, v).isEmpty
+
+  /** The live physical row set at version `v` with its positional
+    * identity: every column of the stored rows plus `__f` (absolute file
+    * path) and `__p` (row position within the file) — the anchor base's
+    * files unioned with every stacked DV delta's upsert files. The
+    * deletion vectors are NOT applied here; this is the scan side both
+    * [[readVersionMerged]] (minus-DV) and [[publishDeltaDV]] (position
+    * lookup) share. */
+  private def liveScanWithPos(spark: SparkSession, base: String,
+                              dirs: Seq[Path]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val anchor = spark.read.parquet(dirs.head.toString)
+    // delta dirs get the anchor's schema explicitly: a delete-only batch
+    // stores ZERO upsert rows, and a fileless parquet dir can't infer
+    (anchor +: dirs.tail.map(d =>
+      spark.read.schema(anchor.schema).parquet(d.toString)))
+      .map(_.select(col("*"), col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__p")))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Deletion-vector row shape: absolute file path + row position. */
+  private val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+
+  /** MERGE-ON-READ publish with POSITIONAL DELETION VECTORS (round-14
+    * verdict #3 — the anti-join-cascade cost cliff): like
+    * [[publishDelta]], the write costs O(change batch) in data bytes,
+    * but instead of deferring key reconciliation to every read, the
+    * publish resolves the touched keys to PHYSICAL ROW POSITIONS once —
+    * one column-pruned scan (key columns + file/pos metadata only) of
+    * the live files, semi-joined against the batch's touched keys — and
+    * stores them as the version's deletion vector. Reads then reconcile
+    * by position: ONE anti-join on fixed-width `(file, pos)` against the
+    * unioned DV stack, however many deltas are stacked — where the
+    * key-delta path pays k wide-key anti-joins over the base scan for k
+    * stacked deltas, and a 0.1% delete still probes every base row per
+    * delta. The publish-time scan reads key columns only (column
+    * pruning reaches the footer), so write amortization is one narrow
+    * pass per publish in exchange for O(matching positions) forever
+    * after — the Iceberg-v2 position-delete trade.
+    *
+    * The change batch is validated exactly like every merge path (same
+    * `_op`/dup-key fail-fast), the write path is the same atomic
+    * claim/commit, and the marker records the merge keys. DV deltas
+    * stack on DV deltas; mixing with key-deltas above one anchor is
+    * refused (the two reconcile disciplines don't compose). Returns the
+    * new version id. */
+  def publishDeltaDV(spark: SparkSession, changes: DataFrame, base: String,
+                     keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(changes.columns.contains("_op"),
+      "publishDeltaDV: change batch must carry an _op column")
+    validateChanges(changes, keys)
+    val cur = latest(spark, base).getOrElse(
+      sys.error(s"publishDeltaDV: $base has no committed base version"))
+    val (anchor, stack) = dvStack(spark, base, cur)
+    // positions to kill: every live physical row whose key the batch
+    // touches (upsert = superseded, delete = removed) — key columns +
+    // metadata only, never the full row width
+    val liveDirs = versionDir(spark, base, anchor) +: stack.map(versionDir(spark, base, _))
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val dv = liveScanWithPos(spark, base, liveDirs)
+      .select((keys.map(col) :+ col("__f") :+ col("__p")): _*)
+      .join(touched, keys, "left_semi")
+      .select(col("__f").as("file"), col("__p").as("pos"))
+    val (hfs, _) = fs(spark)
+    var v = maxClaimed(spark, base) + 1
+    while (!tryClaim(spark, base, v)) v = math.max(v + 1, maxClaimed(spark, base) + 1)
+    val dir = versionDir(spark, base, v)
+    changes.where(col("_op") === "upsert").drop("_op")
+      .write.mode("errorifexists").parquet(dir.toString)
+    dv.write.mode("errorifexists").parquet(dvDir(spark, base, v).toString)
+    val out = hfs.create(new Path(dir, dvMarker), false)
+    try out.write(keys.mkString(",").getBytes("UTF-8")) finally out.close()
+    createAtomic(hfs, new Path(dir, commitMarker))
+    v
+  }
+
+  /** Anchor base + the (all-DV) delta stack at or below `v` — refuses a
+    * stack that mixes key-deltas and DV deltas above one anchor. */
+  private def dvStack(spark: SparkSession, base: String,
+                      v: Long): (Long, Seq[Long]) = {
+    val vs = versions(spark, base).filter(_ <= v)
+    val anchor = vs.reverse.find(isBaseVersion(spark, base, _)).getOrElse(
+      sys.error(s"snapshot $base has no base version at or below v$v"))
+    val stack = vs.filter(_ > anchor)
+    require(stack.forall(dvKeys(spark, base, _).isDefined),
+      s"snapshot $base: versions ${stack.filter(dvKeys(spark, base, _).isEmpty)} " +
+        "above the anchor are key-deltas — DV and key-delta stacks don't mix")
+    (anchor, stack)
+  }
+
   /** Time travel with merge-on-read reconciliation: the table STATE at
     * version `v` — the nearest base (full-state) version at or below
-    * `v`, with every stacked delta in between applied in publish order
-    * (one left-anti join + union each, [[mergeApplyOf]]). For a base
-    * version this is exactly [[readVersion]]; nothing is materialized
-    * and nothing is driver-side — the reconcile is a lazy Catalyst plan
-    * whose cost is O(base scan + Σ delta scans), not O(versions). */
+    * `v`, with every stacked delta in between applied in publish order.
+    * For a base version this is exactly [[readVersion]]; nothing is
+    * materialized and nothing is driver-side — the reconcile is a lazy
+    * Catalyst plan whose cost is O(base scan + Σ delta scans), not
+    * O(versions).
+    *
+    * Two reconcile disciplines, dispatched on the stack's markers:
+    *   - KEY deltas ([[publishDelta]]): one left-anti join + union per
+    *     stacked delta, in publish order ([[mergeApplyOf]] semantics);
+    *   - DV deltas ([[publishDeltaDV]]): union the anchor's files with
+    *     every delta's upsert files and subtract the unioned deletion
+    *     vectors with ONE `(file, pos)` anti-join — a k-deep stack costs
+    *     one scan per source plus one fixed-width join, never a cascade
+    *     (each delta's DV already names every row it supersedes across
+    *     ALL files below it, so set-minus of the union is exact). */
   def readVersionMerged(spark: SparkSession, base: String, v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val vs = versions(spark, base).filter(_ <= v)
     require(vs.contains(v), s"snapshot $base v$v does not exist or is not committed")
-    val anchor = vs.reverse.find(deltaKeys(spark, base, _).isEmpty).getOrElse(
+    val anchor = vs.reverse.find(isBaseVersion(spark, base, _)).getOrElse(
       sys.error(s"snapshot $base has no base version at or below v$v"))
-    vs.filter(_ > anchor).foldLeft(readVersion(spark, base, anchor)) {
-      (acc, dv) =>
+    val stack = vs.filter(_ > anchor)
+    if (stack.exists(dvKeys(spark, base, _).isDefined)) {
+      val (_, dvs) = dvStack(spark, base, v) // validates the stack is all-DV
+      val dirs = versionDir(spark, base, anchor) +: dvs.map(versionDir(spark, base, _))
+      val dv = dvs.map(d => spark.read.schema(dvSchema)
+          .parquet(dvDir(spark, base, d).toString))
+        .reduce(_.unionByName(_))
+        .select(col("file").as("__f"), col("pos").as("__p"))
+      liveScanWithPos(spark, base, dirs)
+        .join(dv, Seq("__f", "__p"), "left_anti")
+        .drop("__f", "__p")
+    } else {
+      stack.foldLeft(readVersion(spark, base, anchor)) { (acc, dv) =>
         val keys = deltaKeys(spark, base, dv).get
         // validated at publish time — the reconcile is pure plan building
         applyChanges(acc, readVersion(spark, base, dv), keys)
+      }
     }
   }
 
@@ -394,7 +640,17 @@ object Snapshots {
       val n = s.getPath.getName
       if (n.startsWith(".claim-")) {
         n.stripPrefix(".claim-").toLongOption.filter { v =>
-          !hfs.exists(new Path(versionDir(spark, base, v), commitMarker))
+          // last-moment re-checks (round-14 ADVICE): the TTL is a lease,
+          // not a lock, so a publish that COMMITTED between the listing
+          // and this point — or a claim whose mtime moved back inside
+          // the TTL — must survive; re-read both immediately before
+          // destroying anything, narrowing the torn-data window to the
+          // check→delete instant instead of the whole listing pass
+          val stillStale = try {
+            now - hfs.getFileStatus(s.getPath).getModificationTime >= ttlMs
+          } catch { case _: java.io.FileNotFoundException => false }
+          stillStale &&
+            !hfs.exists(new Path(versionDir(spark, base, v), commitMarker))
         }.map { v =>
           hfs.delete(versionDir(spark, base, v), true)
           hfs.delete(s.getPath, false)
@@ -402,8 +658,12 @@ object Snapshots {
         }
       } else {
         val tag = n.stripPrefix(".txn-")
-        val committed = versions(spark, base).exists(v =>
-          hfs.exists(new Path(versionDir(spark, base, v), s"_graft_batch-$tag")))
+        // committed-in-history OR committed-then-retained (txnlog
+        // tombstone) — either way the claim records a real commit and
+        // must never be released for republish
+        val committed = hfs.exists(txnLogPath(spark, base, tag)) ||
+          versions(spark, base).exists(v =>
+            hfs.exists(new Path(versionDir(spark, base, v), s"_graft_batch-$tag")))
         if (committed) None
         else { hfs.delete(s.getPath, false); Some(n) }
       }
@@ -449,6 +709,43 @@ object Snapshots {
       if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
+  }
+
+  /** Schema-evolution read resolved by STABLE COLUMN ID (round-14
+    * verdict #5): version `v`'s data reconciled to the schema recorded
+    * at version `asOf` — the Iceberg resolution discipline, where
+    * identity is the id the write path stamped, not the name:
+    *
+    *   - a column RENAMED between `v` and `asOf` (declared at publish)
+    *     keeps its id, so `v`'s data surfaces under the new name;
+    *   - a column DROPPED and RE-ADDED under the same name carries a
+    *     fresh id, so `v` reads typed NULL for it — by-name resolution
+    *     ([[readVersionAs]]) would wrongly resurrect the dead column's
+    *     values;
+    *   - ids absent from `v` (columns added later) read as typed NULL,
+    *     and `v`'s columns whose ids `asOf` dropped are projected away;
+    *   - types are cast to `asOf`'s (widening reads compare wide).
+    *
+    * Falls back to by-name resolution when `v` predates schema
+    * recording (no marker). Pure projection — the scan stays a pruned
+    * parquet read; nothing is rewritten. */
+  def readVersionMapped(spark: SparkSession, base: String, v: Long,
+                        asOf: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tgt = versionSchema(spark, base, asOf).getOrElse(sys.error(
+      s"snapshot $base v$asOf has no recorded schema to map onto"))
+    versionSchema(spark, base, v) match {
+      case None => readVersionAs(spark, base, v, tgt)
+      case Some(src) =>
+        val byId = idsOf(src).map(_.swap)
+        readVersion(spark, base, v).select(
+          tgt.fields.toIndexedSeq.map { f =>
+            byId.get(f.metadata.getLong(colIdKey)) match {
+              case Some(srcName) => col(srcName).cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
+          }: _*)
+    }
   }
 
   /** Change data feed between two frames keyed by `keys` with value
@@ -513,11 +810,23 @@ object Snapshots {
     val vs = versions(spark, base)
     val horizon = vs.drop(math.max(0, vs.size - keep)).headOption.map { oldest =>
       vs.filter(_ <= oldest).reverse
-        .find(deltaKeys(spark, base, _).isEmpty).getOrElse(oldest)
+        .find(isBaseVersion(spark, base, _)).getOrElse(oldest)
     }
     val drop = horizon.map(h => vs.filter(_ < h)).getOrElse(vs)
     drop.foreach { v =>
-      hfs.delete(versionDir(spark, base, v), true)
+      val dir = versionDir(spark, base, v)
+      // preserve exactly-once txn history past data retention: every
+      // streaming batch tag the dropped version carries becomes a
+      // base-level tombstone [[batchCommitted]] keeps honoring, so a
+      // late redelivery of a retained-away batch stays a no-op instead
+      // of wedging on its .txn claim and then republishing after vacuum
+      hfs.listStatus(dir).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_graft_batch-"))
+          createAtomic(hfs, txnLogPath(spark, base,
+            n.stripPrefix("_graft_batch-")))
+      }
+      hfs.delete(dir, true)
       hfs.delete(claimPath(spark, base, v), false)
     }
     if (keep == 0) hfs.delete(baseDir(spark, base), true)
@@ -531,15 +840,29 @@ object Snapshots {
     * history; a concurrent seeder that lost waits for the full history
     * to commit instead of interleaving its own copies. */
   def ensureVersions(spark: SparkSession, base: String,
-                     builders: Seq[() => DataFrame]): Unit = {
-    if (versions(spark, base).size >= builders.length) return
+                     builders: Seq[() => DataFrame]): Unit =
+    ensureHistory(spark, base,
+      builders.map(b => () => { publish(spark, b(), base); () }))
+
+  /** [[ensureVersions]] generalized to arbitrary publish steps (a DELTA
+    * or DV-delta publish is a step too, which a frame-builder seed can't
+    * express): if `base` has no versions yet, ONE seeder wins the id-0
+    * claim and runs every step in order; a concurrent seeder that lost
+    * waits for the full history (one committed version per step) instead
+    * of interleaving its own publishes — which for DV deltas is a
+    * CORRECTNESS guard, not just tidiness: two racing DV publishes whose
+    * position scans don't see each other's in-flight upsert files would
+    * stack deltas that fail to supersede each other. */
+  def ensureHistory(spark: SparkSession, base: String,
+                    steps: Seq[() => Unit]): Unit = {
+    if (versions(spark, base).size >= steps.length) return
     if (versions(spark, base).isEmpty && maxClaimed(spark, base) == 0L &&
         tryClaim(spark, base, 0L)) {
       // seed claim (id 0 is never a real version): we are the one seeder
-      builders.foreach(b => publish(spark, b(), base))
+      steps.foreach(_())
     } else {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      while (versions(spark, base).size < builders.length) {
+      while (versions(spark, base).size < steps.length) {
         require(System.nanoTime() < deadline,
           s"timed out waiting for $base seed history")
         Thread.sleep(100)

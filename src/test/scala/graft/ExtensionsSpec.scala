@@ -40,4 +40,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(Layout.sqlTimeTravelDiff(spark, sf).collect().toSeq
       === Layout.timeTravelDiff(spark, sf).collect().toSeq)
   }
+
+  test("graft_version table function: SQL time travel by store coordinates") {
+    import graft.store.Snapshots
+    val base = "graft_spec_tvf"
+    Snapshots.retain(spark, base, keep = 0)
+    Snapshots.publish(spark, spark.range(3).toDF("id"), base)
+    Snapshots.publish(spark, spark.range(5).toDF("id"), base)
+    // the TVF comes from the extension injection alone on this session —
+    // no runtime register() call has touched `fresh`
+    assert(fresh.sql(s"SELECT count(*) AS n FROM graft_version('$base', 1)")
+      .head().getLong(0) === 3L)
+    assert(fresh.sql(s"SELECT count(*) AS n FROM graft_version('$base', 2)")
+      .head().getLong(0) === 5L)
+    // a missing / uncommitted version fails exactly like the Scala read
+    val e = intercept[Exception] {
+      fresh.sql(s"SELECT * FROM graft_version('$base', 9)").collect()
+    }
+    assert(e.getMessage.contains("not committed") ||
+      e.getMessage.contains("does not exist"), e.getMessage)
+    Snapshots.retain(spark, base, keep = 0)
+  }
 }
