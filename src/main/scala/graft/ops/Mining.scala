@@ -51,7 +51,17 @@ object Mining {
     // buffers are ≤|items| so the combine is map-side). The basket-set
     // frame is O(|baskets|) rows and feeds THREE consumers (universe
     // count, item supports, pair expansion) — pin it so the fact join
-    // runs once, not three times (same pattern as the pagerank edge set).
+    // runs once, not three times (same pattern as the pagerank edge
+    // set). Pinned with a LAZY persist rather than localCheckpoint
+    // (round-14 verdict #2: every driver sample of this query ran ≥2x
+    // its steady): the checkpoint's EAGER materialization is a full
+    // extra write of the basket frame before the query proper starts,
+    // and fresh-JVM isolation at sf0.1 measured checkpoint 2.9 s steady
+    // vs cache 1.7 s vs no-pin 3.4 s (identical checksums) — the
+    // round-13 floor of 2.10 s was exactly this materialization tax.
+    // Lazy MEMORY_AND_DISK also keeps the lineage (executor loss
+    // recomputes instead of failing the query) — the right trade on a
+    // real cluster too.
     val basketSets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .join(Hints.dimHint(Tables.part(spark, dir)
@@ -59,7 +69,7 @@ object Mining {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey").as("basket"))
       .agg(sort_array(collect_set(col("p_brand"))).as("its"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one-row basket universe, carried as a broadcast scalar (no collect)
     val nBaskets = basketSets.agg(count(lit(1)).as("n_baskets"))
