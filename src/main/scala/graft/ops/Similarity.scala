@@ -569,6 +569,19 @@ object Similarity {
   private[graft] def adaptiveSampleMod(n: Long, cap: Int): Int =
     math.max(1L, math.min(5L, n / cap)).toInt
 
+  /** The quantizer fit-sample budget for a cell count: max(4096,
+    * 16·nlist) — the cap RISES with the geometry so the k-means fit
+    * never starves below 16 points per cell at any rung (round-14
+    * verdict #6 named this contract; at the 4096-cell ladder cap the
+    * sample is 64 Ki rows ≈ 33 MB of driver doubles at dim 64, paid once
+    * per corpus version and cached). The TWO-LEVEL fit inherits the same
+    * floor per level: √nlist coarse centers see the whole sample
+    * (≥ 16·√nlist² / nlist = 16·√nlist points per coarse center), and
+    * each bucket's quota is size-proportional, so expected per-sub-
+    * centroid coverage stays ≥ 16 too. */
+  private[graft] def fitSampleCap(nlist: Int): Int =
+    math.max(4096, 16 * nlist)
+
   /** Fit (or fetch) the IVF coarse quantizer: seeded k-means++ + 8 Lloyd
     * iterations over a deterministic, *bounded* hash-sample of the corpus
     * (1-in-`sampleMod` by id hash, capped at `sampleCap` rows). The
@@ -596,7 +609,7 @@ object Similarity {
     // and cache + published layout stay pinned to the SAME version).
     // sampleCap = 0 → the adaptive 16-per-cell default; the RESOLVED cap
     // is the cache-key component, so an explicit equal cap aliases.
-    val cap = if (sampleCap == 0) math.max(4096, 16 * nlist) else sampleCap
+    val cap = if (sampleCap == 0) fitSampleCap(nlist) else sampleCap
     val mtime = if (fp == Long.MinValue) embFingerprint(spark, dir) else fp
     // adaptive modulus: never let the hash filter starve the fit below
     // its per-centroid target (round-11 ADVICE #4)

@@ -841,17 +841,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.adaptiveShortlist(4000000) === 4096)
   }
 
-  test("4M rung (opt-in, SPARK_GRAFT_WIDE_RUNGS=1): IVF-PQ and residual-PQ recall@10 floors") {
-    assume(sys.env.get("SPARK_GRAFT_WIDE_RUNGS").contains("1"),
-      "4M measurement is opt-in (SPARK_GRAFT_WIDE_RUNGS=1); evidence in SCALE_AUDIT.md")
-    val dir = java.nio.file.Files.createTempDirectory("graft_4m_rung").toString
-    val rnd = new scala.util.Random(37)
-    val nClusters = 1000
+  /** Shared wide-rung harness: the distributed planted-cluster corpus
+    * every opt-in rung uses (range + literal centre bank + hash noise —
+    * no driver-side row materialization; a multi-million-row driver Seq
+    * is exactly the collect this engine bans). nRows/nClusters pick the
+    * geometry; members = nRows/nClusters is the ADC-tie mass the
+    * shortlist must cover. */
+  private def plantRungCorpus(nRows: Long, nClusters: Int, seed: Int,
+                              nFiles: Int): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_rung_$nRows").toString
+    val rnd = new scala.util.Random(seed)
     val centres: Seq[Seq[Float]] =
       Seq.fill(nClusters)(Seq.fill(64)(rnd.nextFloat() * 2f - 1f))
     val cents = typedLit(centres)
-    val t0 = System.nanoTime()
-    spark.range(4000000L).select(
+    spark.range(nRows).select(
         col("id").as("vec_id"),
         transform(
           element_at(cents, (pmod(col("id"), lit(nClusters)) + 1).cast("int")),
@@ -859,31 +863,103 @@ class SimilaritySpec extends SparkSpec {
             .cast("float") / lit(1000f) - lit(0.5f)) * lit(0.3f))
           .cast("array<float>").as("embedding"),
         pmod(col("id"), lit(nClusters.toLong)).as("label"))
-      .coalesce(16).write.mode("overwrite")
+      .coalesce(nFiles).write.mode("overwrite")
       .parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("fit-sample budget rises with the geometry: >= 16 points per cell at every rung") {
+    // round-14 verdict #6 named this contract: the k-means fit sample
+    // must track nlist so the ladder cap never starves the fit
+    Seq(16, 256, 512, 1024, 2048, 4096).foreach { nl =>
+      assert(Similarity.fitSampleCap(nl) >= 16 * nl, s"nlist $nl")
+    }
+    assert(Similarity.fitSampleCap(4096) === 65536)
+  }
+
+  test("2M scheduled rung (opt-in, SPARK_GRAFT_WIDE_RUNGS=1): shipped shortlist holds where the r13 cap collapses") {
+    assume(sys.env.get("SPARK_GRAFT_WIDE_RUNGS").contains("1"),
+      "2M measurement is opt-in (SPARK_GRAFT_WIDE_RUNGS=1); evidence in SCALE_AUDIT.md")
+    // The round-14 4M rung caught a real defect (IVF-PQ recall@10 0.30:
+    // 4000-member planted clusters tie their ADC codes and the r13
+    // shortlist cap of 1024 sampled ~26% of the tie mass). This rung is
+    // its bounded scheduled replacement (round-14 verdict #7): HALF the
+    // rows at the SAME failure geometry — 500 clusters of 4000 members,
+    // 2048 cells, shortlist at the 4096 cap — with the r13 cap replayed
+    // as a REGRESSION GUARD: the collapse must still reproduce under
+    // shortlist=1024 (else the rung has lost its teeth), and the
+    // shipped adaptive cap must hold. Budget: ~half the retired 4M
+    // rung, roughly gen+exact+three probe passes on 32 threads.
+    assert(Similarity.adaptiveNlist(2000000) === 2048)
+    assert(Similarity.adaptiveNProbe(2048) === 64)
+    assert(Similarity.adaptiveShortlist(2000000) === 4096)
+    val t0 = System.nanoTime()
+    val dir = plantRungCorpus(2000000L, 500, seed = 41, nFiles = 8)
     val tGen = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val exact = Similarity.topKCosine(spark, dir, nQueries = 5, k = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(Similarity.topKCosine(spark, dir, nQueries = 5, k = 10))
+    val tExact = (System.nanoTime() - t1) / 1e9
+    assert(exact.size === 50)
+    def recall(approx: Set[(Long, Long)]): Double =
+      exact.intersect(approx).size.toDouble / exact.size
+    // the regression guard: the retired cap must still collapse here
+    val rOldCap = recall(topkSet(
+      Similarity.ivfPqTopKCosine(spark, dir, nQueries = 5, k = 10,
+        shortlist = 1024)))
+    val t2 = System.nanoTime()
+    val rIvfPq = recall(topkSet(
+      Similarity.ivfPqTopKCosine(spark, dir, nQueries = 5, k = 10)))
+    val tIvfPq = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val rRpq = recall(topkSet(
+      Similarity.ivfRpqTopKCosine(spark, dir, nQueries = 5, k = 10)))
+    val tRpq = (System.nanoTime() - t3) / 1e9
+    info(f"2M rung recall@10: ivfpq=$rIvfPq%.2f rpq=$rRpq%.2f " +
+      f"oldcap1024=$rOldCap%.2f | gen=$tGen%.1fs exact=$tExact%.1fs " +
+      f"ivfpq(fit+probe)=$tIvfPq%.1fs rpq(fit+probe)=$tRpq%.1fs")
+    assert(rOldCap < 0.5,
+      f"regression guard lost its teeth: r13 cap scored $rOldCap%.2f — " +
+        "the rung no longer reproduces the tie-mass collapse")
+    assert(rIvfPq >= 0.7, f"IVF-PQ 2M-rung recall $rIvfPq%.2f below 0.7")
+    assert(rRpq >= 0.7, f"residual-PQ 2M-rung recall $rRpq%.2f below 0.7")
+  }
+
+  test("4096-cell rung (opt-in, SPARK_GRAFT_WIDE_RUNGS_XL=1): recall holds at the ladder cap") {
+    assume(sys.env.get("SPARK_GRAFT_WIDE_RUNGS_XL").contains("1"),
+      "8M measurement is opt-in (SPARK_GRAFT_WIDE_RUNGS_XL=1); evidence in SCALE_AUDIT.md")
+    // The ladder's terminal geometry (round-14 verdict #6): 8M rows land
+    // on the 4096-cell cap, 128 probes (3.1%), the 65536-row fit sample
+    // (16 points/cell), shortlist 4096 covering the 2000-member tie
+    // mass. Heaviest rung in the suite (~2x the 2M rung) — run once per
+    // geometry-affecting change, not per round.
+    assert(Similarity.adaptiveNlist(8000000) === 4096)
+    assert(Similarity.adaptiveNProbe(4096) === 128)
+    assert(Similarity.fitSampleCap(4096) === 65536)
+    val t0 = System.nanoTime()
+    val dir = plantRungCorpus(8000000L, 4000, seed = 43, nFiles = 16)
+    val tGen = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val exact = topkSet(Similarity.topKCosine(spark, dir, nQueries = 5, k = 10))
     val tExact = (System.nanoTime() - t1) / 1e9
     assert(exact.size === 50)
     def recall(approx: Set[(Long, Long)]): Double =
       exact.intersect(approx).size.toDouble / exact.size
     val t2 = System.nanoTime()
-    val rIvfPq = recall(
-      Similarity.ivfPqTopKCosine(spark, dir, nQueries = 5, k = 10)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val rIvfPq = recall(topkSet(
+      Similarity.ivfPqTopKCosine(spark, dir, nQueries = 5, k = 10)))
     val tIvfPq = (System.nanoTime() - t2) / 1e9
     val t3 = System.nanoTime()
-    val rRpq = recall(
-      Similarity.ivfRpqTopKCosine(spark, dir, nQueries = 5, k = 10)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val rRpq = recall(topkSet(
+      Similarity.ivfRpqTopKCosine(spark, dir, nQueries = 5, k = 10)))
     val tRpq = (System.nanoTime() - t3) / 1e9
-    info(f"4M rung recall@10: ivfpq=$rIvfPq%.2f rpq=$rRpq%.2f | " +
+    info(f"8M rung recall@10: ivfpq=$rIvfPq%.2f rpq=$rRpq%.2f | " +
       f"gen=$tGen%.1fs exact=$tExact%.1fs ivfpq(fit+probe)=$tIvfPq%.1fs " +
       f"rpq(fit+probe)=$tRpq%.1fs")
-    assert(rIvfPq >= 0.7, f"IVF-PQ 4M-rung recall $rIvfPq%.2f below 0.7")
-    assert(rRpq >= 0.7, f"residual-PQ 4M-rung recall $rRpq%.2f below 0.7")
+    assert(rIvfPq >= 0.7, f"IVF-PQ 8M-rung recall $rIvfPq%.2f below 0.7")
+    assert(rRpq >= 0.7, f"residual-PQ 8M-rung recall $rRpq%.2f below 0.7")
   }
 
   test("rank eval: perfect self-eval scores 1.0 everywhere; ANN eval bounded and hit-consistent") {
