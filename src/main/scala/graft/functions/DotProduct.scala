@@ -260,24 +260,47 @@ case class CellArgMin(left: Expression, right: Expression)
           s"operands, got (${l.sql}, ${r.sql})")
     }
 
+  /** The centroid matrix decoded ONCE from the foldable literal into
+    * primitive rows, with each row's |c|² pre-summed (left-to-right, the
+    * exact order the per-row loop used — the precomputed value is
+    * bit-identical, just hoisted). The literal evaluates to a
+    * GenericArrayData of BOXED doubles, and `getDouble` unboxes per
+    * access: at the 4096-cell / 64-dim rung that put ~260k virtual calls
+    * + unboxings on EVERY row's assignment — the round-15 8M-rung
+    * publish measured ~1 h of CPU per 500k-row task on exactly this
+    * before the hoist. One decode per task (the expression is
+    * serialized per task), then the hot loop reads plain double[]. */
+  @transient private lazy val cellMat: Array[Array[Double]] = {
+    val cs = right.eval().asInstanceOf[ArrayData]
+    Array.tabulate(cs.numElements())(j => cs.getArray(j).toDoubleArray())
+  }
+
+  /** Pre-summed |c|² per centroid row (full width — used only when the
+    * input vector covers the whole centroid; a shorter input recomputes
+    * over the shared prefix, exactly like the pre-hoist loop). */
+  @transient private lazy val cellCn2: Array[Double] = cellMat.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
-    val cs = b.asInstanceOf[ArrayData]
+    val vn = v.numElements()
     var best = 0
     var bd = Double.MaxValue
     var j = 0
-    val n = cs.numElements()
+    val n = cellMat.length
     while (j < n) {
-      val c = cs.getArray(j)
-      val d = math.min(v.numElements(), c.numElements())
-      var cn2 = 0.0
+      val c = cellMat(j)
+      val d = math.min(vn, c.length)
       var s = 0.0
       var i = 0
-      while (i < d) {
-        val ci = c.getDouble(i)
-        cn2 += ci * ci
-        s += v.getDouble(i) * ci
-        i += 1
+      while (i < d) { s += v.getDouble(i) * c(i); i += 1 }
+      var cn2 = cellCn2(j)
+      if (d < c.length) {
+        cn2 = 0.0; i = 0
+        while (i < d) { cn2 += c(i) * c(i); i += 1 }
       }
       val dist = cn2 - 2.0 * s
       if (dist < bd) { bd = dist; best = j }
@@ -286,8 +309,10 @@ case class CellArgMin(left: Expression, right: Expression)
     best
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, cs) => {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("cellMat", cellMat, "double[][]")
+    val cn2s = ctx.addReferenceObj("cellCn2", cellCn2, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
       val best = ctx.freshName("best")
       val bd = ctx.freshName("bd")
       val j = ctx.freshName("j")
@@ -296,21 +321,23 @@ case class CellArgMin(left: Expression, right: Expression)
       val d = ctx.freshName("d")
       val cn2 = ctx.freshName("cn2")
       val s = ctx.freshName("s")
-      val ci = ctx.freshName("ci")
       val dist = ctx.freshName("dist")
+      val vn = ctx.freshName("vn")
       s"""
          |int $best = 0;
          |double $bd = java.lang.Double.MAX_VALUE;
-         |int ${j}N = $cs.numElements();
-         |for (int $j = 0; $j < ${j}N; $j++) {
-         |  org.apache.spark.sql.catalyst.util.ArrayData $c = $cs.getArray($j);
-         |  int $d = java.lang.Math.min($v.numElements(), $c.numElements());
-         |  double $cn2 = 0.0;
+         |int $vn = $v.numElements();
+         |for (int $j = 0; $j < $mat.length; $j++) {
+         |  double[] $c = $mat[$j];
+         |  int $d = java.lang.Math.min($vn, $c.length);
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $d; $i++) {
-         |    double $ci = $c.getDouble($i);
-         |    $cn2 += $ci * $ci;
-         |    $s += $v.getDouble($i) * $ci;
+         |    $s += $v.getDouble($i) * $c[$i];
+         |  }
+         |  double $cn2 = $cn2s[$j];
+         |  if ($d < $c.length) {
+         |    $cn2 = 0.0;
+         |    for (int $i = 0; $i < $d; $i++) { $cn2 += $c[$i] * $c[$i]; }
          |  }
          |  double $dist = $cn2 - 2.0 * $s;
          |  if ($dist < $bd) { $bd = $dist; $best = $j; }
@@ -318,6 +345,7 @@ case class CellArgMin(left: Expression, right: Expression)
          |${ev.value} = $best;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CellArgMin =
