@@ -944,10 +944,18 @@ object Similarity {
 
   /** Normalized-vector column bolted onto [[embWithNorm]] rows: the PQ
     * frame is the unit sphere (see [[pqCodebooks]]); zero-norm rows are
-    * excluded (they have no direction and no cosine rank anywhere). */
-  private def embNormalized(spark: SparkSession, dir: String): DataFrame =
+    * excluded (they have no direction and no cosine rank anywhere).
+    * Normalization is the fused [[graft.functions.VecDivScalar]]
+    * expression — per-element `x / nrm` in one primitive loop, bit-
+    * identical to the `transform` lambda it replaces but without the
+    * interpreted per-element dispatch every corpus-sized code-table
+    * publish was paying (round 15; the same hoist family as
+    * CellArgMin's). */
+  private def embNormalized(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     embWithNorm(spark, dir).where(col("nrm") > 0)
-      .withColumn("nv", transform(col("embedding"), x => x / col("nrm")))
+      .withColumn("nv", GraftFunctions.vecDiv(col("embedding"), col("nrm")))
+  }
 
   /** Publish the PQ code table: (vec_id, code_0 … code_7) — 8 small ints
     * per row vs the ~520-byte raw embedding row. At 100 TB this is the
@@ -1237,9 +1245,15 @@ object Similarity {
     val nlist = adaptiveNlist(embCount(spark, dir, fp))
     val cents = quantizerCentroids(spark, dir, nlist, fp = fp)
     val cbs = residualPqCodebooks(spark, dir, fp)
+    // residual in ONE fused expression against the literal normalized-
+    // centroid matrix (round 15): the broadcast (cell -> cn) join and
+    // the interpreted per-element zip_with both disappear from the
+    // corpus-sized encode — the row's cell indexes the hoisted
+    // primitive matrix directly, bit-identical subtraction
+    val cnLit = typedLit(cents.map(c => normCentroid(c).toSeq).toSeq)
     val assigned = assignCells(embNormalized(spark, dir), cents)
-      .join(broadcast(normCentDf(spark, cents)), "cell")
-      .withColumn("rv", zip_with(col("nv"), col("cn"), (x, y) => x - y))
+      .withColumn("rv",
+        GraftFunctions.cellResidual(col("nv"), col("cell"), cnLit))
     FeatureStore.ensurePartitionedTable(spark,
       assigned.select(col("vec_id") +: rpqCodeCols(cbs) :+ col("cell"): _*),
       s"graft_ivfrpq_codes_${Relational.dirSlug(dir)}", "cell", fp)

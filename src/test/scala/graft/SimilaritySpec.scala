@@ -195,6 +195,36 @@ class SimilaritySpec extends SparkSpec {
     assert(both.where(col("old") =!= col("native")).count() === 0)
   }
 
+  test("native VecDivScalar and CellResidual are bit-identical to their HOF forms") {
+    // the interpreted forms they replace on the corpus-sized code-table
+    // publishes: transform(v, x => x / s) and zip_with(v, cn, _ - _)
+    // behind a broadcast (cell -> cn) join (round 15)
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    val cnLit = typedLit(cents.map(_.toSeq).toSeq)
+    val emb = Similarity.embWithNorm(spark, sf).where(col("nrm") > 0)
+      .withColumn("cell",
+        graft.functions.GraftFunctions.cellArgMin(col("embedding"), cnLit))
+    val both = emb.select(
+      transform(col("embedding"), x => x / col("nrm")).as("nv_hof"),
+      graft.functions.GraftFunctions.vecDiv(col("embedding"), col("nrm"))
+        .as("nv_native"),
+      zip_with(col("embedding"),
+        element_at(cnLit, col("cell") + 1).cast("array<double>"),
+        (x, y) => x - y).as("rv_hof"),
+      graft.functions.GraftFunctions.cellResidual(col("embedding"),
+        col("cell"), cnLit).as("rv_native"))
+    assert(both.where(col("nv_hof") =!= col("nv_native")).count() === 0)
+    assert(both.where(col("rv_hof") =!= col("rv_native")).count() === 0)
+    // bit-identity, not approximate: compare through the exact dot fold
+    val chk = both.select(
+      graft.functions.GraftFunctions.dot(col("nv_hof"), col("rv_hof")).as("a"),
+      graft.functions.GraftFunctions.dot(col("nv_native"), col("rv_native"))
+        .as("b"))
+    assert(chk.where(col("a") =!= col("b")).count() === 0)
+  }
+
   test("IVF geometry adapts to corpus size: 256 cells above the gate rung") {
     assert(Similarity.adaptiveNlist(500) === 16)
     assert(Similarity.adaptiveNlist(2048) === 16)
