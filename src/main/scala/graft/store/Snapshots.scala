@@ -285,7 +285,29 @@ object Snapshots {
     * a committed-but-untagged version. Returns the allocated version id,
     * or None when skipped as a duplicate. */
   def publishBatch(spark: SparkSession, df: DataFrame, base: String,
-                   batchId: Long, writerId: String = "default"): Option[Long] = {
+                   batchId: Long, writerId: String = "default"): Option[Long] =
+    withTxnClaim(spark, base, batchId, writerId, "publishBatch") { () =>
+      val (hfs, _) = fs(spark)
+      val stamped = stampColumnIds(spark, base, df.schema, Map.empty)
+      var v = maxClaimed(spark, base) + 1
+      while (!tryClaim(spark, base, v))
+        v = math.max(v + 1, maxClaimed(spark, base) + 1)
+      val dir = versionDir(spark, base, v)
+      df.write.mode("errorifexists").parquet(dir.toString)
+      writeSchemaMarker(hfs, dir, stamped)
+      createAtomic(hfs, new Path(dir, batchTag(writerId, batchId)))
+      createAtomic(hfs, new Path(dir, commitMarker))
+      v
+    }
+
+  /** The exactly-once wrapper both streaming publish shapes share:
+    * committed-tag fast path, winner-takes-all txn claim, body runs only
+    * for the winner (and must drop the batch tag BEFORE the commit
+    * marker), claim released if the body throws. The body returns the
+    * committed version id. */
+  private def withTxnClaim(spark: SparkSession, base: String, batchId: Long,
+                           writerId: String, what: String)
+                          (body: () => Long): Option[Long] = {
     if (batchCommitted(spark, base, batchId, writerId)) None
     else {
       val (hfs, _) = fs(spark)
@@ -294,27 +316,39 @@ object Snapshots {
       if (!createAtomic(hfs, txn)) {
         if (batchCommitted(spark, base, batchId, writerId)) None
         else throw new IllegalStateException(
-          s"publishBatch: batch $batchId of writer $writerId on $base is " +
+          s"$what: batch $batchId of writer $writerId on $base is " +
             "claimed by another publisher but not committed — a concurrent " +
             "delivery is in flight, or a crashed claim awaits vacuum()")
       } else {
-        try {
-          val stamped = stampColumnIds(spark, base, df.schema, Map.empty)
-          var v = maxClaimed(spark, base) + 1
-          while (!tryClaim(spark, base, v))
-            v = math.max(v + 1, maxClaimed(spark, base) + 1)
-          val dir = versionDir(spark, base, v)
-          df.write.mode("errorifexists").parquet(dir.toString)
-          writeSchemaMarker(hfs, dir, stamped)
-          createAtomic(hfs, new Path(dir, batchTag(writerId, batchId)))
-          createAtomic(hfs, new Path(dir, commitMarker))
-          Some(v)
-        } catch {
-          case e: Throwable => hfs.delete(txn, false); throw e
-        }
+        try Some(body())
+        catch { case e: Throwable => hfs.delete(txn, false); throw e }
       }
     }
   }
+
+  /** EXACTLY-ONCE streaming MERGE as a positional-delete delta: apply a
+    * CDC micro-batch ([[mergeApplyOf]] row shape) to `base` through
+    * [[publishDeltaDV]], or skip if some committed version already
+    * carries this (writer, batch) — the composition a continuous CDC
+    * ingestion pipeline runs at 100 TB: `foreachBatch` is at-least-once,
+    * each delivered batch costs O(batch) data bytes plus one
+    * column-pruned position scan, reads stay one fixed-width anti-join
+    * however many batches stack, and [[graft.ops.Layout.compactSnapshot]]
+    * folds the stack on the maintenance schedule. Same txn-claim
+    * machinery as [[publishBatch]]; same batch-tag-before-commit-marker
+    * ordering, so a crash between the two leaves an invisible hole,
+    * never a committed-but-untagged version. Returns the version id, or
+    * None when skipped as a duplicate. */
+  def publishDeltaDVBatch(spark: SparkSession, changes: DataFrame,
+                          base: String, keys: Seq[String], batchId: Long,
+                          writerId: String = "default"): Option[Long] =
+    withTxnClaim(spark, base, batchId, writerId, "publishDeltaDVBatch") { () =>
+      val (hfs, _) = fs(spark)
+      val v = publishDeltaDV(spark, changes, base, keys,
+        beforeCommit = dir =>
+          createAtomic(hfs, new Path(dir, batchTag(writerId, batchId))))
+      v
+    }
 
   /** Distributed MERGE semantics over a keyed frame: `changes` carries
     * the key columns, the target's value columns, and an `_op` column in
@@ -523,7 +557,8 @@ object Snapshots {
     * refused (the two reconcile disciplines don't compose). Returns the
     * new version id. */
   def publishDeltaDV(spark: SparkSession, changes: DataFrame, base: String,
-                     keys: Seq[String]): Long = {
+                     keys: Seq[String],
+                     beforeCommit: Path => Unit = _ => ()): Long = {
     import org.apache.spark.sql.functions.col
     require(changes.columns.contains("_op"),
       "publishDeltaDV: change batch must carry an _op column")
@@ -549,6 +584,9 @@ object Snapshots {
     dv.write.mode("errorifexists").parquet(dvDir(spark, base, v).toString)
     val out = hfs.create(new Path(dir, dvMarker), false)
     try out.write(keys.mkString(",").getBytes("UTF-8")) finally out.close()
+    // txn batch tags etc. land BEFORE the commit marker, so a crash in
+    // between leaves an invisible hole, never a committed-untagged one
+    beforeCommit(dir)
     createAtomic(hfs, new Path(dir, commitMarker))
     v
   }

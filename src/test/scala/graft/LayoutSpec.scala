@@ -754,4 +754,41 @@ class LayoutSpec extends SparkSpec {
     }
     Snapshots.retain(spark, base, keep = 0)
   }
+
+  test("exactly-once CDC DV sink: one delta per micro-batch, redelivery no-op, state == batch apply") {
+    import graft.store.Snapshots
+    import spark.implicits._
+    val base = "graft_spec_dv_sink"
+    Snapshots.retain(spark, base, keep = 0)
+    val t0 = (1L to 20L).map(k => (k, k * 10L)).toDF("k", "v")
+    Snapshots.publish(spark, t0, base)
+    // three CDC micro-batches (the foreachBatch body is exactly this
+    // call), each delivered TWICE — at-least-once redelivery must be a
+    // no-op, not a second stacked delta
+    val batches = Seq(
+      Seq((1L, 11L, "upsert"), (2L, 0L, "delete")),
+      Seq((3L, 33L, "upsert"), (21L, 210L, "upsert")),
+      Seq((21L, 211L, "upsert"), (4L, 0L, "delete")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(Snapshots.publishDeltaDVBatch(spark, b.toDF("k", "v", "_op"),
+        base, Seq("k"), i.toLong, "cdcq").isDefined, s"batch $i")
+      assert(Snapshots.publishDeltaDVBatch(spark, b.toDF("k", "v", "_op"),
+        base, Seq("k"), i.toLong, "cdcq") === None, s"redelivery $i")
+    }
+    assert(Snapshots.versions(spark, base).size === 4)
+    // a DIFFERENT writer's batch 0 is a different transaction — it lands
+    assert(Snapshots.publishDeltaDVBatch(spark,
+      Seq((5L, 55L, "upsert")).toDF("k", "v", "_op"),
+      base, Seq("k"), 0L, "otherq").isDefined)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows((batches :+ Seq((5L, 55L, "upsert")))
+      .foldLeft(t0) { (acc, b) =>
+        Snapshots.mergeApplyOf(acc, b.toDF("k", "v", "_op"), Seq("k"))
+      })
+    assert(rows(Snapshots.latestMerged(spark, base)) === want)
+    // the last update for key 21 won (211, not the batch-1 value 210)
+    assert(want.contains((21L, 211L)))
+    Snapshots.retain(spark, base, keep = 0)
+  }
 }
