@@ -173,6 +173,16 @@ object SparkEntry {
     // merged read is live-files minus ONE fixed-width anti-join however
     // deep the stack — third write path, same declared output, same twin
     "q_snap_merge_dv" -> ((s, d) => Layout.mergeIntoSnapshotDV(s, d)),
+    // schema evolution COMPOSED with merge-on-read (round-15 verdict #2):
+    // the DV-stacked state read under a later version's RENAMED schema,
+    // resolved by stable column id through the merged reconcile — the
+    // renamed column surfaces the delta-merged data; by-name resolution
+    // would read NULL and break the hash
+    "q_snap_schema_evo_dv" -> ((s, d) => Layout.schemaEvolutionOverDV(s, d)),
+    // MERGE driven from SQL TEXT: TVF version read + the same two-branch
+    // anti-join/union MERGE shape + the shared summary grid, all in one
+    // spark.sql — bit-identical to q_snap_merge, same twin
+    "q_sql_merge" -> ((s, d) => Layout.sqlMergeSummary(s, d)),
     "q_text_token_accounting" -> ((s, d) => Text.tokenAccounting(s, d)),
     // ORACLE-CHECKED via the q_sim_ivf_centroids dump twin: given the
     // published centroids, cell assignment (argmin |c|²−2·v·c), probe
@@ -1124,7 +1134,10 @@ object SparkEntry {
     * `q_snap_merge_mor` (merge-on-read): the twin recomputes pre/post
     * states from raw orders and replays the CDF classification — both
     * write paths must land the same state, so one twin pins both. */
-  private def snapMergeSql: String = {
+  /** The pre-merge state `o` and post-merge state `v2` CTEs the MERGE
+    * twins share — the deterministic pmod change batch replayed over
+    * raw orders in exact integer cents. */
+  private def snapMergeStateCtes: String = {
     val (addM, chgM, remM) = graft.ops.Validate.snapshotDiffMods
     s"""WITH o AS (
        | SELECT o_orderkey AS k, o_orderpriority AS prio,
@@ -1140,7 +1153,11 @@ object SparkEntry {
        |v2 AS (SELECT * FROM o
        |        WHERE k NOT IN (SELECT k FROM touched)
        |       UNION ALL SELECT * FROM upd
-       |       UNION ALL SELECT * FROM ins),
+       |       UNION ALL SELECT * FROM ins)""".stripMargin
+  }
+
+  private def snapMergeSql: String = {
+    s"""$snapMergeStateCtes,
        |j AS (SELECT o.prio AS op, o.cents AS oc,
        |  v2.prio AS np, v2.cents AS nc,
        |  CASE WHEN o.k IS NULL THEN 'insert'
@@ -2138,6 +2155,17 @@ object SparkEntry {
     // ...and the deletion-vector write path makes three: position-based
     // reconcile must land the exact same state the key paths do
     "q_snap_merge_dv" -> snapMergeSql,
+    // the DV-stacked state at v2 under v3's renamed schema: the twin
+    // recomputes the merged state from raw orders and reports it under
+    // the EVOLVED column name — if the engine resolved by name instead
+    // of id, amount_cents would be NULL-sum and the hash would break
+    "q_snap_schema_evo_dv" ->
+      s"""$snapMergeStateCtes
+         |SELECT prio, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS total_amount_cents
+         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the SQL-text merge lands the same state as the engine write paths
+    "q_sql_merge" -> snapMergeSql,
     // footer-stats replay FROM THE PHYSICAL FILES: DuckDB groups the
     // same stored snapshot files by filename and recomputes each file's
     // row count and day envelope from the data — footer statistics must

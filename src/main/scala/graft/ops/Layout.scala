@@ -130,15 +130,33 @@ object Layout {
     * lightweight delta versions folds into ONE clustered base version —
     * after which reads are a plain pruned scan again and `retain` can
     * sweep the whole pre-compaction chain. Scale: one count + the same
-    * range-shuffle any clustering write pays; no driver-side data. */
+    * range-shuffle any clustering write pays; no driver-side data.
+    *
+    * Compaction is a READ-MODIFY-WRITE, so it commits through the
+    * strict [[graft.store.Snapshots.publishIfLatest]] path: a delta (or
+    * any publish) landing between the merged read and the commit would
+    * otherwise be silently SHADOWED by the compacted base (the new base
+    * becomes the anchor and the interleaved delta below it is skipped
+    * forever) — instead the loser re-reads the new latest and
+    * recompacts, bounded, then fails loudly. */
   def compactSnapshot(spark: SparkSession, base: String, key: Column,
-                      targetRows: Long): Long = {
-    val cur = graft.store.Snapshots.latest(spark, base).getOrElse(
-      throw new IllegalArgumentException(s"no committed versions of $base"))
-    val df = graft.store.Snapshots.readVersionMerged(spark, base, cur)
-    val n = df.count()
-    val nFiles = math.max(1L, (n + targetRows - 1) / targetRows).toInt
-    graft.store.Snapshots.publish(spark, clusteredBy(df, key, nFiles), base)
+                      targetRows: Long, maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val cur = graft.store.Snapshots.latest(spark, base).getOrElse(
+        throw new IllegalArgumentException(s"no committed versions of $base"))
+      val df = graft.store.Snapshots.readVersionMerged(spark, base, cur)
+      val n = df.count()
+      val nFiles = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+      graft.store.Snapshots.publishIfLatest(spark,
+        clusteredBy(df, key, nFiles), base, cur) match {
+        case Some(v) => return v
+        case None => // a commit landed mid-compaction — recompact on it
+      }
+    }
+    sys.error(s"compactSnapshot: lost the commit race on $base " +
+      s"$maxRetries times — retry under lower write contention")
   }
 
   /** Bins in the compaction skip audit — models a 16-file layout. */
@@ -396,6 +414,17 @@ object Layout {
     * bucketing); the feed is ONE full-outer join on the key. Nothing is
     * proportional to the version count and no row is rewritten in place. */
   def mergeIntoSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureMergeBase(spark, dir)
+    val vs = graft.store.Snapshots.versions(spark, base)
+    mergeSummary(spark,
+      graft.store.Snapshots.readVersion(spark, base, vs.head),
+      graft.store.Snapshots.readVersion(spark, base, vs.last))
+  }
+
+  /** Seed (create-once) the copy-on-write MERGE fixture shared by
+    * `q_snap_merge` and the SQL-text flagship `q_sql_merge`; returns the
+    * base name. */
+  private def ensureMergeBase(spark: SparkSession, dir: String): String = {
     val fp = graft.store.FeatureStore.versionFingerprint(
       spark, s"$dir/orders.parquet")
     val base = s"graft_mrg_orders_${Relational.dirSlug(dir)}_$fp"
@@ -405,10 +434,72 @@ object Layout {
         graft.store.Snapshots.readVersion(spark, base,
           graft.store.Snapshots.latest(spark, base).get),
         ordersChangeBatch(spark, dir), Seq("k"))))
-    val vs = graft.store.Snapshots.versions(spark, base)
-    mergeSummary(spark,
-      graft.store.Snapshots.readVersion(spark, base, vs.head),
-      graft.store.Snapshots.readVersion(spark, base, vs.last))
+    base
+  }
+
+  /** MERGE driven from SQL TEXT (`q_sql_merge`, round-15 verdict #7):
+    * the store's mutation surface expressed the way a SQL-first user
+    * would write it — the pre-merge version read by the store's own
+    * coordinates through the `graft_version(base, v)` TVF, the
+    * deterministic change batch derived in SQL, and the MERGE semantics
+    * applied as the SAME two-branch shape the engine's write path uses
+    * (one LEFT ANTI join dropping touched keys + UNION ALL of the
+    * upserts — `WHEN MATCHED THEN UPDATE/DELETE, WHEN NOT MATCHED THEN
+    * INSERT`), then summarized into the exact [[mergeSummary]] grid.
+    * Output is bit-identical to `q_snap_merge` by construction, so the
+    * ONE `snapMergeSql` twin hash-pins the SQL-text merge application
+    * alongside all three engine write paths; [[LayoutSpec]] additionally
+    * pins SQL-vs-DataFrame equality directly. Scale shape: identical to
+    * the engine path — one anti-join + narrow unions + one full-outer
+    * feed join; Catalyst compiles both to the same operators. */
+  def sqlMergeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureMergeBase(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    val v1 = graft.store.Snapshots.versions(spark, base).head
+    val (addM, chgM, remM) = Validate.snapshotDiffMods
+    spark.sql(
+      s"""WITH v1 AS (SELECT k, prio, cents FROM graft_version('$base', $v1)),
+         |changes AS (
+         |  SELECT k, prio, cents * 110L DIV 100L AS cents,
+         |    'upsert' AS _op
+         |  FROM v1 WHERE k % $chgM = 0 AND k % $remM <> 0
+         |  UNION ALL
+         |  SELECT -(k + 1) AS k, prio, cents, 'upsert' FROM v1
+         |  WHERE k % $addM = 0
+         |  UNION ALL
+         |  SELECT k, prio, cents, 'delete' FROM v1 WHERE k % $remM = 0),
+         |touched AS (SELECT DISTINCT k FROM changes),
+         |v2 AS (
+         |  SELECT o.k, o.prio, o.cents
+         |  FROM v1 o LEFT ANTI JOIN touched t ON o.k = t.k
+         |  UNION ALL
+         |  SELECT k, prio, cents FROM changes WHERE _op = 'upsert'),
+         |j AS (
+         |  SELECT o.prio AS op, o.cents AS oc, n.prio AS np, n.cents AS nc,
+         |    CASE WHEN o.k IS NULL THEN 'insert'
+         |         WHEN n.k IS NULL THEN 'delete'
+         |         WHEN o.prio IS DISTINCT FROM n.prio
+         |           OR o.cents IS DISTINCT FROM n.cents THEN 'update'
+         |         ELSE 'same' END AS t
+         |  FROM v1 o FULL OUTER JOIN v2 n ON o.k = n.k)
+         |SELECT 'delete' AS change_type, count(*) AS n_rows,
+         |  coalesce(CAST(sum(oc) AS BIGINT), 0L) AS total_cents
+         | FROM j WHERE t = 'delete'
+         |UNION ALL
+         |SELECT 'insert', count(*), coalesce(CAST(sum(nc) AS BIGINT), 0L)
+         | FROM j WHERE t = 'insert'
+         |UNION ALL
+         |SELECT 'update_preimage', count(*),
+         |  coalesce(CAST(sum(oc) AS BIGINT), 0L)
+         | FROM j WHERE t = 'update'
+         |UNION ALL
+         |SELECT 'update_postimage', count(*),
+         |  coalesce(CAST(sum(nc) AS BIGINT), 0L)
+         | FROM j WHERE t = 'update'
+         |UNION ALL
+         |SELECT 'v2_state', count(*), coalesce(CAST(sum(cents) AS BIGINT), 0L)
+         | FROM v2
+         |ORDER BY change_type""".stripMargin)
   }
 
   /** Row-grain keyed orders (exact integer cents) — the MERGE fixtures'
@@ -623,6 +714,45 @@ object Layout {
     * position scans miss each other's in-flight upsert files would stack
     * deltas that fail to supersede each other — so exactly one seeder
     * runs both steps and the loser waits for the committed history. */
+  /** SCHEMA EVOLUTION COMPOSED WITH MERGE-ON-READ (`q_snap_schema_evo_dv`,
+    * round-15 verdict #2): the store's two flagship read features —
+    * id-resolved schema evolution ([[graft.store.Snapshots
+    * .readVersionMapped]]) and DV-delta reconciliation
+    * ([[graft.store.Snapshots.readVersionMerged]]) — exercised through
+    * ONE read. History: v1 = keyed orders base, v2 = the shared
+    * deterministic change batch as a POSITIONAL-DELETE delta, v3 = the
+    * merged state republished with `cents` RENAMED to `amount_cents`
+    * (declared, so the id is inherited through the delta's recorded
+    * schema — the round-15 inheritance fix is on the hash path). The
+    * declared frame reads the DV-STACKED state at v2 UNDER v3's evolved
+    * schema: the reconcile is the one-position-anti-join merged plan,
+    * and the projection surfaces v2's `cents` data as `amount_cents`
+    * BY COLUMN ID — by-name resolution would read typed NULL and the
+    * hash would break. The twin recomputes the merged state from raw
+    * `orders` under the evolved name, so write fidelity, DV reconcile,
+    * id inheritance across a delta, AND the mapped-over-merged read are
+    * all pinned end to end. */
+  def schemaEvolutionOverDV(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.store.FeatureStore.versionFingerprint(
+      spark, s"$dir/orders.parquet")
+    val base = s"graft_sedv_orders_${Relational.dirSlug(dir)}_$fp"
+    graft.store.Snapshots.ensureHistory(spark, base, Seq(
+      () => { graft.store.Snapshots.publish(spark, keyedOrders(spark, dir),
+        base); () },
+      () => { graft.store.Snapshots.publishDeltaDV(spark,
+        ordersChangeBatch(spark, dir), base, Seq("k")); () },
+      () => { graft.store.Snapshots.publish(spark,
+        graft.store.Snapshots.latestMerged(spark, base)
+          .withColumnRenamed("cents", "amount_cents"), base,
+        renames = Map("amount_cents" -> "cents")); () }))
+    val vs = graft.store.Snapshots.versions(spark, base)
+    graft.store.Snapshots.readVersionMapped(spark, base, vs(1), asOf = vs(2))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("amount_cents")).as("total_amount_cents"))
+      .orderBy(col("prio"))
+  }
+
   def mergeIntoSnapshotDV(spark: SparkSession, dir: String): DataFrame = {
     val fp = graft.store.FeatureStore.versionFingerprint(
       spark, s"$dir/orders.parquet")

@@ -109,24 +109,29 @@ class LayoutSpec extends SparkSpec {
           (col("id") + i * 100).as("id")), base)
       }
     }), 60.seconds)
-    assert(ids.toSet === Set(1L, 2L))
+    // distinct ids, both committed, and commit-chain order == id order
+    // (the racer that lost the successor slot may have re-claimed a
+    // higher id, so the pair is {1,2} or {2,3} — never a collision)
+    assert(ids.toSet.size === 2)
+    assert(Snapshots.versions(spark, base) === ids.sorted)
     // no lost update: each session's distinct payload is retrievable
     val sums = ids.indices.map(i => Snapshots.readVersion(spark, base,
       ids(i)).agg(sum(col("id"))).head.getLong(0))
     assert(sums.toSet === Set(10L, 510L), sums.toString)
     // grow a history, then time-travel to every version
-    assert(Snapshots.publish(spark, spark.range(7).toDF("id"), base) === 3L)
-    assert(Snapshots.publish(spark, spark.range(9).toDF("id"), base) === 4L)
-    assert(Snapshots.versions(spark, base) === Seq(1L, 2L, 3L, 4L))
-    assert(Snapshots.readVersion(spark, base, 1L).count() === 5L)
-    assert(Snapshots.readVersion(spark, base, 3L).count() === 7L)
+    val v3 = Snapshots.publish(spark, spark.range(7).toDF("id"), base)
+    val v4 = Snapshots.publish(spark, spark.range(9).toDF("id"), base)
+    assert(v3 > ids.max && v4 === v3 + 1)
+    assert(Snapshots.versions(spark, base) === (ids.sorted ++ Seq(v3, v4)))
+    assert(Snapshots.readVersion(spark, base, ids.min).count() === 5L)
+    assert(Snapshots.readVersion(spark, base, v3).count() === 7L)
     // a later publish never mutates an old version (isolation)
-    assert(Set(10L, 510L).contains(Snapshots.readVersion(spark, base, 1L)
+    assert(Set(10L, 510L).contains(Snapshots.readVersion(spark, base, ids.min)
       .agg(sum(col("id"))).head.getLong(0)))
     // retention: keep the newest 2, the dropped ids are gone
-    assert(Snapshots.retain(spark, base, keep = 2) === Seq(1L, 2L))
-    assert(Snapshots.versions(spark, base) === Seq(3L, 4L))
-    assert(Snapshots.readVersion(spark, base, 4L).count() === 9L)
+    assert(Snapshots.retain(spark, base, keep = 2) === ids.sorted)
+    assert(Snapshots.versions(spark, base) === Seq(v3, v4))
+    assert(Snapshots.readVersion(spark, base, v4).count() === 9L)
     Snapshots.retain(spark, base, keep = 0)
   }
 
@@ -322,6 +327,14 @@ class LayoutSpec extends SparkSpec {
     // the merge actually did something at this sf
     assert(m("delete")._1 > 0 && m("insert")._1 > 0 &&
       m("update_preimage")._1 > 0)
+  }
+
+  test("q_sql_merge: the SQL-text merge application equals the DataFrame sibling row-for-row") {
+    val api = graft.ops.Layout.mergeIntoSnapshot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val sql = graft.ops.Layout.sqlMergeSummary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sql === api)
   }
 
   test("time-travel diff: every status present, sides consistent") {

@@ -668,47 +668,110 @@ class StreamingSpec extends SparkSpec {
     def viewOf(v: Long) = Materialize
       .cdfViewOf(Snapshots.readVersion(spark, base, v), "g", "cents")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    // version bumps arrive as a file stream, one micro-batch per bump
+    // the CDF SOURCE discovers the transitions itself (round-15 verdict
+    // #4) — the stream below is only the POLL TICK driver, carrying no
+    // version payload: a file stream of 3 ticks, one micro-batch each,
+    // and every tick drains whatever committed since the cursor
     val tmp = java.nio.file.Files.createTempDirectory("graft_cdf_bumps").toString
     val now = System.currentTimeMillis()
     (1 to 3).foreach { i =>
-      Seq((i.toLong, i + 1L)).toDF("v_old", "v_new")
-        .coalesce(1).write.parquet(s"$tmp/b$i")
+      Seq(i.toLong).toDF("tick").coalesce(1).write.parquet(s"$tmp/b$i")
       new java.io.File(s"$tmp/b$i").listFiles()
         .foreach(_.setLastModified(now + i * 60000L))
     }
     var state = Materialize
       .cdfViewOf(Snapshots.readVersion(spark, base, 1L), "g", "cents")
       .localCheckpoint(true)
-    var applied = 0
+    var applied = Seq.empty[(Long, Long)]
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val stream = spark.readStream
-      .schema(StructType(Seq(StructField("v_old", LongType),
-        StructField("v_new", LongType))))
+      .schema(StructType(Seq(StructField("tick", LongType))))
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(s"$tmp/b*")
     val q = stream.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        b.collect().sortBy(_.getLong(0)).foreach { r =>
-          val feed = Snapshots.changeFeed(spark, base,
-            r.getLong(0), r.getLong(1), Seq("k"), Seq("g", "cents"))
-          state = Materialize.applyCdfToView(state, feed, "g", "cents")
-            .localCheckpoint(true)
-          applied += 1
-          // stream-applied state == full recompute AT EVERY version
-          assert(state.collect()
-            .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
-            === viewOf(r.getLong(1)), s"after v${r.getLong(1)}")
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        applied = applied ++ graft.store.ChangeFeedSource.drain(
+          spark, base, "viewq", Seq("k"), Seq("g", "cents")) {
+          (_, vTo, feed) =>
+            state = Materialize.applyCdfToView(state, feed, "g", "cents")
+              .localCheckpoint(true)
+            // stream-applied state == full recompute AT EVERY version
+            assert(state.collect()
+              .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+              === viewOf(vTo), s"after v$vTo")
         }
+        ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    assert(applied === 3, s"applied $applied increments")
+    // the first tick drains ALL pending transitions; later ticks find a
+    // caught-up cursor and emit NOTHING — exactly-once across polls
+    assert(applied === Seq((1L, 2L), (2L, 3L), (3L, 4L)), applied.toString)
     val fin = state.collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
     assert(fin === viewOf(4L))
     // the emptied group LEFT the view
     assert(!fin.exists(_._1 == "b"), fin.toString)
+    // a NEW commit wakes the drained consumer for exactly one transition
+    Snapshots.mergeIntoLatest(spark, base,
+      Seq((6L, "c", 60L, "upsert")).toDF("k", "g", "cents", "_op"), Seq("k"))
+    val more = graft.store.ChangeFeedSource.drain(
+      spark, base, "viewq", Seq("k"), Seq("g", "cents")) { (_, _, feed) =>
+      state = Materialize.applyCdfToView(state, feed, "g", "cents")
+        .localCheckpoint(true)
+    }
+    assert(more === Seq((4L, 5L)))
+    assert(state.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+      === viewOf(5L))
+    Snapshots.retain(spark, base, keep = 0)
+  }
+
+  test("CDF source restart: a crash mid-transition re-delivers it, nothing is skipped or doubled") {
+    import graft.store.{ChangeFeedSource, Snapshots}
+    import graft.ops.Materialize
+    import spark.implicits._
+    val base = "graft_spec_cdf_restart"
+    Snapshots.retain(spark, base, keep = 0)
+    Snapshots.publish(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "g", "cents"), base)
+    Snapshots.mergeIntoLatest(spark, base,
+      Seq((1L, "a", 11L, "upsert")).toDF("k", "g", "cents", "_op"), Seq("k"))
+    Snapshots.mergeIntoLatest(spark, base,
+      Seq((3L, "c", 30L, "upsert")).toDF("k", "g", "cents", "_op"), Seq("k"))
+    def viewOf(v: Long) = Materialize
+      .cdfViewOf(Snapshots.readVersion(spark, base, v), "g", "cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    var state = Materialize
+      .cdfViewOf(Snapshots.readVersion(spark, base, 1L), "g", "cents")
+      .localCheckpoint(true)
+    // the consumer CRASHES applying the second transition: the first
+    // advanced the cursor, the in-flight one did not
+    val boom = intercept[RuntimeException] {
+      ChangeFeedSource.drain(spark, base, "crashq", Seq("k"),
+        Seq("g", "cents")) { (_, vTo, feed) =>
+        if (vTo == 3L) throw new RuntimeException("simulated crash")
+        state = Materialize.applyCdfToView(state, feed, "g", "cents")
+          .localCheckpoint(true)
+      }
+    }
+    assert(boom.getMessage === "simulated crash")
+    assert(ChangeFeedSource.lastProcessed(spark, base, "crashq") === Some(2L))
+    // restart ("new process"): exactly the uncommitted transition is
+    // re-delivered — the at-least-once handler contract, exactly-once
+    // emission for everything whose cursor mark landed
+    val replay = ChangeFeedSource.drain(spark, base, "crashq", Seq("k"),
+      Seq("g", "cents")) { (_, _, feed) =>
+      state = Materialize.applyCdfToView(state, feed, "g", "cents")
+        .localCheckpoint(true)
+    }
+    assert(replay === Seq((2L, 3L)))
+    assert(state.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+      === viewOf(3L))
+    // caught up: a further drain emits nothing
+    assert(ChangeFeedSource.drain(spark, base, "crashq", Seq("k"),
+      Seq("g", "cents")) { (_, _, _) => fail("must not emit") }.isEmpty)
     Snapshots.retain(spark, base, keep = 0)
   }
 
