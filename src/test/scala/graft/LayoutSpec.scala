@@ -201,9 +201,9 @@ class LayoutSpec extends SparkSpec {
     val slug = s"${sf.replaceAll("[^A-Za-z0-9]+", "_")}_" +
       java.lang.Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(sf))
-    val base = s"graft_se_orders_${slug}_$fp"
+    val base = s"graft_se2_orders_${slug}_$fp"
     val bases = Snapshots.versions(spark, base)
-    assert(bases === Seq(1L, 2L), bases.toString)
+    assert(bases === Seq(1L, 2L, 3L), bases.toString)
     // NEW reader (evolved schema) over OLD data: widened type + NULL fill
     val evolved = StructType(Seq(StructField("o_orderpriority", StringType),
       StructField("n_orders", LongType), StructField("cents", LongType)))
