@@ -377,12 +377,97 @@ object Dedup {
     * appears in an edge. The contraction engine behind [[dupClusters]]
     * and [[incrementalAssign]] — see [[dupClusters]] for algorithm and
     * checkpoint-hygiene notes. Unsorted; callers order. */
+  /** Free a SUPERSEDED checkpoint's blocks eagerly instead of waiting
+    * for the ContextCleaner (the round-2 postmortem is exactly about
+    * orphaned blocks under session memory pressure). Only ever called on
+    * frames no later round reads — an unpersisted localCheckpoint cannot
+    * recompute (lineage is truncated by design).
+    * Only ever handed localCheckpoint results, whose analyzed plan is a
+    * LogicalRDD — if a future Spark version wraps them differently, fail
+    * loudly instead of silently no-opping and re-leaking one checkpoint's
+    * blocks per round (round-3 ADVICE; the leak is exactly the round-2
+    * postmortem's failure mode). */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit = {
+    var found = 0
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); found += 1
+      case _ => ()
+    }
+    if (found == 0) throw new IllegalStateException(
+      "freeCheckpoint found no LogicalRDD in a localCheckpoint'd plan — " +
+        "plan shape changed; checkpoint blocks would leak per round")
+  }
+
+  /** Driver fast-path guard for [[connectedComponents]]: edge sets at or
+    * under this row count are union-found on the driver (≤ ~50 MB of
+    * collected rows at the cap — the same bounded-collect discipline as
+    * the PQ/BPE fit samples). Above it, the distributed O(log n) star
+    * contraction runs unchanged. Motivation (round-16 profile,
+    * OPTIMIZATION_r16.md): one contraction ROUND over a 4-edge graph
+    * costs ~0.6 s of pure job-scheduling latency (~6 AQE stage
+    * round-trips over KB-scale frames) — per-increment batch graphs and
+    * bounded-subset baselines are tiny BY DESIGN, so they hit that floor
+    * on every declared dedup/semdedup/ER query. At 100 TB corpus-wide
+    * near-dup graphs have billions of edges and route to the
+    * distributed path via the same guard. */
+  private[graft] val ccMaxDriverEdges: Long = 1L << 20
+
   private[graft] def connectedComponents(edges: DataFrame,
-                                         maxIters: Int = 20): DataFrame = {
+                                         maxIters: Int = 20,
+                                         maxDriverEdges: Long = ccMaxDriverEdges)
+  : DataFrame = {
     // pairs guarantee doc_a < doc_b → canonical (hi, lo) directly
     val raw = edges
       .select(col("doc_b").as("hi"), col("doc_a").as("lo")).distinct()
     var cur = raw.localCheckpoint()
+    // one count over the just-materialized checkpoint blocks (trivial
+    // against either path's cost) decides the route
+    val nEdges = cur.count()
+    if (nEdges <= maxDriverEdges) {
+      val tStart = System.nanoTime()
+      val spark = edges.sparkSession
+      val es = cur.collect()
+      // union-find with path compression; roots re-mapped to the
+      // component MINIMUM afterwards, so the labels are bit-identical
+      // to the star contraction's fixed point (component min as rep)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { row =>
+        val (hi, lo) = (row.getLong(0), row.getLong(1))
+        val (rh, rl) = (find(hi), find(lo))
+        if (rh != rl) parent.put(math.max(rh, rl), math.min(rh, rl))
+      }
+      val minOfRoot = new java.util.HashMap[Long, Long]()
+      val nodeSet = new java.util.TreeSet[java.lang.Long]()
+      es.foreach { row =>
+        nodeSet.add(row.getLong(0)); nodeSet.add(row.getLong(1))
+      }
+      nodeSet.forEach { n =>
+        val r = find(n)
+        val prev = minOfRoot.getOrDefault(r, Long.MaxValue)
+        if (n < prev) minOfRoot.put(r, n)
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodeSet.size)
+      nodeSet.forEach { n =>
+        out.add(org.apache.spark.sql.Row(n.longValue(), minOfRoot.get(find(n)).longValue()))
+      }
+      freeCheckpoint(cur)
+      lastContraction.set(s"g=${contractionGen.incrementAndGet()}," +
+        s"driver,edges=$nEdges,total=${sec2(System.nanoTime() - tStart)}")
+      return spark.createDataFrame(out,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_rep",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     val nodes = cur.select(explode(array(col("hi"), col("lo"))).as("doc_id"))
       .distinct().localCheckpoint()
 
@@ -404,28 +489,6 @@ object Dedup {
         .select(col("lo").as("hi"), col("mn").as("lo")) // lo > mn: canonical
         .union(m.select(col("hi"), col("mn").as("lo")))
         .distinct()
-    }
-
-    // free a SUPERSEDED checkpoint's blocks eagerly instead of waiting
-    // for the ContextCleaner (the round-2 postmortem is exactly about
-    // orphaned blocks under session memory pressure). Only ever called on
-    // frames no later round reads — an unpersisted localCheckpoint cannot
-    // recompute (lineage is truncated by design).
-    // Only ever handed localCheckpoint results, whose analyzed plan is a
-    // LogicalRDD — if a future Spark version wraps them differently, fail
-    // loudly instead of silently no-opping and re-leaking one checkpoint's
-    // blocks per round (round-3 ADVICE; the leak is exactly the round-2
-    // postmortem's failure mode).
-    def freeCheckpoint(df: DataFrame): Unit = {
-      var found = 0
-      df.queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false); found += 1
-        case _ => ()
-      }
-      if (found == 0) throw new IllegalStateException(
-        "freeCheckpoint found no LogicalRDD in a localCheckpoint'd plan — " +
-          "plan shape changed; checkpoint blocks would leak per round")
     }
 
     var converged = false
@@ -829,14 +892,23 @@ object Dedup {
   def jaccardPairsBrute(spark: SparkSession, dir: String, maxDocId: Long = 500,
                         minJaccard: Double = 0.8): DataFrame = {
     val sh = shingled(spark, dir).where(col("doc_id") < maxDocId)
-    sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")))
+    // fan the bounded subset out so the O(subset²) verify runs on every
+    // core (the 1-row-group scan otherwise pins it to ONE task), and
+    // broadcast the other side explicitly so the fanned side is the
+    // streamed one; the pre-sort repartition materializes the verified
+    // pairs once so the final sort's range-boundary sampling re-reads a
+    // tiny shuffle instead of re-running the quadratic verify
+    // (OPTIMIZATION_r16.md — measured 2× on exactly this query)
+    Hints.fanOut(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")))
+      .crossJoin(broadcast(
+        sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))))
       .where(col("doc_a") < col("doc_b"))
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .withColumn("jac", round(col("inter") /
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
       .where(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jac"))
+      .repartition(col("doc_a"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -855,8 +927,11 @@ object Dedup {
                             maxDocId: Long = 500,
                             minCont: Double = 0.8): DataFrame = {
     val sh = shingled(spark, dir).where(col("doc_id") < maxDocId)
-    val pairs = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")))
+    // same parallelize-the-bounded-verify shape as [[jaccardPairsBrute]]
+    val pairs = Hints.fanOut(
+        sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")))
+      .crossJoin(broadcast(
+        sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))))
       .where(col("doc_a") < col("doc_b"))
     containmentVerify(pairs, minCont)
   }
@@ -873,6 +948,10 @@ object Dedup {
       .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minCont)
       .select(col("doc_a"), col("doc_b"),
         col("cont_a_in_b"), col("cont_b_in_a"))
+      // materialize the verified pairs before the presentation sort so
+      // the range-sampling pass re-reads this tiny exchange, not the
+      // whole per-pair intersect chain (see jaccardPairsBrute)
+      .repartition(col("doc_a"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Containment pairs at scale — the path the round-3 scaladoc promised
@@ -1467,12 +1546,16 @@ object Dedup {
       col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
       col("nrm").as("nb"))
-    a.crossJoin(b).where(col("vec_a") < col("vec_b"))
+    // parallelize-the-bounded-verify shape (see [[jaccardPairsBrute]]):
+    // fan the streamed side out, broadcast the other, and cut the final
+    // sort's sampling pass off from the O(subset²) dot-product chain
+    Hints.fanOut(a).crossJoin(broadcast(b)).where(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim",
         round(graft.functions.GraftFunctions.dot(col("va"), col("vb"))
           / nullif(col("na") * col("nb"), lit(0.0)), 6))
       .where(col("cos_sim") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .repartition(col("vec_a"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -48,4 +48,31 @@ object Hints {
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes))
       broadcast(df)
     else df
+
+  /** Fan a SMALL frame out to the session's shuffle parallelism before
+    * CPU-DENSE per-row work (quadratic brute-force verifies, per-pair
+    * set intersections, dot-product scoring). Two local-mode findings
+    * motivate this (round-16 profile, OPTIMIZATION_r16.md):
+    *
+    *  - a bounded subset scan arrives in O(1) input splits (one parquet
+    *    row group), so without an exchange the whole O(subset²) verify
+    *    runs in ONE task while every other core idles — bytes are a bad
+    *    proxy for cost when each row carries seconds of CPU;
+    *  - when that narrow compute feeds the query's final ORDER BY
+    *    directly, the range-partitioner's boundary-sampling pass
+    *    re-executes the whole child — the quadratic work runs TWICE.
+    *
+    * The fan-out is size-guarded by the same optimizer-estimate contract
+    * as [[dimHint]] (estimates err upward, so a wrong estimate skips the
+    * fan-out — never shuffles a corpus-sized frame): frames above the
+    * guard are returned unchanged, because at real scale they already
+    * arrive in many splits and a blanket repartition would be a full
+    * extra shuffle of the payload. Below the guard the shuffle moves
+    * only the bounded frame (KBs–MBs) and buys full-cluster parallelism
+    * on the expensive stage — at ANY scale, because the guarded frames
+    * are bounded by design (subset caps, query slices), not by sf. */
+  def fanOut(df: DataFrame, maxBytes: Long = dimMaxBytes): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes))
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    else df
 }

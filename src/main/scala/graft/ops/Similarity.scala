@@ -89,7 +89,12 @@ object Similarity {
     val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       col("nrm").as("cn"))
 
-    val scored = cands.crossJoin(broadcast(queries))
+    // fan the candidate side out before the dense scoring pass: the
+    // whole-corpus scan arrives in O(1) row-group splits locally, which
+    // would pin O(corpus·queries) dot products to one task; the guard
+    // skips the fan-out for corpus sizes where the scan is already
+    // parallel (Hints.fanOut — size-guarded like dimHint)
+    val scored = Hints.fanOut(cands).crossJoin(broadcast(queries))
       .where(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
         round(GraftFunctions.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)

@@ -1294,6 +1294,14 @@ object Text {
       .where(col("inter") * tauDen >= col("uni") * tauNum)
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("uni"), 6).as("jac"))
+      // NARROW exchange (3 columns, candidate-pair cardinality) between
+      // the per-pair intersect verify and the presentation sort: without
+      // it the range-partitioner's boundary-sampling pass re-executes
+      // the whole verify chain, paying the intersects twice (round-16
+      // profile: two ~2 s stages with identical shuffle reads). The
+      // verified-pair frame is tiny relative to the set frames, so this
+      // ships ids+score only — never the shingle arrays (guide §2.3).
+      .repartition(col("doc_a"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

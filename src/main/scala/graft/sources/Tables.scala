@@ -173,5 +173,15 @@ object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // whole-stage codegen gives up above this many input/buffer fields
+      // (default 100) and the operator runs INTERPRETED. Graft's EDA
+      // pack routinely carries 20-feature fused aggregates (count +
+      // min/max/stddev per column = 101 buffer fields — one over the
+      // default), and the round-16 measure showed the fused bounds pass
+      // running interpreted at 2-5× the codegen cost. 300 keeps every
+      // declared aggregate in codegen at any scale (same query, same
+      // fields, regardless of sf); Janino failures past the JIT byte
+      // limit still fall back gracefully, so the setting is monotone.
+      .config("spark.sql.codegen.maxFields", "300")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 }

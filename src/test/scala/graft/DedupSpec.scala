@@ -694,4 +694,29 @@ class DedupSpec extends SparkSpec {
     } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb))).toSet
     assert(single === brute)
   }
+
+  test("contraction: driver union-find fast path ≡ distributed star path") {
+    import spark.implicits._
+    // chains (multi-round star contraction), a hub star, bridges that
+    // merge late, and id gaps — the shapes that distinguish a wrong
+    // union-find from the star fixed point
+    val edges = ((0L until 40L).map(i => (i, i + 1)) ++          // long chain
+      (100L until 120L).map(i => (100L, i + 1)) ++               // star at 100
+      Seq((40L, 100L), (300L, 301L), (302L, 303L), (301L, 302L)) // bridges
+      ).map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("doc_a", "doc_b")
+    def labelsOf(maxDriverEdges: Long): Map[Long, Long] =
+      Dedup.connectedComponents(edges, maxDriverEdges = maxDriverEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = labelsOf(Long.MaxValue) // forces the driver path
+    val viaStar = labelsOf(-1L)             // forces the distributed path
+    assert(viaDriver === viaStar)
+    // and both equal the independent local replay
+    val uf = unionFind(Seq.tabulate(40)(i => (i.toLong, i + 1L)) ++
+      (100L until 120L).map(i => (100L, i + 1)) ++
+      Seq((40L, 100L), (300L, 301L), (302L, 303L), (301L, 302L)))
+    val expected = uf.keys.map(x =>
+      x -> uf(x)).toMap ++ uf.values.map(v => v -> v).toMap
+    assert(viaDriver === expected)
+  }
 }

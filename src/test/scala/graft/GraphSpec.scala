@@ -133,4 +133,16 @@ class GraphSpec extends SparkSpec {
     assert(df.collect().toSeq === Graph.tradeCommunities(spark, sf).collect().toSeq)
     df.unpersist()
   }
+
+  test("graph: driver iteration fast path ≡ distributed loop, all four queries") {
+    // maxDriverEdges = -1 forces the distributed path; MaxValue forces
+    // the driver path — both must produce bit-identical frames (the
+    // guard only chooses WHERE the exact integer recurrence runs)
+    def both(f: Long => org.apache.spark.sql.DataFrame): Unit =
+      assert(f(Long.MaxValue).collect().toSeq === f(-1L).collect().toSeq)
+    both(g => Graph.nationTradePageRank(spark, sf, maxDriverEdges = g))
+    both(g => Graph.boundedShortestPaths(spark, sf, maxDriverEdges = g))
+    both(g => Graph.tradeTriangles(spark, sf, maxDriverEdges = g))
+    both(g => Graph.tradeCommunities(spark, sf, maxDriverEdges = g))
+  }
 }
