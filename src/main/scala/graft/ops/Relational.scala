@@ -384,6 +384,14 @@ object Relational {
         round(element_at(col("ps"), 2), 4).as("p50"),
         round(element_at(col("ps"), 3), 4).as("p75"),
         round(element_at(col("ps"), 4), 4).as("p95"))
+      // pin the O(groups) result behind a round-robin exchange before the
+      // presentation sort: the range partitioner's boundary-sampling pass
+      // re-executes its child, and without this exchange that child is
+      // the whole value→count map merge — measured as two back-to-back
+      // ~0.8 s stages reading the same 5 MB shuffle (round-16 profile).
+      // A same-key repartition is optimizer-eliminated as redundant;
+      // round-robin survives. O(distinct return flags) rows at ANY scale.
+      .repartition(1)
       .orderBy(col("l_returnflag"))
 
   /** Semi join: orders that have at least one high-value line (EXISTS). */
@@ -1038,5 +1046,8 @@ object Relational {
         round(element_at(col("ps"), 2), 4).as("p50"),
         round(element_at(col("ps"), 3), 4).as("p75"),
         round(element_at(col("ps"), 4), 4).as("p95"))
+      // same sampler-shield as the exact `percentiles` — the re-executed
+      // child would otherwise be the QuantileSummaries merge
+      .repartition(1)
       .orderBy(col("l_returnflag"))
 }

@@ -781,25 +781,26 @@ object Text {
         byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("span_id"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + w - 1).as("e"))
-    val covered = spans
-      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("p"))
-      .distinct()
-    val toks = base
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        posexplode_outer(col("toks")).as(Seq("p", "tok")))
-      .select(col("doc_id"), col("n_tokens"), col("p").cast("long").as("p"),
-        col("tok"))
-    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(col("tok")).as("n_kept"),
-        array_join(transform(array_sort(
-          collect_list(struct(col("p"), col("tok")))), x => x("tok")), " ")
-          .as("clean_text"))
-    base.select(col("doc_id"), size(col("toks")).cast("long").as("nt"))
-      .join(kept, Seq("doc_id"), "left")
+    // Rebuild WITHOUT leaving the document row: the span list per doc is
+    // tiny (merged islands), so collect it into an array and drop covered
+    // positions with a codegen higher-order filter. The previous shape
+    // posexploded EVERY token of EVERY document into a (doc_id, p) frame,
+    // anti-joined it against an exploded covered-position set and
+    // re-assembled with sort+collect_list — three corpus-sized shuffles
+    // of token strings for what is a per-row computation (round-16
+    // profile: the rebuild chain was ~40% of the query). Tokens now never
+    // leave their row at ANY scale; only span bounds shuffle.
+    val spanArr = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("sps"))
+    base.join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("nt"),
+        when(col("sps").isNull, col("toks")).otherwise(
+          filter(col("toks"), (_, i) => !exists(col("sps"),
+            sp => i.cast("long").between(sp("s"), sp("e")))))
+          .as("kept"))
       .select(col("doc_id"), col("nt").as("n_tokens"),
-        (col("nt") - coalesce(col("n_kept"), lit(0L))).as("n_excised"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        (col("nt") - size(col("kept")).cast("long")).as("n_excised"),
+        array_join(col("kept"), " ").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
