@@ -494,6 +494,7 @@ object GraftFunctions {
   val bpeEncodeName = "graft_bpe_encode"
   val vecDivName = "graft_vec_div"
   val cellResidualName = "graft_cell_residual"
+  val simhashName = "graft_simhash"
 
   /** Arity-checked SQL builders — a wrong argument count is a clear
     * analysis-time error, not an IndexOutOfBoundsException at runtime. */
@@ -546,6 +547,9 @@ object GraftFunctions {
     arity(cellResidualName, 3)(exprs =>
       CellResidual(exprs(0), exprs(1), exprs(2)))
 
+  private[functions] val simhashBuilder =
+    arity(simhashName, 1)(exprs => SimhashSig(exprs.head))
+
   private def registrations = Seq(
     (FunctionIdentifier(dotName),
       new ExpressionInfo(classOf[DotProduct].getName, dotName), dotBuilder),
@@ -576,7 +580,10 @@ object GraftFunctions {
       vecDivBuilder),
     (FunctionIdentifier(cellResidualName),
       new ExpressionInfo(classOf[CellResidual].getName, cellResidualName),
-      cellResidualBuilder))
+      cellResidualBuilder),
+    (FunctionIdentifier(simhashName),
+      new ExpressionInfo(classOf[SimhashSig].getName, simhashName),
+      simhashBuilder))
 
   /** `graft_version(base, v)` — snapshot time travel as a SQL TABLE
     * FUNCTION (round-14 verdict #8): a SQL user addresses a committed
@@ -692,6 +699,10 @@ object GraftFunctions {
     * ([[CellResidual]]); requires [[register]]. */
   def cellResidual(v: Column, cell: Column, centroids: Column): Column =
     call_function(cellResidualName, v, cell, centroids)
+
+  /** Fused one-pass SimHash signature over raw text ([[SimhashSig]]);
+    * null for token-less documents; requires [[register]]. */
+  def simhash(text: Column): Column = call_function(simhashName, text)
 }
 
 /** `spark.sql.extensions` entry point: registers graft's native functions
@@ -744,6 +755,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[CellResidual].getName,
         GraftFunctions.cellResidualName),
       GraftFunctions.cellResidualBuilder))
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.simhashName),
+      new ExpressionInfo(classOf[SimhashSig].getName,
+        GraftFunctions.simhashName),
+      GraftFunctions.simhashBuilder))
     ext.injectTableFunction((FunctionIdentifier(GraftFunctions.versionTvfName),
       new ExpressionInfo("graft.store.Snapshots", GraftFunctions.versionTvfName),
       GraftFunctions.versionTvfBuilder))

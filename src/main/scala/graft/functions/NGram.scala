@@ -388,3 +388,142 @@ case class MinHashSigs(first: Expression, second: Expression,
       newThird: Expression): MinHashSigs =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** Native SimHash signature over raw text: one pass over the string
+  * tokenizes on single spaces (exactly `Text.tokens` = non-empty
+  * `split(text, " ")` segments), char-folds each token's polynomial
+  * hash `(acc·31 + codepoint) mod 1e9+7` (exactly [[PolyHash]] /
+  * [[TokenPolyHashes]]), derives the second hash
+  * `h2 = (h1·48271 + 11) mod P`, and accumulates the per-bit votes
+  * `s_b = Σ occurrences bit_b` over 60 bits (b < 30 from h1, else h2),
+  * returning `Σ_{2·s_b > t} 2^b` where t is the token count.
+  *
+  * Bit-identical to the declarative pipeline it replaces in
+  * `Dedup.simhashSig` — explode(tokens) → count per (doc, token) →
+  * 60 conditional sums → threshold — because the distinct-token count
+  * weighting is algebraically the per-occurrence sum:
+  * `Σ_distinct cnt·bit = Σ_occurrences bit` (spec-asserted against an
+  * inline declarative replay). The declarative form shuffles every
+  * token of the corpus twice ((doc,token) combine + the 61-field vote
+  * aggregate); this computes the signature without the token ever
+  * leaving its document row — at 100 TB the difference is two
+  * corpus-sized exchanges.
+  *
+  * Documents with no tokens return NULL (the declarative explode path
+  * simply has no rows for them — callers filter `isNotNull` to keep
+  * the frame identical). Null text → null. */
+case class SimhashSig(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_simhash"
+
+  private val P = 1000000007L
+  private val A2 = 48271L
+  private val B2 = 11L
+  private val bits = 60
+  private val half = 30
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string operand, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val votes = new Array[Long](bits)
+    var t = 0L
+    var acc = 0L
+    var inTok = false
+    def fin(): Unit = {
+      val h2 = (acc * A2 + B2) % P
+      var b = 0
+      while (b < half) {
+        votes(b) += (acc >> b) & 1L
+        votes(half + b) += (h2 >> b) & 1L
+        b += 1
+      }
+      t += 1L; acc = 0L; inTok = false
+    }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') { if (inTok) fin() }
+      else { acc = (acc * 31 + cp) % P; inTok = true }
+      i += Character.charCount(cp)
+    }
+    if (inTok) fin()
+    if (t == 0L) null
+    else {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        if (votes(b) * 2 > t) sig |= 1L << b
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val votes = ctx.freshName("votes")
+      val t = ctx.freshName("t")
+      val acc = ctx.freshName("acc")
+      val h2 = ctx.freshName("h2")
+      val inTok = ctx.freshName("inTok")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val b = ctx.freshName("b")
+      val sig = ctx.freshName("sig")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long[] $votes = new long[$bits];
+         |long $t = 0L;
+         |long $acc = 0L;
+         |boolean $inTok = false;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  if ($cp == ' ') {
+         |    if ($inTok) {
+         |      long $h2 = ($acc * ${A2}L + ${B2}L) % ${P}L;
+         |      for (int $b = 0; $b < $half; $b++) {
+         |        $votes[$b] += ($acc >> $b) & 1L;
+         |        $votes[$half + $b] += ($h2 >> $b) & 1L;
+         |      }
+         |      $t++; $acc = 0L; $inTok = false;
+         |    }
+         |  } else {
+         |    $acc = ($acc * 31L + $cp) % ${P}L;
+         |    $inTok = true;
+         |  }
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |if ($inTok) {
+         |  long $h2 = ($acc * ${A2}L + ${B2}L) % ${P}L;
+         |  for (int $b = 0; $b < $half; $b++) {
+         |    $votes[$b] += ($acc >> $b) & 1L;
+         |    $votes[$half + $b] += ($h2 >> $b) & 1L;
+         |  }
+         |  $t++;
+         |}
+         |if ($t == 0L) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    if ($votes[$b] * 2 > $t) $sig |= 1L << $b;
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+}

@@ -1042,7 +1042,26 @@ object Dedup {
     * token occurrences — both map-side combinable hash-aggs. */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val tokenCnt = Tables.documents(spark, dir)
+    // ONE fused codegen pass per document ([[graft.functions.SimhashSig]])
+    // — replaces the explode → (doc, token) count → 61-field vote
+    // aggregate pipeline, which shuffled every token of the corpus twice
+    // for what is algebraically a per-row computation (the distinct-count
+    // weighting equals the per-occurrence bit sum). Token-less documents
+    // return null exactly where the explode path emitted no row, so the
+    // isNotNull filter keeps the frame identical (spec-pinned against the
+    // declarative replay in DedupSpec).
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash(col("text")).as("simhash"))
+      .where(col("simhash").isNotNull)
+  }
+
+  /** The declarative vote-aggregate SimHash the fused expression is
+    * spec-pinned against (kept test-visible only — the shipped path is
+    * the fused one-pass [[graft.functions.SimhashSig]]). */
+  private[graft] def simhashSigDeclarative(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tokenCnt = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))

@@ -695,6 +695,35 @@ class DedupSpec extends SparkSpec {
     assert(single === brute)
   }
 
+  test("simhash: fused one-pass expression ≡ declarative vote aggregate") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // corpus parity: every (doc_id, simhash) row identical, including the
+    // absent-row contract for token-less documents
+    val fused = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash(col("text")).as("simhash"))
+      .where(col("simhash").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val decl = Dedup.simhashSigDeclarative(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(fused.length > 0)
+    assert(fused.toSeq === decl.toSeq)
+    // edge shapes the corpus can't cover: empty / all-space / multi-space
+    // / repeated-token (count weighting) / unicode beyond the BMP
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "a  a b"), (4L, "a a a zz"),
+      (5L, "é 😀 tok"), (6L, "single")).toDF("doc_id", "text")
+    val ef = edge.select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash(col("text")).as("simhash"))
+      .where(col("simhash").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val ed = Dedup.simhashSigDeclarative(edge)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(ef.toSeq === ed.toSeq)
+    assert(!ef.map(_._1).contains(1L) && !ef.map(_._1).contains(2L))
+  }
+
   test("contraction: driver union-find fast path ≡ distributed star path") {
     import spark.implicits._
     // chains (multi-round star contraction), a hub star, bridges that
