@@ -58,8 +58,21 @@ object ProfileOne {
       val df1 = fn(spark, sfDir)
       df1.queryExecution.executedPlan
       val tB3 = System.nanoTime()
+      // listener events post asynchronously: flush the bus before clearing
+      // (drops the warm run's stragglers) and again before reading (keeps
+      // the steady run's late StageCompleted events) — round-16 ADVICE
+      def flushListenerBus(): Unit =
+        try {
+          val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+            .invoke(spark.sparkContext)
+          bus.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+            .foreach(_.invoke(bus))
+        } catch { case _: Throwable => Thread.sleep(300) }
+      flushListenerBus()
       stages.clear()
       val s2 = Timing.timeOnce(df1)
+      flushListenerBus()
       val rows = stages.toArray(Array.empty[StageRow]).sortBy(_.id)
       println(f"PROFILE $name run1=${s1.sec}%.2f steady=${s2.sec}%.2f " +
         f"plan1=${(tBuild1 - tBuild0) / 1e9}%.2f plan2=${(tB3 - tB2) / 1e9}%.2f " +

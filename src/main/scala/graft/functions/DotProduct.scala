@@ -98,7 +98,8 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_polyhash"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    // `_: StringType`: collated strings hash identically (round-16 ADVICE)
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string operand, got ${t.sql}")
   }

@@ -218,7 +218,9 @@ case class TokenPolyHashes(child: Expression)
   private val P = 1000000007L
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    // `_: StringType` (not the object): accept collated string columns too —
+    // the hash is codepoint-based, collation-independent (round-16 ADVICE)
+    case _: org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string operand, got ${t.sql}")
   }
@@ -427,7 +429,9 @@ case class SimhashSig(child: Expression)
   private val half = 30
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    // `_: StringType` (not the object): accept collated string columns too —
+    // the hash is codepoint-based, collation-independent (round-16 ADVICE)
+    case _: org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string operand, got ${t.sql}")
   }

@@ -894,13 +894,16 @@ object Dedup {
     val sh = shingled(spark, dir).where(col("doc_id") < maxDocId)
     // fan the bounded subset out so the O(subset²) verify runs on every
     // core (the 1-row-group scan otherwise pins it to ONE task), and
-    // broadcast the other side explicitly so the fanned side is the
-    // streamed one; the pre-sort repartition materializes the verified
-    // pairs once so the final sort's range-boundary sampling re-reads a
-    // tiny shuffle instead of re-running the quadratic verify
+    // hint the other side as the broadcast build so the fanned side is
+    // the streamed one — under the SAME size guard as the fan-out
+    // (round-16 ADVICE: an unconditional broadcast of the frame the
+    // fan-out just declined to shuffle is a forced-OOM hazard when a
+    // caller raises maxDocId); the pre-sort repartition materializes the
+    // verified pairs once so the final sort's range-boundary sampling
+    // re-reads a tiny shuffle instead of re-running the quadratic verify
     // (OPTIMIZATION_r16.md — measured 2× on exactly this query)
     Hints.fanOut(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")))
-      .crossJoin(broadcast(
+      .crossJoin(Hints.dimHint(
         sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))))
       .where(col("doc_a") < col("doc_b"))
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
@@ -928,9 +931,10 @@ object Dedup {
                             minCont: Double = 0.8): DataFrame = {
     val sh = shingled(spark, dir).where(col("doc_id") < maxDocId)
     // same parallelize-the-bounded-verify shape as [[jaccardPairsBrute]]
+    // (size-guarded broadcast hint, not a forced one — round-16 ADVICE)
     val pairs = Hints.fanOut(
         sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")))
-      .crossJoin(broadcast(
+      .crossJoin(Hints.dimHint(
         sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))))
       .where(col("doc_a") < col("doc_b"))
     containmentVerify(pairs, minCont)
@@ -1566,9 +1570,10 @@ object Dedup {
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
       col("nrm").as("nb"))
     // parallelize-the-bounded-verify shape (see [[jaccardPairsBrute]]):
-    // fan the streamed side out, broadcast the other, and cut the final
-    // sort's sampling pass off from the O(subset²) dot-product chain
-    Hints.fanOut(a).crossJoin(broadcast(b)).where(col("vec_a") < col("vec_b"))
+    // fan the streamed side out, size-guarded-broadcast the other
+    // (round-16 ADVICE), and cut the final sort's sampling pass off from
+    // the O(subset²) dot-product chain
+    Hints.fanOut(a).crossJoin(Hints.dimHint(b)).where(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim",
         round(graft.functions.GraftFunctions.dot(col("va"), col("vb"))
           / nullif(col("na") * col("nb"), lit(0.0)), 6))
@@ -1615,8 +1620,19 @@ object Dedup {
     private var edges: Option[DataFrame] = None
     private var ids: Option[DataFrame] = None
 
-    private def appended(acc: Option[DataFrame], add: DataFrame): Option[DataFrame] =
-      Some(acc.map(_.unionByName(add)).getOrElse(add).localCheckpoint())
+    /** Union `add` into the accumulator and re-pin, eagerly freeing the
+      * SUPERSEDED pin: the new localCheckpoint has materialized (it holds
+      * its own copy of every row), so the previous step's blocks are dead
+      * — without this, a stream of B batches leaks B re-checkpoints of
+      * ever-growing state, O(B²) bytes over the stream's lifetime (guide
+      * §5; round-17 session-hygiene audit). Contract: a frame obtained
+      * from [[labels]] is valid until the NEXT `step` — the per-batch
+      * evaluate-then-step discipline every foreachBatch sink already has. */
+    private def appended(acc: Option[DataFrame], add: DataFrame): Option[DataFrame] = {
+      val next = acc.map(_.unionByName(add)).getOrElse(add).localCheckpoint()
+      acc.foreach(freeCheckpoint)
+      Some(next)
+    }
 
     /** Batch ids already ingested — `foreachBatch` is at-least-once once a
       * checkpointLocation is set (a batch can be REDELIVERED after
@@ -1657,6 +1673,9 @@ object Dedup {
       edges = appended(edges, batchEdges)
       ids = appended(ids, sigs.select(col("doc_id")))
       stateSigs = appended(stateSigs, sigs)
+      // every consumer of the batch pin (anchors/edges/ids/stateSigs) has
+      // materialized above — the per-batch signature blocks are dead
+      freeCheckpoint(sigs)
     }
 
     /** The assignment for every document seen so far — steps 1-3 of

@@ -29,7 +29,17 @@ object Graph {
     * KB-scale frames), so 4-5 rounds dominate the query. On a corpus
     * whose entity graph exceeds the guard the distributed loop runs
     * unchanged — the guard is a row count of the ALREADY-materialized
-    * checkpoint, so the decision costs one trivial count job. */
+    * checkpoint, so the decision costs one trivial count job.
+    *
+    * EAGER-CONSTRUCTION NOTE (round-16 ADVICE): the fast path runs the
+    * edge build, the guard count and the whole iteration at
+    * DataFrame-CONSTRUCTION time, so these four builders are not lazy —
+    * plan capture (ExplainOne, PlanSpec's `plan()`) executes the fact
+    * pass, ProfileOne's plan-build timings include execution, and
+    * re-invoking a builder redoes the driver compute. Bench/BenchOne are
+    * unaffected (timeOnce takes the builder by-name inside the timed
+    * region). The same applies to [[Dedup.connectedComponents]]' driver
+    * route and to every consumer that therefore constructs eagerly. */
   private[graft] val graphMaxDriverEdges: Long = 1L << 20
 
   /** Weighted PageRank over the nation trade graph, in EXACT integer

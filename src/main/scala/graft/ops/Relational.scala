@@ -199,15 +199,43 @@ object Relational {
     * any scale. Exercises `p_type`/`p_size`, the last untouched part
     * attributes. */
   def partSupplierBreadth(spark: SparkSession, dir: String,
-                          excludeBrand: String = "Brand#45"): DataFrame =
-    Tables.lineitem(spark, dir)
-      .join(Hints.dimHint(Tables.part(spark, dir)
-          .where(col("p_brand") =!= excludeBrand)),
-        col("l_partkey") === col("p_partkey"))
+                          excludeBrand: String = "Brand#45"): DataFrame = {
+    // The declared distinct is over (brand, type, size, suppkey) — three
+    // of them STRINGS, and the round-17 profile put ~2.9 s of the 3.0 s
+    // CPU in the two string-hash aggregate stages over a 9.4 MB string
+    // shuffle (map-side partial distinct had already collapsed the fact
+    // rows, so shrinking the INPUT row count bought nothing). Guide §2.3
+    // "narrower types / shuffle keys instead of payloads": every part
+    // spec (brand, type, size) gets a NUMERIC surrogate — the minimum
+    // p_partkey carrying that spec, a pure function of the part dim, so
+    // it is deterministic and engine-independent — and the corpus-sized
+    // distinct runs entirely on (long, long) keys. The spec strings are
+    // re-attached AFTER the count, to O(specs) rows. Result identical:
+    // spec_id ↔ (brand, type, size) is a bijection over the non-excluded
+    // parts, so count-distinct-suppkey per spec is unchanged.
+    val partAttrs = Tables.part(spark, dir)
+      .where(col("p_brand") =!= excludeBrand)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val specId = partAttrs
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .agg(min(col("p_partkey")).as("spec_id"))
+    val partToSpec = partAttrs
+      .join(specId, Seq("p_brand", "p_type", "p_size"))
+      .select(col("p_partkey"), col("spec_id"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(Hints.dimHint(partToSpec), col("l_partkey") === col("p_partkey"))
+      // ONE all-integer distinct over (spec, supplier): the map-side
+      // partial aggregate collapses the ~7.5× line multiplicity before
+      // the only corpus-sized shuffle, which now carries two longs
+      .select(col("spec_id"), col("l_suppkey")).distinct()
+      .groupBy(col("spec_id"))
+      .agg(count(col("l_suppkey")).as("supplier_cnt"))
+      .join(Hints.dimHint(specId), "spec_id")
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
+  }
 
   /** Supplier revenue leaderboard: top suppliers by shipped revenue with
     * their names — the per-entity rollup + top-k shape. Scale: supplier

@@ -1328,8 +1328,22 @@ object Text {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
     // p = nw − ceil(τ·nw) + 1, all-integer ceil (`div`, never `/` —
     // Column `/` is double division)
+    //
+    // localCheckpoint: the candidate generator below SELF-JOINS this
+    // frame, and Catalyst cannot dedupe the duplicated subtree — only the
+    // exchange under the window is reused, so the df-rank window (sort +
+    // row_number over every exploded token) and the df-join above it ran
+    // TWICE, measured as two back-to-back ~1.5-2 s CPU stages reading the
+    // same shuffle (round-17 profile; the round-16 pre-sort exchange fixed
+    // only the sampler re-run, not this). The prefix frame is 4 long
+    // columns at ~40% of token cardinality — narrow at any scale — and
+    // pinning it halves the dominant cost. Blocks are released by the
+    // ContextCleaner when the consumer drops the frame (same lifecycle as
+    // the contraction's final frames).
     val prefix = ranked.where(col("pos") <=
       col("nw") - expr(s"(nw * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col("token"), col("doc_id"), col("nw"), col("pos"))
+      .localCheckpoint()
     // PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2) on top of the
     // prefix+length filters, in the same exact-integer style. At the
     // FIRST common prefix token of a pair, at canonical positions
