@@ -1328,22 +1328,26 @@ object Text {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
     // p = nw − ceil(τ·nw) + 1, all-integer ceil (`div`, never `/` —
     // Column `/` is double division)
-    //
-    // localCheckpoint: the candidate generator below SELF-JOINS this
-    // frame, and Catalyst cannot dedupe the duplicated subtree — only the
-    // exchange under the window is reused, so the df-rank window (sort +
-    // row_number over every exploded token) and the df-join above it ran
-    // TWICE, measured as two back-to-back ~1.5-2 s CPU stages reading the
-    // same shuffle (round-17 profile; the round-16 pre-sort exchange fixed
-    // only the sampler re-run, not this). The prefix frame is 4 long
-    // columns at ~40% of token cardinality — narrow at any scale — and
-    // pinning it halves the dominant cost. Blocks are released by the
-    // ContextCleaner when the consumer drops the frame (same lifecycle as
-    // the contraction's final frames).
     val prefix = ranked.where(col("pos") <=
       col("nw") - expr(s"(nw * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
       .select(col("token"), col("doc_id"), col("nw"), col("pos"))
-      .localCheckpoint()
+    // Candidate generation: ONE pass over the prefix postings. The
+    // classic formulation self-joins the prefix frame on token, but
+    // Catalyst cannot dedupe the duplicated subtree — only the exchange
+    // under the df-rank window is reused, so the window (sort +
+    // row_number over every exploded token) and the df join above it
+    // executed TWICE, measured as two back-to-back ~1.5-2 s CPU stages
+    // reading the same shuffle (round-17 profile; the round-16 pre-sort
+    // exchange had fixed only the sampler re-run). Grouping each token's
+    // prefix postings into one doc_id-sorted array and exploding its
+    // ordered 2-combinations (the [[Mining]] basket-combo idiom) emits
+    // the SAME pair multiset with a single prefix pass — and replaces
+    // the self-join's broadcast of a corpus-sized prefix frame with one
+    // narrow postings shuffle keyed by token, honest at any scale. The
+    // per-token array is bounded by the prefix df — prefixes hold the
+    // RAREST tokens by construction (df ~8 on this corpus), and the
+    // Σ df² candidate space is the same one the join shape pays.
+    //
     // PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2) on top of the
     // prefix+length filters, in the same exact-integer style. At the
     // FIRST common prefix token of a pair, at canonical positions
@@ -1353,13 +1357,25 @@ object Text {
     //   inter ≤ 1 + min(na − pa, nb − pb),
     // and J ≥ τ requires inter ≥ α = ceil(num·(na+nb)/(num+den)).
     // Pairs whose bound cannot reach α are dropped BEFORE the verify
-    // join ships any shingle set. The pair aggregate replaces the
-    // `.distinct()` the plan already paid — same shuffle, min(struct)
-    // picks the first match.
-    val cand = prefix.select(col("token"), col("doc_id").as("doc_a"),
-        col("nw").as("na"), col("pos").as("pa"))
-      .join(prefix.select(col("token"), col("doc_id").as("doc_b"),
-        col("nw").as("nb"), col("pos").as("pb")), "token")
+    // join ships any shingle set; min(struct) picks the first match.
+    val byTok = prefix
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id"), col("nw"), col("pos")))).as("ds"))
+      .where(size(col("ds")) > 1)
+    // ordered 2-combinations of the doc_id-sorted posting array: element
+    // i paired with every later element, so doc_a ≤ doc_b by construction
+    val combos = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + lit(2),
+        greatest(size(col("ds")) - i - 1, lit(0))),
+        y => struct(
+          x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+          x.getField("nw").as("na"), y.getField("nw").as("nb"),
+          x.getField("pos").as("pa"), y.getField("pos").as("pb")))))
+    val cand = byTok.select(explode(combos).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"),
+        col("p.pa").as("pa"), col("p.pb").as("pb"))
       .where(col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")) * tauDen >=
           greatest(col("na"), col("nb")) * tauNum)
