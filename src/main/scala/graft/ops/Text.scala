@@ -1372,7 +1372,13 @@ object Text {
           x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
           x.getField("nw").as("na"), y.getField("nw").as("nb"),
           x.getField("pos").as("pa"), y.getField("pos").as("pb")))))
-    val cand = byTok.select(explode(combos).as("p"))
+    // the grouped-postings frame is SMALL in bytes (one row per prefix
+    // token) but each row carries O(df²) combination-generation CPU, so
+    // AQE's byte-proxy coalescing runs the explode at 1-4 tasks (round-17
+    // profile: 2.8 s of stage CPU nearly serial) — the exact case
+    // [[Hints.fanOut]] exists for (size-guarded: a corpus-scale frame
+    // passes through untouched and keeps its natural partitioning)
+    val cand = Hints.fanOut(byTok).select(explode(combos).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"),
         col("p.pa").as("pa"), col("p.pb").as("pb"))
